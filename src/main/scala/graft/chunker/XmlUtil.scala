@@ -1,0 +1,112 @@
+package graft.chunker
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+
+import javax.xml.parsers.DocumentBuilderFactory
+import org.w3c.dom.{Document, Element, Node, Text}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Minimal DOM helpers for the chunker — the JVM analogue of the reference's
+  * lxml navigation (`lovdata_chunker.py:68-69` + XPath use throughout).
+  * Secure-by-default parser: DTDs and external entities disabled (the corpus
+  * is untrusted input at 100 TB scale).
+  */
+object XmlUtil {
+
+  def parse(xml: String): Element = {
+    val f = DocumentBuilderFactory.newInstance()
+    f.setNamespaceAware(false)
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    val doc: Document = f.newDocumentBuilder()
+      .parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
+    doc.getDocumentElement
+  }
+
+  def childElements(e: Element): Seq[Element] = {
+    val out = ArrayBuffer.empty[Element]
+    var n = e.getFirstChild
+    while (n != null) {
+      n match { case el: Element => out += el; case _ => }
+      n = n.getNextSibling
+    }
+    out.toSeq
+  }
+
+  /** All descendant elements, document order, excluding `e` itself. */
+  def descendants(e: Element): Seq[Element] = {
+    val out = ArrayBuffer.empty[Element]
+    def walk(el: Element): Unit = childElements(el).foreach { c => out += c; walk(c) }
+    walk(e)
+    out.toSeq
+  }
+
+  def descendantsWithClass(e: Element, tag: String, cls: String): Seq[Element] =
+    descendants(e).filter(x => x.getTagName == tag && x.getAttribute("class") == cls)
+
+  def firstDescendant(e: Element, tag: String, cls: Option[String] = None): Option[Element] =
+    descendants(e).find(x => x.getTagName == tag && cls.forall(_ == x.getAttribute("class")))
+
+  /** lxml `itertext()`: every text node under the element, document order,
+    * concatenated with no separator.
+    */
+  def iterText(e: Element): String = {
+    val sb = new StringBuilder
+    def walk(n: Node): Unit = n match {
+      case t: Text => sb.append(t.getData)
+      case el: Element =>
+        var c = el.getFirstChild
+        while (c != null) { walk(c); c = c.getNextSibling }
+      case _ =>
+    }
+    walk(e)
+    sb.toString
+  }
+
+  /** The element's own leading text node(s) before the first child element
+    * (lxml `elem.text`).
+    */
+  def directText(e: Element): String = {
+    val sb = new StringBuilder
+    var n = e.getFirstChild
+    var done = false
+    while (n != null && !done) {
+      n match {
+        case t: Text => sb.append(t.getData)
+        case _: Element => done = true
+        case _ =>
+      }
+      n = n.getNextSibling
+    }
+    sb.toString
+  }
+
+  /** Text nodes immediately following the element (lxml `elem.tail`). */
+  def tailText(e: Element): String = {
+    val sb = new StringBuilder
+    var n = e.getNextSibling
+    var done = false
+    while (n != null && !done) {
+      n match {
+        case t: Text => sb.append(t.getData)
+        case _: Element => done = true
+        case _ =>
+      }
+      n = n.getNextSibling
+    }
+    sb.toString
+  }
+
+  def attr(e: Element, name: String, default: String = ""): String = {
+    val v = e.getAttribute(name)
+    if (v == null || v.isEmpty) default else v
+  }
+
+  def parentElement(e: Element): Option[Element] = e.getParentNode match {
+    case p: Element => Some(p)
+    case _          => None
+  }
+}

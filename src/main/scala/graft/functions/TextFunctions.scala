@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text operators (SURVEY.md §2.9 C-series + the text-analysis
+  * extensions). Everything here is built from `org.apache.spark.sql.functions`
+  * so it stays inside whole-stage codegen — no UDFs on the hot path.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of a trimmed string. */
+  def wsTokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** C1 (relational form): deterministic token count — word-or-symbol regex,
+    * a BPE-ish approximation that both Spark and any ANSI oracle can compute.
+    * (The reference counts cl100k_base BPE tokens, `token_counter.py:25-34`;
+    * our engine is internally consistent instead — SURVEY §7 module 2.)
+    */
+  def tokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^\\sA-Za-z0-9]"), lit(0))).cast("long")
+
+  /** C3: sentence split on terminal punctuation (Java regex lookbehind,
+    * reference `lovdata_chunker.py:436,497`).
+    */
+  def sentenceSplit(c: Column): Column = split(c, "(?<=[.!?])\\s+")
+
+  /** C4: `(\d{4}-\d{2}-\d{2})` date extraction from a dokid
+    * (reference `metadata_enrichment_service.py:160-165`).
+    */
+  def extractDate(c: Column): Column =
+    to_date(regexp_extract(c, "(\\d{4}-\\d{2}-\\d{2})", 1))
+
+  /** C5: paragraph-ref extraction → `§ n`
+    * (reference `metadata_enrichment_service.py:190-194`).
+    */
+  def paragraphRef(c: Column): Column = {
+    val n = regexp_extract(c, "(?:paragraf-|§\\s*)(\\d+[a-z]?)", 1)
+    when(n =!= "", concat(lit("§ "), n)).otherwise(lit(null).cast("string"))
+  }
+
+  /** C6: all lovdata refs in free text
+    * (reference `metadata_enrichment_service.py:253-258`).
+    */
+  def lovdataRefs(c: Column): Column =
+    regexp_extract_all(c, lit("lov/\\d{4}-\\d{2}-\\d{2}-\\d+"), lit(0))
+
+  /** C7: keep hrefs with the `lov/` prefix (reference `metadata_enrichment_service.py:241-249`). */
+  def lovHrefs(arr: Column): Column = filter(arr, x => x.startsWith("lov/"))
+
+  /** C8: cross_refs list ⇄ CSV codec (reference `models.py:115-116`, `cli.py:256-263`). */
+  def crossRefsToCsv(arr: Column): Column = concat_ws(",", arr)
+  def csvToCrossRefs(c: Column): Column =
+    filter(split(c, ","), x => length(x) > 0)
+
+  /** C9: depth = count of `-` in a chunk id (reference `metadata_enrichment_service.py:211-215`). */
+  def chunkDepth(c: Column): Column = (size(split(c, "-")) - 1).cast("long")
+
+  /** C12: path stem → doc_id (reference `lovlig.py:88,96`). */
+  def pathStem(c: Column): Column =
+    regexp_replace(regexp_extract(c, "[^/]+$", 0), "\\.[A-Za-z0-9.]+$", "")
+
+  /** C12: dataset dir = dataset name minus `.tar.bz2`. */
+  def datasetDir(c: Column): Column = regexp_replace(c, "\\.tar\\.bz2$", "")
+
+  /** C16: first non-empty of a fallback chain (reference `chunking_service.py:71-80`). */
+  def coalesceNonEmpty(cols: Column*): Column =
+    coalesce(cols.map(c => when(length(trim(c)) > 0, c)): _*)
+
+  // ---- text-analysis extensions (training-data pipeline operators) ----
+
+  /** Quality signals: length, punctuation ratio, distinct-word ratio,
+    * stopword ratio. All codegen'd column arithmetic.
+    */
+  def distinctWordRatio(c: Column): Column = {
+    val toks = wsTokens(c)
+    size(array_distinct(toks)).cast("double") / greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def punctRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "[.,;:!?]", ""))).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "and", "of", "to", "in", "is", "og", "i", "en", "det")
+
+  def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = wsTokens(lower(c))
+    val sw = array(stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length, low-punct,
+    * lexically diverse text with some stopword glue.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / lit(500.0), lit(1.0))
+    val diversity = distinctWordRatio(c)
+    val glue = least(stopwordRatio(c) * 5.0, lit(1.0))
+    round((lenScore + diversity + glue) / 3.0, 6)
+  }
+
+  /** Language-ID heuristic: score stopword hits per language, pick argmax.
+    * An n-gram-free approximation suited to codegen; real pipelines would
+    * plug a model in behind the same column contract.
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "es" -> Seq("el", "la", "los", "y", "de", "un"),
+    "no" -> Seq("og", "i", "det", "en", "er", "som")
+  )
+
+  def langIdScore(c: Column, lang: String): Column = {
+    val toks = wsTokens(lower(c))
+    val sw = array(langStopwords(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def langId(c: Column): Column = {
+    val scored = langStopwords.keys.toSeq.sorted.map { l =>
+      struct(langIdScore(c, l).as("score"), lit(l).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Document fingerprint: first 16 hex chars of sha-256 over the
+    * whitespace-normalized, lowercased text — stable across formatting noise.
+    */
+  def fingerprint(c: Column): Column =
+    substring(sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256), 1, 16)
+}

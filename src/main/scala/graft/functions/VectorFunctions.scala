@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector column operators over `array<float>` embeddings.
+  *
+  * All arithmetic is done through `zip_with`/`aggregate` higher-order
+  * functions — codegen-friendly, no UDFs — accumulating in double precision
+  * (left-to-right fold, matching how a scalar oracle evaluates the same sum).
+  */
+object VectorFunctions {
+
+  /** Dot product of two float-array columns, accumulated as double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v
+    )
+
+  /** Euclidean norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either side has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d  = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0.0, d / nn).otherwise(lit(0.0))
+  }
+
+  /** A literal vector column from a driver-side float array (for broadcasting
+    * a single query vector into a codegen'd expression, E2 pattern).
+    */
+  def vecLit(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
+
+  /** Deterministic random hyperplane for LSH: 64 pseudo-random ±1 components
+    * derived from `xxhash64(dim_index, plane_seed)` — computed per-row-free as
+    * a literal-driven expression so every executor sees identical planes.
+    */
+  def hyperplaneSign(vec: Column, dim: Int, planeSeed: Int): Column = {
+    // sign pattern: hash(i, seed) parity
+    val terms = (0 until dim).map { i =>
+      val sign = if (scala.util.hashing.MurmurHash3.productHash((i, planeSeed)) % 2 == 0) 1.0 else -1.0
+      element_at(vec, i + 1).cast("double") * lit(sign)
+    }
+    val s = terms.reduce(_ + _)
+    when(s >= 0.0, lit(1)).otherwise(lit(0))
+  }
+
+  /** LSH bucket id from `nPlanes` random-hyperplane bits. */
+  def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column =
+    (0 until nPlanes)
+      .map(p => hyperplaneSign(vec, dim, seed + p) * lit(1 << p))
+      .reduce(_ + _)
+}

@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * All variants are bucketed — candidate pairs only form inside a bucket
+  * (hash bucket, LSH band bucket, or blocking key), never via an all-pairs
+  * join. At 100 TB an unbucketed `crossJoin` is the canonical scale-killer;
+  * every public near-dup pipeline (MinHashLSH in Spark ML, the deduplicate
+  * stage of large-corpus prep) uses band-bucket joins for this reason.
+  */
+object Dedup {
+
+  /** Exact dedup: keep one row per sha2(text). The groupBy shuffles on the
+    * 256-bit hash — uniformly distributed, no skew.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("_h", sha2(col(textCol), 256))
+      .groupBy(col("_h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .drop("_h")
+
+  /** Character shingles of length n, distinct. */
+  def shingles(c: Column, n: Int): Column = {
+    val cleaned = regexp_replace(lower(trim(c)), "\\s+", " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(cleaned) - (n - 1), lit(1))),
+        i => cleaned.substr(i, lit(n))
+      )
+    )
+  }
+
+  /** Distinct word set of a text column. */
+  def wordSet(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
+
+  /** MinHash signature: for each of `numHashes` seeds, the min over the
+    * token set of `xxhash64(token, seed)`. Codegen'd (transform + array_min),
+    * no UDF.
+    */
+  def minhashSignature(tokens: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { seed =>
+      array_min(transform(tokens, t => xxhash64(t, lit(seed))))
+    }: _*)
+
+  /** MinHash-LSH banding: split the signature into `bands` bands of
+    * `rowsPerBand` and emit one (bandId, bucketHash) per band. Documents
+    * sharing any band bucket are near-dup candidates.
+    */
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket")
+      )
+    }: _*)
+
+  /** MinHash-LSH near-dup candidate pairs over `df(idCol, textCol)`.
+    *
+    * Plan shape: per-doc signature → explode bands → self-join on
+    * (band, bucket) → distinct pairs. The join key is a 64-bit band bucket;
+    * no CartesianProduct appears in the plan.
+    */
+  def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4
+  ): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df
+      .select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sig", minhashSignature(col("toks"), numHashes))
+      .withColumn("bandBucket", explode(lshBands(col("sig"), bands, rowsPerBand)))
+      .select(col("id"), col("bandBucket.band"), col("bandBucket.bucket"))
+    val a = sigs.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = sigs.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** SimHash: 64-bit signature from per-token 64-bit hashes — bit i of the
+    * signature is the sign of sum over tokens of (bit i ? +1 : -1).
+    * Near-dups differ in few bits (small Hamming distance).
+    */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val bits = (0 until 64).map { i =>
+      val bitSum = aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)
+      )
+      when(bitSum >= 0, lit(1L).cast("long") * lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** n-gram / word Jaccard similarity between two pre-computed distinct
+    * token-array columns.
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** Blocked n-gram-Jaccard near-dup pairs: candidates share a blocking key
+    * (here: same `blockCols` values), then exact Jaccard is computed on the
+    * candidates only.
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blockCols: Seq[String],
+      threshold: Double
+  ): DataFrame = {
+    val docs = df.select(
+      (col(idCol).as("id") +: blockCols.map(col)) :+ wordSet(col(textCol)).as("toks"): _*
+    )
+    val a = docs.select(Seq(col("id").as("id_a"), col("toks").as("toks_a")) ++ blockCols.map(col): _*)
+    val b = docs.select(Seq(col("id").as("id_b"), col("toks").as("toks_b")) ++ blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("toks_a"), col("toks_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding-cosine near-dup candidates, LSH-bucketed: docs are bucketed by
+    * random-hyperplane signs; pairs form within a bucket only.
+    */
+  def cosineCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      nPlanes: Int,
+      threshold: Double
+  ): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val bucketed = df.select(
+      col(idCol).as("id"),
+      col(vecCol).as("vec"),
+      lshBucket(col(vecCol), dim, nPlanes).as("bucket")
+    )
+    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+}

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunker.LovdataChunker
+import graft.embed.{Embedding, EmbeddingProvider}
+import graft.model.ChunkRow
+import graft.operators.Identify
+import graft.sources.ChunkStore
+import graft.state.PipelineState
+
+/** The end-to-end incremental pipeline (reference
+  * `orchestration/pipeline_orchestrator.py:116-373`, traced in SURVEY §3.1):
+  *
+  *   identify (J1 anti-join vs ledger) → chunk (per-document flatMap) →
+  *   embed (mapPartitions batches) → upsert (partition-scoped overwrite) →
+  *   cleanup removed (K3 anti-join) → commit ledger (K4).
+  *
+  * The reference commits state after every file; our unit of durability is
+  * the batch — the observable invariant (state ⟺ store consistency, failed
+  * docs retried, no partial chunks for a doc) is preserved because the store
+  * write is an idempotent upsert-by-key and the ledger commit happens only
+  * after the store writes succeed.
+  */
+object Pipeline {
+
+  final case class RunSummary(processed: Long, removed: Long, chunksWritten: Long)
+
+  /** C11: the positional id rewrite — stored ids are `{docId}_chunk_{i}`,
+    * assigned from the chunker's stable chunkIndex
+    * (reference `file_processing_service.py:101-105`).
+    */
+  def positionalIds(chunks: DataFrame): DataFrame =
+    chunks.withColumn(
+      "chunkId",
+      concat(col("documentId"), lit("_chunk_"), col("chunkIndex").cast("string"))
+    )
+
+  /** Chunk a set of documents: one task per partition, one chunker call per
+    * document — order-dependent folds stay inside, documents parallelize.
+    *
+    * @param docs (docId, dataset, hash, xml) rows
+    */
+  def chunkDocuments(spark: SparkSession, docs: DataFrame, chunker: LovdataChunker): DataFrame = {
+    import spark.implicits._
+    docs.select(col("docId"), col("dataset"), col("hash"), col("xml"))
+      .as[(String, String, String, String)]
+      .flatMap { case (docId, dataset, hash, xml) =>
+        chunker.chunk(xml).map { c =>
+          ChunkRow(
+            chunkId = s"${docId}_${c.chunkId}",
+            documentId = docId,
+            datasetName = dataset,
+            content = c.text,
+            tokenCount = c.tokenCount,
+            // C16 fallback chain (reference `chunking_service.py:71-80`)
+            sectionHeading = Seq(c.sectionHeading, c.paragraphTitle, c.documentTitle)
+              .find(_.nonEmpty).getOrElse(""),
+            absoluteAddress = if (c.url.nonEmpty) c.url else c.address,
+            splitReason = "none",
+            parentChunkId = None,
+            sourceHash = hash,
+            crossRefs = c.crossRefs,
+            chunkIndex = c.chunkIndex
+          )
+        }
+      }
+      .toDF()
+  }
+
+  /** One incremental run over a CDC snapshot.
+    *
+    * @param changed  (docId, dataset, hash, xml) for status ∈ added/modified
+    * @param removed  (docId) tombstones
+    */
+  def run(
+      spark: SparkSession,
+      changed: DataFrame,
+      removed: DataFrame,
+      store: ChunkStore,
+      statePath: String,
+      chunker: LovdataChunker,
+      provider: EmbeddingProvider,
+      force: Boolean = false,
+      limit: Option[Int] = None
+  ): RunSummary = {
+    val ledger = new PipelineState(statePath)
+    val state = ledger.load(spark)
+
+    // Stage 2: identify (J1 broadcast anti-join + optional L1 limit)
+    val toProcess = Identify.identifyFiles(changed, state, force, limit).cache()
+    val nToProcess = toProcess.count()
+
+    // Stage 3: chunk → positional ids → embed → upsert
+    var chunksWritten = 0L
+    if (nToProcess > 0) {
+      val chunks = positionalIds(chunkDocuments(spark, toProcess, chunker))
+      val enriched = Embedding.embed(chunks, "content", provider)
+        .withColumn("parentChunkId", lit(null).cast("string"))
+      store.upsert(spark, enriched)
+      chunksWritten = store.read(spark)
+        .join(broadcast(toProcess.select(col("docId").as("documentId"))), Seq("documentId"), "left_semi")
+        .count()
+    }
+
+    // Stage 4: cleanup removed docs from store + ledger (K3)
+    val removedIds = removed.select(col("docId")).distinct().collect().map(_.getString(0)).toSeq
+    if (removedIds.nonEmpty) store.deleteByDocumentIds(spark, removedIds)
+
+    // Commit the ledger once the store writes are durable (K4).
+    val afterProcessed = ledger.markProcessed(spark, state, toProcess.select("docId", "hash"))
+    val afterRemoved = ledger.remove(afterProcessed, removed.select("docId"))
+    ledger.save(spark, afterRemoved)
+
+    toProcess.unpersist()
+    RunSummary(nToProcess, removedIds.length.toLong, chunksWritten)
+  }
+}

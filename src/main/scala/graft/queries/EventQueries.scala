@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.EventWindows
+
+/** Event-table battery: CDC-style status filters (F1-F3 semantics), JSON
+  * codec (C15), timestamp formatting (C14), and the event-time window
+  * extensions (tumbling / sliding / session).
+  */
+object EventQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // F1: status ∈ {added, modified} — CDC changed-set semantics.
+    "f1_changed_set" -> Q(
+      (s, d) =>
+        events(s, d).filter(col("event_type").isin("click", "view"))
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n")),
+      Some("""SELECT event_type, count(*) AS n FROM events
+             |WHERE event_type IN ('click','view') GROUP BY event_type""".stripMargin),
+      Seq("F1")
+    ),
+
+    // F2: status ≠ removed — live set.
+    "f2_live_set" -> Q(
+      (s, d) =>
+        events(s, d).filter(col("event_type") =!= "error")
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")),
+      Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value FROM events
+             |WHERE event_type <> 'error' GROUP BY event_type""".stripMargin),
+      Seq("F2")
+    ),
+
+    // F3: tombstones, per key.
+    "f3_tombstones" -> Q(
+      (s, d) =>
+        events(s, d).filter(col("event_type") === "error")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n_errors")),
+      Some("""SELECT user_id, count(*) AS n_errors FROM events
+             |WHERE event_type = 'error' GROUP BY user_id""".stripMargin),
+      Seq("F3")
+    ),
+
+    // A2/A3: counts and distinct keys per status.
+    "a2_a3_status_counts" -> Q(
+      (s, d) =>
+        events(s, d).groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            round(sum(col("value")), 2).as("sum_value")
+          ),
+      Some("""SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+             |round(sum(value),2) AS sum_value FROM events GROUP BY event_type""".stripMargin),
+      Seq("A2", "A3")
+    ),
+
+    // J4: failed-retry — keys whose LAST event is a failure re-enter.
+    "j4_failed_retry" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+        events(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("event_type") === "error")
+          .select(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT user_id, event_id FROM (
+             |  SELECT user_id, event_id, event_type,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             |  FROM events) WHERE rn = 1 AND event_type = 'error'""".stripMargin),
+      Seq("J4")
+    ),
+
+    // C14: ISO timestamp formatting at the JSON boundary.
+    "c14_iso_format" -> Q(
+      (s, d) =>
+        events(s, d).groupBy(col("event_type"))
+          .agg(
+            date_format(min(col("ts")), "yyyy-MM-dd'T'HH:mm:ss").as("first_at"),
+            date_format(max(col("ts")), "yyyy-MM-dd'T'HH:mm:ss").as("last_at")
+          ),
+      Some("""SELECT event_type, strftime(min(ts), '%Y-%m-%dT%H:%M:%S') AS first_at,
+             |strftime(max(ts), '%Y-%m-%dT%H:%M:%S') AS last_at
+             |FROM events GROUP BY event_type""".stripMargin),
+      Seq("C14")
+    ),
+
+    // C15: JSON row codec — extract a field from the props JSON column.
+    "c15_json_extract" -> Q(
+      (s, d) =>
+        events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(col("event_type"))
+          .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k")),
+      Some("""SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+             |count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+             |FROM events GROUP BY event_type""".stripMargin),
+      Seq("C15")
+    ),
+
+    // Tumbling 1-hour windows.
+    "w_tumbling_hourly" -> Q(
+      (s, d) =>
+        EventWindows.tumbling(events(s, d), "ts", "1 hour", Seq("event_type")),
+      Some("""SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+             |count(*) AS n, round(sum(value),2) AS sum_value
+             |FROM events GROUP BY wstart, event_type""".stripMargin),
+      Seq("A2")
+    ),
+
+    // Sliding 1-hour windows every 30 minutes (each event in 2 windows).
+    "w_sliding_1h_30m" -> Q(
+      (s, d) =>
+        EventWindows.sliding(events(s, d), "ts", "1 hour", "30 minutes", Seq("event_type")),
+      Some("""SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL '30 minutes' AS wstart,
+             |event_type, count(*) AS n, round(sum(value),2) AS sum_value
+             |FROM events CROSS JOIN (VALUES (0),(1)) AS t(k)
+             |GROUP BY wstart, event_type""".stripMargin),
+      Seq("A2")
+    ),
+
+    // Session windows: 30-minute inactivity gap per user.
+    "w_session_gap" -> Q(
+      (s, d) =>
+        EventWindows.sessionCounts(events(s, d), "ts", "user_id", 1800L),
+      Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+             |  SELECT user_id,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800000000
+             |         THEN 1 ELSE 0 END AS new_session
+             |  FROM events) GROUP BY user_id""".stripMargin),
+      Seq("A2")
+    )
+  )
+}

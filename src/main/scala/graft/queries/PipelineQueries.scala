@@ -1,0 +1,288 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables._
+import graft.chunker.LovdataChunker
+import graft.embed.{DeterministicProvider, Embedding}
+import graft.functions.TextFunctions
+import graft.operators.Identify
+import graft.pipeline.Pipeline
+import graft.sources.{ChunkStore, LovligState}
+
+/** End-to-end pipeline battery: these queries synthesize the reference's
+  * inputs (lovlig state.json, Lovdata XML) deterministically from the
+  * `documents` table, drive the real engine modules (S1 scan, chunker,
+  * embedder, store, identify), and emit aggregates that a DuckDB oracle can
+  * recompute directly from `documents` — so the driver's correctness gate
+  * covers the pipeline paths, not just relational operators.
+  */
+object PipelineQueries {
+
+  /** Deterministic CDC status rule used to synthesize lovlig state. */
+  private val statusSql =
+    """CASE doc_id % 10 WHEN 0 THEN 'removed' WHEN 1 THEN 'added' WHEN 2 THEN 'added'
+      | WHEN 3 THEN 'added' WHEN 4 THEN 'modified' WHEN 5 THEN 'modified'
+      | ELSE 'unchanged' END""".stripMargin
+
+  private def statusCol = expr(statusSql)
+
+  private def tmpDir(d: String, name: String): String = {
+    val sf = Paths.get(d).getFileName.toString
+    val p = s"/tmp/graft/$sf/$name"
+    p
+  }
+
+  private def cleanDir(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    val f = new java.io.File(p)
+    if (f.exists()) rm(f)
+    Files.createDirectories(Paths.get(p).getParent): Unit
+  }
+
+  /** Build a lovlig `state.json` on local disk from the documents table:
+    * one dataset per source (`<source>.tar.bz2`), one file per doc
+    * (`doc_<id>.xml`), sha256 of the text, status by [[statusSql]].
+    */
+  private def buildStateFile(s: SparkSession, d: String): String = {
+    val path = tmpDir(d, "state.json")
+    cleanDir(path)
+    val rows = documents(s, d)
+      .select(col("doc_id"), col("source"), sha2(col("text"), 256).as("sha"), statusCol.as("status"))
+      .collect()
+    val bySource = rows.groupBy(_.getString(1))
+    val sb = new StringBuilder("{\"raw_datasets\":{")
+    sb.append(bySource.toSeq.sortBy(_._1).map { case (src, rs) =>
+      val files = rs.sortBy(_.getLong(0)).map { r =>
+        s""""doc_${r.getLong(0)}.xml":{"status":"${r.getString(3)}","sha256":"${r.getString(2)}"}"""
+      }.mkString(",")
+      s""""$src.tar.bz2":{"files":{$files}}"""
+    }.mkString(","))
+    sb.append("}}")
+    Files.write(Paths.get(path), sb.toString.getBytes("UTF-8"))
+    path
+  }
+
+  /** Synthesize a Lovdata-shaped XML document from a text row. Three shapes,
+    * cycling by doc_id, exercising all three chunker tiers.
+    */
+  private def synthXml(docId: Long, text: String): String = {
+    val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+    val third = math.max(esc.length / 3, 1)
+    val (a, b, c) = (
+      esc.substring(0, math.min(third, esc.length)),
+      esc.substring(math.min(third, esc.length), math.min(2 * third, esc.length)),
+      esc.substring(math.min(2 * third, esc.length))
+    )
+    (docId % 3) match {
+      case 0 => // standard law
+        s"""<html><body><section class="section"><h2>Kapittel ${docId % 5}</h2>
+           |<article class="legalArticle" id="p$docId"><span class="legalArticleValue">§ ${docId % 9}</span>
+           |<span class="legalArticleTitle">Tittel $docId</span>
+           |<article class="legalP" id="l$docId-1">$a.</article>
+           |<article class="legalP" id="l$docId-2">$b.</article>
+           |<article class="legalP" id="l$docId-3">$c.</article>
+           |</article></section></body></html>""".stripMargin
+      case 1 => // change law
+        s"""<html><body><section class="section"><h3>Endringer $docId</h3>
+           |<article class="legalP" id="c$docId-1">$a.</article>
+           |<article class="legalP" id="c$docId-2">$b.</article>
+           |<article class="legalP" id="c$docId-3">$c.</article>
+           |</section></body></html>""".stripMargin
+      case _ => // simple law
+        s"""<html><body><h1>Lov $docId</h1><main class="documentBody">
+           |<article class="legalP" id="s$docId-1">$a. $b.</article>
+           |<article class="legalP" id="s$docId-2">$c.</article>
+           |</main></body></html>""".stripMargin
+    }
+  }
+
+  private def synthXmlUdf = udf(synthXml _)
+
+  val all: Map[String, Q] = Map(
+
+    // S1: real lovlig-state CDC scan — JSON nested-map explode, docId/path
+    // derivation — aggregated so the oracle recomputes from `documents`.
+    "s1_cdc_scan" -> Q(
+      (s, d) => {
+        val path = buildStateFile(s, d)
+        LovligState.scan(s, path, "/extracted")
+          .groupBy(col("dataset"), col("status"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("docId")).as("n_docs"))
+      },
+      Some(s"""SELECT source || '.tar.bz2' AS dataset, $statusSql AS status,
+              |count(*) AS n, count(DISTINCT doc_id) AS n_docs
+              |FROM documents GROUP BY dataset, status""".stripMargin),
+      Seq("S1", "C12")
+    ),
+
+    // S1+F1: the changed-set filter on the CDC scan.
+    "s1_f1_changed_files" -> Q(
+      (s, d) => {
+        val path = buildStateFile(s, d)
+        LovligState.changedFiles(LovligState.scan(s, path, "/extracted"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+      },
+      Some(s"""SELECT status, count(*) AS n FROM
+              |(SELECT $statusSql AS status FROM documents)
+              |WHERE status IN ('added','modified') GROUP BY status""".stripMargin),
+      Seq("S1", "F1")
+    ),
+
+    // J1 idempotency: identify vs an empty ledger, then vs a fully-marked
+    // ledger — the second pass must process 0 files (the invariant of
+    // reference `tests/end2end/incremental_update_test.py:370`).
+    "j1_idempotent_identify" -> Q(
+      (s, d) => {
+        val changed = documents(s, d)
+          .withColumn("status", statusCol)
+          .filter(col("status").isin("added", "modified"))
+          .select(
+            concat(lit("doc"), col("doc_id")).as("docId"),
+            sha2(col("text"), 256).as("hash")
+          )
+        val empty = graft.state.PipelineState.empty(s)
+        val first = Identify.identifyFiles(changed, empty)
+        val ledger = changed
+          .withColumn("status", lit("processed"))
+          .withColumn("at", lit("2026-01-01T00:00:00Z"))
+          .withColumn("error", lit(null).cast("string"))
+        val second = Identify.identifyFiles(changed, ledger)
+        first.agg(count(lit(1)).as("n_first"))
+          .crossJoin(second.agg(count(lit(1)).as("n_second")))
+      },
+      Some("""SELECT count(*) AS n_first, CAST(0 AS BIGINT) AS n_second
+             |FROM documents WHERE doc_id % 10 IN (1,2,3,4,5)""".stripMargin),
+      Seq("J1", "F4", "S3")
+    ),
+
+    // K1/K3/J3/A2: store round-trip — upsert all, upsert a v2 overlay,
+    // delete a doc subset, read back. The oracle recomputes the surviving
+    // rows and token sums straight from `documents`.
+    "k1_k3_store_roundtrip" -> Q(
+      (s, d) => {
+        val storePath = tmpDir(d, "store")
+        cleanDir(storePath)
+        val store = new ChunkStore(storePath)
+        def chunkify(df: DataFrame): DataFrame = df.select(
+          concat(lit("doc"), col("doc_id"), lit("_chunk_0")).as("chunkId"),
+          concat(lit("doc"), col("doc_id")).as("documentId"),
+          col("source").as("datasetName"),
+          col("text").as("content"),
+          TextFunctions.tokenCount(col("text")).cast("int").as("tokenCount"),
+          col("lang").as("sectionHeading"),
+          lit("").as("absoluteAddress"),
+          lit("none").as("splitReason"),
+          lit(null).cast("string").as("parentChunkId"),
+          sha2(col("text"), 256).as("sourceHash"),
+          array().cast("array<string>").as("crossRefs"),
+          lit(0).as("chunkIndex"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit("none").as("embeddingModel"),
+          lit("").as("embeddedAt")
+        )
+        val docs = documents(s, d)
+        store.upsert(s, chunkify(docs))
+        // v2 overlay for doc_id % 7 == 0: one extra token
+        store.upsert(s, chunkify(
+          docs.filter(col("doc_id") % 7 === 0).withColumn("text", concat(col("text"), lit(" v2extra")))
+        ))
+        // delete doc_id % 10 == 0
+        val delIds = docs.filter(col("doc_id") % 10 === 0)
+          .select(concat(lit("doc"), col("doc_id"))).collect().map(_.getString(0)).toSeq
+        store.deleteByDocumentIds(s, delIds)
+        store.read(s)
+          .groupBy(col("datasetName"))
+          .agg(count(lit(1)).as("n"), sum(col("tokenCount")).as("sum_toks"))
+      },
+      Some("""SELECT source AS datasetName, count(*) AS n,
+             |CAST(sum(toks + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sum_toks
+             |FROM (SELECT doc_id, source,
+             |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS toks
+             |      FROM documents)
+             |WHERE doc_id % 10 <> 0 GROUP BY source""".stripMargin),
+      Seq("K1", "K3", "J3", "A1", "A2", "S4", "F6")
+    ),
+
+    // S2/W1-W4/A4/A5/C17: the chunker over synthesized Lovdata XML, all
+    // three tiers. No SQL oracle (the fold semantics are the point) — the
+    // ScalaTest suite pins the behavior; the driver records rows>0.
+    "s2_chunker_stats" -> Q(
+      (s, d) => {
+        val chunker = new LovdataChunker(targetTokens = 64, maxTokens = 200, minTokens = 20)
+        import s.implicits._
+        val withXml = documents(s, d)
+          .withColumn("xml", synthXmlUdf(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("lang"), col("xml"))
+          .as[(Long, String, String)]
+        withXml.flatMap { case (id, lang, xml) =>
+          chunker.chunk(xml).map(c => (lang, c.tokenCount, if (c.merged) 1L else 0L))
+        }.toDF("lang", "toks", "is_merged")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(col("toks")).as("sum_toks"),
+            sum(col("is_merged")).as("n_merged")
+          )
+      },
+      None,
+      Seq("S2", "W1", "W3", "W4", "A4", "A5", "C17", "C16", "C3", "F7")
+    ),
+
+    // E1: deterministic batch embedding via mapPartitions(grouped(100)).
+    "e1_embed_stats" -> Q(
+      (s, d) => {
+        val emb = Embedding.embed(
+          documents(s, d).select(col("doc_id"), col("lang"), col("text")),
+          "text", new DeterministicProvider(64)
+        )
+        emb.withColumn("nrm", round(graft.functions.VectorFunctions.norm(col("embedding")), 3))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), round(sum(col("nrm")), 1).as("sum_norm"))
+      },
+      None,
+      Seq("E1", "C14")
+    ),
+
+    // Full pipeline: S1-shaped CDC input → identify → chunk → embed →
+    // upsert → cleanup removed → ledger commit; emits counts the oracle can
+    // derive from the status rule.
+    "pipeline_e2e" -> Q(
+      (s, d) => {
+        val storePath = tmpDir(d, "pipe_store")
+        val statePath = tmpDir(d, "pipe_state.json")
+        cleanDir(storePath); cleanDir(statePath)
+        val base = documents(s, d).withColumn("status", statusCol)
+        val changed = base.filter(col("status").isin("added", "modified"))
+          .withColumn("xml", synthXmlUdf(col("doc_id"), col("text")))
+          .select(
+            concat(lit("doc"), col("doc_id")).as("docId"),
+            concat(col("source"), lit(".tar.bz2")).as("dataset"),
+            sha2(col("text"), 256).as("hash"),
+            col("xml")
+          )
+        val removed = base.filter(col("status") === "removed")
+          .select(concat(lit("doc"), col("doc_id")).as("docId"))
+        val summary = Pipeline.run(
+          s, changed, removed,
+          new ChunkStore(storePath), statePath,
+          new LovdataChunker(targetTokens = 64, maxTokens = 200, minTokens = 20),
+          new DeterministicProvider(32)
+        )
+        import s.implicits._
+        Seq((summary.processed, summary.removed)).toDF("n_processed", "n_removed")
+      },
+      Some("""SELECT
+             |CAST(sum(CASE WHEN doc_id % 10 IN (1,2,3,4,5) THEN 1 ELSE 0 END) AS BIGINT) AS n_processed,
+             |CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+             |FROM documents""".stripMargin),
+      Seq("S1", "S3", "K1", "K3", "K4", "J1", "E1", "C11", "S2")
+    )
+  )
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.operators.Overlay
+
+/** The relational operator battery: filters, joins, aggregations, windows,
+  * limits, set ops (SURVEY §2.3-2.8) exercised over the TPC-H-ish tables.
+  */
+object RelationalQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // A2: the flagship pricing-summary aggregation (grouped sums/counts).
+    "q1_pricing_summary" -> Q(
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            round(sum(col("l_quantity")), 2).as("sum_qty"),
+            round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+            count(lit(1)).as("count_order")
+          ),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_base_price,
+             |round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+             |count(*) AS count_order
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      Seq("A2")
+    ),
+
+    // Broadcast star join chain: orders → customer → nation → region.
+    "q_star_join" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price")),
+      Some("""SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price
+             |FROM orders JOIN customer ON o_custkey=c_custkey
+             |JOIN nation ON c_nationkey=n_nationkey
+             |JOIN region ON n_regionkey=r_regionkey
+             |GROUP BY r_name""".stripMargin),
+      Seq("A2")
+    ),
+
+    // J1: the central incremental anti-join — big fact side stays unshuffled,
+    // the small "already processed" side is broadcast.
+    "j1_incremental_antijoin" -> Q(
+      (s, d) => {
+        val state = orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").as("l_orderkey"))
+        lineitem(s, d)
+          .join(broadcast(state), Seq("l_orderkey"), "left_anti")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+             |FROM lineitem
+             |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus='F')
+             |GROUP BY l_returnflag""".stripMargin),
+      Seq("J1", "F4")
+    ),
+
+    // J2/SO1: validation set compare — ids on one side but not the other.
+    "j2_validation_setdiff" -> Q(
+      (s, d) => {
+        val a = customer(s, d).select(col("c_custkey").as("id")).distinct()
+        val b = orders(s, d).select(col("o_custkey").as("id")).distinct()
+        val aOnly = a.join(b, Seq("id"), "left_anti").withColumn("side", lit("state_only"))
+        val bOnly = b.join(a, Seq("id"), "left_anti").withColumn("side", lit("store_only"))
+        aOnly.unionByName(bOnly).groupBy(col("side")).agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT c_custkey AS id FROM customer),
+             |b AS (SELECT DISTINCT o_custkey AS id FROM orders),
+             |d AS (SELECT id, 'state_only' AS side FROM (SELECT id FROM a EXCEPT SELECT id FROM b)
+             |      UNION ALL
+             |      SELECT id, 'store_only' AS side FROM (SELECT id FROM b EXCEPT SELECT id FROM a))
+             |SELECT side, count(*) AS n FROM d GROUP BY side""".stripMargin),
+      Seq("J2", "SO1")
+    ),
+
+    // J3/K1: upsert overlay — updates replace stored rows with equal key,
+    // last-write-wins via a window over the key.
+    "j3_upsert_overlay" -> Q(
+      (s, d) => {
+        val store = lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+        val updates = store.filter(col("l_returnflag") === "R")
+          .withColumn("l_quantity", col("l_quantity") + 100)
+        Overlay
+          .overlay(store, updates, Seq("l_orderkey", "l_linenumber"), Seq("l_quantity", "l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      },
+      Some("""WITH all_rows AS (
+             |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag, 0 AS is_new FROM lineitem
+             |  UNION ALL
+             |  SELECT l_orderkey, l_linenumber, l_quantity+100, l_returnflag, 1 FROM lineitem WHERE l_returnflag='R'),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+             |                              ORDER BY is_new DESC, l_quantity DESC, l_returnflag DESC) AS rn
+             |  FROM all_rows)
+             |SELECT l_returnflag, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+             |FROM ranked WHERE rn=1 GROUP BY l_returnflag""".stripMargin),
+      Seq("J3", "K1")
+    ),
+
+    // SO2: union of id sets.
+    "so2_union_ids" -> Q(
+      (s, d) =>
+        customer(s, d).select(col("c_custkey").as("id"))
+          .union(orders(s, d).select(col("o_custkey").as("id")))
+          .distinct()
+          .agg(count(lit(1)).as("n_ids")),
+      Some("""SELECT count(*) AS n_ids FROM
+             |(SELECT c_custkey AS id FROM customer UNION SELECT o_custkey FROM orders)""".stripMargin),
+      Seq("SO2", "A3")
+    ),
+
+    // L1: stable-ordered head-n of a to-process list.
+    "l1_limit" -> Q(
+      (s, d) =>
+        documents(s, d).orderBy(col("doc_id")).limit(20)
+          .select(col("doc_id"), col("source"), col("n_chars")),
+      Some("SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id LIMIT 20"),
+      Seq("L1")
+    ),
+
+    // L2: sorted top-10 display truncation.
+    "l2_top10" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_custkey"))
+          .agg(round(sum(col("o_totalprice")), 2).as("total"))
+          .orderBy(col("total").desc, col("o_custkey"))
+          .limit(10),
+      Some("""SELECT o_custkey, round(sum(o_totalprice),2) AS total FROM orders
+             |GROUP BY o_custkey ORDER BY total DESC, o_custkey LIMIT 10""".stripMargin),
+      Seq("L2")
+    ),
+
+    // W2: enumerated positions via row_number per partition.
+    "w2_row_number" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 2)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn FROM (
+             |  SELECT o_custkey, o_orderkey,
+             |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+             |  FROM orders) WHERE rn <= 2""".stripMargin),
+      Seq("W2")
+    ),
+
+    // A4 (relational form): token-budget grouping via running sum + bucket.
+    "a4_token_budget_buckets" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        documents(s, d)
+          .withColumn("cum", sum(col("n_chars")).over(w))
+          .withColumn("bucket", floor(col("cum") / 5000).cast("long"))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("bucket")).as("n_groups"), count(lit(1)).as("n_docs"))
+      },
+      Some("""SELECT source, count(DISTINCT bucket) AS n_groups, count(*) AS n_docs FROM (
+             |  SELECT source,
+             |         CAST(floor(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+             |              ROWS UNBOUNDED PRECEDING) / 5000) AS BIGINT) AS bucket
+             |  FROM documents) GROUP BY source""".stripMargin),
+      Seq("A4")
+    ),
+
+    // F5-adjacent: conditional failure-record synthesis via when/otherwise
+    // routing (the relational face of the exists-guard).
+    "f5_guard_routing" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .withColumn(
+            "route",
+            when(col("o_totalprice") < 1000, lit("failed_too_small"))
+              .when(col("o_orderstatus") === "F", lit("final"))
+              .otherwise(lit("ok"))
+          )
+          .groupBy(col("route")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CASE WHEN o_totalprice < 1000 THEN 'failed_too_small'
+             |            WHEN o_orderstatus = 'F' THEN 'final'
+             |            ELSE 'ok' END AS route, count(*) AS n
+             |FROM orders GROUP BY 1""".stripMargin),
+      Seq("F5")
+    )
+  )
+}

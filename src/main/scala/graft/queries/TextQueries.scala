@@ -1,0 +1,373 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+/** Scalar-function battery (SURVEY §2.9 C-series), document filters
+  * (F-series), and the text-analysis / dedup training-data operators — all
+  * over the `documents` table.
+  */
+object TextQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // F6: doc_id predicate on the store.
+    "f6_docid_filter" -> Q(
+      (s, d) =>
+        documents(s, d).filter(col("doc_id") % 100 === 7)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+      Some("SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 100 = 7"),
+      Seq("F6")
+    ),
+
+    // F8: dataset pattern filter.
+    "f8_dataset_pattern" -> Q(
+      (s, d) =>
+        documents(s, d).filter(col("source").like("src1%"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n")),
+      Some("SELECT source, count(*) AS n FROM documents WHERE source LIKE 'src1%' GROUP BY source"),
+      Seq("F8")
+    ),
+
+    // F9: non-empty text filter.
+    "f9_nonempty_text" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .filter(length(trim(col("text"))) > 0 && col("n_chars") >= 200)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n")),
+      Some("""SELECT lang, count(*) AS n FROM documents
+             |WHERE length(trim(text)) > 0 AND n_chars >= 200 GROUP BY lang""".stripMargin),
+      Seq("F9")
+    ),
+
+    // F7: token-limit routing predicates.
+    "f7_token_routing" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("toks", tokenCount(col("text")))
+          .withColumn(
+            "route",
+            when(col("toks") > 60, lit("split"))
+              .when(col("toks") < 20, lit("merge"))
+              .otherwise(lit("keep"))
+          )
+          .groupBy(col("route")).agg(count(lit(1)).as("n"), sum(col("toks")).as("sum_toks")),
+      Some("""SELECT route, count(*) AS n, CAST(sum(toks) AS BIGINT) AS sum_toks FROM (
+             |  SELECT CASE WHEN toks > 60 THEN 'split' WHEN toks < 20 THEN 'merge' ELSE 'keep' END AS route, toks
+             |  FROM (SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS toks
+             |        FROM documents)) GROUP BY route""".stripMargin),
+      Seq("F7", "C1")
+    ),
+
+    // A1: group-by "hash" (source plays the source_hash role).
+    "a1_group_by_source" -> Q(
+      (s, d) =>
+        documents(s, d).groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars")),
+      Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY source""".stripMargin),
+      Seq("A1")
+    ),
+
+    // A6: array_distinct dedup of extracted tokens.
+    "a6_distinct_words" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("nd", size(array_distinct(split(trim(col("text")), " "))).cast("long"))
+          .groupBy(col("lang"))
+          .agg(sum(col("nd")).as("sum_distinct_words"), count(lit(1)).as("n")),
+      Some("""SELECT lang, CAST(sum(len(list_distinct(string_split(trim(text), ' ')))) AS BIGINT)
+             |  AS sum_distinct_words, count(*) AS n
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("A6")
+    ),
+
+    // C3: sentence split (Java lookbehind on the Spark side; the oracle uses
+    // a punctuation-marker rewrite since RE2 lacks lookbehind).
+    "c3_sentence_split" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn(
+            "sent_text",
+            concat(
+              substring(col("text"), 1, 50), lit(". "),
+              substring(col("text"), 51, 40), lit("! "),
+              substring(col("text"), 91, 30), lit("?")
+            )
+          )
+          .withColumn("sentences", sentenceSplit(col("sent_text")))
+          .select(
+            col("doc_id"),
+            size(col("sentences")).cast("long").as("n_sentences"),
+            length(element_at(col("sentences"), 1)).cast("long").as("first_len")
+          ),
+      Some("""SELECT doc_id,
+             |  CAST(len(string_split(replace(replace(replace(sent_text,'. ','.|'),'! ','!|'),'? ','?|'),'|')) AS BIGINT) AS n_sentences,
+             |  CAST(length(string_split(replace(replace(replace(sent_text,'. ','.|'),'! ','!|'),'? ','?|'),'|')[1]) AS BIGINT) AS first_len
+             |FROM (SELECT doc_id,
+             |  substr(text,1,50) || '. ' || substr(text,51,40) || '! ' || substr(text,91,30) || '?' AS sent_text
+             |  FROM documents)""".stripMargin),
+      Seq("C3")
+    ),
+
+    // C4: date extraction from a dokid.
+    "c4_date_extract" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .withColumn("dokid", concat(lit("dok-"), date_format(col("o_orderdate"), "yyyy-MM-dd"), lit("-"), col("o_orderkey")))
+          .withColumn("doc_date", extractDate(col("dokid")))
+          .groupBy(col("doc_date")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(regexp_extract(dokid, '(\d{4}-\d{2}-\d{2})', 1) AS DATE) AS doc_date, count(*) AS n
+             |FROM (SELECT 'dok-' || strftime(o_orderdate, '%Y-%m-%d') || '-' || o_orderkey AS dokid FROM orders)
+             |GROUP BY doc_date""".stripMargin),
+      Seq("C4")
+    ),
+
+    // C5: paragraph-ref extraction → `§ n`.
+    "c5_paragraph_ref" -> Q(
+      (s, d) =>
+        part(s, d)
+          .withColumn("raw", concat(lit("paragraf-"), (col("p_partkey") % 30).cast("string")))
+          .withColumn("ref", paragraphRef(col("raw")))
+          .groupBy(col("ref")).agg(count(lit(1)).as("n")),
+      Some("""SELECT '§ ' || regexp_extract('paragraf-' || CAST(p_partkey % 30 AS VARCHAR), 'paragraf-(\d+)', 1) AS ref,
+             |count(*) AS n FROM part GROUP BY ref""".stripMargin),
+      Seq("C5")
+    ),
+
+    // C6: lovdata-ref regexp_extract_all + distinct count.
+    "c6_crossref_extract" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn(
+            "t2",
+            concat(
+              lit("se lov/1814-05-17-"), (col("doc_id") % 7).cast("string"),
+              lit(" og lov/2005-06-17-"), (col("doc_id") % 13).cast("string"),
+              lit(" jf lov/1814-05-17-"), (col("doc_id") % 7).cast("string"),
+              lit(" "), col("text")
+            )
+          )
+          .withColumn("refs", lovdataRefs(col("t2")))
+          .select(
+            col("doc_id"),
+            size(col("refs")).cast("long").as("n_refs"),
+            size(array_distinct(col("refs"))).cast("long").as("n_distinct_refs"),
+            concat_ws(",", col("refs")).as("refs_csv")
+          ),
+      Some("""SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t2, 'lov/\d{4}-\d{2}-\d{2}-\d+')) AS BIGINT) AS n_refs,
+             |  CAST(len(list_distinct(regexp_extract_all(t2, 'lov/\d{4}-\d{2}-\d{2}-\d+'))) AS BIGINT) AS n_distinct_refs,
+             |  array_to_string(regexp_extract_all(t2, 'lov/\d{4}-\d{2}-\d{2}-\d+'), ',') AS refs_csv
+             |FROM (SELECT doc_id,
+             |  'se lov/1814-05-17-' || CAST(doc_id % 7 AS VARCHAR) ||
+             |  ' og lov/2005-06-17-' || CAST(doc_id % 13 AS VARCHAR) ||
+             |  ' jf lov/1814-05-17-' || CAST(doc_id % 7 AS VARCHAR) || ' ' || text AS t2
+             |  FROM documents)""".stripMargin),
+      Seq("C6")
+    ),
+
+    // C7: href-prefix array filter.
+    "c7_href_filter" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn(
+            "hrefs",
+            array(
+              concat(lit("lov/"), col("source")),
+              concat(lit("doc/"), col("doc_id").cast("string")),
+              concat(lit("lov/x-"), col("lang"))
+            )
+          )
+          .select(col("doc_id"), size(lovHrefs(col("hrefs"))).cast("long").as("n_lov")),
+      Some("""SELECT doc_id,
+             |CAST(len(list_filter(['lov/' || source, 'doc/' || CAST(doc_id AS VARCHAR), 'lov/x-' || lang],
+             |     x -> starts_with(x, 'lov/'))) AS BIGINT) AS n_lov
+             |FROM documents""".stripMargin),
+      Seq("C7")
+    ),
+
+    // C8: cross_refs list ⇄ CSV round-trip.
+    "c8_crossrefs_csv" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("csv", crossRefsToCsv(slice(split(trim(col("text")), " "), 1, 5)))
+          .select(
+            col("doc_id"),
+            col("csv"),
+            size(csvToCrossRefs(col("csv"))).cast("long").as("n_back")
+          ),
+      Some("""SELECT doc_id, csv,
+             |CAST(len(list_filter(string_split(csv, ','), x -> length(x) > 0)) AS BIGINT) AS n_back
+             |FROM (SELECT doc_id, array_to_string(string_split(trim(text), ' ')[1:5], ',') AS csv
+             |      FROM documents)""".stripMargin),
+      Seq("C8", "K5")
+    ),
+
+    // C9: depth = count of '-' in a chunk id.
+    "c9_chunk_depth" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("chunk_id", concat(lit("doc"), col("doc_id"), lit("-"), expr("repeat('s-', CAST(doc_id % 4 AS INT))")))
+          .withColumn("depth", chunkDepth(col("chunk_id")))
+          .groupBy(col("depth")).agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(len(string_split(chunk_id, '-')) - 1 AS BIGINT) AS depth, count(*) AS n
+             |FROM (SELECT 'doc' || CAST(doc_id AS VARCHAR) || '-' || repeat('s-', CAST(doc_id % 4 AS INT)) AS chunk_id
+             |      FROM documents) GROUP BY depth""".stripMargin),
+      Seq("C9")
+    ),
+
+    // C10: text joins via concat_ws.
+    "c10_concat_ws" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), concat_ws(" | ", col("lang"), col("source"), col("n_chars").cast("string")).as("title")),
+      Some("""SELECT doc_id, lang || ' | ' || source || ' | ' || CAST(n_chars AS VARCHAR) AS title
+             |FROM documents""".stripMargin),
+      Seq("C10")
+    ),
+
+    // C11: positional id synthesis (doc_id + position after a stable sort).
+    "c11_positional_ids" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        documents(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("chunk_id", concat(lit("doc"), col("doc_id"), lit("_chunk_"), col("rn")))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("chunk_id")).as("n_ids"), count(lit(1)).as("n_rows"))
+      },
+      Some("""SELECT source, count(DISTINCT chunk_id) AS n_ids, count(*) AS n_rows FROM (
+             |  SELECT source, 'doc' || CAST(doc_id AS VARCHAR) || '_chunk_' ||
+             |         CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS VARCHAR) AS chunk_id
+             |  FROM documents) GROUP BY source""".stripMargin),
+      Seq("C11")
+    ),
+
+    // C12: path stem → doc_id, dataset-dir strip.
+    "c12_path_stem" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("path", concat(lit("data/"), col("source"), lit(".tar.bz2/doc_"), col("doc_id"), lit(".xml")))
+          .select(
+            col("doc_id"),
+            pathStem(col("path")).as("stem"),
+            datasetDir(concat(col("source"), lit(".tar.bz2"))).as("dataset_dir")
+          ),
+      Some("""SELECT doc_id,
+             |  regexp_replace(regexp_extract(path, '[^/]+$'), '\.[A-Za-z0-9.]+$', '') AS stem,
+             |  regexp_replace(source || '.tar.bz2', '\.tar\.bz2$', '') AS dataset_dir
+             |FROM (SELECT doc_id, source, 'data/' || source || '.tar.bz2/doc_' || CAST(doc_id AS VARCHAR) || '.xml' AS path
+             |      FROM documents)""".stripMargin),
+      Seq("C12")
+    ),
+
+    // C13: sha2-256 content hashing.
+    "c13_sha256" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("h", sha2(col("text"), 256))
+          .groupBy(substring(col("h"), 1, 1).as("bucket"))
+          .agg(count(lit(1)).as("n")),
+      Some("SELECT substr(sha256(text),1,1) AS bucket, count(*) AS n FROM documents GROUP BY bucket"),
+      Seq("C13")
+    ),
+
+    // C16: coalescing fallback chain.
+    "c16_coalesce_fallback" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("maybe_heading", when(col("lang") === "en", lit("")).otherwise(col("lang")))
+          .withColumn("heading", coalesceNonEmpty(col("maybe_heading"), col("source")))
+          .groupBy(col("heading")).agg(count(lit(1)).as("n")),
+      Some("""SELECT coalesce(nullif(CASE WHEN lang='en' THEN '' ELSE lang END, ''), source) AS heading,
+             |count(*) AS n FROM documents GROUP BY heading""".stripMargin),
+      Seq("C16")
+    ),
+
+    // C1/C2: deterministic token count + hard-split part count.
+    "c1_c2_token_stats" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("toks", tokenCount(col("text")))
+          .withColumn("n_parts", ceil(col("toks").cast("double") / 8.0).cast("long"))
+          .groupBy(col("lang"))
+          .agg(sum(col("toks")).as("sum_toks"), sum(col("n_parts")).as("sum_parts")),
+      Some("""SELECT lang, CAST(sum(toks) AS BIGINT) AS sum_toks,
+             |CAST(sum(CAST(ceil(toks / 8.0) AS BIGINT)) AS BIGINT) AS sum_parts
+             |FROM (SELECT lang, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS toks
+             |      FROM documents) GROUP BY lang""".stripMargin),
+      Seq("C1", "C2")
+    ),
+
+    // Text analysis: quality signals per language.
+    "ta_quality_signals" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("dwr", round(distinctWordRatio(col("text")), 6))
+          .groupBy(col("lang"))
+          .agg(
+            round(sum(col("dwr")), 4).as("sum_dwr"),
+            round(sum(length(col("text")).cast("double")), 2).as("sum_len"),
+            count(lit(1)).as("n")
+          ),
+      Some("""SELECT lang, round(sum(dwr),4) AS sum_dwr, round(sum(CAST(length(text) AS DOUBLE)),2) AS sum_len, count(*) AS n
+             |FROM (SELECT lang, text,
+             |  round(CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS DOUBLE) /
+             |        CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1) AS DOUBLE), 6) AS dwr
+             |  FROM documents) GROUP BY lang""".stripMargin),
+      Seq("C1")
+    ),
+
+    // Document fingerprint (normalized-hash prefix).
+    "ta_fingerprint" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("fp", fingerprint(col("text")))
+          .groupBy(col("source"))
+          .agg(countDistinct(col("fp")).as("n_fp"), count(lit(1)).as("n")),
+      Some("""SELECT source, count(DISTINCT substr(sha256(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')),1,16)) AS n_fp,
+             |count(*) AS n FROM documents GROUP BY source""".stripMargin),
+      Seq("C13")
+    ),
+
+    // Exact dedup via content hash.
+    "dd_exact" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(sha2(col("text"), 256)).as("n_unique"),
+            (count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("n_dups")
+          ),
+      Some("""SELECT lang, count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_unique,
+             |count(*) - count(DISTINCT sha256(text)) AS n_dups
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("C13")
+    ),
+
+    // Blocked n-gram-Jaccard near-dup: candidates share (source, n_chars).
+    "dd_jaccard_blocked" -> Q(
+      (s, d) =>
+        Dedup.jaccardPairs(documents(s, d), "doc_id", "text", Seq("source", "n_chars"), 0.3)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            round(sum(col("jaccard")), 4).as("sum_jaccard")
+          ),
+      Some("""WITH docs AS (SELECT doc_id, source, n_chars,
+             |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks FROM documents),
+             |pairs AS (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |         round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |               CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE), 6) AS jaccard
+             |  FROM docs a JOIN docs b ON a.source = b.source AND a.n_chars = b.n_chars AND a.doc_id < b.doc_id)
+             |SELECT count(*) AS n_pairs, round(sum(jaccard),4) AS sum_jaccard
+             |FROM pairs WHERE jaccard >= 0.3""".stripMargin),
+      Seq("A6")
+    )
+  )
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.functions.VectorFunctions._
+import graft.operators.{Dedup, Similarity}
+
+/** Embedding-column battery: cosine top-k similarity search (E2) and the
+  * vector-side dedup/ANN extensions over `embeddings.parquet`.
+  */
+object VectorQueries {
+
+  /** The fixed probe: the stored vector of vec_id = 0 (driver-side single-row
+    * lookup — the query vector, not the corpus).
+    */
+  private def queryVec(s: org.apache.spark.sql.SparkSession, d: String): Array[Float] =
+    embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+  val all: Map[String, Q] = Map(
+
+    // E2: brute-force cosine top-k — scan → project → TakeOrdered, no shuffle.
+    "e2_cosine_topk" -> Q(
+      (s, d) => Similarity.topK(
+        embeddings(s, d).filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", queryVec(s, d), 10
+      ),
+      Some("""WITH q AS (SELECT generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+             |           FROM embeddings WHERE vec_id = 0),
+             |v AS (SELECT vec_id, generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+             |      FROM embeddings WHERE vec_id <> 0),
+             |sims AS (SELECT v.vec_id, sum(v.x*q.x) AS dot, sqrt(sum(v.x*v.x)) AS na
+             |         FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id),
+             |nb AS (SELECT sqrt(sum(x*x)) AS nb FROM q)
+             |SELECT vec_id, round(dot/(na*(SELECT nb FROM nb)), 6) AS sim FROM sims
+             |ORDER BY dot/(na*(SELECT nb FROM nb)) DESC, vec_id
+             |LIMIT 10""".stripMargin),
+      Seq("E2")
+    ),
+
+    // Vector norms: aggregate/zip_with arithmetic parity check.
+    "vec_norm_stats" -> Q(
+      (s, d) =>
+        embeddings(s, d)
+          .withColumn("nrm", round(norm(col("embedding")), 4))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), round(sum(col("nrm")), 2).as("sum_norm")),
+      Some("""WITH n AS (SELECT label, vec_id, round(sqrt(sum(x*x)), 4) AS nrm FROM
+             |  (SELECT label, vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+             |  GROUP BY label, vec_id)
+             |SELECT label, count(*) AS n, round(sum(nrm), 2) AS sum_norm FROM n GROUP BY label""".stripMargin),
+      Seq("E2")
+    ),
+
+    // Label centroid distance: per label, how close each member is to the
+    // label's mean vector — an IVF-style partition statistic.
+    "vec_centroid_sim" -> Q(
+      (s, d) => {
+        val dim = 64
+        val byLabel = embeddings(s, d)
+          .select(col("label"), col("vec_id"), col("embedding"))
+        val centroids = byLabel
+          .groupBy(col("label"))
+          .agg(
+            array((0 until dim).map(i => avg(element_at(col("embedding"), i + 1).cast("double"))): _*)
+              .as("centroid")
+          )
+        byLabel.join(broadcast(centroids), Seq("label"))
+          .withColumn("sim", cosine(col("embedding"), col("centroid")))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n"), round(sum(col("sim")), 4).as("sum_sim"))
+      },
+      Some("""WITH unnested AS (
+             |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS i,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings),
+             |centroids AS (
+             |  SELECT label, i, avg(x) AS c FROM unnested GROUP BY label, i),
+             |dots AS (
+             |  SELECT u.label, u.vec_id,
+             |         sum(u.x * c.c) AS dot,
+             |         sqrt(sum(u.x * u.x)) AS na,
+             |         sqrt(sum(c.c * c.c)) AS nb
+             |  FROM unnested u JOIN centroids c ON u.label = c.label AND u.i = c.i
+             |  GROUP BY u.label, u.vec_id)
+             |SELECT label, count(*) AS n,
+             |       round(sum(CASE WHEN na*nb > 0 THEN dot/(na*nb) ELSE 0 END), 4) AS sum_sim
+             |FROM dots GROUP BY label""".stripMargin),
+      Seq("E2")
+    ),
+
+    // ANN via random-hyperplane LSH buckets (approximate — no SQL oracle;
+    // the driver records a rows-only check).
+    "e2_ann_lsh_topk" -> Q(
+      (s, d) => Similarity.topKLsh(
+        embeddings(s, d).filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", queryVec(s, d), 10, dim = 64, nPlanes = 8, probes = 1
+      ),
+      None,
+      Seq("E2")
+    ),
+
+    // MinHash-LSH near-dup candidates over documents (banded; no CartesianProduct).
+    "dd_minhash_lsh" -> Q(
+      (s, d) =>
+        Dedup.minhashCandidates(documents(s, d), "doc_id", "text", numHashes = 16, bands = 4)
+          .agg(count(lit(1)).as("n_candidate_pairs")),
+      None,
+      Seq("A6")
+    ),
+
+    // SimHash signatures + near-dup pairs within a Hamming radius, bucketed
+    // by the top bits of the signature.
+    "dd_simhash" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+          .select(col("doc_id"), Dedup.wordSet(col("text")).as("toks"))
+          .withColumn("sig", Dedup.simhash(col("toks")))
+        docs.groupBy(shiftright(col("sig"), 48).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_docs"))
+      },
+      None,
+      Seq("A6")
+    ),
+
+    // Embedding-cosine near-dup, hyperplane-bucketed.
+    "dd_cosine_lsh" -> Q(
+      (s, d) =>
+        Dedup.cosineCandidates(embeddings(s, d), "vec_id", "embedding", dim = 64, nPlanes = 6, threshold = 0.5)
+          .agg(count(lit(1)).as("n_pairs")),
+      None,
+      Seq("E2")
+    )
+  )
+}

@@ -1,0 +1,160 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Overlay
+
+/** The chunk store: a keyed sink with upsert / delete-by-document semantics
+  * (reference protocol `domain/vector_store.py:11-63`; JSONL backend
+  * `infrastructure/jsonl_vector_store.py:41-121,197-248`).
+  *
+  * Layout: parquet (or JSON-lines) partitioned by `doc_prefix` — the first
+  * two hex chars of `sha2(documentId)` (256 buckets). The reference keeps one
+  * file per source hash; at 100 TB that is millions of tiny files, and hash
+  * changes would scatter one document's chunk ids across buckets. Bucketing
+  * by documentId keeps every version of a document's chunks co-located, so:
+  *   - upsert = read ONLY the buckets the batch touches (partition pruning),
+  *     overlay last-write-wins by chunkId, dynamic-partition-overwrite them;
+  *   - delete-by-document = prune straight to the documents' buckets from
+  *     the ids alone — no scan of the other 250+ buckets.
+  * Neither path ever read-rewrites the world.
+  */
+final class ChunkStore(val path: String, val format: String = "parquet") extends Serializable {
+
+  import ChunkStore._
+
+  private def fs(spark: SparkSession) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
+
+  /** S4/S5: full store scan. Bad JSON lines are tolerated (PERMISSIVE) and
+    * dropped, mirroring the reference's skip-with-warning
+    * (`jsonl_vector_store.py:197-226`).
+    */
+  def read(spark: SparkSession): DataFrame =
+    if (!exists(spark)) emptyChunks(spark)
+    else readRaw(spark).drop("doc_prefix")
+
+  private def readRaw(spark: SparkSession): DataFrame = {
+    val r = spark.read.schema(storedSchema)
+    val df = if (format == "json") r.option("mode", "PERMISSIVE").json(path) else r.parquet(path)
+    df.filter(col("chunkId").isNotNull)
+  }
+
+  private def withPrefix(df: DataFrame): DataFrame =
+    df.withColumn("doc_prefix", docPrefix(col("documentId")))
+
+  /** K1/J3: upsert — new chunks replace stored chunks with equal `chunkId`.
+    * Touches only the document buckets present in the incoming batch.
+    */
+  def upsert(spark: SparkSession, chunks: DataFrame): Unit = {
+    val incoming = withPrefix(chunks.select(chunkCols.map(col): _*))
+    val merged =
+      if (!exists(spark)) incoming
+      else {
+        val prefixes = incoming.select("doc_prefix").distinct()
+        val existing = withPrefix(read(spark))
+          .join(broadcast(prefixes), Seq("doc_prefix"), "left_semi")
+        Overlay.overlay(existing, incoming, Seq("chunkId"), Seq("chunkIndex"))
+      }
+    write(spark, merged)
+  }
+
+  /** K3: delete every chunk of the given document ids; returns deleted count.
+    * The affected buckets are derived from the ids themselves — partition
+    * pruning without any store scan (reference `jsonl_vector_store.py:82-121`
+    * incl. empty-file removal).
+    */
+  def deleteByDocumentIds(spark: SparkSession, docIds: Seq[String]): Long = {
+    if (!exists(spark) || docIds.isEmpty) return 0L
+    import spark.implicits._
+    val prefixes = docIds.toDF("documentId")
+      .select(docPrefix(col("documentId"))).distinct().as[String].collect()
+    val inBuckets = readRaw(spark).filter(col("doc_prefix").isin(prefixes.toSeq: _*)).cache()
+    try {
+      val before = inBuckets.count()
+      if (before == 0) return 0L
+      val remaining = inBuckets.filter(!col("documentId").isin(docIds: _*)).cache()
+      val after = remaining.count()
+      // Dynamic overwrite only rewrites partitions present in the output —
+      // buckets left empty must be dropped explicitly (the reference unlinks
+      // empty JSONL files for the same reason).
+      val keptPrefixes = remaining.select("doc_prefix").distinct().as[String].collect().toSet
+      if (after > 0) write(spark, remaining)
+      val f = fs(spark)
+      prefixes.filterNot(keptPrefixes).foreach { p =>
+        f.delete(new Path(s"$path/doc_prefix=$p"), true)
+      }
+      before - after
+    } finally inBuckets.unpersist()
+  }
+
+  private def write(spark: SparkSession, df: DataFrame): Unit = {
+    val w = df
+      .repartition(col("doc_prefix"))
+      .write
+      .partitionBy("doc_prefix")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+    if (format == "json") w.json(path) else w.parquet(path)
+  }
+
+  /** A2: chunk count. */
+  def count(spark: SparkSession): Long = read(spark).count()
+
+  /** A3: distinct document ids. */
+  def distinctDocumentIds(spark: SparkSession): DataFrame =
+    read(spark).select(col("documentId").as("docId")).distinct()
+}
+
+object ChunkStore {
+
+  def docPrefix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(sha2(c, 256), 1, 2)
+
+  val chunkCols: Seq[String] = Seq(
+    "chunkId", "documentId", "datasetName", "content", "tokenCount",
+    "sectionHeading", "absoluteAddress", "splitReason", "parentChunkId",
+    "sourceHash", "crossRefs", "chunkIndex",
+    "embedding", "embeddingModel", "embeddedAt"
+  )
+
+  val storedSchema: StructType = StructType(Seq(
+    StructField("chunkId", StringType),
+    StructField("documentId", StringType),
+    StructField("datasetName", StringType),
+    StructField("content", StringType),
+    StructField("tokenCount", IntegerType),
+    StructField("sectionHeading", StringType),
+    StructField("absoluteAddress", StringType),
+    StructField("splitReason", StringType),
+    StructField("parentChunkId", StringType),
+    StructField("sourceHash", StringType),
+    StructField("crossRefs", ArrayType(StringType)),
+    StructField("chunkIndex", IntegerType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("embeddingModel", StringType),
+    StructField("embeddedAt", StringType),
+    StructField("doc_prefix", StringType)
+  ))
+
+  def emptyChunks(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(storedSchema.filterNot(_.name == "doc_prefix"))
+    )
+
+  /** K5: migrate between store formats/locations; `crossRefs` stays a native
+    * list in parquet and JSON alike, so the CSV⇄list conversion of the
+    * reference (`cli.py:241-321`, `models.py:115-116`) is only needed at
+    * foreign boundaries — see [[graft.functions.TextFunctions.crossRefsToCsv]].
+    */
+  def migrate(spark: SparkSession, source: ChunkStore, target: ChunkStore): Long = {
+    val rows = source.read(spark)
+    target.upsert(spark, rows)
+    rows.count()
+  }
+}
