@@ -18,9 +18,12 @@ object XmlUtil {
   def parse(xml: String): Element = {
     val f = DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(false)
-    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    // Lovdata documents carry a DOCTYPE — allow it, but never fetch DTDs or
+    // expand external entities (XXE hardening for untrusted corpus input).
+    f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
     f.setFeature("http://xml.org/sax/features/external-general-entities", false)
     f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.setExpandEntityReferences(false)
     val doc: Document = f.newDocumentBuilder()
       .parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
     doc.getDocumentElement

@@ -27,13 +27,18 @@ final class PipelineState(val path: String) extends Serializable {
 
   /** Load the ledger; a missing or corrupted state yields an empty ledger
     * (reference `state.py:58-59`).
+    *
+    * The ledger is materialized eagerly (it is small by construction): a lazy
+    * scan would be cache-keyed by path and could serve stale rows after the
+    * file is rewritten mid-session, and eager reading also surfaces
+    * corruption here, where the fallback applies.
     */
   def load(spark: SparkSession): DataFrame =
     if (!fs(spark).exists(new Path(path))) empty(spark)
     else Try {
-      val df = spark.read.schema(stateSchema).json(path).filter(col("docId").isNotNull)
-      df.cache().count() // force read so corruption surfaces here
-      df
+      val rows = spark.read.schema(stateSchema).json(path)
+        .filter(col("docId").isNotNull).collect().toSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), stateSchema)
     }.getOrElse(empty(spark))
 
   /** Atomic commit: write to `<path>.tmp`, then swap (reference `state.py:72-75`). */

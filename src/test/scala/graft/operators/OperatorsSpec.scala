@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.embed.{DeterministicProvider, Embedding}
+
+/** Dedup, similarity, window, and embedding operator behavior. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds a true near-dup pair without a cartesian join") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(df, "doc_id", "text", numHashes = 16, bands = 4)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "banded join must not be all-pairs")
+    val got = pairs.as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)), "near-dup pair must bucket together")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
+  }
+
+  test("simhash: near-dups have small hamming distance, unrelated large") {
+    val df = Seq(
+      (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
+      (2L, (3 to 40).map(i => s"tok$i").mkString(" ")),
+      (3L, (100 to 140).map(i => s"other$i").mkString(" "))
+    ).toDF("id", "text")
+      .withColumn("sig", Dedup.simhash(Dedup.wordSet(col("text"))))
+    val sigs = df.select("id", "sig").as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
+  }
+
+  test("jaccard pairs: blocked candidates with threshold") {
+    val df = Seq(
+      (1L, "a b c d e", "s1", 9L),
+      (2L, "a b c d f", "s1", 9L),
+      (3L, "x y z w v", "s1", 9L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", Seq("source", "n_chars"), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L))) // jaccard(1,2)=4/6; others 0
+  }
+
+  test("shingles produce distinct n-grams") {
+    val out = spark.range(1).select(Dedup.shingles(lit("abcdef"), 3).as("s"))
+      .head().getSeq[String](0)
+    assert(out == Seq("abc", "bcd", "cde", "def"))
+  }
+
+  test("cosine topK: exact ranking against hand-computed similarities") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.topK(vecs, "embedding", "vec_id", Array(1f, 0f, 0f), 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("LSH topK returns the same neighbors as brute force for close vectors") {
+    val vecs = (0 until 50).map { i =>
+      val angle = i / 50.0 * math.Pi
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        0.1f * (i % 3), 0.05f * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    val q = Array(1f, 0f, 0f, 0f)
+    val brute = Similarity.topK(vecs, "embedding", "vec_id", q, 5).select("vec_id").as[Long].collect().toSet
+    val lsh = Similarity.topKLsh(vecs, "embedding", "vec_id", q, 5, dim = 4, nPlanes = 4, probes = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lsh.intersect(brute).nonEmpty, "LSH probe buckets must cover near neighbors")
+  }
+
+  test("session windows: gap splits sessions per key") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    val df = Seq(
+      (1L, at(0)), (1L, at(10)), (1L, at(100)), // gap 90min → 2 sessions
+      (2L, at(0))
+    ).toDF("user_id", "ts")
+    val sessions = EventWindows.sessionCounts(df, "ts", "user_id", 1800L)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    assert(sessions == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("tumbling windows bucket counts") {
+    val df = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "a", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:50:00"), "a", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 01:10:00"), "a", 3.0)
+    ).toDF("ts", "event_type", "value")
+    val out = EventWindows.tumbling(df, "ts", "1 hour", Seq("event_type"))
+    assert(out.count() == 2)
+    assert(out.agg(sum("n")).head().getLong(0) == 3)
+  }
+
+  test("deterministic embedding: stable, unit-norm, strict batch zip (E1)") {
+    val p = new DeterministicProvider(32)
+    val v1 = p.embedBatch(Seq("hello"))
+    val v2 = p.embedBatch(Seq("hello", "world"))
+    assert(v1.head.toSeq == v2.head.toSeq, "same text must embed identically")
+    val norm = math.sqrt(v1.head.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+
+    val df = (1 to 250).map(i => (i.toLong, s"text $i")).toDF("id", "text")
+    val out = Embedding.embed(df, "text", p, batchSize = 100)
+    assert(out.count() == 250)
+    assert(out.select("embedding").head().getSeq[Float](0).length == 32)
+    assert(out.select("embeddingModel").head().getString(0) == p.modelName)
+  }
+
+  test("overlay keeps exactly one row per key, updates win") {
+    val old = Seq(("k1", 1, "old"), ("k2", 1, "old")).toDF("id", "idx", "v")
+    val upd = Seq(("k1", 2, "new")).toDF("id", "idx", "v")
+    val out = Overlay.overlay(old, upd, Seq("id"), Seq("idx"))
+      .select("id", "v").as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "new", "k2" -> "old"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.chunker.LovdataChunker
+import graft.embed.DeterministicProvider
+import graft.sources.ChunkStore
+
+/** End-to-end incremental workflow (reference
+  * `tests/end2end/incremental_update_test.py`: initial run, skip-unchanged,
+  * modify, remove).
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def xmlFor(docId: String, body: String): String =
+    s"""<html><body><main class="documentBody"><h1>Lov $docId</h1>
+       |<article class="legalP" id="$docId-l1">$body</article>
+       |</main></body></html>""".stripMargin
+
+  private def cdc(rows: (String, String, String)*): DataFrame =
+    rows.toSeq.map { case (id, hash, body) => (id, "ds1", hash, xmlFor(id, body)) }
+      .toDF("docId", "dataset", "hash", "xml")
+
+  private def noRemovals: DataFrame = Seq.empty[String].toDF("docId")
+
+  test("run → idempotent second run → modify → remove (e2e)") {
+    val storePath = tmpDir("pipe") + "/store"
+    val statePath = tmpDir("pipe") + "/state.json"
+    val store = new ChunkStore(storePath)
+    val chunker = new LovdataChunker(targetTokens = 20, maxTokens = 100, minTokens = 2)
+    val provider = new DeterministicProvider(16)
+
+    def run(changed: DataFrame, removed: DataFrame) =
+      Pipeline.run(spark, changed, removed, store, statePath, chunker, provider)
+
+    // phase 1: initial — both docs processed, chunks stored with embeddings
+    val batch1 = cdc(("d1", "h1", "Alpha beta gamma."), ("d2", "h2", "Delta epsilon zeta."))
+    val r1 = run(batch1, noRemovals)
+    assert(r1.processed == 2)
+    val stored = store.read(spark)
+    assert(stored.select("documentId").distinct().count() == 2)
+    assert(stored.select("embedding").head().getSeq[Float](0).length == 16)
+    // C11: stored ids are positional
+    assert(stored.select("chunkId").as[String].collect().forall(_.matches("d[12]_chunk_\\d+")))
+
+    // phase 2: unchanged input → 0 processed (incremental_update_test.py:370)
+    val r2 = run(batch1, noRemovals)
+    assert(r2.processed == 0)
+
+    // phase 3: modified hash reprocesses exactly that doc; content replaced
+    val r3 = run(cdc(("d1", "h1-new", "New content entirely."), ("d2", "h2", "Delta epsilon zeta.")), noRemovals)
+    assert(r3.processed == 1)
+    val d1Content = store.read(spark).filter(col("documentId") === "d1")
+      .select("content").as[String].collect()
+    assert(d1Content.exists(_.contains("New content")))
+    assert(!d1Content.exists(_.contains("Alpha")))
+
+    // phase 4: removal cleans store and ledger
+    val r4 = run(cdc(), Seq("d2").toDF("docId"))
+    assert(r4.removed == 1)
+    assert(store.read(spark).select("documentId").distinct().as[String].collect().toSeq == Seq("d1"))
+    // removed doc re-appearing later is processed again (ledger forgot it)
+    val r5 = run(cdc(("d2", "h2", "Delta epsilon zeta.")), noRemovals)
+    assert(r5.processed == 1)
+  }
+}

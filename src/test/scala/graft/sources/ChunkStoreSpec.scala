@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Store semantics (reference `tests/unit/jsonl_vector_store_test.py`:
+  * upsert, update-by-id, delete, empty-file removal, multi-doc handling).
+  */
+class ChunkStoreSpec extends SparkSpec {
+
+  private def chunks(rows: (String, String, String, Int)*): DataFrame = {
+    import spark.implicits._
+    rows.toSeq.toDF("chunkId", "documentId", "content", "chunkIndex")
+      .select(
+        col("chunkId"), col("documentId"),
+        lit("ds").as("datasetName"), col("content"),
+        lit(10).as("tokenCount"), lit("h").as("sectionHeading"),
+        lit("").as("absoluteAddress"), lit("none").as("splitReason"),
+        lit(null).cast("string").as("parentChunkId"),
+        sha2(col("content"), 256).as("sourceHash"),
+        array(lit("r1")).as("crossRefs"), col("chunkIndex"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit("m").as("embeddingModel"), lit("t0").as("embeddedAt")
+      )
+  }
+
+  test("upsert inserts then overlays by chunkId (K1/J3)") {
+    val store = new ChunkStore(tmpDir("store"))
+    store.upsert(spark, chunks(("d1_c0", "d1", "v1", 0), ("d1_c1", "d1", "v1b", 1)))
+    assert(store.count(spark) == 2)
+    // same id, new content (different sourceHash — must still overlay)
+    store.upsert(spark, chunks(("d1_c0", "d1", "v2", 0)))
+    val rows = store.read(spark).select("chunkId", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("d1_c0" -> "v2", "d1_c1" -> "v1b"))
+  }
+
+  test("delete by document removes all chunks and empty buckets (K3)") {
+    val store = new ChunkStore(tmpDir("store"))
+    store.upsert(spark, chunks(
+      ("d1_c0", "d1", "a", 0), ("d1_c1", "d1", "b", 1), ("d2_c0", "d2", "c", 0)
+    ))
+    val deleted = store.deleteByDocumentIds(spark, Seq("d1"))
+    assert(deleted == 2)
+    assert(store.count(spark) == 1)
+    assert(store.distinctDocumentIds(spark).collect().map(_.getString(0)).toSeq == Seq("d2"))
+    // deleting the last doc empties the store (reference unlinks empty files)
+    assert(store.deleteByDocumentIds(spark, Seq("d2")) == 1)
+    assert(store.count(spark) == 0)
+  }
+
+  test("delete of unknown document is a no-op returning 0") {
+    val store = new ChunkStore(tmpDir("store"))
+    store.upsert(spark, chunks(("d1_c0", "d1", "a", 0)))
+    assert(store.deleteByDocumentIds(spark, Seq("nope")) == 0)
+    assert(store.count(spark) == 1)
+  }
+
+  test("migrate parquet -> json preserves rows incl. crossRefs list (K5)") {
+    val src = new ChunkStore(tmpDir("src"))
+    val dst = new ChunkStore(tmpDir("dst"), format = "json")
+    src.upsert(spark, chunks(("d1_c0", "d1", "a", 0), ("d2_c0", "d2", "b", 0)))
+    val n = ChunkStore.migrate(spark, src, dst)
+    assert(n == 2)
+    val back = dst.read(spark)
+    assert(back.count() == 2)
+    assert(back.select("crossRefs").head().getSeq[String](0) == Seq("r1"))
+  }
+
+  test("json store tolerates corrupt lines (S4 PERMISSIVE)") {
+    val dir = tmpDir("jsonstore")
+    val store = new ChunkStore(dir, format = "json")
+    store.upsert(spark, chunks(("d1_c0", "d1", "a", 0)))
+    // inject garbage into the bucket file
+    val bucket = new java.io.File(dir).listFiles().find(_.getName.startsWith("doc_prefix=")).get
+    val part = bucket.listFiles().find(_.getName.endsWith(".json")).get
+    val out = new java.io.FileWriter(part, true)
+    out.write("\n{not valid json!!\n"); out.close()
+    // drop Hadoop's local checksum sidecar so the tampered file is readable
+    bucket.listFiles().filter(_.getName.endsWith(".crc")).foreach(_.delete())
+    assert(store.read(spark).count() == 1)
+  }
+
+  test("read of a missing store is empty, not an error") {
+    val store = new ChunkStore(tmpDir("gone") + "/nothing")
+    assert(store.count(spark) == 0)
+  }
+}
