@@ -9,9 +9,11 @@ import graft.Tables._
 import graft.chunker.LovdataChunker
 import graft.embed.{DeterministicProvider, Embedding}
 import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
 import graft.operators.Identify
 import graft.pipeline.Pipeline
 import graft.sources.{ChunkStore, LovligState}
+import graft.streaming.StreamingPipeline
 
 /** End-to-end pipeline battery: these queries synthesize the reference's
   * inputs (lovlig state.json, Lovdata XML) deterministically from the
@@ -283,6 +285,59 @@ object PipelineQueries {
              |CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
              |FROM documents""".stripMargin),
       Seq("S1", "S3", "K1", "K3", "K4", "J1", "E1", "C11", "S2")
+    ),
+
+    // S6: Structured Streaming file-arrival ingest (AvailableNow) driving the
+    // same chunk→embed→upsert path; checkpoint plays the ledger's role.
+    "s6_streaming_ingest" -> Q(
+      (s, d) => {
+        val inDir = tmpDir(d, "stream_in")
+        val storeDir = tmpDir(d, "stream_store")
+        val ckpt = tmpDir(d, "stream_ckpt")
+        cleanDir(inDir); cleanDir(storeDir); cleanDir(ckpt)
+        Files.createDirectories(Paths.get(inDir))
+        // drop file: 2% sample of documents as JSON-lines (docId, dataset, hash, xml)
+        documents(s, d).filter(col("doc_id") % 50 === 1)
+          .withColumn("xml", synthXmlUdf(col("doc_id"), col("text")))
+          .select(
+            concat(lit("doc"), col("doc_id")).as("docId"),
+            col("source").as("dataset"),
+            sha2(col("text"), 256).as("hash"),
+            col("xml")
+          )
+          .coalesce(1).write.mode("overwrite").json(inDir)
+        val store = new ChunkStore(storeDir)
+        val q = StreamingPipeline.writer(
+          s, StreamingPipeline.fileSource(s, inDir), store,
+          new LovdataChunker(targetTokens = 64, maxTokens = 200, minTokens = 20),
+          new DeterministicProvider(16), ckpt
+        ).start()
+        q.awaitTermination()
+        store.distinctDocumentIds(s).agg(count(lit(1)).as("n_docs"))
+      },
+      Some("SELECT count(*) AS n_docs FROM documents WHERE doc_id % 50 = 1"),
+      Seq("S6", "K1", "E1", "S2")
+    ),
+
+    // Multimodal: binary blobs + typed metadata + batched feature extraction
+    // (decode stub deterministic; plumbing real — schema, batching, nulls).
+    "mm_binary_features" -> Q(
+      (s, d) => {
+        val withBlob = documents(s, d).withColumn("blob", col("text").cast("binary"))
+        val withMeta = Multimodal.withMediaMeta(withBlob, "blob", "image", "png")
+        Multimodal.extractFeatures(withMeta, "blob", dims = 16, batchSize = 128)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("media_meta.sizeBytes")).as("sum_bytes"),
+            count(when(col("features").isNotNull, 1)).as("n_decoded")
+          )
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+             |count(*) AS n_decoded
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("E1")
     )
   )
 }

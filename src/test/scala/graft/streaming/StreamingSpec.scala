@@ -1,0 +1,91 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.chunker.LovdataChunker
+import graft.embed.DeterministicProvider
+import graft.sources.ChunkStore
+
+/** Streaming behavior: file-arrival source drives the same idempotent
+  * upsert path as the batch pipeline; watermarked windows aggregate.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeDropFile(dir: String, name: String, docs: (String, String)*): Unit = {
+    val lines = docs.map { case (id, body) =>
+      val xml = s"""<html><body><main class=\\"documentBody\\"><h1>L</h1><article class=\\"legalP\\" id=\\"$id-l1\\">$body</article></main></body></html>"""
+      s"""{"docId":"$id","dataset":"ds","hash":"h-$id","xml":"$xml"}"""
+    }
+    Files.write(Paths.get(dir, name), lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  test("S6: file-arrival stream chunks, embeds, and upserts idempotently") {
+    val inDir = tmpDir("stream_in")
+    val storeDir = tmpDir("stream_store")
+    val ckpt = tmpDir("stream_ckpt")
+    val store = new ChunkStore(storeDir)
+    writeDropFile(inDir, "drop1.json", ("d1", "Alpha beta gamma."), ("d2", "Delta epsilon."))
+
+    def runOnce(): Unit = {
+      val q = StreamingPipeline.writer(
+        spark,
+        StreamingPipeline.fileSource(spark, inDir),
+        store,
+        new LovdataChunker(targetTokens = 20, maxTokens = 100, minTokens = 2),
+        new DeterministicProvider(8),
+        ckpt
+      ).start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(store.distinctDocumentIds(spark).count() == 2)
+    val n1 = store.count(spark)
+
+    // new file arrives; old file is NOT reprocessed (checkpoint = ledger)
+    writeDropFile(inDir, "drop2.json", ("d3", "Zeta eta theta."))
+    runOnce()
+    assert(store.distinctDocumentIds(spark).count() == 3)
+    // d1/d2 chunks unchanged (idempotent upsert, no duplicates)
+    assert(store.read(spark).filter(col("documentId").isin("d1", "d2")).count() == n1)
+  }
+
+  test("watermarked sliding windows over a streamed event source") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val events = mem.toDF().toDF("ts", "event_type")
+    val out = StreamingPipeline.windowedCounts(events, "1 hour", "30 minutes", "2 hours")
+    val q = out.writeStream.format("memory").queryName("wc").outputMode("update").start()
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), "a"),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), "a")
+    )
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM wc").collect()
+    assert(rows.nonEmpty)
+    // the 00:00 window sees both events; each event lands in 2 sliding windows
+    val counts = rows.map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    assert(counts.values.max == 2)
+    q.stop()
+  }
+
+  test("mapGroupsWithState sessionization emits per-key updates") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val out = StreamingPipeline.sessionize(spark, events, gapMs = 30 * 60000)
+    val q = out.toDF().writeStream.format("memory").queryName("sess").outputMode("update").start()
+    mem.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    val n = spark.sql("SELECT nEvents FROM sess WHERE userId = 1").collect().map(_.getLong(0))
+    assert(n.contains(2L))
+    q.stop()
+  }
+}
