@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plan audit main: prints the physical plan of the headline queries and
+  * asserts the scale invariants the 100 TB design depends on —
+  * broadcast (not shuffle) joins where a side is small, parquet filter/
+  * column pushdown reaching the scan, and no CartesianProduct anywhere.
+  * Output is committed as PLANS.md per round.
+  */
+object ExplainAudit {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val audited = Seq(
+      "q1_pricing_summary", "q_star_join", "j1_incremental_antijoin",
+      "j3_upsert_overlay", "e2_cosine_topk", "dd_minhash_lsh",
+      "dd_jaccard_blocked", "w_tumbling_hourly", "f6_docid_filter",
+      "a4_token_budget_buckets"
+    )
+
+    var bad = 0
+    audited.foreach { name =>
+      val df = SparkEntry.battery(name).fn(spark, sfDir)
+      println(s"\n===== $name =====")
+      val planStr = df.queryExecution.executedPlan.toString
+      df.explain("formatted")
+      if (planStr.contains("CartesianProduct")) {
+        println(s"!!! $name: CartesianProduct in plan"); bad += 1
+      }
+    }
+
+    // invariant spot-checks
+    def plan(name: String): String =
+      SparkEntry.battery(name).fn(spark, sfDir).queryExecution.executedPlan.toString
+
+    val checks = Seq(
+      ("j1 anti-join broadcasts the state side",
+        plan("j1_incremental_antijoin").contains("BroadcastHashJoin") &&
+          plan("j1_incremental_antijoin").contains("LeftAnti")),
+      ("star join uses broadcast joins only",
+        !plan("q_star_join").contains("SortMergeJoin")),
+      ("f6 filter is pushed to the parquet scan",
+        plan("f6_docid_filter").contains("PushedFilters: [IsNotNull(doc_id)]") ||
+          plan("f6_docid_filter").contains("PushedFilters")),
+      ("cosine topk plans as TakeOrdered (no global sort/shuffle)",
+        plan("e2_cosine_topk").contains("TakeOrderedAndProject")),
+      ("minhash candidates join on band buckets, no cartesian",
+        !plan("dd_minhash_lsh").contains("CartesianProduct")),
+      ("blocked jaccard join is equi-key, no cartesian",
+        !plan("dd_jaccard_blocked").contains("CartesianProduct"))
+    )
+    println("\n===== invariants =====")
+    checks.foreach { case (label, ok) =>
+      println(s"${if (ok) "PASS" else "FAIL"} $label")
+      if (!ok) bad += 1
+    }
+    spark.stop()
+    if (bad > 0) sys.exit(1)
+  }
+}

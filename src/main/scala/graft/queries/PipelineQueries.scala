@@ -171,7 +171,7 @@ object PipelineQueries {
       (s, d) => {
         val storePath = tmpDir(d, "store")
         cleanDir(storePath)
-        val store = new ChunkStore(storePath)
+        val store = new ChunkStore(storePath, prefixLen = 1)
         def chunkify(df: DataFrame): DataFrame = df.select(
           concat(lit("doc"), col("doc_id"), lit("_chunk_0")).as("chunkId"),
           concat(lit("doc"), col("doc_id")).as("documentId"),
@@ -273,7 +273,7 @@ object PipelineQueries {
           .select(concat(lit("doc"), col("doc_id")).as("docId"))
         val summary = Pipeline.run(
           s, changed, removed,
-          new ChunkStore(storePath), statePath,
+          new ChunkStore(storePath, prefixLen = 1), statePath,
           new LovdataChunker(targetTokens = 64, maxTokens = 200, minTokens = 20),
           new DeterministicProvider(32)
         )
@@ -306,7 +306,7 @@ object PipelineQueries {
             col("xml")
           )
           .coalesce(1).write.mode("overwrite").json(inDir)
-        val store = new ChunkStore(storeDir)
+        val store = new ChunkStore(storeDir, prefixLen = 1)
         val q = StreamingPipeline.writer(
           s, StreamingPipeline.fileSource(s, inDir), store,
           new LovdataChunker(targetTokens = 64, maxTokens = 200, minTokens = 20),

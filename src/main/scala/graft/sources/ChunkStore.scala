@@ -21,12 +21,25 @@ import graft.operators.Overlay
   *     the ids alone — no scan of the other 250+ buckets.
   * Neither path ever read-rewrites the world.
   */
-final class ChunkStore(val path: String, val format: String = "parquet") extends Serializable {
+final class ChunkStore(
+    val path: String,
+    val format: String = "parquet",
+    /** hex chars of sha2(documentId) used as the bucket key: 1 → 16 buckets
+      * (test scale), 2 → 256 (default), 3 → 4096 (100 TB+). Pick so one
+      * bucket's rewrite fits comfortably in executor memory.
+      */
+    val prefixLen: Int = 2
+) extends Serializable {
 
   import ChunkStore._
 
+  require(prefixLen >= 1 && prefixLen <= 8, "prefixLen must be 1..8")
+
   private def fs(spark: SparkSession) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def docPrefix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    substring(sha2(c, 256), 1, prefixLen)
 
   def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
 
@@ -111,9 +124,6 @@ final class ChunkStore(val path: String, val format: String = "parquet") extends
 }
 
 object ChunkStore {
-
-  def docPrefix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    substring(sha2(c, 256), 1, 2)
 
   val chunkCols: Seq[String] = Seq(
     "chunkId", "documentId", "datasetName", "content", "tokenCount",
