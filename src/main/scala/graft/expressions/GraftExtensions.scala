@@ -1,0 +1,27 @@
+package graft.expressions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extensions, registered via
+  * `spark.sql.extensions=graft.expressions.GraftExtensions` (or
+  * `.withExtensions`): native functions that beat their built-in
+  * compositions on the hot path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("token_count"),
+      new ExpressionInfo(
+        classOf[TokenCount].getName,
+        null,
+        "token_count",
+        "token_count(str) - deterministic word-or-symbol token count (engine C1 semantics)",
+        ""
+      ),
+      (children: Seq[Expression]) => TokenCount(children.head)
+    ))
+  }
+}

@@ -12,13 +12,24 @@ object TextFunctions {
   /** Whitespace tokens of a trimmed string. */
   def wsTokens(c: Column): Column = split(trim(c), "\\s+")
 
-  /** C1 (relational form): deterministic token count — word-or-symbol regex,
-    * a BPE-ish approximation that both Spark and any ANSI oracle can compute.
-    * (The reference counts cl100k_base BPE tokens, `token_counter.py:25-34`;
-    * our engine is internally consistent instead — SURVEY §7 module 2.)
+  /** C1 (relational form): deterministic token count — word-or-symbol
+    * tokens, a BPE-ish approximation that any ANSI oracle can recompute via
+    * `len(regexp_extract_all(c, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))`. (The
+    * reference counts cl100k_base BPE tokens, `token_counter.py:25-34`; our
+    * engine is internally consistent instead — SURVEY §7 module 2.)
+    *
+    * Uses the native codegen [[graft.expressions.TokenCount]] when the
+    * session has [[graft.expressions.GraftExtensions]] registered (single
+    * byte scan, no regex, no array materialization); falls back to the
+    * equivalent built-in composition otherwise.
     */
-  def tokenCount(c: Column): Column =
-    size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^\\sA-Za-z0-9]"), lit(0))).cast("long")
+  def tokenCount(c: Column): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      scala.util.Try(s.catalog.functionExists("token_count")).getOrElse(false)
+    }
+    if (native) call_function("token_count", c)
+    else size(regexp_extract_all(c, lit("[A-Za-z0-9]+|[^\\sA-Za-z0-9]"), lit(0))).cast("long")
+  }
 
   /** C3: sentence split on terminal punctuation (Java regex lookbehind,
     * reference `lovdata_chunker.py:436,497`).
