@@ -85,6 +85,25 @@ object Dedup {
       .distinct()
   }
 
+  /** Winnowing fingerprint (rolling-hash document fingerprinting): hash
+    * every word k-gram, then keep the minimum hash of each sliding window of
+    * `w` consecutive k-gram hashes. Two documents sharing any sizable run of
+    * text share fingerprint hashes — the classic plagiarism/near-dup scheme,
+    * entirely in codegen'd array ops.
+    */
+  def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column = {
+    val toks = split(trim(c), "\\s+")
+    val nGrams = greatest(size(toks) - (k - 1), lit(0))
+    val kgrams = transform(sequence(lit(1), greatest(nGrams, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    val hashes = transform(kgrams, g => xxhash64(g))
+    val nWins = greatest(size(hashes) - (w - 1), lit(1))
+    when(nGrams <= 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), nWins), j => array_min(slice(hashes, j, lit(w))))
+      ))
+  }
+
   /** SimHash: 64-bit signature from per-token 64-bit hashes — bit i of the
     * signature is the sign of sum over tokens of (bit i ? +1 : -1).
     * Near-dups differ in few bits (small Hamming distance).

@@ -27,6 +27,54 @@ object Similarity {
       .select(col(idCol), round(col("sim"), 6).as("sim"))
       .limit(k)
 
+  /** IVF (inverted-file) index: vectors are assigned to their
+    * nearest-centroid cell once at build time; a query scores only the
+    * `nProbes` cells nearest to it. With `cid` as a partition column the
+    * probe filter becomes partition pruning — the 100 TB layout.
+    *
+    * Centroids: deterministic seed rows refined by one Lloyd step (avg of
+    * assigned vectors) — no RNG, rebuild-stable. Assignment is a codegen'd
+    * argmax over per-centroid cosine columns (fine for k ≲ 64 centroids; a
+    * mapPartitions assigner takes over beyond that).
+    */
+  final case class IvfIndex(centroids: Seq[(Int, Array[Float])], assigned: DataFrame)
+
+  def buildIvf(df: DataFrame, vecCol: String, idCol: String, k: Int): IvfIndex = {
+    def assignTo(cents: Seq[(Int, Array[Float])])(d: DataFrame): DataFrame = {
+      val simStructs = array(cents.map { case (cid, v) =>
+        struct(cosine(col(vecCol), vecLit(v)).as("sim"), lit(cid).as("cid"))
+      }: _*)
+      d.withColumn("cid", array_max(simStructs).getField("cid"))
+    }
+    // deterministic seeds: first k rows by id
+    val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }.toSeq
+    val dim = seeds.head._2.length
+    // one Lloyd refinement: cell means of the seed assignment
+    val seedAssigned = assignTo(seeds)(df)
+    val refined = seedAssigned.groupBy(col("cid"))
+      .agg(array((0 until dim).map(i => avg(element_at(col(vecCol), i + 1).cast("double"))): _*).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).map(_.toFloat).toArray)).toSeq
+    IvfIndex(refined, assignTo(refined)(df))
+  }
+
+  /** Search an IVF index: score the query against the (driver-side, tiny)
+    * centroid table, keep the `nProbes` best cells, brute-force only those.
+    */
+  def topKIvf(index: IvfIndex, vecCol: String, idCol: String,
+              query: Array[Float], k: Int, nProbes: Int): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+    }
+    val probeCids = index.centroids.sortBy { case (_, c) => -cos(query, c) }
+      .take(nProbes).map(_._1)
+    topK(index.assigned.filter(col("cid").isin(probeCids: _*)), vecCol, idCol, query, k)
+  }
+
   /** LSH-bucketed approximate top-k: only rows whose hyperplane bucket is
     * within `probes` XOR-bit-flips of the query bucket are scored. With the
     * bucket as a partition/cluster column this becomes partition pruning.

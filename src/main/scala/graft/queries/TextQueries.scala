@@ -350,6 +350,29 @@ object TextQueries {
       Seq("C13")
     ),
 
+    // Language-ID heuristic distribution (stopword-hit argmax — library
+    // semantics pinned by OperatorsSpec; rows-only).
+    "ta_langid" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("pred", langId(col("text")))
+          .groupBy(col("pred")).agg(count(lit(1)).as("n")),
+      None,
+      Seq("C1")
+    ),
+
+    // Winnowing rolling-hash fingerprints: shared-hash near-dup candidates
+    // would join on exploded fingerprint hashes (rows-only).
+    "dd_winnowing" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("fp", Dedup.winnowingFingerprint(col("text")))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(size(col("fp"))).as("sum_fp_hashes")),
+      None,
+      Seq("C13")
+    ),
+
     // Blocked n-gram-Jaccard near-dup: candidates share (source, n_chars).
     "dd_jaccard_blocked" -> Q(
       (s, d) =>

@@ -89,6 +89,18 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // ANN via an IVF index: nearest-centroid cells, probe the best 2 cells
+    // (rows-only; recall pinned by OperatorsSpec).
+    "e2_ann_ivf_topk" -> Q(
+      (s, d) => {
+        val index = Similarity.buildIvf(
+          embeddings(s, d).filter(col("vec_id") =!= 0), "embedding", "vec_id", k = 16)
+        Similarity.topKIvf(index, "embedding", "vec_id", queryVec(s, d), k = 10, nProbes = 2)
+      },
+      None,
+      Seq("E2")
+    ),
+
     // ANN via random-hyperplane LSH buckets (approximate — no SQL oracle;
     // the driver records a rows-only check).
     "e2_ann_lsh_topk" -> Q(

@@ -76,6 +76,48 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.intersect(brute).nonEmpty, "LSH probe buckets must cover near neighbors")
   }
 
+  test("IVF index: nearest-probe search finds the brute-force top result") {
+    val vecs = (0 until 60).map { i =>
+      val angle = i / 60.0 * 2 * math.Pi
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(vecs, "embedding", "vec_id", k = 6)
+    assert(index.centroids.length == 6)
+    val q = Array(1f, 0.05f, 0f, 0f)
+    val brute = Similarity.topK(vecs, "embedding", "vec_id", q, 3).select("vec_id").as[Long].collect()
+    val ivf = Similarity.topKIvf(index, "embedding", "vec_id", q, 3, nProbes = 2)
+      .select("vec_id").as[Long].collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.contains(brute.head), "IVF with 2 probes must find the exact nearest vector")
+  }
+
+  test("winnowing fingerprint: deterministic, overlap-sensitive") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val shared = (1 to 25).map(i => s"w$i").mkString(" ") + " x1 x2 x3 x4 x5"
+    val unrelated = (100 to 130).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, base), (2L, shared), (3L, unrelated), (4L, "a b")).toDF("id", "text")
+      .withColumn("fp", Dedup.winnowingFingerprint(col("text")))
+    val fps = df.select("id", "fp").as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L) == df.select(Dedup.winnowingFingerprint(col("text")).as("fp"))
+      .where(col("fp").isNotNull).as[Seq[Long]].head(4).head, "deterministic across evaluations")
+    val overlap12 = fps(1L).toSet.intersect(fps(2L).toSet).size
+    val overlap13 = fps(1L).toSet.intersect(fps(3L).toSet).size
+    assert(overlap12 > 0, "documents sharing a long run share fingerprints")
+    assert(overlap13 == 0, "unrelated documents share none")
+    assert(fps(4L).isEmpty, "text shorter than k-gram size has an empty fingerprint")
+  }
+
+  test("langId picks the language whose stopwords dominate") {
+    val df = Seq(
+      ("the cat and the dog of the town is big", "en"),
+      ("der hund und die katze ist ein tier", "de"),
+      ("le chat et la maison les arbres des fleurs", "fr")
+    ).toDF("text", "expected")
+    val out = df.withColumn("pred", graft.functions.TextFunctions.langId(col("text")))
+      .select("expected", "pred").as[(String, String)].collect()
+    out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
   test("session windows: gap splits sessions per key") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
