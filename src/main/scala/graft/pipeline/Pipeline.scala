@@ -25,7 +25,19 @@ import graft.state.PipelineState
   */
 object Pipeline {
 
-  final case class RunSummary(processed: Long, removed: Long, chunksWritten: Long)
+  final case class RunSummary(processed: Long, failed: Long, removed: Long, chunksWritten: Long)
+
+  /** One document's chunking outcome: either chunk rows or a failure record
+    * (the per-file error isolation of reference
+    * `file_processing_service.py:116-131` — a bad document never aborts the
+    * batch, it becomes a `failed` ledger row and is retried next run, J4).
+    */
+  final case class ChunkAttempt(
+      docId: String,
+      hash: String,
+      error: Option[String],
+      chunk: Option[graft.model.ChunkRow]
+  )
 
   /** C11: the positional id rewrite — stored ids are `{docId}_chunk_{i}`,
     * assigned from the chunker's stable chunkIndex
@@ -39,34 +51,54 @@ object Pipeline {
 
   /** Chunk a set of documents: one task per partition, one chunker call per
     * document — order-dependent folds stay inside, documents parallelize.
+    * Per-document exceptions become failure attempts, never task failures.
     *
     * @param docs (docId, dataset, hash, xml) rows
     */
-  def chunkDocuments(spark: SparkSession, docs: DataFrame, chunker: LovdataChunker): DataFrame = {
+  def chunkAttempts(
+      spark: SparkSession, docs: DataFrame, chunker: LovdataChunker
+  ): org.apache.spark.sql.Dataset[ChunkAttempt] = {
     import spark.implicits._
     docs.select(col("docId"), col("dataset"), col("hash"), col("xml"))
       .as[(String, String, String, String)]
       .flatMap { case (docId, dataset, hash, xml) =>
-        chunker.chunk(xml).map { c =>
-          ChunkRow(
-            chunkId = s"${docId}_${c.chunkId}",
-            documentId = docId,
-            datasetName = dataset,
-            content = c.text,
-            tokenCount = c.tokenCount,
-            // C16 fallback chain (reference `chunking_service.py:71-80`)
-            sectionHeading = Seq(c.sectionHeading, c.paragraphTitle, c.documentTitle)
-              .find(_.nonEmpty).getOrElse(""),
-            absoluteAddress = if (c.url.nonEmpty) c.url else c.address,
-            splitReason = "none",
-            parentChunkId = None,
-            sourceHash = hash,
-            crossRefs = c.crossRefs,
-            chunkIndex = c.chunkIndex
-          )
+        try {
+          chunker.chunk(xml).map { c =>
+            ChunkAttempt(docId, hash, None, Some(ChunkRow(
+              chunkId = s"${docId}_${c.chunkId}",
+              documentId = docId,
+              datasetName = dataset,
+              content = c.text,
+              tokenCount = c.tokenCount,
+              // C16 fallback chain (reference `chunking_service.py:71-80`)
+              sectionHeading = Seq(c.sectionHeading, c.paragraphTitle, c.documentTitle)
+                .find(_.nonEmpty).getOrElse(""),
+              absoluteAddress = if (c.url.nonEmpty) c.url else c.address,
+              splitReason = "none",
+              parentChunkId = None,
+              sourceHash = hash,
+              crossRefs = c.crossRefs,
+              chunkIndex = c.chunkIndex
+            )))
+          } match {
+            // empty result = success with 0 chunks (obsolete law,
+            // reference `file_processing_service.py:79-89`) — represent as
+            // a chunkless success marker so the ledger still records it
+            case Nil => Seq(ChunkAttempt(docId, hash, None, None))
+            case cs  => cs
+          }
+        } catch {
+          case e: Exception =>
+            Seq(ChunkAttempt(docId, hash, Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"), None))
         }
       }
-      .toDF()
+  }
+
+  /** Chunk-only view (no failure rows) — the UDTF-shaped operator. */
+  def chunkDocuments(spark: SparkSession, docs: DataFrame, chunker: LovdataChunker): DataFrame = {
+    import spark.implicits._
+    chunkAttempts(spark, docs, chunker)
+      .filter(_.chunk.isDefined).map(_.chunk.get).toDF()
   }
 
   /** One incremental run over a CDC snapshot.
@@ -92,28 +124,48 @@ object Pipeline {
     val toProcess = Identify.identifyFiles(changed, state, force, limit).cache()
     val nToProcess = toProcess.count()
 
-    // Stage 3: chunk → positional ids → embed → upsert
+    // Stage 3: chunk (with per-doc failure quarantine) → positional ids →
+    // embed → upsert. A failed doc writes no chunks at all — the reference's
+    // no-partial-chunks invariant holds because the upsert happens after the
+    // whole document chunked successfully.
     var chunksWritten = 0L
+    var failures: DataFrame = null
     if (nToProcess > 0) {
-      val chunks = positionalIds(chunkDocuments(spark, toProcess, chunker))
+      import spark.implicits._
+      val attempts = chunkAttempts(spark, toProcess, chunker).cache()
+      failures = attempts.filter(_.error.isDefined)
+        .map(a => (a.docId, a.hash, a.error.get)).toDF("docId", "hash", "error")
+        .cache()
+      val chunks = positionalIds(attempts.filter(_.chunk.isDefined).map(_.chunk.get).toDF())
       val enriched = Embedding.embed(chunks, "content", provider)
         .withColumn("parentChunkId", lit(null).cast("string"))
       store.upsert(spark, enriched)
       chunksWritten = store.read(spark)
         .join(broadcast(toProcess.select(col("docId").as("documentId"))), Seq("documentId"), "left_semi")
         .count()
+      attempts.unpersist()
     }
 
     // Stage 4: cleanup removed docs from store + ledger (K3)
     val removedIds = removed.select(col("docId")).distinct().collect().map(_.getString(0)).toSeq
     if (removedIds.nonEmpty) store.deleteByDocumentIds(spark, removedIds)
 
-    // Commit the ledger once the store writes are durable (K4).
-    val afterProcessed = ledger.markProcessed(spark, state, toProcess.select("docId", "hash"))
-    val afterRemoved = ledger.remove(afterProcessed, removed.select("docId"))
+    // Commit the ledger once the store writes are durable (K4): successes →
+    // processed, failures → failed (never processed, so J1 retries them).
+    val nFailed = if (failures == null) 0L else failures.count()
+    val succeeded =
+      if (failures == null) toProcess.select("docId", "hash")
+      else toProcess.select("docId", "hash")
+        .join(broadcast(failures.select("docId")), Seq("docId"), "left_anti")
+    val afterProcessed = ledger.markProcessed(spark, state, succeeded)
+    val afterFailed =
+      if (nFailed == 0) afterProcessed
+      else ledger.markFailed(spark, afterProcessed, failures)
+    val afterRemoved = ledger.remove(afterFailed, removed.select("docId"))
     ledger.save(spark, afterRemoved)
 
+    if (failures != null) failures.unpersist()
     toProcess.unpersist()
-    RunSummary(nToProcess, removedIds.length.toLong, chunksWritten)
+    RunSummary(nToProcess - nFailed, nFailed, removedIds.length.toLong, chunksWritten)
   }
 }

@@ -66,4 +66,36 @@ class PipelineSpec extends SparkSpec {
     val r5 = run(cdc(("d2", "h2", "Delta epsilon zeta.")), noRemovals)
     assert(r5.processed == 1)
   }
+
+  test("per-document failure quarantine: bad XML marks failed, retries, never aborts") {
+    val storePath = tmpDir("pipef") + "/store"
+    val statePath = tmpDir("pipef") + "/state.json"
+    val store = new ChunkStore(storePath, prefixLen = 1)
+    val chunker = new LovdataChunker(targetTokens = 20, maxTokens = 100, minTokens = 2)
+    val provider = new DeterministicProvider(8)
+    import spark.implicits._
+
+    val good = ("g1", "ds", "hg", xmlFor("g1", "Good content here."))
+    val bad = ("b1", "ds", "hb", "<html><unclosed") // malformed XML
+    val batch = Seq(good, bad).toDF("docId", "dataset", "hash", "xml")
+    val r1 = Pipeline.run(spark, batch, noRemovals, store, statePath, chunker, provider)
+    assert(r1.processed == 1 && r1.failed == 1)
+    assert(store.distinctDocumentIds(spark).as[String].collect().toSeq == Seq("g1"),
+      "failed doc leaves no partial chunks")
+    val ledger = new graft.state.PipelineState(statePath).load(spark)
+    val statuses = ledger.select("docId", "status").as[(String, String)].collect().toMap
+    assert(statuses == Map("g1" -> "processed", "b1" -> "failed"))
+
+    // same input again: good doc skipped (J1), failed doc retried (J4)
+    val r2 = Pipeline.run(spark, batch, noRemovals, store, statePath, chunker, provider)
+    assert(r2.processed == 0 && r2.failed == 1)
+
+    // fixed content under the same hash is picked up and clears the failure
+    val fixed = Seq(good, ("b1", "ds", "hb", xmlFor("b1", "Now valid content."))).toDF("docId", "dataset", "hash", "xml")
+    val r3 = Pipeline.run(spark, fixed, noRemovals, store, statePath, chunker, provider)
+    assert(r3.processed == 1 && r3.failed == 0)
+    val statuses2 = new graft.state.PipelineState(statePath).load(spark)
+      .select("docId", "status").as[(String, String)].collect().toMap
+    assert(statuses2 == Map("g1" -> "processed", "b1" -> "processed"))
+  }
 }
