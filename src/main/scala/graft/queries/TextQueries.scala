@@ -350,6 +350,21 @@ object TextQueries {
       Seq("C13")
     ),
 
+    // Data-quality profile: single-pass per-column stats (training-data
+    // ingestion sweep).
+    "ta_profile" -> Q(
+      (s, d) =>
+        graft.operators.Profiler.profile(documents(s, d), Seq("doc_id", "lang", "source", "n_chars")),
+      Some(Seq("doc_id", "lang", "source", "n_chars").map { c =>
+        s"""SELECT '$c' AS "column", count(*) AS n,
+           |count(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+           |count(DISTINCT $c) AS n_distinct,
+           |CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")),
+      Seq("A2", "A3")
+    ),
+
     // Language-ID heuristic distribution (stopword-hit argmax — library
     // semantics pinned by OperatorsSpec; rows-only).
     "ta_langid" -> Q(

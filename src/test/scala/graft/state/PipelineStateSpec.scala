@@ -73,6 +73,30 @@ class PipelineStateSpec extends SparkSpec {
     assert(s3.count() == 0)
   }
 
+  // reference `state_consistency_test.py:489,526` — atomic + rapid saves
+  test("rapid sequential save/load cycles never lose or duplicate rows") {
+    val ledger = new PipelineState(tmpDir("state6") + "/s.json")
+    var state = PipelineState.empty(spark)
+    for (i <- 1 to 8) {
+      state = ledger.markProcessed(spark, state, changed((s"d$i", s"h$i")))
+      ledger.save(spark, state)
+      state = ledger.load(spark)
+      assert(state.count() == i.toLong, s"after save #$i")
+    }
+    val ids = state.select("docId").as[String].collect().sorted
+    assert(ids.toSeq == (1 to 8).map(i => s"d$i").sorted)
+  }
+
+  test("save is atomic: the previous state survives until the new one lands") {
+    val path = tmpDir("state7") + "/s.json"
+    val ledger = new PipelineState(path)
+    val s1 = ledger.markProcessed(spark, PipelineState.empty(spark), changed(("d1", "h1")))
+    ledger.save(spark, s1)
+    // no .tmp directory left behind after a successful swap
+    assert(!new java.io.File(path + ".tmp").exists())
+    assert(ledger.load(spark).count() == 1)
+  }
+
   test("J2/SO1: validation reports set differences both ways") {
     val stateIds = Seq("a", "b", "c").toDF("docId")
     val storeIds = Seq("b", "c", "d").toDF("docId")

@@ -74,6 +74,26 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark on content hash") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val docs = mem.toDF().toDF("text", "ts")
+      .withColumn("h", sha2(col("text"), 256))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+    val q = docs.writeStream.format("memory").queryName("dedup").outputMode("append").start()
+    mem.addData(
+      ("same text", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("same text", java.sql.Timestamp.valueOf("2024-01-01 00:05:00")),
+      ("other text", java.sql.Timestamp.valueOf("2024-01-01 00:06:00"))
+    )
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(DISTINCT h) FROM dedup").head().getLong(0) ==
+      spark.sql("SELECT count(*) FROM dedup").head().getLong(0), "no duplicate hashes emitted")
+    q.stop()
+  }
+
   test("mapGroupsWithState sessionization emits per-key updates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
