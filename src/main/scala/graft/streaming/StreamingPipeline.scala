@@ -30,6 +30,9 @@ object StreamingPipeline {
   /** Incremental processing as a stream: each microbatch runs the same
     * chunk → embed → upsert path the batch pipeline uses; the store upsert is
     * idempotent by key, so microbatch replays are safe (exactly-once effect).
+    * Per-document failures are quarantined to `<store>/_failures` (append-only
+    * JSON-lines) instead of failing the microbatch — the streaming face of
+    * J4's retry ledger.
     */
   def writer(
       spark: SparkSession,
@@ -43,14 +46,24 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val chunks = Pipeline.positionalIds(
-            Pipeline.chunkDocuments(batch.sparkSession, batch, chunker)
-          )
-          val enriched = Embedding.embed(chunks, "content", provider)
-            .withColumn("parentChunkId", lit(null).cast("string"))
-          store.upsert(batch.sparkSession, enriched)
+          val s = batch.sparkSession
+          import s.implicits._
+          val attempts = Pipeline.chunkAttempts(s, batch, chunker).cache()
+          try {
+            val failures = attempts.filter(_.error.isDefined)
+              .map(a => (a.docId, a.hash, a.error.get, batchId))
+              .toDF("docId", "hash", "error", "batchId")
+            if (!failures.isEmpty) {
+              failures.write.mode("append").json(s"${store.path}/_failures")
+            }
+            val chunks = Pipeline.positionalIds(
+              attempts.filter(_.chunk.isDefined).map(_.chunk.get).toDF())
+            val enriched = Embedding.embed(chunks, "content", provider)
+              .withColumn("parentChunkId", lit(null).cast("string"))
+            store.upsert(s, enriched)
+          } finally { attempts.unpersist(); () }
         }
       }
 

@@ -227,6 +227,27 @@ class LovdataChunkerSpec extends AnyFunSuite {
     assert(overlapping > 0, "consecutive chunks should share overlap sentences")
   }
 
+  // W3: nested sections collect outermost-first chapter paths
+  test("nested sections build outermost-first chapter path") {
+    // note: section heading lookup is first h2-anywhere (reference
+    // `_get_section_heading` uses `.//h2` before h3/h4), so the inner
+    // section's own h2 must precede the article header in document order
+    val xml =
+      """<html><body><main class="documentBody"><h1>Lov</h1>
+        |<section class="section"><h2>Del 1</h2>
+        |  <section class="section"><h2>Kapittel 2</h2>
+        |    <article class="legalArticle" id="p1">
+        |      <h2 class="legalArticleHeader"><span class="legalArticleValue">&#167; 1</span></h2>
+        |      <article class="legalP" id="p1-l1">Tekst her.</article>
+        |    </article>
+        |  </section>
+        |</section></main></body></html>""".stripMargin
+    val chunks = chunker.chunk(xml)
+    assert(chunks.length == 1)
+    assert(chunks.head.chapterPath == Seq("Del 1", "Kapittel 2"), "outermost first")
+    assert(chunks.head.sectionHeading == "Kapittel 2", "nearest section wins")
+  }
+
   // reference `:450-480`
   test("paragraph without title yields empty paragraphTitle") {
     val xml =

@@ -47,6 +47,31 @@ class TokenCountSpec extends SparkSpec {
     assert(df.agg(sum("n")).head().getLong(0) == 200L)
   }
 
+  test("bucketed tables join without any exchange (co-located join)") {
+    import graft.operators.Bucketing
+    def dropAll(): Unit = Seq("bkt_a", "bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) { loc.listFiles().foreach(_.delete()); loc.delete() }
+    }
+    dropAll()
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the non-broadcast path
+    try {
+      val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 500).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+      Bucketing.writeBucketed(a, "bkt_a", "k", 8)
+      Bucketing.writeBucketed(b, "bkt_b", "k", 8)
+      val joined = Bucketing.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must be shuffle-free:\n$plan")
+      assert(joined.count() == 500)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      dropAll()
+    }
+  }
+
   test("salted join equals plain join, spreads the hot key, stays deterministic") {
     val big = (Seq.fill(1000)(("hot", 1)) ++ (1 to 50).map(i => (s"k$i", i))).toDF("k", "v")
     val small = Seq(("hot", "H"), ("k1", "A"), ("k2", "B")).toDF("k", "tag")

@@ -74,6 +74,27 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming failure quarantine: bad XML lands in _failures, batch succeeds") {
+    val inDir = tmpDir("streamf_in")
+    val storeDir = tmpDir("streamf_store")
+    val ckpt = tmpDir("streamf_ckpt")
+    val store = new ChunkStore(storeDir, prefixLen = 1)
+    Files.write(Paths.get(inDir, "drop.json"),
+      (Seq(
+        s"""{"docId":"ok1","dataset":"ds","hash":"h1","xml":"<html><body><main class=\\"documentBody\\"><article class=\\"legalP\\" id=\\"x\\">Fine text.</article></main></body></html>"}""",
+        s"""{"docId":"bad1","dataset":"ds","hash":"h2","xml":"<html><unclosed"}"""
+      ).mkString("\n")).getBytes("UTF-8"))
+    val q = StreamingPipeline.writer(
+      spark, StreamingPipeline.fileSource(spark, inDir), store,
+      new LovdataChunker(targetTokens = 20, maxTokens = 100, minTokens = 2),
+      new DeterministicProvider(8), ckpt
+    ).start()
+    q.awaitTermination()
+    assert(store.distinctDocumentIds(spark).as[String].collect().toSeq == Seq("ok1"))
+    val failures = spark.read.json(s"$storeDir/_failures")
+    assert(failures.select("docId").as[String].collect().toSeq == Seq("bad1"))
+  }
+
   test("streaming exact dedup: dropDuplicatesWithinWatermark on content hash") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
