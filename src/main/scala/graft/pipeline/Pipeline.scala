@@ -146,9 +146,11 @@ object Pipeline {
       attempts.unpersist()
     }
 
-    // Stage 4: cleanup removed docs from store + ledger (K3)
-    val removedIds = removed.select(col("docId")).distinct().collect().map(_.getString(0)).toSeq
-    if (removedIds.nonEmpty) store.deleteByDocumentIds(spark, removedIds)
+    // Stage 4: cleanup removed docs from store + ledger (K3) — the tombstone
+    // set stays distributed; only bucket ids reach the driver
+    val removedDistinct = removed.select(col("docId")).distinct().cache()
+    val nRemoved = removedDistinct.count()
+    if (nRemoved > 0) store.deleteByDocuments(spark, removedDistinct)
 
     // Commit the ledger once the store writes are durable (K4): successes →
     // processed, failures → failed (never processed, so J1 retries them).
@@ -161,11 +163,12 @@ object Pipeline {
     val afterFailed =
       if (nFailed == 0) afterProcessed
       else ledger.markFailed(spark, afterProcessed, failures)
-    val afterRemoved = ledger.remove(afterFailed, removed.select("docId"))
+    val afterRemoved = ledger.remove(afterFailed, removedDistinct)
     ledger.save(spark, afterRemoved)
 
     if (failures != null) failures.unpersist()
+    removedDistinct.unpersist()
     toProcess.unpersist()
-    RunSummary(nToProcess - nFailed, nFailed, removedIds.length.toLong, chunksWritten)
+    RunSummary(nToProcess - nFailed, nFailed, nRemoved, chunksWritten)
   }
 }

@@ -77,32 +77,46 @@ final class ChunkStore(
   }
 
   /** K3: delete every chunk of the given document ids; returns deleted count.
-    * The affected buckets are derived from the ids themselves — partition
-    * pruning without any store scan (reference `jsonl_vector_store.py:82-121`
-    * incl. empty-file removal).
+    * Convenience wrapper over [[deleteByDocuments]] for small id lists.
     */
   def deleteByDocumentIds(spark: SparkSession, docIds: Seq[String]): Long = {
-    if (!exists(spark) || docIds.isEmpty) return 0L
+    if (docIds.isEmpty) return 0L
     import spark.implicits._
-    val prefixes = docIds.toDF("documentId")
-      .select(docPrefix(col("documentId"))).distinct().as[String].collect()
-    val inBuckets = readRaw(spark).filter(col("doc_prefix").isin(prefixes.toSeq: _*)).cache()
+    deleteByDocuments(spark, docIds.toDF("docId"))
+  }
+
+  /** K3 (distributed form): delete all chunks of the documents in `docs`
+    * (a DataFrame with a `docId` column — any size; never collected to the
+    * driver). The affected buckets are derived from the ids themselves —
+    * partition pruning without any store scan (reference
+    * `jsonl_vector_store.py:82-121` incl. empty-file removal). Only the
+    * bucket list (bounded by the bucket count) ever reaches the driver.
+    */
+  def deleteByDocuments(spark: SparkSession, docs: DataFrame): Long = {
+    if (!exists(spark)) return 0L
+    import spark.implicits._
+    val ids = docs.select(col("docId").as("documentId")).distinct().cache()
     try {
-      val before = inBuckets.count()
-      if (before == 0) return 0L
-      val remaining = inBuckets.filter(!col("documentId").isin(docIds: _*)).cache()
-      val after = remaining.count()
-      // Dynamic overwrite only rewrites partitions present in the output —
-      // buckets left empty must be dropped explicitly (the reference unlinks
-      // empty JSONL files for the same reason).
-      val keptPrefixes = remaining.select("doc_prefix").distinct().as[String].collect().toSet
-      if (after > 0) write(spark, remaining)
-      val f = fs(spark)
-      prefixes.filterNot(keptPrefixes).foreach { p =>
-        f.delete(new Path(s"$path/doc_prefix=$p"), true)
-      }
-      before - after
-    } finally inBuckets.unpersist()
+      val prefixes = ids.select(docPrefix(col("documentId")).as("p")).distinct().as[String].collect()
+      if (prefixes.isEmpty) return 0L
+      val inBuckets = readRaw(spark).filter(col("doc_prefix").isin(prefixes.toSeq: _*)).cache()
+      try {
+        val before = inBuckets.count()
+        if (before == 0) return 0L
+        val remaining = inBuckets.join(broadcast(ids), Seq("documentId"), "left_anti").cache()
+        val after = remaining.count()
+        // Dynamic overwrite only rewrites partitions present in the output —
+        // buckets left empty must be dropped explicitly (the reference unlinks
+        // empty JSONL files for the same reason).
+        val keptPrefixes = remaining.select("doc_prefix").distinct().as[String].collect().toSet
+        if (after > 0) write(spark, remaining)
+        val f = fs(spark)
+        prefixes.filterNot(keptPrefixes).foreach { p =>
+          f.delete(new Path(s"$path/doc_prefix=$p"), true)
+        }
+        before - after
+      } finally inBuckets.unpersist()
+    } finally ids.unpersist()
   }
 
   private def write(spark: SparkSession, df: DataFrame): Unit = {
