@@ -180,6 +180,34 @@ object RelationalQueries {
       Seq("A4")
     ),
 
+    // Rollup aggregation (subtotals + grand total) — beyond reference parity.
+    "q_rollup" -> Q(
+      (s, d) =>
+        lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+      Seq("A2")
+    ),
+
+    // Semi-join (EXISTS): orders with at least one heavy line.
+    "q_semi_join" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .join(
+            lineitem(s, d).filter(col("l_quantity") > 45)
+              .select(col("l_orderkey").as("o_orderkey")),
+            Seq("o_orderkey"), "left_semi"
+          )
+          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")),
+      Some("""SELECT o_orderstatus, count(*) AS n FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+             |GROUP BY o_orderstatus""".stripMargin),
+      Seq("J1")
+    ),
+
     // F5-adjacent: conditional failure-record synthesis via when/otherwise
     // routing (the relational face of the exists-guard).
     "f5_guard_routing" -> Q(

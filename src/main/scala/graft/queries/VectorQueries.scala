@@ -38,6 +38,26 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // E2 with a metadata predicate — the reference's documented search
+    // semantics (`lg search --filter`): top-k within label=1 only.
+    "e2_filtered_topk" -> Q(
+      (s, d) => Similarity.topK(
+        embeddings(s, d).filter(col("vec_id") =!= 0 && col("label") === 1),
+        "embedding", "vec_id", queryVec(s, d), 5
+      ),
+      Some("""WITH q AS (SELECT generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+             |           FROM embeddings WHERE vec_id = 0),
+             |v AS (SELECT vec_id, generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+             |      FROM embeddings WHERE vec_id <> 0 AND label = 1),
+             |sims AS (SELECT v.vec_id, sum(v.x*q.x) AS dot, sqrt(sum(v.x*v.x)) AS na
+             |         FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id),
+             |nb AS (SELECT sqrt(sum(x*x)) AS nb FROM q)
+             |SELECT vec_id, round(dot/(na*(SELECT nb FROM nb)), 6) AS sim FROM sims
+             |ORDER BY dot/(na*(SELECT nb FROM nb)) DESC, vec_id
+             |LIMIT 5""".stripMargin),
+      Seq("E2", "F6")
+    ),
+
     // Vector norms: aggregate/zip_with arithmetic parity check.
     "vec_norm_stats" -> Q(
       (s, d) =>
