@@ -15,17 +15,27 @@ import scala.collection.mutable.ArrayBuffer
   */
 object XmlUtil {
 
+  // One builder per task thread: factory/builder construction costs more
+  // than a small parse, and DocumentBuilder is not thread-safe. reset()
+  // between documents is required and cheap.
+  private val builders = new ThreadLocal[javax.xml.parsers.DocumentBuilder] {
+    override def initialValue(): javax.xml.parsers.DocumentBuilder = {
+      val f = DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(false)
+      // Lovdata documents carry a DOCTYPE — allow it, but never fetch DTDs or
+      // expand external entities (XXE hardening for untrusted corpus input).
+      f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
+      f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+      f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+      f.setExpandEntityReferences(false)
+      f.newDocumentBuilder()
+    }
+  }
+
   def parse(xml: String): Element = {
-    val f = DocumentBuilderFactory.newInstance()
-    f.setNamespaceAware(false)
-    // Lovdata documents carry a DOCTYPE — allow it, but never fetch DTDs or
-    // expand external entities (XXE hardening for untrusted corpus input).
-    f.setFeature("http://apache.org/xml/features/nonvalidating/load-external-dtd", false)
-    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
-    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
-    f.setExpandEntityReferences(false)
-    val doc: Document = f.newDocumentBuilder()
-      .parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
+    val b = builders.get()
+    b.reset()
+    val doc: Document = b.parse(new ByteArrayInputStream(xml.getBytes(StandardCharsets.UTF_8)))
     doc.getDocumentElement
   }
 

@@ -31,19 +31,31 @@ trait EmbeddingProvider extends Serializable {
 final class DeterministicProvider(val dimensions: Int = 64) extends EmbeddingProvider {
   override def modelName: String = s"deterministic-sha256-$dimensions"
 
-  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = texts.map { t =>
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
     val md = MessageDigest.getInstance("SHA-256")
-    val raw = new Array[Float](dimensions)
-    var i = 0
-    while (i < dimensions) {
-      val d = md.digest(s"$i:$t".getBytes(StandardCharsets.UTF_8))
-      // first 4 bytes → int → [-1, 1)
-      val x = ((d(0) & 0xff) << 24) | ((d(1) & 0xff) << 16) | ((d(2) & 0xff) << 8) | (d(3) & 0xff)
-      raw(i) = (x / Int.MaxValue.toDouble).toFloat
-      i += 1
+    texts.map { t =>
+      // counter-mode expansion of one text digest: 8 hashes yield 256 bytes
+      // → 64 ints, instead of one digest per dimension
+      val seed = md.digest(t.getBytes(StandardCharsets.UTF_8))
+      val raw = new Array[Float](dimensions)
+      var i = 0
+      var block = Array.emptyByteArray
+      while (i < dimensions) {
+        if (i % 8 == 0) {
+          md.reset()
+          md.update(seed)
+          md.update((i / 8).toByte)
+          block = md.digest()
+        }
+        val o = (i % 8) * 4
+        val x = ((block(o) & 0xff) << 24) | ((block(o + 1) & 0xff) << 16) |
+          ((block(o + 2) & 0xff) << 8) | (block(o + 3) & 0xff)
+        raw(i) = (x / Int.MaxValue.toDouble).toFloat
+        i += 1
+      }
+      val n = math.sqrt(raw.map(v => v.toDouble * v).sum)
+      if (n > 0) raw.map(v => (v / n).toFloat) else raw
     }
-    val n = math.sqrt(raw.map(v => v.toDouble * v).sum)
-    if (n > 0) raw.map(v => (v / n).toFloat) else raw
   }
 }
 
