@@ -1,0 +1,93 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.chunker.LovdataChunker
+import graft.embed.{DeterministicProvider, EmbeddingProvider}
+import graft.ops.Ops
+import graft.pipeline.Pipeline
+import graft.sources.{ChunkStore, LovligState, XmlFiles}
+
+/** The user-facing entry points, one per reference CLI command (`lg process`
+  * / `status` / `validate` / `migrate`; reference `cli.py`). Methods are
+  * plain functions over a SparkSession so they are testable; `main` is a
+  * thin dispatcher with the reference's exit-code contract (process exits 1
+  * if any file failed, validate exits 1 if inconsistent).
+  */
+object GraftCli {
+
+  final case class ProcessResult(summary: Pipeline.RunSummary, exitCode: Int)
+
+  /** `lg process`: sync state → identify → chunk → embed → store → cleanup.
+    * @param stateJson   lovlig state.json path (S1 CDC feed)
+    * @param extractedDir root of the extracted XML corpus
+    */
+  def process(
+      spark: SparkSession,
+      stateJson: String,
+      extractedDir: String,
+      storePath: String,
+      ledgerPath: String,
+      force: Boolean = false,
+      limit: Option[Int] = None,
+      chunker: LovdataChunker = new LovdataChunker(),
+      provider: EmbeddingProvider = new DeterministicProvider(64)
+  ): ProcessResult = {
+    val scan = LovligState.scan(spark, stateJson, extractedDir)
+    val changedMeta = LovligState.changedFiles(scan)
+    // F5: missing files become failure records, present ones get content
+    val guarded = Ops.withExistsGuard(changedMeta, "path")
+    val present = guarded.filter(col("error").isNull).drop("error")
+    val changed = XmlFiles.withXml(spark, present, extractedDir)
+      .select(col("docId"), col("dataset"), col("hash"), col("xml"))
+    val removed = LovligState.removedFiles(scan).select(col("docId"))
+    val summary = Pipeline.run(
+      spark, changed, removed,
+      new ChunkStore(storePath), ledgerPath, chunker, provider,
+      force, limit
+    )
+    val missing = guarded.filter(col("error").isNotNull).count()
+    ProcessResult(summary, if (summary.failed + missing > 0) 1 else 0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = args.toList match {
+      case "process" :: stateJson :: extractedDir :: storePath :: ledgerPath :: rest =>
+        val r = process(spark, stateJson, extractedDir, storePath, ledgerPath,
+          force = rest.contains("--force"))
+        println(s"processed=${r.summary.processed} failed=${r.summary.failed} " +
+          s"removed=${r.summary.removed} chunks=${r.summary.chunksWritten}")
+        r.exitCode
+      case "status" :: ledgerPath :: storePath :: Nil =>
+        val s = Ops.status(spark, ledgerPath, new ChunkStore(storePath))
+        println(s"processed=${s.processed} failed=${s.failed} chunks=${s.storeChunks} docs=${s.storeDocs}")
+        0
+      case "validate" :: ledgerPath :: storePath :: Nil =>
+        val v = Ops.validate(spark, ledgerPath, new ChunkStore(storePath))
+        println(s"consistent=${v.isConsistent} state_only=${v.stateOnly.mkString(",")} store_only=${v.storeOnly.mkString(",")}")
+        if (v.isConsistent) 0 else 1
+      case "migrate" :: src :: srcFmt :: dst :: dstFmt :: Nil =>
+        val n = Ops.migrate(spark, new ChunkStore(src, srcFmt), new ChunkStore(dst, dstFmt))
+        println(s"migrated=$n")
+        0
+      case _ =>
+        System.err.println(
+          """usage: graft.cli.GraftCli <command>
+            |  process <state.json> <extractedDir> <storePath> <ledgerPath> [--force]
+            |  status <ledgerPath> <storePath>
+            |  validate <ledgerPath> <storePath>
+            |  migrate <srcPath> <srcFormat> <dstPath> <dstFormat>""".stripMargin)
+        2
+    }
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

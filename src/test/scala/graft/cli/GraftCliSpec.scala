@@ -1,0 +1,67 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.chunker.LovdataChunker
+import graft.embed.DeterministicProvider
+import graft.ops.Ops
+import graft.sources.ChunkStore
+
+/** The full `lg process` path from disk: state.json + XML files on disk →
+  * binaryFile scan → chunk → embed → store → ledger, with the reference's
+  * exit-code contract.
+  */
+class GraftCliSpec extends SparkSpec {
+
+  private def writeXml(dir: String, name: String, body: String): Unit =
+    Files.write(Paths.get(dir, name),
+      s"""<html><body><main class="documentBody"><h1>L</h1>
+         |<article class="legalP" id="$name-l1">$body</article>
+         |</main></body></html>""".stripMargin.getBytes("UTF-8"))
+
+  test("process from disk: CDC scan + binaryFile + pipeline; idempotent; exit codes") {
+    val root = tmpDir("cli")
+    val extracted = s"$root/extracted"
+    Files.createDirectories(Paths.get(extracted, "ds1"))
+    writeXml(s"$extracted/ds1", "doc_a.xml", "Alpha beta gamma delta.")
+    writeXml(s"$extracted/ds1", "doc_b.xml", "Epsilon zeta eta theta.")
+    // doc_c listed in state but missing on disk → F5 failure, exit 1
+    val stateJson = s"$root/state.json"
+    Files.write(Paths.get(stateJson),
+      """{"raw_datasets":{"ds1.tar.bz2":{"files":{
+        |"doc_a.xml":{"status":"added","sha256":"ha"},
+        |"doc_b.xml":{"status":"modified","sha256":"hb"},
+        |"doc_c.xml":{"status":"added","sha256":"hc"},
+        |"doc_gone.xml":{"status":"removed","sha256":"hg"}}}}}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+
+    val storePath = s"$root/store"
+    val ledgerPath = s"$root/ledger.json"
+    def run() = GraftCli.process(
+      spark, stateJson, extracted, storePath, ledgerPath,
+      chunker = new LovdataChunker(targetTokens = 20, maxTokens = 100, minTokens = 2),
+      provider = new DeterministicProvider(8)
+    )
+
+    val r1 = run()
+    assert(r1.summary.processed == 2)
+    assert(r1.exitCode == 1, "missing doc_c must surface as a failure exit code")
+    val store = new ChunkStore(storePath)
+    import spark.implicits._
+    assert(store.distinctDocumentIds(spark).as[String].collect().sorted.toSeq == Seq("doc_a", "doc_b"))
+
+    // second run: nothing new to process (doc_c still missing)
+    val r2 = run()
+    assert(r2.summary.processed == 0)
+
+    // doc_c appears on disk → processed, exit 0
+    writeXml(s"$extracted/ds1", "doc_c.xml", "Iota kappa lambda.")
+    val r3 = run()
+    assert(r3.summary.processed == 1)
+    assert(r3.exitCode == 0)
+    assert(Ops.validate(spark, ledgerPath, store).isConsistent)
+    val st = Ops.status(spark, ledgerPath, store)
+    assert(st.processed == 3 && st.storeDocs == 3)
+  }
+}
