@@ -54,6 +54,9 @@ object GraftCli {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_SHUFFLE_PARTITIONS",
+          Runtime.getRuntime.availableProcessors().toString))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
