@@ -320,6 +320,55 @@ class LovdataChunkerSpec extends AnyFunSuite {
     assert(!chunks.exists(_.chunkId.contains("-part")), "oversized part must be dropped")
   }
 
+  // A4: exact grouping boundaries of the change-law budget fold
+  test("change-law fold groups legalP by token budget exactly") {
+    // 5-token paragraphs ("one two three four five."→ 6 tokens each incl '.')
+    val para = "alpha beta gamma delta epsilon." // 6 tokens
+    val xml =
+      s"""<html><body><section class="section"><h2>I</h2>
+         |${(1 to 5).map(i => s"""<article class="legalP" id="p$i">$para</article>""").mkString("\n")}
+         |</section></body></html>""".stripMargin
+    // target 13 → fits two paragraphs (12), third would exceed → groups of 2,2,1
+    val ck = new LovdataChunker(targetTokens = 13, maxTokens = 1000, minTokens = 1)
+    val chunks = ck.chunk(xml)
+    assert(chunks.map(_.leddNumber) == Seq(2, 2, 1), "legalp_count per grouped chunk")
+    assert(chunks.map(_.chunkId) == Seq("section-p1", "section-p3", "section-p5"))
+    assert(chunks.head.tokenCount == 12)
+    assert(chunks.head.text == s"$para\n\n$para")
+  }
+
+  // W1: exact overlap window advance — i = max(i+1, j - overlapCount)
+  test("overlap window advances by window size minus overlap") {
+    // 12 sentences, 4 tokens each ("s N tok ." → ["s",N,"tok","."])
+    val text = (1 to 12).map(i => s"s $i tok.").mkString(" ")
+    val sentences = (1 to 12).map(i => s"s $i tok.")
+    // target 16 → 4 sentences per window; overlap = 16*0.25 = 4;
+    // overlapCount = max(1, 12*4/16) = 3 → step = j - 3 = i + 1
+    val ck = new LovdataChunker(targetTokens = 16, maxTokens = 20, minTokens = 1, overlapRatio = 0.25)
+    val xml =
+      s"""<html><body><section class="section">
+         |<article class="legalArticle" id="p1">
+         |<h2><span class="legalArticleValue">&#167; 1</span></h2>
+         |<article class="legalP" id="l1">$text</article>
+         |</article></section></body></html>""".stripMargin
+    val chunks = ck.chunk(xml)
+    assert(chunks.length > 2)
+    assert(chunks.head.text == sentences.slice(0, 4).mkString(" "))
+    assert(chunks(1).text == sentences.slice(1, 5).mkString(" "), "advance by 1, keep 3 overlap")
+  }
+
+  // C17: tail text after child elements is preserved
+  test("ledd text keeps child tail text in order") {
+    val xml =
+      """<html><body><section class="section">
+        |<article class="legalArticle" id="p1">
+        |<h2><span class="legalArticleValue">&#167; 1</span></h2>
+        |<article class="legalP" id="l1">Lead text <span>inner</span> tail text.</article>
+        |</article></section></body></html>""".stripMargin
+    val chunks = new LovdataChunker(targetTokens = 50, maxTokens = 100, minTokens = 1).chunk(xml)
+    assert(chunks.head.text == "Lead text inner tail text.")
+  }
+
   // ---- merge fold unit coverage (reference `:707-829` semantics) ----
 
   private def mk(id: String, tokens: Int): Chunk = Chunk(

@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions._
+
+/** Column-function unit coverage (C-series + text-analysis + vector math). */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    spark.range(1).select(c.as("v")).head().getAs[T]("v")
+
+  private def oneSeq(c: org.apache.spark.sql.Column): Seq[String] =
+    spark.range(1).select(c.as("v")).head()
+      .getAs[scala.collection.Seq[String]]("v").toSeq
+
+  test("C4/C5: date and paragraph-ref extraction") {
+    assert(one[java.sql.Date](extractDate(lit("dok-2024-03-15-77"))).toString == "2024-03-15")
+    assert(one[String](paragraphRef(lit("se paragraf-12a her"))) == "§ 12a")
+    assert(one[String](paragraphRef(lit("§ 7 gjelder"))) == "§ 7")
+    assert(one[String](paragraphRef(lit("no ref here"))) == null)
+  }
+
+  test("C6/C7: lovdata refs and href filtering") {
+    val refs = oneSeq(lovdataRefs(lit("jf lov/2005-06-17-62 og lov/1814-05-17-0.")))
+    assert(refs == Seq("lov/2005-06-17-62", "lov/1814-05-17-0"))
+    val kept = oneSeq(lovHrefs(array(lit("lov/a"), lit("doc/b"), lit("lov/c"))))
+    assert(kept == Seq("lov/a", "lov/c"))
+  }
+
+  test("C8/C9/C12: csv codec, depth, path ops") {
+    assert(one[String](crossRefsToCsv(array(lit("a"), lit("b")))) == "a,b")
+    assert(oneSeq(csvToCrossRefs(lit("a,,b"))) == Seq("a", "b"))
+    assert(one[Long](chunkDepth(lit("doc-1-2-3"))) == 3L)
+    assert(one[String](pathStem(lit("data/ds/doc_9.xml"))) == "doc_9")
+    assert(one[String](pathStem(lit("x/archive.tar.bz2"))) == "archive")
+    assert(one[String](datasetDir(lit("gjeldende.tar.bz2"))) == "gjeldende")
+  }
+
+  test("C16: coalesceNonEmpty skips blanks") {
+    assert(one[String](coalesceNonEmpty(lit(""), lit("  "), lit("x"), lit("y"))) == "x")
+  }
+
+  test("text analysis: ratios and quality bounds") {
+    assert(one[Double](distinctWordRatio(lit("a a b b"))) == 0.5)
+    assert(one[Double](stopwordRatio(lit("the cat the dog"))) == 0.5)
+    assert(one[Double](punctRatio(lit("ab,."))) == 0.5)
+    val q = one[Double](qualityScore(lit("the quick brown fox jumps over the lazy dog")))
+    assert(q > 0.0 && q <= 1.0)
+    assert(one[String](fingerprint(lit("  Hello   World "))) ==
+      one[String](fingerprint(lit("hello world"))), "fingerprint normalizes case+whitespace")
+  }
+
+  test("vector math: dot, norm, cosine on known values") {
+    val a = vecLit(Array(3f, 4f))
+    val b = vecLit(Array(4f, 3f))
+    assert(one[Double](dot(a, a)) == 25.0)
+    assert(one[Double](norm(a)) == 5.0)
+    assert(math.abs(one[Double](cosine(a, b)) - 24.0 / 25.0) < 1e-12)
+    assert(one[Double](cosine(a, vecLit(Array(0f, 0f)))) == 0.0, "zero norm → 0")
+  }
+}
