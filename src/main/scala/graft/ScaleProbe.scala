@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunker.LovdataChunker
+import graft.embed.{DeterministicProvider, Embedding}
+import graft.pipeline.Pipeline
+import graft.queries.PipelineQueries
+import graft.sources.ChunkStore
+
+/** Scale probe: replicate the documents table N× (distinct doc ids) and run
+  * the full chunk → embed → upsert path, timing each stage. Evidence that
+  * the per-document flatMap/mapPartitions stages and the bucketed store
+  * scale linearly well past the bench SF — run with `multiplier 10` on sf0.1
+  * for a 500k-document corpus.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [multiplier] [buckets]
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mult = args.lift(1).map(_.toInt).getOrElse(10)
+    val prefixLen = args.lift(2).map(_.toInt).getOrElse(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val base = Tables.documents(spark, sfDir)
+    val corpus = (0 until mult)
+      .map(i => base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L)))
+      .reduce(_.unionByName(_))
+      .select(
+        concat(lit("doc"), col("doc_id")).as("docId"),
+        col("source").as("dataset"),
+        sha2(concat(col("text"), col("doc_id")), 256).as("hash"),
+        PipelineQueries.synthXmlUdf(col("doc_id"), col("text")).as("xml")
+      )
+      .repartition(cpus.toInt * 2)
+      .cache()
+    val nDocs = corpus.count() // materialize input (excluded from stage timings)
+
+    val chunker = new LovdataChunker(targetTokens = 64, maxTokens = 200, minTokens = 20)
+    val (chunks, tChunk) = timed {
+      val c = Pipeline.positionalIds(Pipeline.chunkDocuments(spark, corpus, chunker)).cache()
+      c.count(); c
+    }
+    val nChunks = chunks.count()
+    val (embedded, tEmbed) = timed {
+      val e = Embedding.embed(chunks, "content", new DeterministicProvider(64))
+        .withColumn("parentChunkId", lit(null).cast("string")).cache()
+      e.count(); e
+    }
+    val storePath = s"/tmp/graft/scaleprobe_store"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(storePath))
+    val store = new ChunkStore(storePath, prefixLen = prefixLen)
+    val (_, tStore) = timed { store.upsert(spark, embedded) }
+    val stored = store.count(spark)
+
+    println(
+      s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
+        s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
+        s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
+    )
+    spark.stop()
+  }
+}

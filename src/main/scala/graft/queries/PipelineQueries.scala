@@ -74,7 +74,7 @@ object PipelineQueries {
   /** Synthesize a Lovdata-shaped XML document from a text row. Three shapes,
     * cycling by doc_id, exercising all three chunker tiers.
     */
-  private def synthXml(docId: Long, text: String): String = {
+  def synthXml(docId: Long, text: String): String = {
     val esc = text.replace("&", "&amp;").replace("<", "&lt;")
     val third = math.max(esc.length / 3, 1)
     val (a, b, c) = (
@@ -105,7 +105,7 @@ object PipelineQueries {
     }
   }
 
-  private def synthXmlUdf = udf(synthXml _)
+  def synthXmlUdf = udf(synthXml _)
 
   val all: Map[String, Q] = Map(
 
