@@ -350,6 +350,48 @@ object TextQueries {
       Seq("C13")
     ),
 
+    // Corpus vocabulary: top-20 words by frequency (explode → count → top-k).
+    "ta_vocab_top20" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .select(explode(split(trim(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("word")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word"))
+          .limit(20),
+      Some("""SELECT word, count(*) AS n FROM
+             |(SELECT unnest(string_split(trim(text), ' ')) AS word FROM documents)
+             |WHERE length(word) > 0
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin),
+      Seq("A2", "C10")
+    ),
+
+    // Bigram frequencies: adjacent-word pairs via sequence+transform.
+    "ta_bigrams_top10" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("toks", split(trim(col("text")), " "))
+          .filter(size(col("toks")) >= 2)
+          .select(explode(
+            transform(
+              sequence(lit(1), size(col("toks")) - 1),
+              i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))
+            )
+          ).as("bigram"))
+          .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(10),
+      Some("""WITH flat AS (
+             |  SELECT doc_id,
+             |         generate_subscripts(string_split(trim(text), ' '), 1) AS i,
+             |         unnest(string_split(trim(text), ' ')) AS w
+             |  FROM documents)
+             |SELECT a.w || ' ' || b.w AS bigram, count(*) AS n
+             |FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 10""".stripMargin),
+      Seq("A2", "C10")
+    ),
+
     // Data-quality profile: single-pass per-column stats (training-data
     // ingestion sweep).
     "ta_profile" -> Q(

@@ -67,6 +67,18 @@ class PipelineSpec extends SparkSpec {
     assert(r5.processed == 1)
   }
 
+  test("force reprocesses unchanged documents (reference orchestrator_test.py:153)") {
+    val storePath = tmpDir("pipeforce") + "/store"
+    val statePath = tmpDir("pipeforce") + "/state.json"
+    val store = new ChunkStore(storePath, prefixLen = 1)
+    val chunker = new LovdataChunker(targetTokens = 20, maxTokens = 100, minTokens = 2)
+    val provider = new DeterministicProvider(8)
+    val batch = cdc(("f1", "h1", "Alpha beta."), ("f2", "h2", "Gamma delta."))
+    assert(Pipeline.run(spark, batch, noRemovals, store, statePath, chunker, provider).processed == 2)
+    assert(Pipeline.run(spark, batch, noRemovals, store, statePath, chunker, provider).processed == 0)
+    assert(Pipeline.run(spark, batch, noRemovals, store, statePath, chunker, provider, force = true).processed == 2)
+  }
+
   test("per-document failure quarantine: bad XML marks failed, retries, never aborts") {
     val storePath = tmpDir("pipef") + "/store"
     val statePath = tmpDir("pipef") + "/state.json"
