@@ -60,8 +60,27 @@ object XmlUtil {
   def descendantsWithClass(e: Element, tag: String, cls: String): Seq[Element] =
     descendants(e).filter(x => x.getTagName == tag && x.getAttribute("class") == cls)
 
-  def firstDescendant(e: Element, tag: String, cls: Option[String] = None): Option[Element] =
-    descendants(e).find(x => x.getTagName == tag && cls.forall(_ == x.getAttribute("class")))
+  /** First matching descendant in document order, early-exit DFS (called
+    * several times per article on the chunker hot path — don't materialize
+    * the subtree).
+    */
+  def firstDescendant(e: Element, tag: String, cls: Option[String] = None): Option[Element] = {
+    var result: Element = null
+    def walk(el: Element): Unit = {
+      var n = el.getFirstChild
+      while (n != null && result == null) {
+        n match {
+          case c: Element =>
+            if (c.getTagName == tag && cls.forall(_ == c.getAttribute("class"))) result = c
+            else walk(c)
+          case _ =>
+        }
+        n = n.getNextSibling
+      }
+    }
+    walk(e)
+    Option(result)
+  }
 
   /** lxml `itertext()`: every text node under the element, document order,
     * concatenated with no separator.
