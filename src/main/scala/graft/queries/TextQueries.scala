@@ -350,6 +350,20 @@ object TextQueries {
       Seq("C13")
     ),
 
+    // Approximate aggregates — the 100 TB default for distincts/quantiles
+    // (HLL and quantile-sketch algorithms differ per engine → rows-only;
+    // the error bound vs exact is pinned in OperatorsSpec).
+    "ta_approx_stats" -> Q(
+      (s, d) =>
+        documents(s, d).groupBy(col("lang")).agg(
+          approx_count_distinct(col("source")).as("approx_sources"),
+          round(percentile_approx(col("n_chars").cast("double"), lit(0.5), lit(1000)), 0).as("median_chars"),
+          count(lit(1)).as("n")
+        ),
+      None,
+      Seq("A2", "A3")
+    ),
+
     // Corpus vocabulary: top-20 words by frequency (explode → count → top-k).
     "ta_vocab_top20" -> Q(
       (s, d) =>

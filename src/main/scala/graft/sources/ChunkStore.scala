@@ -120,8 +120,11 @@ final class ChunkStore(
   }
 
   private def write(spark: SparkSession, df: DataFrame): Unit = {
+    // sort by documentId within each bucket file: parquet row-group min/max
+    // stats then prune documentId point-lookups inside a bucket too
     val w = df
       .repartition(col("doc_prefix"))
+      .sortWithinPartitions(col("doc_prefix"), col("documentId"), col("chunkIndex"))
       .write
       .partitionBy("doc_prefix")
       .option("partitionOverwriteMode", "dynamic")

@@ -107,6 +107,14 @@ class OperatorsSpec extends SparkSpec {
     assert(fps(4L).isEmpty, "text shorter than k-gram size has an empty fingerprint")
   }
 
+  test("approximate aggregates stay within error bounds of exact") {
+    val df = (1 to 10000).map(i => (i % 137, i.toDouble)).toDF("k", "v")
+    val approx = df.agg(approx_count_distinct(col("k"))).head().getLong(0)
+    assert(math.abs(approx - 137) <= 137 * 0.05, s"HLL estimate $approx vs 137")
+    val p50 = df.agg(percentile_approx(col("v"), lit(0.5), lit(1000))).head().getDouble(0)
+    assert(math.abs(p50 - 5000) <= 100, s"approx median $p50 vs 5000")
+  }
+
   test("langId picks the language whose stopwords dominate") {
     val df = Seq(
       ("the cat and the dog of the town is big", "en"),

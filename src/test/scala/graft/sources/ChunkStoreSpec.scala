@@ -51,6 +51,16 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.count(spark) == 0)
   }
 
+  test("upsert is idempotent under replay (task-retry safety)") {
+    val store = new ChunkStore(tmpDir("store"))
+    val batch = chunks(("d1_c0", "d1", "a", 0), ("d2_c0", "d2", "b", 0))
+    store.upsert(spark, batch)
+    val first = store.read(spark).orderBy("chunkId").collect().toSeq
+    store.upsert(spark, batch) // replayed microbatch / retried job
+    val second = store.read(spark).orderBy("chunkId").collect().toSeq
+    assert(second == first, "replaying the same batch must not change the store")
+  }
+
   test("delete of unknown document is a no-op returning 0") {
     val store = new ChunkStore(tmpDir("store"))
     store.upsert(spark, chunks(("d1_c0", "d1", "a", 0)))
