@@ -138,6 +138,36 @@ object TextFunctions {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  /** Character-n-gram language ID: score = occurrences of each language's
+    * characteristic trigrams in the (lowercased, space-padded) text,
+    * normalized by text length; argmax wins. The n-gram-profile method
+    * (Cavnar–Trenkle style, truncated to a handful of high-frequency
+    * trigrams per language) — still pure codegen'd column arithmetic.
+    */
+  val langTrigrams: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", " th", "ing", "and", " an", "ion"),
+    "de" -> Seq("der", "sch", "ein", "und", "ich", "en "),
+    "fr" -> Seq("les", " le", "ent", "des", " de", "que"),
+    "es" -> Seq("los", " la", "ión", " de", "que", "ado"),
+    "no" -> Seq("det", " og", "en ", " er", "som", "ske")
+  )
+
+  private def trigramScore(padded: Column, lang: String): Column = {
+    val counts = langTrigrams(lang).map { g =>
+      // occurrences of g = (len(s) - len(remove(s, g))) / len(g)
+      (length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(g), ""))) / lit(g.length)
+    }
+    counts.reduce(_ + _).cast("double") / greatest(length(padded), lit(1)).cast("double")
+  }
+
+  def langIdNgram(c: Column): Column = {
+    val padded = concat(lit(" "), lower(trim(c)), lit(" "))
+    val scored = langTrigrams.keys.toSeq.sorted.map { l =>
+      struct(trigramScore(padded, l).as("score"), lit(l).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
   /** Document fingerprint: first 16 hex chars of sha-256 over the
     * whitespace-normalized, lowercased text — stable across formatting noise.
     */

@@ -426,8 +426,9 @@ object TextQueries {
     "ta_langid" -> Q(
       (s, d) =>
         documents(s, d)
-          .withColumn("pred", langId(col("text")))
-          .groupBy(col("pred")).agg(count(lit(1)).as("n")),
+          .withColumn("pred_stopword", langId(col("text")))
+          .withColumn("pred_ngram", langIdNgram(col("text")))
+          .groupBy(col("pred_stopword"), col("pred_ngram")).agg(count(lit(1)).as("n")),
       None,
       Seq("C1")
     ),

@@ -126,6 +126,17 @@ class OperatorsSpec extends SparkSpec {
     out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
   }
 
+  test("langIdNgram classifies via character trigram profiles") {
+    val df = Seq(
+      ("the thing standing there was singing another song", "en"),
+      ("der schnelle braune fuchs und der hund sind schon eins", "de"),
+      ("les enfants que nous avons vus dans les descentes", "fr")
+    ).toDF("text", "expected")
+    val out = df.withColumn("pred", graft.functions.TextFunctions.langIdNgram(col("text")))
+      .select("expected", "pred").as[(String, String)].collect()
+    out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
   test("session windows: gap splits sessions per key") {
     val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
