@@ -76,6 +76,41 @@ object StreamingPipeline {
       .groupBy(window(col("ts"), size, slide).getField("start").as("wstart"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Closed-session emission via flatMapGroupsWithState: a batch of events
+    * per key may close any number of sessions (gap exceeded) — each closed
+    * session is emitted as its own row, and the open tail stays in state.
+    * This is the shape a training-data pipeline wants for sessionized
+    * behavioral logs: only finished sessions flow downstream.
+    */
+  def sessionizeClosed(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long
+  ): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("tsMs"))
+      .as[(Long, Long)]
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[(Long, Long)]) =>
+          var (lastTs, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
+            if (lastTs != Long.MinValue && ts - lastTs > gapMs) {
+              closed += SessionUpdate(userId, n, closed = true)
+              n = 0
+            }
+            n += 1
+            lastTs = ts
+          }
+          state.update((lastTs, n))
+          closed.iterator
+      }
+  }
+
   /** Per-key session aggregation via mapGroupsWithState: gap-based sessions
     * with an inactivity timeout — custom state the built-in windows can't
     * express (SURVEY §2.11 north-star).

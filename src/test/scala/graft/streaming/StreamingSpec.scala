@@ -115,6 +115,30 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("flatMapGroupsWithState emits closed sessions only, keeps open tail in state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val out = StreamingPipeline.sessionizeClosed(spark, events, gapMs = 30 * 60000)
+    val q = out.toDF().writeStream.format("memory").queryName("closed").outputMode("append").start()
+    // session 1: two events; then a 2-hour gap closes it and opens session 2
+    mem.addData(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:10:00"))
+    )
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT userId, nEvents, closed FROM closed").collect()
+    assert(rows.length == 1, "only the finished session is emitted")
+    assert(rows.head.getLong(1) == 2 && rows.head.getBoolean(2))
+    // the open session closes when a later batch exceeds the gap again
+    mem.addData((1L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM closed").head().getLong(0) == 2)
+    q.stop()
+  }
+
   test("mapGroupsWithState sessionization emits per-key updates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
