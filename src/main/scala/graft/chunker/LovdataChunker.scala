@@ -22,6 +22,12 @@ import scala.collection.mutable.ArrayBuffer
   * the per-document call, embarrassingly parallel across documents via
   * `Dataset.flatMap` (SURVEY §7 "hard parts"). Token counting is pluggable;
   * the default is the engine-wide deterministic [[WordSymbolTokenizer]].
+  *
+  * Bound subtlety (faithful to the reference): `maxTokens` caps individual
+  * tier-1/tier-3 chunks, but change-law grouped chunks respect only
+  * `targetTokens` (reference `:160-190` has no max check) and the merge fold
+  * may overshoot max while accumulating toward `minTokens` (`:742-747`'s
+  * heuristic guard, not a hard cap).
   */
 final class LovdataChunker(
     val targetTokens: Int = 768,
