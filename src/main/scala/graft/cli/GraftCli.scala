@@ -35,7 +35,10 @@ object GraftCli {
       provider: EmbeddingProvider = new DeterministicProvider(64)
   ): ProcessResult = {
     val scan = LovligState.scan(spark, stateJson, extractedDir)
-    val changedMeta = LovligState.changedFiles(scan)
+    // force reprocesses ALL live files, not just CDC-changed ones (reference
+    // `pipeline_orchestrator.py:249-256` switches to get_all_files under --force)
+    val changedMeta =
+      if (force) LovligState.liveFiles(scan) else LovligState.changedFiles(scan)
     // F5: missing files become failure records, present ones get content
     val guarded = Ops.withExistsGuard(changedMeta, "path")
     val present = guarded.filter(col("error").isNull).drop("error")

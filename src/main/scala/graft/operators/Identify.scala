@@ -11,9 +11,13 @@ import org.apache.spark.sql.functions._
   * side, so previously-failed docs re-enter automatically (J4,
   * `state.py:91-97`).
   *
-  * Scale: the state table is small relative to the corpus (one row per
-  * document, no content) — broadcast the anti-join side so the 100 TB scan
-  * never shuffles.
+  * Scale: the ledger is small relative to the corpus (one row per document,
+  * no content) but not bounded — at ~10⁸ documents it is multi-GB, past any
+  * broadcast ceiling. The anti-join is therefore size-adaptive: no broadcast
+  * hint, so AQE broadcasts the processed side while its runtime size fits
+  * `spark.sql.autoBroadcastJoinThreshold` and switches to a shuffle join
+  * beyond that. The status=processed filter prunes the ledger's partition
+  * directory before the join (see [[graft.state.PipelineState]]).
   */
 object Identify {
 
@@ -33,7 +37,7 @@ object Identify {
       .select(col("docId"), col("hash"))
     val toProcess =
       if (force) changed
-      else changed.join(broadcast(processed), Seq("docId", "hash"), "left_anti")
+      else changed.join(processed, Seq("docId", "hash"), "left_anti")
     limit match {
       case Some(n) => toProcess.orderBy(col("docId")).limit(n)
       case None    => toProcess

@@ -76,8 +76,10 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: only rows whose hyperplane bucket is
-    * within `probes` XOR-bit-flips of the query bucket are scored. With the
-    * bucket as a partition/cluster column this becomes partition pruning.
+    * within Hamming distance `probes` of the query bucket are scored (multi-
+    * probe LSH: each extra bit flip trades scan width for recall). With the
+    * bucket as a partition/cluster column the probe set becomes partition
+    * pruning.
     */
   def topKLsh(
       df: DataFrame,
@@ -90,11 +92,14 @@ object Similarity {
       probes: Int = 1
   ): DataFrame = {
     val bucketCol = lshBucket(col(vecCol), dim, nPlanes)
-    // query bucket, computed the same deterministic way on a literal vector
-    val qBucketDf = df.sparkSession.range(1).select(lshBucket(vecLit(query), dim, nPlanes).as("qb"))
-    val qBucket = qBucketDf.head().getInt(0)
+    // the query vector is a driver-side literal, so its bucket is plain Scala
+    // arithmetic — launching a Spark job for one number would put a scheduler
+    // round-trip on the serving path
+    val qBucket = lshBucketLocal(query, nPlanes)
     val probeBuckets: Seq[Int] =
-      qBucket +: (0 until nPlanes).flatMap(b => if (probes > 0) Some(qBucket ^ (1 << b)) else None)
+      (0 to probes.min(nPlanes)).flatMap { r =>
+        (0 until nPlanes).combinations(r).map(bits => bits.foldLeft(qBucket)((m, b) => m ^ (1 << b)))
+      }.distinct
     df.withColumn("bucket", bucketCol)
       .filter(col("bucket").isin(probeBuckets: _*))
       .withColumn("sim", cosine(col(vecCol), vecLit(query)))
@@ -102,4 +107,22 @@ object Similarity {
       .select(col(idCol), round(col("sim"), 6).as("sim"))
       .limit(k)
   }
+
+  /** Driver-side twin of [[graft.functions.VectorFunctions.lshBucket]] for a
+    * literal query vector: identical plane signs, identical left-to-right
+    * double accumulation, so the bucket id matches the column expression
+    * bit-for-bit.
+    */
+  private[operators] def lshBucketLocal(vec: Array[Float], nPlanes: Int, seed: Int = 42): Int =
+    (0 until nPlanes).map { p =>
+      var s = 0.0
+      var i = 0
+      while (i < vec.length) {
+        val sign =
+          if (scala.util.hashing.MurmurHash3.productHash((i, seed + p)) % 2 == 0) 1.0 else -1.0
+        s += vec(i).toDouble * sign
+        i += 1
+      }
+      (if (s >= 0.0) 1 else 0) << p
+    }.sum
 }

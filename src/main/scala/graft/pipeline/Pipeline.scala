@@ -130,19 +130,28 @@ object Pipeline {
     // whole document chunked successfully.
     var chunksWritten = 0L
     var failures: DataFrame = null
+    var nFailed = 0L
     if (nToProcess > 0) {
       import spark.implicits._
       val attempts = chunkAttempts(spark, toProcess, chunker).cache()
       failures = attempts.filter(_.error.isDefined)
         .map(a => (a.docId, a.hash, a.error.get)).toDF("docId", "hash", "error")
         .cache()
+      nFailed = failures.count()
       val chunks = positionalIds(attempts.filter(_.chunk.isDefined).map(_.chunk.get).toDF())
       val enriched = Embedding.embed(chunks, "content", provider)
         .withColumn("parentChunkId", lit(null).cast("string"))
+        .cache()
+      // batch chunk count comes from the (cached) pre-upsert frame — a
+      // post-upsert store re-read would cost a full extra scan at scale
+      chunksWritten = enriched.count()
       store.upsert(spark, enriched)
-      chunksWritten = store.read(spark)
-        .join(broadcast(toProcess.select(col("docId").as("documentId"))), Seq("documentId"), "left_semi")
-        .count()
+      enriched.unpersist()
+      // failed docs keep zero store rows (reference
+      // `file_processing_service.py:118-125` deletes ALL of a failed doc's
+      // chunks): a modified doc that fails re-chunking must not leave its
+      // stale prior-version chunks behind for consumers or Ops.validate.
+      if (nFailed > 0) store.deleteByDocuments(spark, failures.select("docId"))
       attempts.unpersist()
     }
 
@@ -154,11 +163,10 @@ object Pipeline {
 
     // Commit the ledger once the store writes are durable (K4): successes →
     // processed, failures → failed (never processed, so J1 retries them).
-    val nFailed = if (failures == null) 0L else failures.count()
     val succeeded =
       if (failures == null) toProcess.select("docId", "hash")
       else toProcess.select("docId", "hash")
-        .join(broadcast(failures.select("docId")), Seq("docId"), "left_anti")
+        .join(failures.select("docId"), Seq("docId"), "left_anti")
     val afterProcessed = ledger.markProcessed(spark, state, succeeded)
     val afterFailed =
       if (nFailed == 0) afterProcessed

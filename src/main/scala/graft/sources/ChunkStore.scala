@@ -65,15 +65,23 @@ final class ChunkStore(
     */
   def upsert(spark: SparkSession, chunks: DataFrame): Unit = {
     val incoming = withPrefix(chunks.select(chunkCols.map(col): _*))
-    val merged =
-      if (!exists(spark)) incoming
-      else {
-        val prefixes = incoming.select("doc_prefix").distinct()
-        val existing = withPrefix(read(spark))
-          .join(broadcast(prefixes), Seq("doc_prefix"), "left_semi")
-        Overlay.overlay(existing, incoming, Seq("chunkId"), Seq("chunkIndex"))
-      }
-    write(spark, merged)
+    if (!exists(spark)) write(spark, incoming)
+    else {
+      val prefixes = incoming.select("doc_prefix").distinct()
+      val existing = withPrefix(read(spark))
+        .join(broadcast(prefixes), Seq("doc_prefix"), "left_semi")
+      // Materialize the merged buckets BEFORE the dynamic overwrite touches
+      // the same path: the write job must never re-read partitions it is
+      // replacing (a mid-commit failure or stage re-execution would otherwise
+      // recompute from half-replaced buckets). Disk-backed persist + count
+      // pins every merged block first — same pattern as deleteByDocuments.
+      val merged = Overlay.overlay(existing, incoming, Seq("chunkId"), Seq("chunkIndex"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        merged.count()
+        write(spark, merged)
+      } finally merged.unpersist()
+    }
   }
 
   /** K3: delete every chunk of the given document ids; returns deleted count.

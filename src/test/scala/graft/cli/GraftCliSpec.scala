@@ -64,4 +64,30 @@ class GraftCliSpec extends SparkSpec {
     val st = Ops.status(spark, ledgerPath, store)
     assert(st.processed == 3 && st.storeDocs == 3)
   }
+
+  test("force reprocesses ALL live files, including unchanged ones") {
+    val root = tmpDir("cliforce")
+    val extracted = s"$root/extracted"
+    Files.createDirectories(Paths.get(extracted, "ds1"))
+    writeXml(s"$extracted/ds1", "doc_u.xml", "Unchanged content here.")
+    writeXml(s"$extracted/ds1", "doc_n.xml", "Newly added content.")
+    // doc_u is status=unchanged: a plain run must skip it entirely, but
+    // --force must feed it back through (reference pipeline_orchestrator.py:249-256
+    // uses get_all_files, not get_changed_files, under force)
+    val stateJson = s"$root/state.json"
+    Files.write(Paths.get(stateJson),
+      """{"raw_datasets":{"ds1.tar.bz2":{"files":{
+        |"doc_u.xml":{"status":"unchanged","sha256":"hu"},
+        |"doc_n.xml":{"status":"added","sha256":"hn"}}}}}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+    val storePath = s"$root/store"
+    val ledgerPath = s"$root/ledger"
+    def run(force: Boolean) = GraftCli.process(
+      spark, stateJson, extracted, storePath, ledgerPath, force = force,
+      chunker = new LovdataChunker(targetTokens = 20, maxTokens = 100, minTokens = 2),
+      provider = new DeterministicProvider(8)
+    )
+    assert(run(force = false).summary.processed == 1, "plain run sees only the added doc")
+    assert(run(force = true).summary.processed == 2, "force must reprocess the unchanged doc too")
+  }
 }

@@ -76,6 +76,34 @@ class OperatorsSpec extends SparkSpec {
     assert(lsh.intersect(brute).nonEmpty, "LSH probe buckets must cover near neighbors")
   }
 
+  test("multi-probe LSH: probes=nPlanes covers every bucket and matches brute force") {
+    val vecs = (0 until 50).map { i =>
+      val angle = i / 50.0 * math.Pi
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat,
+        0.1f * (i % 3), 0.05f * (i % 5)))
+    }.toDF("vec_id", "embedding")
+    val q = Array(1f, 0f, 0f, 0f)
+    val brute = Similarity.topK(vecs, "embedding", "vec_id", q, 5).select("vec_id").as[Long].collect().toSeq
+    // Hamming radius = nPlanes ⇒ the probe set is the whole bucket space
+    val all = Similarity.topKLsh(vecs, "embedding", "vec_id", q, 5, dim = 4, nPlanes = 4, probes = 4)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(all == brute, "full-radius probing must equal brute force")
+    // each extra probe radius can only widen the scanned set
+    def scanned(p: Int) =
+      Similarity.topKLsh(vecs, "embedding", "vec_id", q, 50, dim = 4, nPlanes = 4, probes = p).count()
+    assert(scanned(0) <= scanned(1) && scanned(1) <= scanned(2) && scanned(2) <= scanned(4))
+  }
+
+  test("driver-side query bucket equals the column-expression bucket") {
+    import graft.functions.VectorFunctions._
+    val qs = Seq(
+      Array(1f, 0f, 0f, 0f), Array(-0.3f, 0.7f, 0.1f, -0.9f), Array(0.2f, 0.2f, 0.2f, 0.2f))
+    qs.foreach { q =>
+      val colBucket = spark.range(1).select(lshBucket(vecLit(q), 4, 8).as("b")).head().getInt(0)
+      assert(Similarity.lshBucketLocal(q, 8) == colBucket)
+    }
+  }
+
   test("IVF index: nearest-probe search finds the brute-force top result") {
     val vecs = (0 until 60).map { i =>
       val angle = i / 60.0 * 2 * math.Pi

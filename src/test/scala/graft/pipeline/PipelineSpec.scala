@@ -67,6 +67,30 @@ class PipelineSpec extends SparkSpec {
     assert(r5.processed == 1)
   }
 
+  test("a modified doc that fails re-chunking keeps zero store rows (cleanup-on-error)") {
+    val storePath = tmpDir("pipestale") + "/store"
+    val statePath = tmpDir("pipestale") + "/state"
+    val store = new ChunkStore(storePath, prefixLen = 1)
+    val chunker = new LovdataChunker(targetTokens = 20, maxTokens = 100, minTokens = 2)
+    val provider = new DeterministicProvider(8)
+    import spark.implicits._
+
+    // v1 processes fine and lands chunks
+    val v1 = cdc(("m1", "hv1", "Original version content."))
+    assert(Pipeline.run(spark, v1, noRemovals, store, statePath, chunker, provider).processed == 1)
+    assert(store.read(spark).filter(col("documentId") === "m1").count() > 0)
+
+    // v2 (new hash) fails to chunk → the reference deletes ALL of the doc's
+    // chunks (file_processing_service.py:118-125); stale v1 chunks must go
+    val v2 = Seq(("m1", "ds1", "hv2", "<html><unclosed")).toDF("docId", "dataset", "hash", "xml")
+    val r2 = Pipeline.run(spark, v2, noRemovals, store, statePath, chunker, provider)
+    assert(r2.failed == 1)
+    assert(store.read(spark).filter(col("documentId") === "m1").count() == 0,
+      "failed doc must not keep stale prior-version chunks")
+    // and validate stays consistent (no store_only orphan the reference never produces)
+    assert(graft.ops.Ops.validate(spark, statePath, store).isConsistent)
+  }
+
   test("force reprocesses unchanged documents (reference orchestrator_test.py:153)") {
     val storePath = tmpDir("pipeforce") + "/store"
     val statePath = tmpDir("pipeforce") + "/state.json"

@@ -97,6 +97,45 @@ class PipelineStateSpec extends SparkSpec {
     assert(ledger.load(spark).count() == 1)
   }
 
+  test("ledger persists as status-partitioned parquet, written distributed") {
+    val path = tmpDir("state8") + "/ledger"
+    val ledger = new PipelineState(path)
+    val s1 = ledger.markProcessed(spark, PipelineState.empty(spark), changed(("d1", "h1"), ("d2", "h2")))
+    val s2 = ledger.markFailed(spark, s1, changed(("d3", "h3")).withColumn("error", lit("boom")))
+    ledger.save(spark, s2)
+    // partition layout: one directory per status — the J1 filter prunes here
+    assert(new java.io.File(s"$path/status=processed").isDirectory)
+    assert(new java.io.File(s"$path/status=failed").isDirectory)
+    val loaded = ledger.load(spark)
+    assert(loaded.columns.toSeq == PipelineState.stateSchema.fieldNames.toSeq)
+    val byStatus = loaded.select("docId", "status").as[(String, String)].collect().toMap
+    assert(byStatus == Map("d1" -> "processed", "d2" -> "processed", "d3" -> "failed"))
+    // legacy JSON ledgers are still readable (format sniffed from part files)
+    val jsonPath = tmpDir("state8j") + "/ledger.json"
+    val jsonLedger = new PipelineState(jsonPath, format = "json")
+    jsonLedger.save(spark, s2)
+    assert(new PipelineState(jsonPath).load(spark).count() == 3)
+  }
+
+  test("J1 stays correct on the shuffle path (ledger past the broadcast ceiling)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val n = 5000
+      val ledgerRows = spark.range(n)
+        .selectExpr("concat('d', id) AS docId", "concat('h', id) AS hash",
+          "'processed' AS status", "'t' AS at", "CAST(null AS string) AS error")
+      val cdc = spark.range(n + 10)
+        .selectExpr("concat('d', id) AS docId", "concat('h', id) AS hash")
+      val out = Identify.identifyFiles(cdc, ledgerRows)
+      // with broadcast disabled the anti-join must take the shuffle path —
+      // proving correctness does not depend on a broadcast hint
+      assert(!out.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"))
+      val ids = out.select("docId").as[String].collect().toSet
+      assert(ids == (n until n + 10).map(i => s"d$i").toSet)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("J2/SO1: validation reports set differences both ways") {
     val stateIds = Seq("a", "b", "c").toDF("docId")
     val storeIds = Seq("b", "c", "d").toDF("docId")
