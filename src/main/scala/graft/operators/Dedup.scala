@@ -85,18 +85,37 @@ object Dedup {
       .distinct()
   }
 
+  /** A 60-bit hash both engines can compute identically: the top 60 bits of
+    * the little-endian integer formed by md5-digest bytes 9..16 — exactly
+    * DuckDB's `md5_number_lower(x) >> 4` — reconstructed here from Spark's
+    * hex `md5()` by re-ordering byte pairs. Positive and exact in a signed
+    * 64-bit long on both sides, which is what lets SimHash/winnowing outputs
+    * be checked by a SQL oracle instead of rows-only.
+    */
+  def md5Lower60(c: Column): Column = {
+    val m = md5(c)
+    val rev = concat(
+      substring(m, 31, 2), substring(m, 29, 2), substring(m, 27, 2), substring(m, 25, 2),
+      substring(m, 23, 2), substring(m, 21, 2), substring(m, 19, 2), substring(m, 17, 1)
+    )
+    conv(rev, 16, 10).cast("long")
+  }
+
   /** Winnowing fingerprint (rolling-hash document fingerprinting): hash
     * every word k-gram, then keep the minimum hash of each sliding window of
     * `w` consecutive k-gram hashes. Two documents sharing any sizable run of
     * text share fingerprint hashes — the classic plagiarism/near-dup scheme,
-    * entirely in codegen'd array ops.
+    * entirely in codegen'd array ops. `hashFn` is pluggable so the oracle
+    * variant can use [[md5Lower60]]; default is the faster `xxhash64`.
     */
-  def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column = {
+  def winnowingFingerprintWith(
+      c: Column, k: Int, w: Int, hashFn: Column => Column
+  ): Column = {
     val toks = split(trim(c), "\\s+")
     val nGrams = greatest(size(toks) - (k - 1), lit(0))
     val kgrams = transform(sequence(lit(1), greatest(nGrams, lit(1))),
       i => concat_ws(" ", slice(toks, i, lit(k))))
-    val hashes = transform(kgrams, g => xxhash64(g))
+    val hashes = transform(kgrams, g => hashFn(g))
     val nWins = greatest(size(hashes) - (w - 1), lit(1))
     when(nGrams <= 0, array().cast("array<bigint>"))
       .otherwise(array_distinct(
@@ -104,13 +123,17 @@ object Dedup {
       ))
   }
 
-  /** SimHash: 64-bit signature from per-token 64-bit hashes — bit i of the
+  def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column =
+    winnowingFingerprintWith(c, k, w, g => xxhash64(g))
+
+  /** SimHash: `bits`-wide signature from per-token hashes — bit i of the
     * signature is the sign of sum over tokens of (bit i ? +1 : -1).
-    * Near-dups differ in few bits (small Hamming distance).
+    * Near-dups differ in few bits (small Hamming distance). `hashFn`/`bits`
+    * are pluggable so the oracle variant can use the 60-bit [[md5Lower60]].
     */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    val bits = (0 until 64).map { i =>
+  def simhashWith(tokens: Column, hashFn: Column => Column, bits: Int): Column = {
+    val hashes = transform(tokens, t => hashFn(t))
+    val bitCols = (0 until bits).map { i =>
       val bitSum = aggregate(
         hashes,
         lit(0L),
@@ -118,8 +141,10 @@ object Dedup {
       )
       when(bitSum >= 0, lit(1L).cast("long") * lit(1L << i)).otherwise(lit(0L))
     }
-    bits.reduce(_.bitwiseOR(_))
+    bitCols.reduce(_.bitwiseOR(_))
   }
+
+  def simhash(tokens: Column): Column = simhashWith(tokens, t => xxhash64(t), 64)
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

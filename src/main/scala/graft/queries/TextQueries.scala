@@ -434,14 +434,30 @@ object TextQueries {
     ),
 
     // Winnowing rolling-hash fingerprints: shared-hash near-dup candidates
-    // would join on exploded fingerprint hashes (rows-only).
+    // would join on exploded fingerprint hashes. Oracle-matched via the
+    // 60-bit md5-derived k-gram hash (DuckDB `md5_number_lower >> 4`).
     "dd_winnowing" -> Q(
       (s, d) =>
         documents(s, d)
-          .withColumn("fp", Dedup.winnowingFingerprint(col("text")))
+          .withColumn("fp", Dedup.winnowingFingerprintWith(col("text"), 3, 4, Dedup.md5Lower60))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n"), sum(size(col("fp"))).as("sum_fp_hashes")),
-      None,
+      Some("""WITH docs AS (
+             |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+             |grams AS (
+             |  SELECT lang, len(toks) - 2 AS ngrams,
+             |    list_transform(range(1, greatest(len(toks) - 2, 1) + 1),
+             |      i -> CAST((md5_number_lower(array_to_string(list_slice(toks, i, i + 2), ' ')) >> 4) AS BIGINT)) AS hashes
+             |  FROM docs),
+             |fps AS (
+             |  SELECT lang,
+             |    CASE WHEN ngrams <= 0 THEN CAST([] AS BIGINT[])
+             |         ELSE list_distinct(list_transform(range(1, greatest(len(hashes) - 3, 1) + 1),
+             |                j -> list_min(list_slice(hashes, j, j + 3))))
+             |    END AS fp
+             |  FROM grams)
+             |SELECT lang, count(*) AS n, CAST(sum(len(fp)) AS BIGINT) AS sum_fp_hashes
+             |FROM fps GROUP BY lang""".stripMargin),
       Seq("C13")
     ),
 

@@ -141,18 +141,34 @@ object VectorQueries {
       Seq("A6")
     ),
 
-    // SimHash signatures + near-dup pairs within a Hamming radius, bucketed
-    // by the top bits of the signature.
+    // SimHash signatures + near-dup bucketing by the top signature bits.
+    // Oracle-matched: the 60-bit md5-derived token hash is recomputable in
+    // DuckDB (`md5_number_lower >> 4`), so the whole signature is checked
+    // value-for-value, not rows-only.
     "dd_simhash" -> Q(
       (s, d) => {
         val docs = documents(s, d)
           .select(col("doc_id"), Dedup.wordSet(col("text")).as("toks"))
-          .withColumn("sig", Dedup.simhash(col("toks")))
+          .withColumn("sig", Dedup.simhashWith(col("toks"), Dedup.md5Lower60, 60))
         docs.groupBy(shiftright(col("sig"), 48).as("bucket"))
           .agg(count(lit(1)).as("n"))
           .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_docs"))
       },
-      None,
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS t
+             |  FROM documents),
+             |hashed AS (
+             |  SELECT doc_id, CAST((md5_number_lower(t) >> 4) AS BIGINT) AS h FROM toks),
+             |bitsums AS (
+             |  SELECT doc_id, i, SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             |  FROM hashed CROSS JOIN (SELECT unnest(range(0, 60)) AS i) bits
+             |  GROUP BY doc_id, i),
+             |sigs AS (
+             |  SELECT doc_id, CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+             |  FROM bitsums GROUP BY doc_id),
+             |buckets AS (SELECT sig >> 48 AS bucket, count(*) AS n FROM sigs GROUP BY bucket)
+             |SELECT CAST(count(*) AS BIGINT) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_docs
+             |FROM buckets""".stripMargin),
       Seq("A6")
     ),
 

@@ -34,6 +34,13 @@ class OperatorsSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(2L)) < ham(sigs(1L), sigs(3L)))
   }
 
+  test("md5Lower60 matches DuckDB's md5_number_lower >> 4") {
+    // oracle-side value: SELECT md5_number_lower('abc') >> 4 = 515660037898893677
+    val got = spark.range(1).select(Dedup.md5Lower60(lit("abc")).as("h")).head().getLong(0)
+    assert(got == 515660037898893677L)
+    assert(got > 0, "60-bit hash must stay positive in a signed long")
+  }
+
   test("jaccard pairs: blocked candidates with threshold") {
     val df = Seq(
       (1L, "a b c d e", "s1", 9L),
