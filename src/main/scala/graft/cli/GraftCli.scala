@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.chunker.LovdataChunker
+import graft.config.Settings
 import graft.embed.{DeterministicProvider, EmbeddingProvider}
 import graft.ops.Ops
 import graft.pipeline.Pipeline
@@ -32,9 +33,21 @@ object GraftCli {
       force: Boolean = false,
       limit: Option[Int] = None,
       chunker: LovdataChunker = new LovdataChunker(),
-      provider: EmbeddingProvider = new DeterministicProvider(64)
+      provider: EmbeddingProvider = new DeterministicProvider(64),
+      /** SQL LIKE pattern over dataset names (F8; see
+        * [[graft.config.Settings.datasetLikePattern]]); default matches all.
+        */
+      datasetFilter: String = "%",
+      /** pre-configured store (format/prefixLen); defaults to parquet at
+        * `storePath`.
+        */
+      store: ChunkStore = null
   ): ProcessResult = {
-    val scan = LovligState.scan(spark, stateJson, extractedDir)
+    val fullScan = LovligState.scan(spark, stateJson, extractedDir)
+    // dataset pattern gates which datasets the run touches at all (reference
+    // settings.py:96-100 dataset_filter feeding lovlig.py:24-30)
+    val scan =
+      if (datasetFilter == "%") fullScan else fullScan.filter(col("dataset").like(datasetFilter))
     // force reprocesses ALL live files, not just CDC-changed ones (reference
     // `pipeline_orchestrator.py:249-256` switches to get_all_files under --force)
     val changedMeta =
@@ -47,12 +60,36 @@ object GraftCli {
     val removed = LovligState.removedFiles(scan).select(col("docId"))
     val summary = Pipeline.run(
       spark, changed, removed,
-      new ChunkStore(storePath), ledgerPath, chunker, provider,
+      Option(store).getOrElse(new ChunkStore(storePath)), ledgerPath, chunker, provider,
       force, limit
     )
     val missing = guarded.filter(col("error").isNotNull).count()
     ProcessResult(summary, if (summary.failed + missing > 0) 1 else 0)
   }
+
+  /** `lg process` wired entirely from [[Settings]] (env + flags) — the
+    * operator-facing entry: chunk params, store format/bucketing, dataset
+    * pattern, force/limit all come from configuration, not code.
+    */
+  def processConfigured(
+      spark: SparkSession,
+      stateJson: String,
+      extractedDir: String,
+      storePath: String,
+      ledgerPath: String,
+      settings: Settings,
+      provider: EmbeddingProvider = null
+  ): ProcessResult =
+    process(
+      spark, stateJson, extractedDir, storePath, ledgerPath,
+      force = settings.force,
+      limit = settings.limit,
+      chunker = settings.chunker(),
+      provider = Option(provider)
+        .getOrElse(new DeterministicProvider(settings.embeddingDimensions)),
+      datasetFilter = settings.datasetLikePattern,
+      store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+    )
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -66,12 +103,18 @@ object GraftCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val code = args.toList match {
-      case "process" :: stateJson :: extractedDir :: storePath :: ledgerPath :: rest =>
-        val r = process(spark, stateJson, extractedDir, storePath, ledgerPath,
-          force = rest.contains("--force"))
-        println(s"processed=${r.summary.processed} failed=${r.summary.failed} " +
-          s"removed=${r.summary.removed} chunks=${r.summary.chunksWritten}")
-        r.exitCode
+      case "process" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case stateJson :: extractedDir :: storePath :: ledgerPath :: Nil =>
+            val r = processConfigured(spark, stateJson, extractedDir, storePath, ledgerPath, settings)
+            println(s"processed=${r.summary.processed} failed=${r.summary.failed} " +
+              s"removed=${r.summary.removed} chunks=${r.summary.chunksWritten}")
+            r.exitCode
+          case _ =>
+            System.err.println("usage: process <state.json> <extractedDir> <storePath> <ledgerPath> [flags]")
+            2
+        }
       case "status" :: ledgerPath :: storePath :: Nil =>
         val s = Ops.status(spark, ledgerPath, new ChunkStore(storePath))
         println(s"processed=${s.processed} failed=${s.failed} chunks=${s.storeChunks} docs=${s.storeDocs}")
@@ -87,7 +130,11 @@ object GraftCli {
       case _ =>
         System.err.println(
           """usage: graft.cli.GraftCli <command>
-            |  process <state.json> <extractedDir> <storePath> <ledgerPath> [--force]
+            |  process <state.json> <extractedDir> <storePath> <ledgerPath> [flags]
+            |    flags (override GRAFT_* env vars): --force --limit=N
+            |      --target-tokens=N --max-tokens=N --min-tokens=N --overlap-ratio=R
+            |      --dataset=GLOB --storage-type=parquet|json --prefix-len=N
+            |      --embedding-model=NAME --embedding-dim=N
             |  status <ledgerPath> <storePath>
             |  validate <ledgerPath> <storePath>
             |  migrate <srcPath> <srcFormat> <dstPath> <dstFormat>""".stripMargin)

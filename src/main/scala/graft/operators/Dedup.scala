@@ -57,18 +57,38 @@ object Dedup {
       )
     }: _*)
 
+  /** Drop rows whose bucket holds more than `maxBucketSize` members — the
+    * skew guard for candidate self-joins. A bucket of n rows yields n(n-1)/2
+    * pairs, so one degenerate bucket (empty text, boilerplate, an all-equal
+    * embedding cluster) turns a linear-ish job into a quadratic hot
+    * partition at scale. Oversized buckets carry no dedup signal (their
+    * members are trivially "similar" by construction), so large-corpus
+    * MinHash pipelines cap or drop them; AQE's skew-join split handles the
+    * surviving moderate imbalance.
+    */
+  private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
+    if (maxBucketSize == Int.MaxValue) rows
+    else {
+      val ok = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") <= maxBucketSize)
+        .select(keys.map(col): _*)
+      rows.join(ok, keys, "left_semi")
+    }
+
   /** MinHash-LSH near-dup candidate pairs over `df(idCol, textCol)`.
     *
-    * Plan shape: per-doc signature → explode bands → self-join on
-    * (band, bucket) → distinct pairs. The join key is a 64-bit band bucket;
-    * no CartesianProduct appears in the plan.
+    * Plan shape: per-doc signature → explode bands → cap oversized buckets →
+    * self-join on (band, bucket) → distinct pairs. The join key is a 64-bit
+    * band bucket; no CartesianProduct appears in the plan, and no bucket
+    * contributes more than `maxBucketSize²` join rows.
     */
   def minhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: String,
       numHashes: Int = 16,
-      bands: Int = 4
+      bands: Int = 4,
+      maxBucketSize: Int = 10000
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = df
@@ -77,8 +97,9 @@ object Dedup {
       .withColumn("sig", minhashSignature(col("toks"), numHashes))
       .withColumn("bandBucket", explode(lshBands(col("sig"), bands, rowsPerBand)))
       .select(col("id"), col("bandBucket.band"), col("bandBucket.bucket"))
-    val a = sigs.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = sigs.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val capped = capBuckets(sigs, Seq("band", "bucket"), maxBucketSize)
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
@@ -182,7 +203,9 @@ object Dedup {
   }
 
   /** Embedding-cosine near-dup candidates, LSH-bucketed: docs are bucketed by
-    * random-hyperplane signs; pairs form within a bucket only.
+    * random-hyperplane signs; pairs form within a bucket only, and oversized
+    * buckets are dropped (see [[capBuckets]]) so one dense embedding cluster
+    * cannot explode the self-join.
     */
   def cosineCandidates(
       df: DataFrame,
@@ -190,13 +213,17 @@ object Dedup {
       vecCol: String,
       dim: Int,
       nPlanes: Int,
-      threshold: Double
+      threshold: Double,
+      maxBucketSize: Int = 10000
   ): DataFrame = {
     import graft.functions.VectorFunctions._
-    val bucketed = df.select(
-      col(idCol).as("id"),
-      col(vecCol).as("vec"),
-      lshBucket(col(vecCol), dim, nPlanes).as("bucket")
+    val bucketed = capBuckets(
+      df.select(
+        col(idCol).as("id"),
+        col(vecCol).as("vec"),
+        lshBucket(col(vecCol), dim, nPlanes).as("bucket")
+      ),
+      Seq("bucket"), maxBucketSize
     )
     val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorFunctions._
 
@@ -57,6 +57,30 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).map(_.toFloat).toArray)).toSeq
     IvfIndex(refined, assignTo(refined)(df))
+  }
+
+  /** Persist an IVF index with `cid` as a partition column — the 100 TB
+    * layout the design comment on [[buildIvf]] promises: a probe of
+    * `nProbes` cells becomes partition pruning on the scan, so a search
+    * reads `nProbes/k` of the corpus from disk instead of filtering it.
+    * Centroids (k rows) live under `_centroids`, which partition discovery
+    * ignores.
+    */
+  def writeIvf(spark: SparkSession, index: IvfIndex, path: String): Unit = {
+    import spark.implicits._
+    index.assigned
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode(SaveMode.Overwrite).parquet(path)
+    index.centroids.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "centroid")
+      .coalesce(1) // k centroid rows
+      .write.mode(SaveMode.Overwrite).parquet(path + "/_centroids")
+  }
+
+  /** Load a persisted IVF index; only the k centroid rows reach the driver. */
+  def readIvf(spark: SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(path + "/_centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    IvfIndex(cents, spark.read.parquet(path))
   }
 
   /** Search an IVF index: score the query against the (driver-side, tiny)

@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.SparkSpec
 import graft.chunker.LovdataChunker
+import graft.config.Settings
 import graft.embed.DeterministicProvider
 import graft.ops.Ops
 import graft.sources.ChunkStore
@@ -89,5 +90,44 @@ class GraftCliSpec extends SparkSpec {
     )
     assert(run(force = false).summary.processed == 1, "plain run sees only the added doc")
     assert(run(force = true).summary.processed == 2, "force must reprocess the unchanged doc too")
+  }
+
+  test("settings drive chunk params, store bucketing, and dataset pattern end-to-end") {
+    val root = tmpDir("clicfg")
+    val extracted = s"$root/extracted"
+    Files.createDirectories(Paths.get(extracted, "dsa"))
+    Files.createDirectories(Paths.get(extracted, "other"))
+    // many short sentences: total tokens ≫ max-tokens so the sentence split
+    // engages, each sentence ≪ min-tokens so the merge fold engages too
+    writeXml(s"$extracted/dsa", "doc_1.xml",
+      (1 to 60).map(i => s"Sentence number $i is here.").mkString(" "))
+    writeXml(s"$extracted/other", "doc_x.xml", "Excluded by the dataset pattern.")
+    val stateJson = s"$root/state.json"
+    Files.write(Paths.get(stateJson),
+      """{"raw_datasets":{"dsa.tar.bz2":{"files":{"doc_1.xml":{"status":"added","sha256":"h1"}}},
+        |"other.tar.bz2":{"files":{"doc_x.xml":{"status":"added","sha256":"hx"}}}}}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+
+    val settings = Settings.fromArgs(
+      Seq("--target-tokens=100", "--max-tokens=150", "--min-tokens=50", "--prefix-len=1",
+        "--dataset=dsa*", "--embedding-dim=8"),
+      env = Map.empty)._1
+    val storePath = s"$root/store"
+    val r = GraftCli.processConfigured(
+      spark, stateJson, extracted, storePath, s"$root/ledger", settings)
+    assert(r.summary.processed == 1, "dataset pattern must exclude the 'other' dataset")
+    assert(r.exitCode == 0)
+
+    // prefixLen=1 → single-hex-char bucket directories
+    val buckets = new java.io.File(storePath).listFiles()
+      .filter(_.getName.startsWith("doc_prefix=")).map(_.getName.stripPrefix("doc_prefix="))
+    assert(buckets.nonEmpty && buckets.forall(_.length == 1))
+
+    // target-tokens=100 over a 300-word doc → the sentence windowing splits
+    import spark.implicits._
+    val chunks = new ChunkStore(storePath, prefixLen = 1).read(spark)
+    assert(chunks.select("documentId").distinct().as[String].collect().toSeq == Seq("doc_1"))
+    assert(chunks.count() > 1, "configured token bounds must drive chunk splitting")
+    assert(chunks.select("embedding").head().getSeq[Float](0).length == 8)
   }
 }

@@ -1,0 +1,54 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Config resolution + validation (reference `config/settings.py:13-141`). */
+class SettingsSpec extends AnyFunSuite {
+
+  test("defaults mirror the reference chunk/storage defaults") {
+    val s = Settings()
+    assert(s.chunkMaxTokens == 6800 && s.chunkTargetTokens == 2000 && s.chunkMinTokens == 300)
+    assert(s.chunkOverlapRatio == 0.15 && s.storageType == "parquet" && !s.force)
+  }
+
+  test("env vars override defaults; flags override env") {
+    val env = Map(
+      "GRAFT_CHUNK_TARGET_TOKENS" -> "1500",
+      "GRAFT_STORE_PREFIX_LEN" -> "3",
+      "GRAFT_FORCE" -> "true"
+    )
+    val fromEnv = Settings.fromEnv(env)
+    assert(fromEnv.chunkTargetTokens == 1500 && fromEnv.storePrefixLen == 3 && fromEnv.force)
+
+    val (s, positional) = Settings.fromArgs(
+      Seq("a.json", "--target-tokens=800", "dir", "--limit=5"), env)
+    assert(s.chunkTargetTokens == 800, "flag beats env")
+    assert(s.storePrefixLen == 3, "env survives where no flag is given")
+    assert(s.limit.contains(5))
+    assert(positional == Seq("a.json", "dir"))
+  }
+
+  test("validators reject out-of-range values (reference settings.py:70-105)") {
+    assertThrows[IllegalArgumentException](Settings(chunkTargetTokens = 50))
+    assertThrows[IllegalArgumentException](Settings(chunkMaxTokens = 20000))
+    assertThrows[IllegalArgumentException](Settings(chunkMinTokens = 10))
+    assertThrows[IllegalArgumentException](Settings(chunkOverlapRatio = 0.7))
+    assertThrows[IllegalArgumentException](Settings(storageType = "chroma"))
+    assertThrows[IllegalArgumentException](Settings(storePrefixLen = 0))
+    assertThrows[IllegalArgumentException](Settings(datasetFilter = "  "))
+    assertThrows[IllegalArgumentException](Settings(limit = Some(0)))
+    assertThrows[IllegalArgumentException](Settings.fromArgs(Seq("--target-tokens=abc"))._1)
+    assertThrows[IllegalArgumentException](Settings.fromArgs(Seq("--no-such-flag=1"))._1)
+  }
+
+  test("dataset glob becomes a LIKE pattern; bare names are prefix matches") {
+    assert(Settings(datasetFilter = "*").datasetLikePattern == "%")
+    assert(Settings(datasetFilter = "gjeldende-*").datasetLikePattern == "gjeldende-%")
+    assert(Settings(datasetFilter = "gjeldende").datasetLikePattern == "gjeldende%")
+  }
+
+  test("settings build a chunker carrying the configured params") {
+    val c = Settings(chunkTargetTokens = 768, chunkMaxTokens = 8191).chunker()
+    assert(c.targetTokens == 768 && c.maxTokens == 8191 && c.minTokens == 300)
+  }
+}

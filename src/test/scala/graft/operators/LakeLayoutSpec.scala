@@ -28,6 +28,28 @@ class LakeLayoutSpec extends SparkSpec {
       "partition column must not appear as a pushed data filter")
   }
 
+  test("IVF probe on a cid-partitioned index prunes partitions at plan time") {
+    val dir = tmpDir("ivflake") + "/index"
+    val vecs = (0 until 60).map { i =>
+      val angle = i / 60.0 * 2 * math.Pi
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val built = Similarity.buildIvf(vecs, "embedding", "vec_id", k = 6)
+    Similarity.writeIvf(spark, built, dir)
+    val loaded = Similarity.readIvf(spark, dir)
+    assert(loaded.centroids.map(_._1) == built.centroids.map(_._1).sorted)
+
+    val q = Array(1f, 0.05f, 0f, 0f)
+    val res = Similarity.topKIvf(loaded, "embedding", "vec_id", q, 3, nProbes = 2)
+    val scan = res.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cid"),
+      s"probe filter must prune cid partitions at the scan:\n$scan")
+    // pruned search returns the same neighbors as the in-memory index
+    val mem = Similarity.topKIvf(built, "embedding", "vec_id", q, 3, nProbes = 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(res.select("vec_id").as[Long].collect().toSeq == mem)
+  }
+
   test("profiler computes all column stats in one scan") {
     val df = (1 to 100).map(i => (i.toLong, s"v${i % 5}")).toDF("id", "tag")
     val profiled = Profiler.profile(df, Seq("id", "tag"))

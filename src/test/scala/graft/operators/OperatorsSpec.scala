@@ -22,6 +22,35 @@ class OperatorsSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)))
   }
 
+  test("bucket-size cap drops a degenerate hot bucket but keeps true near-dups") {
+    // adversarial corpus: 300 identical boilerplate docs all land in the same
+    // band buckets (a quadratic hot partition at scale) + one genuine pair
+    val boiler = (1 to 300).map(i => (i.toLong, "standard boilerplate disclaimer text"))
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val df = (boiler ++ Seq((1001L, base), (1002L, nearDup))).toDF("doc_id", "text")
+
+    val capped = Dedup.minhashCandidates(df, "doc_id", "text", 16, 4, maxBucketSize = 50)
+    assert(!capped.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val pairs = capped.as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1001L, 1002L)), "true near-dup pair survives the cap")
+    assert(!pairs.exists { case (a, b) => a <= 300 && b <= 300 },
+      "the degenerate 300-doc bucket (≈45k pairs) is dropped, not joined")
+
+    // uncapped control: the hot bucket would dominate the output
+    val uncapped = Dedup.minhashCandidates(df, "doc_id", "text", 16, 4, maxBucketSize = Int.MaxValue)
+    assert(uncapped.count() == capped.count() + 300L * 299 / 2)
+
+    // same guard on the embedding-cosine variant
+    val vecs = ((1 to 200).map(i => (i.toLong, Array(1f, 0f, 0f, 0f))) ++
+      Seq((901L, Array(0f, 1f, 0.1f, 0f)), (902L, Array(0f, 1f, 0.11f, 0f)))).toDF("vec_id", "embedding")
+    val cos = Dedup.cosineCandidates(vecs, "vec_id", "embedding", dim = 4, nPlanes = 4,
+      threshold = 0.5, maxBucketSize = 50)
+    val cosPairs = cos.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(!cosPairs.exists { case (a, b) => a <= 200 && b <= 200 })
+    assert(cosPairs.contains((901L, 902L)))
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
