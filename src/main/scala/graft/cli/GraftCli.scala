@@ -135,6 +135,7 @@ object GraftCli {
             |      --target-tokens=N --max-tokens=N --min-tokens=N --overlap-ratio=R
             |      --dataset=GLOB --storage-type=parquet|json --prefix-len=N
             |      --embedding-model=NAME --embedding-dim=N
+            |      --tokenizer=word|bpe:<rank-file>
             |  status <ledgerPath> <storePath>
             |  validate <ledgerPath> <storePath>
             |  migrate <srcPath> <srcFormat> <dstPath> <dstFormat>""".stripMargin)

@@ -1,7 +1,7 @@
 package graft.config
 
 import graft.chunker.LovdataChunker
-import graft.functions.{TokenCounter, WordSymbolTokenizer}
+import graft.functions.{BpeTokenCounter, TokenCounter, WordSymbolTokenizer}
 
 /** Typed pipeline configuration with env-var + CLI-flag loading (reference
   * `config/settings.py:13-141`: pydantic-settings fields, range validators,
@@ -33,7 +33,12 @@ final case class Settings(
       */
     datasetFilter: String = "*",
     force: Boolean = false,
-    limit: Option[Int] = None
+    limit: Option[Int] = None,
+    /** token counter: `word` (SQL-expressible default) or `bpe:<path>` to a
+      * tiktoken-format rank file (e.g. cl100k_base.tiktoken) for byte-parity
+      * with the reference's chunk boundaries.
+      */
+    tokenizer: String = "word"
 ) {
   require(embeddingDimensions >= 1 && embeddingDimensions <= 3072,
     s"embeddingDimensions must be 1..3072, got $embeddingDimensions")
@@ -51,10 +56,18 @@ final case class Settings(
     s"chunkOverlapRatio must be 0.0..0.5, got $chunkOverlapRatio")
   require(datasetFilter.trim.nonEmpty, "datasetFilter cannot be empty")
   require(limit.forall(_ > 0), s"limit must be positive, got $limit")
+  require(tokenizer == "word" || tokenizer.startsWith("bpe:"),
+    s"tokenizer must be 'word' or 'bpe:<rank-file>', got '$tokenizer'")
+
+  /** The configured token counter (rank file loaded lazily at use). */
+  def tokenCounter: TokenCounter =
+    if (tokenizer == "word") WordSymbolTokenizer
+    else BpeTokenCounter.fromTiktokenFile(tokenizer.stripPrefix("bpe:"))
 
   /** A chunker configured from these settings. */
-  def chunker(tokens: TokenCounter = WordSymbolTokenizer): LovdataChunker =
-    new LovdataChunker(chunkTargetTokens, chunkMaxTokens, chunkMinTokens, chunkOverlapRatio, tokens)
+  def chunker(tokens: TokenCounter = null): LovdataChunker =
+    new LovdataChunker(chunkTargetTokens, chunkMaxTokens, chunkMinTokens, chunkOverlapRatio,
+      Option(tokens).getOrElse(tokenCounter))
 
   /** The dataset glob as a SQL LIKE pattern for a scan-time filter. */
   def datasetLikePattern: String = {
@@ -71,7 +84,7 @@ object Settings {
   private val envKeys = Seq(
     "EMBEDDING_MODEL", "EMBEDDING_DIMENSIONS", "STORAGE_TYPE", "STORE_PREFIX_LEN",
     "CHUNK_MAX_TOKENS", "CHUNK_TARGET_TOKENS", "CHUNK_MIN_TOKENS", "CHUNK_OVERLAP_RATIO",
-    "DATASET_FILTER", "FORCE", "LIMIT"
+    "DATASET_FILTER", "FORCE", "LIMIT", "TOKENIZER"
   )
 
   def fromEnv(env: Map[String, String] = sys.env): Settings =
@@ -101,6 +114,7 @@ object Settings {
         case Array("overlap-ratio", v)      => applyKey(s, "CHUNK_OVERLAP_RATIO", v)
         case Array("dataset", v)            => applyKey(s, "DATASET_FILTER", v)
         case Array("limit", v)              => applyKey(s, "LIMIT", v)
+        case Array("tokenizer", v)          => applyKey(s, "TOKENIZER", v)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: --${other.mkString("=")}")
       }
@@ -120,6 +134,7 @@ object Settings {
     case "DATASET_FILTER"       => s.copy(datasetFilter = v)
     case "FORCE"                => s.copy(force = v.equalsIgnoreCase("true") || v == "1")
     case "LIMIT"                => s.copy(limit = Some(toInt(key, v)))
+    case "TOKENIZER"            => s.copy(tokenizer = v)
   }
 
   private def toInt(key: String, v: String): Int =

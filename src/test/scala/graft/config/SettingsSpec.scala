@@ -51,4 +51,19 @@ class SettingsSpec extends AnyFunSuite {
     val c = Settings(chunkTargetTokens = 768, chunkMaxTokens = 8191).chunker()
     assert(c.targetTokens == 768 && c.maxTokens == 8191 && c.minTokens == 300)
   }
+
+  test("tokenizer setting selects word or a BPE rank file per run") {
+    assert(Settings().tokenCounter eq graft.functions.WordSymbolTokenizer)
+    assertThrows[IllegalArgumentException](Settings(tokenizer = "tiktoken"))
+    // a bpe: setting loads the rank file lazily and drives the chunker
+    val dir = java.nio.file.Files.createTempDirectory("cfgbpe")
+    val file = dir.resolve("mini.tiktoken")
+    val b64 = java.util.Base64.getEncoder
+    val lines = ((0 until 256).map(b => b64.encodeToString(Array(b.toByte)) + s" $b") ++
+      Seq(b64.encodeToString("ab".getBytes("UTF-8")) + " 256")).mkString("\n")
+    java.nio.file.Files.write(file, lines.getBytes("UTF-8"))
+    val s = Settings.fromArgs(Seq(s"--tokenizer=bpe:$file"))._1
+    assert(s.tokenCounter.countTokens("abc") == 2) // ab + c
+    assert(s.chunker().tokens.countTokens("ab") == 1)
+  }
 }
