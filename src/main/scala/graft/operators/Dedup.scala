@@ -69,10 +69,13 @@ object Dedup {
   private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
     if (maxBucketSize == Int.MaxValue) rows
     else {
-      val ok = rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bn"))
+      // window count, not groupBy + semi-join: one shuffle on the bucket key
+      // (which the downstream self-join needs anyway) and no recomputation
+      // of the upstream signature pipeline for a second join input
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(keys.map(col): _*)
+      rows.withColumn("_bn", count(lit(1)).over(w))
         .filter(col("_bn") <= maxBucketSize)
-        .select(keys.map(col): _*)
-      rows.join(ok, keys, "left_semi")
+        .drop("_bn")
     }
 
   /** MinHash-LSH near-dup candidate pairs over `df(idCol, textCol)`.
