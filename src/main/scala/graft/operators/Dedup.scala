@@ -37,25 +37,46 @@ object Dedup {
   def wordSet(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
 
   /** MinHash signature: for each of `numHashes` seeds, the min over the
-    * token set of `xxhash64(token, seed)`. Codegen'd (transform + array_min),
-    * no UDF.
+    * token set of `seededHash(token, seed)`. Codegen'd (transform +
+    * array_min), no UDF. The hash is pluggable so the oracle variant can use
+    * the DuckDB-recomputable [[md5Lower60]] over `"<seed>|<token>"`.
     */
-  def minhashSignature(tokens: Column, numHashes: Int): Column =
+  def minhashSignatureWith(
+      tokens: Column, numHashes: Int, seededHash: (Column, Int) => Column
+  ): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(tokens, t => xxhash64(t, lit(seed))))
+      array_min(transform(tokens, t => seededHash(t, seed)))
     }: _*)
+
+  def minhashSignature(tokens: Column, numHashes: Int): Column =
+    minhashSignatureWith(tokens, numHashes, (t, seed) => xxhash64(t, lit(seed)))
+
+  /** Oracle-matched seeded token hash: [[md5Lower60]] of `"<seed>|<token>"`. */
+  def md5SeededHash(t: Column, seed: Int): Column =
+    md5Lower60(concat(lit(s"$seed|"), t))
+
+  /** Oracle-matched band-bucket hash: [[md5Lower60]] of the comma-joined
+    * decimal slice (DuckDB: `md5_number_lower(array_to_string(slice, ','))`).
+    */
+  def md5BucketHash(sliceCol: Column): Column =
+    md5Lower60(concat_ws(",", transform(sliceCol, x => x.cast("string"))))
 
   /** MinHash-LSH banding: split the signature into `bands` bands of
     * `rowsPerBand` and emit one (bandId, bucketHash) per band. Documents
     * sharing any band bucket are near-dup candidates.
     */
-  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+  def lshBandsWith(
+      sig: Column, bands: Int, rowsPerBand: Int, bucketHash: Column => Column
+  ): Column =
     array((0 until bands).map { b =>
       struct(
         lit(b).as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket")
+        bucketHash(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bucket")
       )
     }: _*)
+
+  def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    lshBandsWith(sig, bands, rowsPerBand, s => xxhash64(s))
 
   /** Drop rows whose bucket holds more than `maxBucketSize` members — the
     * skew guard for candidate self-joins. A bucket of n rows yields n(n-1)/2
@@ -91,14 +112,16 @@ object Dedup {
       textCol: String,
       numHashes: Int = 16,
       bands: Int = 4,
-      maxBucketSize: Int = 10000
+      maxBucketSize: Int = 10000,
+      seededHash: (Column, Int) => Column = (t, seed) => xxhash64(t, lit(seed)),
+      bucketHash: Column => Column = s => xxhash64(s)
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = df
       .select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("sig", minhashSignature(col("toks"), numHashes))
-      .withColumn("bandBucket", explode(lshBands(col("sig"), bands, rowsPerBand)))
+      .withColumn("sig", minhashSignatureWith(col("toks"), numHashes, seededHash))
+      .withColumn("bandBucket", explode(lshBandsWith(col("sig"), bands, rowsPerBand, bucketHash)))
       .select(col("id"), col("bandBucket.band"), col("bandBucket.bucket"))
     val capped = capBuckets(sigs, Seq("band", "bucket"), maxBucketSize)
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))

@@ -421,19 +421,23 @@ object TextQueries {
       Seq("A2", "A3")
     ),
 
-    // Language-ID heuristic distribution (stopword-hit argmax — library
-    // semantics pinned by OperatorsSpec; rows-only).
+    // Language-ID heuristic distribution (stopword-hit + trigram argmax).
+    // Oracle-matched: both scores are exact integer ratios divided once in
+    // double, and DuckDB's list_max on structs has the same lexicographic
+    // (score, lang) tie-break as Spark's array_max; the SQL is generated
+    // from the same stopword/trigram tables the Spark expressions use.
     "ta_langid" -> Q(
       (s, d) =>
         documents(s, d)
           .withColumn("pred_stopword", langId(col("text")))
           .withColumn("pred_ngram", langIdNgram(col("text")))
           .groupBy(col("pred_stopword"), col("pred_ngram")).agg(count(lit(1)).as("n")),
-      None,
+      Some(langIdOracleSql),
       Seq("C1")
     ),
 
     // Winnowing rolling-hash fingerprints: shared-hash near-dup candidates
+    // (langIdOracleSql helper lives at the bottom of this object)
     // would join on exploded fingerprint hashes. Oracle-matched via the
     // 60-bit md5-derived k-gram hash (DuckDB `md5_number_lower >> 4`).
     "dd_winnowing" -> Q(
@@ -481,4 +485,35 @@ object TextQueries {
       Seq("A6")
     )
   )
+
+  /** DuckDB twin of [[graft.functions.TextFunctions.langId]] +
+    * [[graft.functions.TextFunctions.langIdNgram]], generated from the SAME
+    * stopword/trigram tables so the two sides cannot drift.
+    */
+  private def langIdOracleSql: String = {
+    import graft.functions.TextFunctions.{langStopwords, langTrigrams}
+    val langs = langStopwords.keys.toSeq.sorted
+    def swStruct(l: String): String = {
+      val sw = langStopwords(l).map(s => s"'$s'").mkString(",")
+      s"{'score': CAST(len(list_filter(toks, t -> list_contains([$sw], t))) AS DOUBLE) / " +
+        s"CAST(greatest(len(toks), 1) AS DOUBLE), 'lang': '$l'}"
+    }
+    def ngStruct(l: String): String = {
+      val terms = langTrigrams(l)
+        .map(g => s"(length(padded) - length(replace(padded, '$g', ''))) / ${g.length}")
+        .mkString(" + ")
+      s"{'score': CAST($terms AS DOUBLE) / CAST(greatest(length(padded), 1) AS DOUBLE), 'lang': '$l'}"
+    }
+    s"""WITH base AS (
+       |  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,
+       |         ' ' || lower(trim(text)) || ' ' AS padded
+       |  FROM documents),
+       |scored AS (
+       |  SELECT
+       |    (list_max([${langs.map(swStruct).mkString(",\n      ")}])).lang AS pred_stopword,
+       |    (list_max([${langs.map(ngStruct).mkString(",\n      ")}])).lang AS pred_ngram
+       |  FROM base)
+       |SELECT pred_stopword, pred_ngram, count(*) AS n
+       |FROM scored GROUP BY pred_stopword, pred_ngram""".stripMargin
+  }
 }

@@ -132,12 +132,38 @@ object VectorQueries {
       Seq("E2")
     ),
 
-    // MinHash-LSH near-dup candidates over documents (banded; no CartesianProduct).
+    // MinHash-LSH near-dup candidates over documents (banded; no
+    // CartesianProduct). Oracle-matched: both the 16 seeded token hashes and
+    // the band-bucket hash use the DuckDB-recomputable md5Lower60, so the
+    // full signature → band → candidate-pair pipeline is value-checked.
     "dd_minhash_lsh" -> Q(
       (s, d) =>
-        Dedup.minhashCandidates(documents(s, d), "doc_id", "text", numHashes = 16, bands = 4)
+        Dedup.minhashCandidates(documents(s, d), "doc_id", "text", numHashes = 16, bands = 4,
+          seededHash = Dedup.md5SeededHash, bucketHash = Dedup.md5BucketHash)
           .agg(count(lit(1)).as("n_candidate_pairs")),
-      None,
+      Some("""WITH docs AS (
+             |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+             |  FROM documents),
+             |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs WHERE len(toks) > 0),
+             |hashed AS (
+             |  SELECT doc_id, s.seed,
+             |         min(CAST((md5_number_lower(CAST(s.seed AS VARCHAR) || '|' || t) >> 4) AS BIGINT)) AS mh
+             |  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
+             |  GROUP BY doc_id, s.seed),
+             |sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hashed GROUP BY doc_id),
+             |bands AS (
+             |  SELECT doc_id, b.band,
+             |         CAST((md5_number_lower(array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4), ',')) >> 4) AS BIGINT) AS bucket
+             |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+             |capped AS (
+             |  SELECT doc_id, band, bucket FROM (
+             |    SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bn
+             |    FROM bands) WHERE bn <= 10000),
+             |pairs AS (
+             |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+             |  FROM capped a JOIN capped b2 USING (band, bucket)
+             |  WHERE a.doc_id < b2.doc_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM pairs""".stripMargin),
       Seq("A6")
     ),
 
