@@ -46,10 +46,40 @@ object ExplainAudit {
     def plan(name: String): String =
       SparkEntry.battery(name).fn(spark, sfDir).queryExecution.executedPlan.toString
 
+    // size-adaptive J1: broadcasts while the ledger is small...
+    val j1SmallLedger =
+      plan("j1_incremental_antijoin").contains("BroadcastHashJoin") &&
+        plan("j1_incremental_antijoin").contains("LeftAnti")
+    // ...and takes the shuffle path when broadcast is off — proving the join
+    // carries no forced broadcast hint (the 100 TB ledger case)
+    val j1ShuffleLedger = {
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try !plan("j1_incremental_antijoin").contains("BroadcastHashJoin")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+
+    // IVF probe over a persisted cid-partitioned index prunes partitions
+    val ivfPrunes = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("audit-ivf").toString + "/index"
+      val vecs = (0 until 60).map { i =>
+        val a = i / 60.0 * 2 * math.Pi
+        (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f))
+      }.toDF("vec_id", "embedding")
+      val idx = graft.operators.Similarity.buildIvf(vecs, "embedding", "vec_id", 6)
+      graft.operators.Similarity.writeIvf(spark, idx, dir)
+      val res = graft.operators.Similarity.topKIvf(
+        graft.operators.Similarity.readIvf(spark, dir), "embedding", "vec_id",
+        Array(1f, 0f, 0f, 0f), 3, 2)
+      val scan = res.queryExecution.executedPlan.collectLeaves().head.toString
+      scan.contains("PartitionFilters") && scan.contains("cid")
+    }
+
     val checks = Seq(
-      ("j1 anti-join broadcasts the state side",
-        plan("j1_incremental_antijoin").contains("BroadcastHashJoin") &&
-          plan("j1_incremental_antijoin").contains("LeftAnti")),
+      ("j1 anti-join broadcasts a small ledger (size-adaptive, no hint)", j1SmallLedger),
+      ("j1 anti-join shuffles when broadcast is unavailable (no forced hint)", j1ShuffleLedger),
+      ("ivf probe prunes cid partitions on a persisted index", ivfPrunes),
       ("star join uses broadcast joins only",
         !plan("q_star_join").contains("SortMergeJoin")),
       ("f6 filter is pushed to the parquet scan",

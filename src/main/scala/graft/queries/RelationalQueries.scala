@@ -49,14 +49,16 @@ object RelationalQueries {
       Seq("A2")
     ),
 
-    // J1: the central incremental anti-join — big fact side stays unshuffled,
-    // the small "already processed" side is broadcast.
+    // J1: the central incremental anti-join — size-adaptive like
+    // Identify.identifyFiles: no broadcast hint, so AQE broadcasts the
+    // "already processed" side while it fits and shuffles beyond (the
+    // ledger is unbounded at the 100 TB north star).
     "j1_incremental_antijoin" -> Q(
       (s, d) => {
         val state = orders(s, d).filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey").as("l_orderkey"))
         lineitem(s, d)
-          .join(broadcast(state), Seq("l_orderkey"), "left_anti")
+          .join(state, Seq("l_orderkey"), "left_anti")
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
       },
