@@ -69,9 +69,39 @@ object ScaleProbe {
     val (_, tStore) = timed { store.upsert(spark, embedded) }
     val stored = store.count(spark)
 
+    // Ledger at corpus scale: one row per document, persisted as
+    // status-partitioned parquet with no driver materialization, then the
+    // size-adaptive J1 anti-join over a 1%-changed CDC snapshot — including
+    // the forced shuffle path, which is what a 10⁸-doc ledger would take.
+    val ledgerPath = "/tmp/graft/scaleprobe_ledger"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ledgerPath))
+    val ledger = new graft.state.PipelineState(ledgerPath)
+    val ledgerRows = corpus.select(
+      col("docId"), col("hash"),
+      lit("processed").as("status"), lit("t0").as("at"),
+      lit(null).cast("string").as("error"))
+    val (_, tLedgerSave) = timed { ledger.save(spark, ledgerRows) }
+    val state = ledger.load(spark)
+    val cdc = corpus.select(
+      col("docId"),
+      when(pmod(xxhash64(col("docId")), lit(100)) === 0, concat(col("hash"), lit("x")))
+        .otherwise(col("hash")).as("hash"))
+    val (nChanged, tIdentify) = timed {
+      graft.operators.Identify.identifyFiles(cdc, state).count()
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (nChangedShuffle, tIdentifyShuffle) = timed {
+      graft.operators.Identify.identifyFiles(cdc, state).count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    require(nChanged == nChangedShuffle, "broadcast and shuffle paths must agree")
+
     println(
       s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
         s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
+        s""""ledger_save_sec":${f"$tLedgerSave%.1f"},"identify_changed":$nChanged,""" +
+        s""""identify_sec":${f"$tIdentify%.1f"},"identify_shuffle_sec":${f"$tIdentifyShuffle%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
     spark.stop()
