@@ -34,15 +34,23 @@ object VectorFunctions {
     */
   def vecLit(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
 
+  /** The ±1 sign pattern of one deterministic pseudo-random hyperplane, as a
+    * `+`/`-` string — the single source of truth for the column expression
+    * below AND for SQL oracles that inline the same plane as a literal.
+    */
+  def planeSignString(dim: Int, planeSeed: Int): String =
+    (0 until dim).map { i =>
+      if (scala.util.hashing.MurmurHash3.productHash((i, planeSeed)) % 2 == 0) '+' else '-'
+    }.mkString
+
   /** Deterministic random hyperplane for LSH: 64 pseudo-random ±1 components
-    * derived from `xxhash64(dim_index, plane_seed)` — computed per-row-free as
-    * a literal-driven expression so every executor sees identical planes.
+    * derived from a hash of (dim_index, plane_seed) — computed per-row-free
+    * as a literal-driven expression so every executor sees identical planes.
     */
   def hyperplaneSign(vec: Column, dim: Int, planeSeed: Int): Column = {
-    // sign pattern: hash(i, seed) parity
+    val signs = planeSignString(dim, planeSeed)
     val terms = (0 until dim).map { i =>
-      val sign = if (scala.util.hashing.MurmurHash3.productHash((i, planeSeed)) % 2 == 0) 1.0 else -1.0
-      element_at(vec, i + 1).cast("double") * lit(sign)
+      element_at(vec, i + 1).cast("double") * lit(if (signs(i) == '+') 1.0 else -1.0)
     }
     val s = terms.reduce(_ + _)
     when(s >= 0.0, lit(1)).otherwise(lit(0))

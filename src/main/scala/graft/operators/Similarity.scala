@@ -139,12 +139,11 @@ object Similarity {
     */
   private[operators] def lshBucketLocal(vec: Array[Float], nPlanes: Int, seed: Int = 42): Int =
     (0 until nPlanes).map { p =>
+      val signs = planeSignString(vec.length, seed + p)
       var s = 0.0
       var i = 0
       while (i < vec.length) {
-        val sign =
-          if (scala.util.hashing.MurmurHash3.productHash((i, seed + p)) % 2 == 0) 1.0 else -1.0
-        s += vec(i).toDouble * sign
+        s += vec(i).toDouble * (if (signs(i) == '+') 1.0 else -1.0)
         i += 1
       }
       (if (s >= 0.0) 1 else 0) << p

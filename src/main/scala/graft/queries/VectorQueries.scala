@@ -109,26 +109,32 @@ object VectorQueries {
       Seq("E2")
     ),
 
-    // ANN via an IVF index: nearest-centroid cells, probe the best 2 cells
-    // (rows-only; recall pinned by OperatorsSpec).
+    // ANN via an IVF index: nearest-centroid cells, probe the best 2 cells.
+    // Oracle-matched: the whole build (first-k-by-id seeds, argmax cell
+    // assignment, one Lloyd refinement) is deterministic relational algebra
+    // DuckDB replays — struct max gives the same (sim, cid) argmax
+    // tie-break as Spark's array_max.
     "e2_ann_ivf_topk" -> Q(
       (s, d) => {
         val index = Similarity.buildIvf(
           embeddings(s, d).filter(col("vec_id") =!= 0), "embedding", "vec_id", k = 16)
         Similarity.topKIvf(index, "embedding", "vec_id", queryVec(s, d), k = 10, nProbes = 2)
       },
-      None,
+      Some(ivfOracleSql(kCentroids = 16, nProbes = 2, k = 10)),
       Seq("E2")
     ),
 
-    // ANN via random-hyperplane LSH buckets (approximate — no SQL oracle;
-    // the driver records a rows-only check).
+    // ANN via random-hyperplane LSH buckets. Oracle-matched: the plane sign
+    // patterns are inlined into the SQL from the SAME generator the Spark
+    // expression uses (VectorFunctions.planeSignString), and bucket probing
+    // (Hamming ≤ probes) is bit_count(xor(...)) on both sides; round(...,6)
+    // absorbs sum-reassociation noise as in the green e2_cosine_topk oracle.
     "e2_ann_lsh_topk" -> Q(
       (s, d) => Similarity.topKLsh(
         embeddings(s, d).filter(col("vec_id") =!= 0),
         "embedding", "vec_id", queryVec(s, d), 10, dim = 64, nPlanes = 8, probes = 1
       ),
-      None,
+      Some(annLshOracleSql(nPlanes = 8, probes = 1, k = 10)),
       Seq("E2")
     ),
 
@@ -198,13 +204,127 @@ object VectorQueries {
       Seq("A6")
     ),
 
-    // Embedding-cosine near-dup, hyperplane-bucketed.
+    // Embedding-cosine near-dup, hyperplane-bucketed. Oracle-matched via the
+    // same inlined plane-sign literals as e2_ann_lsh_topk.
     "dd_cosine_lsh" -> Q(
       (s, d) =>
         Dedup.cosineCandidates(embeddings(s, d), "vec_id", "embedding", dim = 64, nPlanes = 6, threshold = 0.5)
           .agg(count(lit(1)).as("n_pairs")),
-      None,
+      Some(cosineLshOracleSql(nPlanes = 6, threshold = 0.5, maxBucketSize = 10000)),
       Seq("E2")
     )
   )
+
+  /** VALUES rows `(p, '+-+...')` for `nPlanes` hyperplanes over 64 dims —
+    * generated from the SAME sign source the Spark expressions use.
+    */
+  private def planesValues(nPlanes: Int, dim: Int = 64, seed: Int = 42): String =
+    (0 until nPlanes)
+      .map(p => s"($p, '${graft.functions.VectorFunctions.planeSignString(dim, seed + p)}')")
+      .mkString(", ")
+
+  /** Shared SQL prelude: per-vector hyperplane bucket ids over `embeddings`. */
+  private def bucketsSql(nPlanes: Int): String =
+    s"""planes(p, s) AS (VALUES ${planesValues(nPlanes)}),
+       |unn AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |               CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+       |sums AS (
+       |  SELECT u.vec_id, pl.p,
+       |         sum(u.x * CASE WHEN substr(pl.s, u.i, 1) = '+' THEN 1.0 ELSE -1.0 END) AS sm
+       |  FROM unn u CROSS JOIN planes pl GROUP BY u.vec_id, pl.p),
+       |buckets AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN sm >= 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM sums GROUP BY vec_id)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Similarity.topKLsh]]. */
+  private def annLshOracleSql(nPlanes: Int, probes: Int, k: Int): String =
+    s"""WITH ${bucketsSql(nPlanes)},
+       |qb AS (SELECT bucket AS qbucket FROM buckets WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT b.vec_id FROM buckets b, qb
+       |  WHERE b.vec_id <> 0 AND bit_count(xor(b.bucket, qb.qbucket)) <= $probes),
+       |q AS (SELECT i, x FROM unn WHERE vec_id = 0),
+       |v AS (SELECT vec_id, i, x FROM unn WHERE vec_id IN (SELECT vec_id FROM cand)),
+       |sims AS (SELECT v.vec_id, sum(v.x * q.x) AS dot, sqrt(sum(v.x * v.x)) AS na
+       |         FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id),
+       |nb AS (SELECT sqrt(sum(x * x)) AS nb FROM q)
+       |SELECT vec_id, round(dot / (na * (SELECT nb FROM nb)), 6) AS sim FROM sims
+       |ORDER BY dot / (na * (SELECT nb FROM nb)) DESC, vec_id
+       |LIMIT $k""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Similarity.buildIvf]] +
+    * [[graft.operators.Similarity.topKIvf]]: deterministic seed rows (first
+    * k by id), argmax assignment, one Lloyd step, probe the best `nProbes`
+    * cells, brute-force within them.
+    */
+  private def ivfOracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
+    s"""WITH unn AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM unn ORDER BY vec_id LIMIT $kCentroids)),
+       |seedvec AS (SELECT s.cid, u.i, u.x FROM seeds s JOIN unn u ON u.vec_id = s.vec_id),
+       |cos1 AS (
+       |  SELECT u.vec_id, sv.cid, sum(u.x * sv.x) AS dot,
+       |         sqrt(sum(u.x * u.x)) AS na, sqrt(sum(sv.x * sv.x)) AS nb
+       |  FROM unn u JOIN seedvec sv ON u.i = sv.i GROUP BY u.vec_id, sv.cid),
+       |assign1 AS (
+       |  SELECT vec_id,
+       |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
+       |  FROM cos1 GROUP BY vec_id),
+       |cents AS (
+       |  SELECT a.cid, u.i, avg(u.x) AS c
+       |  FROM assign1 a JOIN unn u USING (vec_id) GROUP BY a.cid, u.i),
+       |cos2 AS (
+       |  SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot,
+       |         sqrt(sum(u.x * u.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
+       |  FROM unn u JOIN cents c ON u.i = c.i GROUP BY u.vec_id, c.cid),
+       |assign2 AS (
+       |  SELECT vec_id,
+       |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
+       |  FROM cos2 GROUP BY vec_id),
+       |qv AS (SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+       |       FROM embeddings WHERE vec_id = 0),
+       |qcos AS (
+       |  SELECT c.cid, sum(q.x * c.c) AS dot,
+       |         sqrt(sum(q.x * q.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
+       |  FROM qv q JOIN cents c ON q.i = c.i GROUP BY c.cid),
+       |probes AS (
+       |  SELECT cid FROM qcos
+       |  ORDER BY (CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END) DESC
+       |  LIMIT $nProbes),
+       |v2 AS (SELECT u.vec_id, u.i, u.x FROM unn u JOIN assign2 a USING (vec_id)
+       |       WHERE a.cid IN (SELECT cid FROM probes)),
+       |sims AS (SELECT v2.vec_id, sum(v2.x * q.x) AS dot, sqrt(sum(v2.x * v2.x)) AS na
+       |         FROM v2 JOIN qv q ON v2.i = q.i GROUP BY v2.vec_id),
+       |nb2 AS (SELECT sqrt(sum(x * x)) AS nb FROM qv)
+       |SELECT vec_id, round(dot / (na * (SELECT nb FROM nb2)), 6) AS sim FROM sims
+       |ORDER BY dot / (na * (SELECT nb FROM nb2)) DESC, vec_id
+       |LIMIT $k""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.cosineCandidates]] + count. */
+  private def cosineLshOracleSql(nPlanes: Int, threshold: Double, maxBucketSize: Int): String =
+    s"""WITH ${bucketsSql(nPlanes)},
+       |capped AS (
+       |  SELECT vec_id, bucket FROM (
+       |    SELECT vec_id, bucket, count(*) OVER (PARTITION BY bucket) AS bn FROM buckets)
+       |  WHERE bn <= $maxBucketSize),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b USING (bucket) WHERE a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT p.id_a, p.id_b, sum(x1.x * x2.x) AS dot,
+       |         sqrt(sum(x1.x * x1.x)) AS na, sqrt(sum(x2.x * x2.x)) AS nb
+       |  FROM pairs p
+       |  JOIN unn x1 ON x1.vec_id = p.id_a
+       |  JOIN unn x2 ON x2.vec_id = p.id_b AND x1.i = x2.i
+       |  GROUP BY p.id_a, p.id_b),
+       |sel AS (
+       |  SELECT DISTINCT id_a, id_b,
+       |         round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 6) AS cos
+       |  FROM dots
+       |  WHERE (CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END) >= $threshold)
+       |SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM sel""".stripMargin
 }
