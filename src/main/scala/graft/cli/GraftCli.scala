@@ -78,9 +78,10 @@ object GraftCli {
       storePath: String,
       ledgerPath: String,
       settings: Settings,
-      provider: EmbeddingProvider = null
-  ): ProcessResult =
-    process(
+      provider: EmbeddingProvider = null,
+      progressSink: String => Unit = s => Console.err.println(s)
+  ): ProcessResult = {
+    def run(): ProcessResult = process(
       spark, stateJson, extractedDir, storePath, ledgerPath,
       force = settings.force,
       limit = settings.limit,
@@ -90,6 +91,10 @@ object GraftCli {
       datasetFilter = settings.datasetLikePattern,
       store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
     )
+    if (settings.progress)
+      graft.ops.ProgressReporter.withProgress(spark, "process", progressSink)(run())
+    else run()
+  }
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -131,7 +136,7 @@ object GraftCli {
         System.err.println(
           """usage: graft.cli.GraftCli <command>
             |  process <state.json> <extractedDir> <storePath> <ledgerPath> [flags]
-            |    flags (override GRAFT_* env vars): --force --limit=N
+            |    flags (override GRAFT_* env vars): --force --progress --limit=N
             |      --target-tokens=N --max-tokens=N --min-tokens=N --overlap-ratio=R
             |      --dataset=GLOB --storage-type=parquet|json --prefix-len=N
             |      --embedding-model=NAME --embedding-dim=N

@@ -38,7 +38,11 @@ final case class Settings(
       * tiktoken-format rank file (e.g. cl100k_base.tiktoken) for byte-parity
       * with the reference's chunk boundaries.
       */
-    tokenizer: String = "word"
+    tokenizer: String = "word",
+    /** emit task-level progress lines during `process` (reference
+      * `progress.py` Rich bars → driver log lines here).
+      */
+    progress: Boolean = false
 ) {
   require(embeddingDimensions >= 1 && embeddingDimensions <= 3072,
     s"embeddingDimensions must be 1..3072, got $embeddingDimensions")
@@ -84,7 +88,7 @@ object Settings {
   private val envKeys = Seq(
     "EMBEDDING_MODEL", "EMBEDDING_DIMENSIONS", "STORAGE_TYPE", "STORE_PREFIX_LEN",
     "CHUNK_MAX_TOKENS", "CHUNK_TARGET_TOKENS", "CHUNK_MIN_TOKENS", "CHUNK_OVERLAP_RATIO",
-    "DATASET_FILTER", "FORCE", "LIMIT", "TOKENIZER"
+    "DATASET_FILTER", "FORCE", "LIMIT", "TOKENIZER", "PROGRESS"
   )
 
   def fromEnv(env: Map[String, String] = sys.env): Settings =
@@ -104,6 +108,7 @@ object Settings {
     val settings = flags.foldLeft(fromEnv(env)) { (s, flag) =>
       flag.stripPrefix("--").split("=", 2) match {
         case Array("force")                 => s.copy(force = true)
+        case Array("progress")              => s.copy(progress = true)
         case Array("embedding-model", v)    => applyKey(s, "EMBEDDING_MODEL", v)
         case Array("embedding-dim", v)      => applyKey(s, "EMBEDDING_DIMENSIONS", v)
         case Array("storage-type", v)       => applyKey(s, "STORAGE_TYPE", v)
@@ -135,6 +140,7 @@ object Settings {
     case "FORCE"                => s.copy(force = v.equalsIgnoreCase("true") || v == "1")
     case "LIMIT"                => s.copy(limit = Some(toInt(key, v)))
     case "TOKENIZER"            => s.copy(tokenizer = v)
+    case "PROGRESS"             => s.copy(progress = v.equalsIgnoreCase("true") || v == "1")
   }
 
   private def toInt(key: String, v: String): Int =

@@ -6,6 +6,7 @@ import graft.SparkSpec
 import graft.operators.Enrichers
 import graft.sources.ChunkStore
 import graft.state.PipelineState
+import graft.ops.ProgressReporter
 
 /** Ops jobs (status/validate/migrate) + enrichment chain + F5 guard. */
 class OpsSpec extends SparkSpec {
@@ -67,6 +68,26 @@ class OpsSpec extends SparkSpec {
       .select("docId", "error").as[(String, Option[String])].collect().toMap
     assert(out("d1").isEmpty)
     assert(out("d2").exists(_.contains("file not found")))
+  }
+
+  test("progress reporter emits forward-only percentage steps and a summary") {
+    val lines = new scala.collection.mutable.ArrayBuffer[String]
+    val sink: String => Unit = s => lines.synchronized { lines += s; () }
+    val n = ProgressReporter.withProgress(spark, "test-run", sink, everyPct = 10) {
+      spark.range(0, 10000, 1, 8).selectExpr("sum(id)").head().getLong(0)
+      spark.range(0, 1000, 1, 4).count()
+    }
+    assert(n == 1000L)
+    // listener bus is async; wait for the final lines to drain
+    val deadline = System.currentTimeMillis() + 10000
+    while (System.currentTimeMillis() < deadline &&
+      !lines.synchronized(lines.exists(_.contains("done")))) Thread.sleep(50)
+    val snapshot = lines.synchronized(lines.toList)
+    assert(snapshot.exists(_.startsWith("[test-run]")), s"got: $snapshot")
+    assert(snapshot.exists(_.contains("done (")), "summary line emitted on exit")
+    val pcts = snapshot.filter(_.contains("%"))
+      .map(l => l.substring(l.indexOf("] ") + 2, l.indexOf("%")).toInt)
+    assert(pcts == pcts.sorted, "progress must only move forward")
   }
 
   test("enrichment chain applies in order with failure isolation") {
