@@ -67,6 +67,22 @@ object StreamingPipeline {
         }
       }
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.operators.Dedup.exact]]: drop rows whose `sha2(textCol)` was
+    * already emitted within the watermark horizon. The horizon bounds the
+    * dedup state (expired keys are evicted), which is what makes exact dedup
+    * viable on an unbounded stream — global-forever dedup state would grow
+    * without bound at 100 TB scale.
+    */
+  def dedupExactStream(
+      events: DataFrame, textCol: String, tsCol: String, watermark: String
+  ): DataFrame =
+    events
+      .withColumn("_h", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+
   /** Watermarked sliding-window counts over an event stream — the streaming
     * twin of [[graft.operators.EventWindows.sliding]].
     */

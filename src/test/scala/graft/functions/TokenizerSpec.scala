@@ -87,6 +87,17 @@ class TokenizerSpec extends AnyFunSuite {
     assert(bpeChunks.forall(_.tokenCount > 0))
   }
 
+  test("property: BPE decode∘encode is identity; count equals encode length") {
+    val bpe = BpeTokenCounter.fromVocab(Seq("ab", "bc", "abc", "the", "he"))
+    val gen = Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.oneOf("the", "abc", "ab c", "æøå", " ")))
+      .map(_.mkString(" "))
+    val prop = forAll(gen) { text =>
+      bpe.decode(bpe.encode(text)) == text &&
+        bpe.countTokens(text) == bpe.encode(text).length
+    }
+    assert(check(Parameters.default.withMinSuccessfulTests(200), prop).passed)
+  }
+
   test("property: count equals encode length; split parts re-count within bound") {
     val wordGen = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty)).map(_.mkString(" "))
     val prop = forAll(wordGen) { text =>

@@ -99,10 +99,8 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, java.sql.Timestamp)]
-    val docs = mem.toDF().toDF("text", "ts")
-      .withColumn("h", sha2(col("text"), 256))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("h")
+    val docs = StreamingPipeline.dedupExactStream(
+      mem.toDF().toDF("text", "ts"), "text", "ts", "1 hour")
     val q = docs.writeStream.format("memory").queryName("dedup").outputMode("append").start()
     mem.addData(
       ("same text", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
@@ -110,8 +108,9 @@ class StreamingSpec extends SparkSpec {
       ("other text", java.sql.Timestamp.valueOf("2024-01-01 00:06:00"))
     )
     q.processAllAvailable()
-    assert(spark.sql("SELECT count(DISTINCT h) FROM dedup").head().getLong(0) ==
-      spark.sql("SELECT count(*) FROM dedup").head().getLong(0), "no duplicate hashes emitted")
+    assert(spark.sql("SELECT count(DISTINCT text) FROM dedup").head().getLong(0) ==
+      spark.sql("SELECT count(*) FROM dedup").head().getLong(0), "no duplicate texts emitted")
+    assert(spark.sql("SELECT count(*) FROM dedup").head().getLong(0) == 2)
     q.stop()
   }
 
