@@ -3,9 +3,12 @@ package graft.cli
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.DataFrame
+
 import graft.chunker.LovdataChunker
 import graft.config.Settings
 import graft.embed.{DeterministicProvider, EmbeddingProvider}
+import graft.operators.Similarity
 import graft.ops.Ops
 import graft.pipeline.Pipeline
 import graft.sources.{ChunkStore, LovligState, XmlFiles}
@@ -96,6 +99,28 @@ object GraftCli {
     else run()
   }
 
+  /** `lg search` — documented in the reference's guide (`docs/GUIDE.md:190-193`)
+    * but absent from its CLI; completed here: embed the query text with the
+    * same provider the store was built with, cosine top-k over the stored
+    * chunks, return (chunkId, documentId, sim, content). Brute force plans
+    * as scan → TakeOrdered (no shuffle); swap in `Similarity.topKLsh`/IVF
+    * for the partition-pruned path at scale.
+    */
+  def search(
+      spark: SparkSession,
+      store: ChunkStore,
+      query: String,
+      k: Int = 10,
+      provider: EmbeddingProvider = new DeterministicProvider(64)
+  ): DataFrame = {
+    val qv = provider.embedBatch(Seq(query)).head
+    val chunks = store.read(spark).filter(col("embedding").isNotNull)
+    Similarity.topK(chunks, "embedding", "chunkId", qv, k)
+      .join(chunks.select("chunkId", "documentId", "content"), Seq("chunkId"))
+      .orderBy(col("sim").desc, col("chunkId"))
+      .select("chunkId", "documentId", "sim", "content")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -120,6 +145,22 @@ object GraftCli {
             System.err.println("usage: process <state.json> <extractedDir> <storePath> <ledgerPath> [flags]")
             2
         }
+      case "search" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: query :: Nil =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val provider = new DeterministicProvider(settings.embeddingDimensions)
+            search(spark, store, query, settings.limit.getOrElse(10), provider)
+              .collect().foreach { r =>
+                println(s"${r.getAs[String]("chunkId")}\t${r.getAs[Double]("sim")}\t" +
+                  r.getAs[String]("content").take(120).replace("\n", " "))
+              }
+            0
+          case _ =>
+            System.err.println("usage: search <storePath> <query> [--limit=K flags]")
+            2
+        }
       case "status" :: ledgerPath :: storePath :: Nil =>
         val s = Ops.status(spark, ledgerPath, new ChunkStore(storePath))
         println(s"processed=${s.processed} failed=${s.failed} chunks=${s.storeChunks} docs=${s.storeDocs}")
@@ -141,6 +182,7 @@ object GraftCli {
             |      --dataset=GLOB --storage-type=parquet|json --prefix-len=N
             |      --embedding-model=NAME --embedding-dim=N
             |      --tokenizer=word|bpe:<rank-file>
+            |  search <storePath> <query> [--limit=K --embedding-dim=N]
             |  status <ledgerPath> <storePath>
             |  validate <ledgerPath> <storePath>
             |  migrate <srcPath> <srcFormat> <dstPath> <dstFormat>""".stripMargin)

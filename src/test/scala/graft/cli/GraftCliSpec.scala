@@ -92,6 +92,36 @@ class GraftCliSpec extends SparkSpec {
     assert(run(force = true).summary.processed == 2, "force must reprocess the unchanged doc too")
   }
 
+  test("search: querying a stored chunk's exact text returns that chunk at sim≈1") {
+    val root = tmpDir("clisearch")
+    val extracted = s"$root/extracted"
+    Files.createDirectories(Paths.get(extracted, "ds1"))
+    writeXml(s"$extracted/ds1", "doc_a.xml", "Alpha beta gamma delta.")
+    writeXml(s"$extracted/ds1", "doc_b.xml", "Epsilon zeta eta theta.")
+    val stateJson = s"$root/state.json"
+    Files.write(Paths.get(stateJson),
+      """{"raw_datasets":{"ds1.tar.bz2":{"files":{
+        |"doc_a.xml":{"status":"added","sha256":"ha"},
+        |"doc_b.xml":{"status":"added","sha256":"hb"}}}}}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+    val storePath = s"$root/store"
+    val provider = new DeterministicProvider(16)
+    assert(GraftCli.process(spark, stateJson, extracted, storePath, s"$root/ledger",
+      chunker = new LovdataChunker(targetTokens = 20, maxTokens = 100, minTokens = 2),
+      provider = provider).summary.processed == 2)
+
+    val store = new ChunkStore(storePath)
+    import spark.implicits._
+    val storedText = store.read(spark)
+      .filter(org.apache.spark.sql.functions.col("documentId") === "doc_a")
+      .select("content").as[String].head()
+    val hits = GraftCli.search(spark, store, storedText, k = 2, provider = provider)
+    val top = hits.head()
+    assert(top.getAs[String]("documentId") == "doc_a",
+      "same text embeds to the same vector, so its own chunk must rank first")
+    assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-4)
+  }
+
   test("settings drive chunk params, store bucketing, and dataset pattern end-to-end") {
     val root = tmpDir("clicfg")
     val extracted = s"$root/extracted"
