@@ -36,24 +36,46 @@ object Dedup {
   /** Distinct word set of a text column. */
   def wordSet(c: Column): Column = array_distinct(split(trim(c), "\\s+"))
 
-  /** MinHash signature: for each of `numHashes` seeds, the min over the
-    * token set of `seededHash(token, seed)`. Codegen'd (transform +
-    * array_min), no UDF. The hash is pluggable so the oracle variant can use
-    * the DuckDB-recomputable [[md5Lower60]] over `"<seed>|<token>"`.
+  /** The MinHash permutation family: affine universal hashes
+    * `h_i(x) = (a_i · (x mod p) + b_i) mod p` over the Mersenne prime
+    * p = 2³¹−1, applied to ONE base hash per token. One expensive base hash
+    * (not numHashes of them) per token, then numHashes cheap codegen'd
+    * arithmetic transforms — and the family is plain integer math any SQL
+    * oracle replays with the same inlined (a, b) constants.
     */
-  def minhashSignatureWith(
-      tokens: Column, numHashes: Int, seededHash: (Column, Int) => Column
-  ): Column =
+  val MersenneP: Long = (1L << 31) - 1
+
+  /** Deterministic per-seed affine constants, shared by the Spark expression
+    * and generated oracle SQL.
+    */
+  def affineConstants(seed: Int): (Long, Long) = {
+    def h(tag: Int): Long =
+      (scala.util.hashing.MurmurHash3.productHash((seed, tag)) & 0x7fffffff).toLong
+    ((h(0xA11CE) % (MersenneP - 1)) + 1, h(0xB0B) % MersenneP)
+  }
+
+  /** `h_seed` over a non-negative base-hash column. */
+  def affineSeeded(base: Column, seed: Int): Column = {
+    val (a, b) = affineConstants(seed)
+    (base % lit(MersenneP) * lit(a) + lit(b)) % lit(MersenneP)
+  }
+
+  /** MinHash signature from a base-hash ARRAY column (one hash per token):
+    * for each seed, the min over tokens of the affine-permuted base hash.
+    * Codegen'd (transform + array_min), no UDF.
+    */
+  def minhashSignatureFromBase(baseHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
-      array_min(transform(tokens, t => seededHash(t, seed)))
+      array_min(transform(baseHashes, h => affineSeeded(h, seed)))
     }: _*)
 
-  def minhashSignature(tokens: Column, numHashes: Int): Column =
-    minhashSignatureWith(tokens, numHashes, (t, seed) => xxhash64(t, lit(seed)))
+  /** Non-negative 63-bit default base hash (xxhash64 with the sign cleared —
+    * the affine family needs `x mod p` of a non-negative x).
+    */
+  def xxBaseHash(t: Column): Column = xxhash64(t).bitwiseAND(lit(Long.MaxValue))
 
-  /** Oracle-matched seeded token hash: [[md5Lower60]] of `"<seed>|<token>"`. */
-  def md5SeededHash(t: Column, seed: Int): Column =
-    md5Lower60(concat(lit(s"$seed|"), t))
+  def minhashSignature(tokens: Column, numHashes: Int): Column =
+    minhashSignatureFromBase(transform(tokens, t => xxBaseHash(t)), numHashes)
 
   /** Oracle-matched band-bucket hash: [[md5Lower60]] of the comma-joined
     * decimal slice (DuckDB: `md5_number_lower(array_to_string(slice, ','))`).
@@ -113,14 +135,17 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 4,
       maxBucketSize: Int = 10000,
-      seededHash: (Column, Int) => Column = (t, seed) => xxhash64(t, lit(seed)),
+      baseHash: Column => Column = t => xxBaseHash(t),
       bucketHash: Column => Column = s => xxhash64(s)
   ): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigs = df
       .select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
-      .withColumn("sig", minhashSignatureWith(col("toks"), numHashes, seededHash))
+      // materialize ONE base hash per token; CollapseProject keeps this
+      // separate because the array is referenced numHashes times below
+      .withColumn("baseH", transform(col("toks"), t => baseHash(t)))
+      .withColumn("sig", minhashSignatureFromBase(col("baseH"), numHashes))
       .withColumn("bandBucket", explode(lshBandsWith(col("sig"), bands, rowsPerBand, bucketHash)))
       .select(col("id"), col("bandBucket.band"), col("bandBucket.bucket"))
     val capped = capBuckets(sigs, Seq("band", "bucket"), maxBucketSize)

@@ -139,37 +139,16 @@ object VectorQueries {
     ),
 
     // MinHash-LSH near-dup candidates over documents (banded; no
-    // CartesianProduct). Oracle-matched: both the 16 seeded token hashes and
-    // the band-bucket hash use the DuckDB-recomputable md5Lower60, so the
-    // full signature → band → candidate-pair pipeline is value-checked.
+    // CartesianProduct). Oracle-matched: ONE md5-derived base hash per token
+    // (DuckDB-recomputable), then the affine universal-hash family mod
+    // 2³¹−1 with the same inlined (a, b) constants on both sides — the full
+    // signature → band → candidate-pair pipeline is value-checked.
     "dd_minhash_lsh" -> Q(
       (s, d) =>
         Dedup.minhashCandidates(documents(s, d), "doc_id", "text", numHashes = 16, bands = 4,
-          seededHash = Dedup.md5SeededHash, bucketHash = Dedup.md5BucketHash)
+          baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash)
           .agg(count(lit(1)).as("n_candidate_pairs")),
-      Some("""WITH docs AS (
-             |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
-             |  FROM documents),
-             |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs WHERE len(toks) > 0),
-             |hashed AS (
-             |  SELECT doc_id, s.seed,
-             |         min(CAST((md5_number_lower(CAST(s.seed AS VARCHAR) || '|' || t) >> 4) AS BIGINT)) AS mh
-             |  FROM tok CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) s
-             |  GROUP BY doc_id, s.seed),
-             |sigs AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hashed GROUP BY doc_id),
-             |bands AS (
-             |  SELECT doc_id, b.band,
-             |         CAST((md5_number_lower(array_to_string(list_slice(sig, b.band * 4 + 1, b.band * 4 + 4), ',')) >> 4) AS BIGINT) AS bucket
-             |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-             |capped AS (
-             |  SELECT doc_id, band, bucket FROM (
-             |    SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bn
-             |    FROM bands) WHERE bn <= 10000),
-             |pairs AS (
-             |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
-             |  FROM capped a JOIN capped b2 USING (band, bucket)
-             |  WHERE a.doc_id < b2.doc_id)
-             |SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM pairs""".stripMargin),
+      Some(minhashOracleSql(numHashes = 16, bands = 4, maxBucketSize = 10000)),
       Seq("A6")
     ),
 
@@ -214,6 +193,44 @@ object VectorQueries {
       Seq("E2")
     )
   )
+
+  /** DuckDB twin of [[graft.operators.Dedup.minhashCandidates]] + count,
+    * generated with the SAME affine constants ([[graft.operators.Dedup
+    * .affineConstants]]) the Spark expression inlines.
+    */
+  private def minhashOracleSql(numHashes: Int, bands: Int, maxBucketSize: Int): String = {
+    val p = Dedup.MersenneP
+    val mins = (0 until numHashes).map { s =>
+      val (a, b) = Dedup.affineConstants(s)
+      s"min((h * $a + $b) % $p) AS m$s"
+    }.mkString(",\n       |         ".stripMargin)
+    val rpb = numHashes / bands
+    val bandSelects = (0 until bands).map { bd =>
+      val cols = (bd * rpb until (bd + 1) * rpb).map(i => s"CAST(m$i AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bd AS band, CAST((md5_number_lower($cols) >> 4) AS BIGINT) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs WHERE len(toks) > 0),
+       |hashed AS (
+       |  SELECT doc_id, (CAST((md5_number_lower(t) >> 4) AS BIGINT) % $p) AS h FROM tok),
+       |sigs AS (
+       |  SELECT doc_id, $mins
+       |  FROM hashed GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |capped AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bn
+       |    FROM bands) WHERE bn <= $maxBucketSize),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+       |  FROM capped a JOIN capped b2 USING (band, bucket)
+       |  WHERE a.doc_id < b2.doc_id)
+       |SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM pairs""".stripMargin
+  }
 
   /** VALUES rows `(p, '+-+...')` for `nPlanes` hyperplanes over 64 dims —
     * generated from the SAME sign source the Spark expressions use.
