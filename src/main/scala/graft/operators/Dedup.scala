@@ -253,6 +253,67 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Connected components over near-dup candidate pairs: label every id with
+    * the minimum id reachable in its cluster (min-label propagation). This is
+    * the standard step AFTER candidate generation — pairs → clusters → one
+    * canonical keeper per cluster — without it a dedup pass can only drop
+    * pairwise, not transitively (a~b, b~c must collapse to one keeper even
+    * when a~c was never emitted).
+    *
+    * Each iteration is one equi-join + partial-aggregated groupBy; labels
+    * move one hop per iteration, so iterations = cluster diameter. Near-dup
+    * clusters are near-cliques (diameter ≲ 3); `maxIter` bounds pathological
+    * chains. At extreme scale the alternating large-star/small-star variant
+    * halves rounds; the operator contract (id → min reachable id) is the
+    * same.
+    *
+    * @return (id, comp) — every id appearing in a pair, labeled by cluster
+    */
+  def components(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20
+  ): DataFrame = {
+    // localCheckpoint (not cache) each round: iterative self-referencing
+    // plans grow without it — the lineage cut is what keeps plan size and
+    // task binaries constant across iterations
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("comp").as("nbrComp")), Seq("dst"))
+        .groupBy("src").agg(min("nbrComp").as("nbrComp"))
+        .withColumnRenamed("src", "id")
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(
+          col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
+          col("comp").as("prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("comp") < col("prev")).isEmpty
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    labels
+  }
+
+  /** The ids to DROP after near-dup clustering: everything that is not its
+    * cluster's canonical (minimum) id.
+    */
+  def duplicateIds(
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20
+  ): DataFrame =
+    components(pairs, idA, idB, maxIter)
+      .filter(col("id") =!= col("comp"))
+      .select(col("id"))
+
   /** Embedding-cosine near-dup candidates, LSH-bucketed: docs are bucketed by
     * random-hyperplane signs; pairs form within a bucket only, and oversized
     * buckets are dropped (see [[capBuckets]]) so one dense embedding cluster

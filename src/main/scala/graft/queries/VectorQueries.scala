@@ -152,6 +152,25 @@ object VectorQueries {
       Seq("A6")
     ),
 
+    // Near-dup clustering: connected components over the minhash candidate
+    // pairs (min-label propagation), summarized as component count/sizes.
+    // Oracle: recursive-CTE transitive closure over the same pairs.
+    "dd_components" -> Q(
+      (s, d) => {
+        val pairs = Dedup.minhashCandidates(documents(s, d), "doc_id", "text",
+          numHashes = 16, bands = 4,
+          baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash)
+        Dedup.components(pairs)
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .agg(
+            count(lit(1)).as("n_components"),
+            sum(col("sz")).as("n_clustered_docs"),
+            max(col("sz")).as("max_component_size"))
+      },
+      Some(componentsOracleSql(numHashes = 16, bands = 4, maxBucketSize = 10000)),
+      Seq("A6")
+    ),
+
     // SimHash signatures + near-dup bucketing by the top signature bits.
     // Oracle-matched: the 60-bit md5-derived token hash is recomputable in
     // DuckDB (`md5_number_lower >> 4`), so the whole signature is checked
@@ -198,19 +217,19 @@ object VectorQueries {
     * generated with the SAME affine constants ([[graft.operators.Dedup
     * .affineConstants]]) the Spark expression inlines.
     */
-  private def minhashOracleSql(numHashes: Int, bands: Int, maxBucketSize: Int): String = {
+  private def minhashPairsCte(numHashes: Int, bands: Int, maxBucketSize: Int): String = {
     val p = Dedup.MersenneP
     val mins = (0 until numHashes).map { s =>
       val (a, b) = Dedup.affineConstants(s)
       s"min((h * $a + $b) % $p) AS m$s"
-    }.mkString(",\n       |         ".stripMargin)
+    }.mkString(",\n         ")
     val rpb = numHashes / bands
     val bandSelects = (0 until bands).map { bd =>
       val cols = (bd * rpb until (bd + 1) * rpb).map(i => s"CAST(m$i AS VARCHAR)")
         .mkString(" || ',' || ")
       s"SELECT doc_id, $bd AS band, CAST((md5_number_lower($cols) >> 4) AS BIGINT) AS bucket FROM sigs"
     }.mkString("\n  UNION ALL\n  ")
-    s"""WITH docs AS (
+    s"""docs AS (
        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
        |  FROM documents),
        |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs WHERE len(toks) > 0),
@@ -228,9 +247,32 @@ object VectorQueries {
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |  FROM capped a JOIN capped b2 USING (band, bucket)
-       |  WHERE a.doc_id < b2.doc_id)
-       |SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM pairs""".stripMargin
+       |  WHERE a.doc_id < b2.doc_id)""".stripMargin
   }
+
+  private def minhashOracleSql(numHashes: Int, bands: Int, maxBucketSize: Int): String =
+    s"""WITH ${minhashPairsCte(numHashes, bands, maxBucketSize)}
+       |SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs FROM pairs""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.components]] over the minhash
+    * candidate pairs: transitive closure via a recursive CTE, then
+    * min-reachable-id per node — the declarative fixpoint equivalent of the
+    * engine's min-label propagation loop.
+    */
+  private def componentsOracleSql(numHashes: Int, bands: Int, maxBucketSize: Int): String =
+    s"""WITH RECURSIVE ${minhashPairsCte(numHashes, bands, maxBucketSize)},
+       |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+       |sizes AS (SELECT comp, count(*) AS sz FROM comps GROUP BY comp)
+       |SELECT CAST(count(*) AS BIGINT) AS n_components,
+       |       CAST(sum(sz) AS BIGINT) AS n_clustered_docs,
+       |       CAST(max(sz) AS BIGINT) AS max_component_size
+       |FROM sizes""".stripMargin
 
   /** VALUES rows `(p, '+-+...')` for `nPlanes` hyperplanes over 64 dims —
     * generated from the SAME sign source the Spark expressions use.

@@ -51,6 +51,18 @@ class OperatorsSpec extends SparkSpec {
     assert(cosPairs.contains((901L, 902L)))
   }
 
+  test("connected components collapse transitive near-dup chains to one keeper") {
+    // a 10-link chain (needs multiple propagation rounds) + a separate pair
+    val chain = (1L to 9L).map(i => (i, i + 1))
+    val pairs = (chain :+ (100L, 101L)).toDF("id_a", "id_b")
+    val comps = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 10L).forall(comps(_) == 1L), "whole chain labels to its minimum id")
+    assert(comps(100L) == 100L && comps(101L) == 100L)
+    // canonical selection: drop everything that is not its cluster minimum
+    val dups = Dedup.duplicateIds(pairs).as[Long].collect().toSet
+    assert(dups == ((2L to 10L).toSet + 101L))
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
