@@ -154,11 +154,15 @@ object VectorQueries {
 
     // Near-dup clustering: connected components over the minhash candidate
     // pairs (min-label propagation), summarized as component count/sizes.
-    // Oracle: recursive-CTE transitive closure over the same pairs.
+    // Oracle: recursive-CTE transitive closure over the same pairs. The
+    // bucket cap is tight (100) here: the synthetic corpus is massively
+    // self-similar (uncapped it yields 6.2M pairs over 5k docs), and for
+    // clustering an oversized bucket is boilerplate noise, not signal —
+    // exactly the situation the cap exists for.
     "dd_components" -> Q(
       (s, d) => {
         val pairs = Dedup.minhashCandidates(documents(s, d), "doc_id", "text",
-          numHashes = 16, bands = 4,
+          numHashes = 16, bands = 4, maxBucketSize = 100,
           baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash)
         Dedup.components(pairs)
           .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
@@ -167,7 +171,7 @@ object VectorQueries {
             sum(col("sz")).as("n_clustered_docs"),
             max(col("sz")).as("max_component_size"))
       },
-      Some(componentsOracleSql(numHashes = 16, bands = 4, maxBucketSize = 10000)),
+      Some(componentsOracleSql(numHashes = 16, bands = 4, maxBucketSize = 100)),
       Seq("A6")
     ),
 
