@@ -314,6 +314,36 @@ object Dedup {
       .filter(col("id") =!= col("comp"))
       .select(col("id"))
 
+  /** One-call corpus deduplication — the composed pipeline a training-data
+    * run actually wants:
+    *
+    *  1. exact: keep the minimum id per sha2(text) group;
+    *  2. near-dup: MinHash-LSH candidates over the exact-deduped set;
+    *  3. cluster: connected components over the pairs;
+    *  4. keep one canonical (minimum-id) document per cluster.
+    *
+    * Returns the kept rows of `df`, schema unchanged. Each phase is the
+    * already-bucketed operator above, so the whole path stays
+    * cartesian-free and skew-capped.
+    */
+  def dedupCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      baseHash: Column => Column = t => xxBaseHash(t),
+      bucketHash: Column => Column = s => xxhash64(s)
+  ): DataFrame = {
+    val exactKeepers = exact(df, textCol, idCol).select(col("keep_id").as(idCol))
+    val exactKept = df.join(exactKeepers, Seq(idCol), "left_semi")
+    val pairs = minhashCandidates(
+      exactKept, idCol, textCol, numHashes, bands, maxBucketSize, baseHash, bucketHash)
+    val drops = duplicateIds(pairs).withColumnRenamed("id", idCol)
+    exactKept.join(drops, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup candidates, LSH-bucketed: docs are bucketed by
     * random-hyperplane signs; pairs form within a bucket only, and oversized
     * buckets are dropped (see [[capBuckets]]) so one dense embedding cluster

@@ -175,6 +175,27 @@ object VectorQueries {
       Seq("A6")
     ),
 
+    // Flagship corpus dedup: exact (sha2 keep-min) → MinHash-LSH candidates
+    // → connected components → one canonical doc per cluster, as one call.
+    // Oracle: group-by-text keep-min + the shared pairs CTE + recursive
+    // closure, composed.
+    "dd_corpus_dedup" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val kept = Dedup.dedupCorpus(docs, "doc_id", "text",
+          numHashes = 16, bands = 4, maxBucketSize = 100,
+          baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash)
+        val exactKept = docs.join(
+          Dedup.exact(docs, "text", "doc_id").select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        docs.agg(count(lit(1)).as("n_total"))
+          .crossJoin(exactKept.agg(count(lit(1)).as("n_exact_kept")))
+          .crossJoin(kept.agg(count(lit(1)).as("n_kept")))
+      },
+      Some(corpusDedupOracleSql(numHashes = 16, bands = 4, maxBucketSize = 100)),
+      Seq("A6")
+    ),
+
     // SimHash signatures + near-dup bucketing by the top signature bits.
     // Oracle-matched: the 60-bit md5-derived token hash is recomputable in
     // DuckDB (`md5_number_lower >> 4`), so the whole signature is checked
@@ -221,7 +242,9 @@ object VectorQueries {
     * generated with the SAME affine constants ([[graft.operators.Dedup
     * .affineConstants]]) the Spark expression inlines.
     */
-  private def minhashPairsCte(numHashes: Int, bands: Int, maxBucketSize: Int): String = {
+  private def minhashPairsCte(
+      numHashes: Int, bands: Int, maxBucketSize: Int, source: String = "documents"
+  ): String = {
     val p = Dedup.MersenneP
     val mins = (0 until numHashes).map { s =>
       val (a, b) = Dedup.affineConstants(s)
@@ -235,7 +258,7 @@ object VectorQueries {
     }.mkString("\n  UNION ALL\n  ")
     s"""docs AS (
        |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
-       |  FROM documents),
+       |  FROM $source),
        |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs WHERE len(toks) > 0),
        |hashed AS (
        |  SELECT doc_id, (CAST((md5_number_lower(t) >> 4) AS BIGINT) % $p) AS h FROM tok),
@@ -366,6 +389,29 @@ object VectorQueries {
        |SELECT vec_id, round(dot / (na * (SELECT nb FROM nb2)), 6) AS sim FROM sims
        |ORDER BY dot / (na * (SELECT nb FROM nb2)) DESC, vec_id
        |LIMIT $k""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.dedupCorpus]] phase counts:
+    * exact keep-min by text (equivalent to grouping by sha2(text)), the
+    * shared minhash pairs CTE over the exact-kept set, recursive-closure
+    * clusters, canonical keep.
+    */
+  private def corpusDedupOracleSql(numHashes: Int, bands: Int, maxBucketSize: Int): String =
+    s"""WITH RECURSIVE exact_keep AS (
+       |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+       |docs2 AS (SELECT d.doc_id, d.text FROM documents d JOIN exact_keep USING (doc_id)),
+       |${minhashPairsCte(numHashes, bands, maxBucketSize, source = "docs2")},
+       |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+       |drops AS (SELECT id FROM comps WHERE id <> comp)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_total,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM docs2) AS n_exact_kept,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM docs2) -
+       |         (SELECT CAST(count(*) AS BIGINT) FROM drops) AS n_kept""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.cosineCandidates]] + count. */
   private def cosineLshOracleSql(nPlanes: Int, threshold: Double, maxBucketSize: Int): String =

@@ -63,6 +63,22 @@ class OperatorsSpec extends SparkSpec {
     assert(dups == ((2L to 10L).toSet + 101L))
   }
 
+  test("dedupCorpus: exact twins, transitive near-dups, and uniques compose") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near1 = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
+    val unique = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = Seq(
+      (1L, base), (2L, base),        // exact twins → keep 1
+      (3L, near1),                   // near-dup of base → clustered with 1
+      (4L, unique)                   // unrelated → kept
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupCorpus(df, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(4L), "unique doc survives")
+    assert(kept.contains(1L), "cluster canonical (minimum id) survives")
+    assert(!kept.contains(2L), "exact twin dropped")
+    assert(!kept.contains(3L), "near-dup clustered away")
+  }
+
   test("simhash: near-dups have small hamming distance, unrelated large") {
     val df = Seq(
       (1L, (1 to 40).map(i => s"tok$i").mkString(" ")),
