@@ -23,5 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ),
       (children: Seq[Expression]) => TokenCount(children.head)
     ))
+    ext.injectFunction((
+      FunctionIdentifier("top_k"),
+      new ExpressionInfo(
+        classOf[TopK].getName,
+        null,
+        "top_k",
+        "top_k(expr, k) - the k largest values of an orderable expression; " +
+          "bounded per-group buffer with map-side partial aggregation",
+        ""
+      ),
+      (children: Seq[Expression]) => TopK(children(0), children(1))
+    ))
   }
 }

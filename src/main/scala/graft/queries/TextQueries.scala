@@ -436,6 +436,22 @@ object TextQueries {
       Seq("C1")
     ),
 
+    // Per-group top-k via the native top_k aggregate (bounded k-buffer with
+    // map-side partial aggregation — ships k rows per group per partition to
+    // the exchange instead of sorting every row like the window form).
+    "ta_topk_per_source" -> Q(
+      (s, d) =>
+        documents(s, d).groupBy(col("source"))
+          .agg(expr("top_k(struct(n_chars, doc_id), 3)").as("top"))
+          .select(col("source"), explode(col("top")).as("t"))
+          .select(col("source"), col("t.n_chars").as("n_chars"), col("t.doc_id").as("doc_id")),
+      Some("""SELECT source, n_chars, doc_id FROM (
+             |  SELECT source, n_chars, doc_id,
+             |         row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id DESC) AS rn
+             |  FROM documents) WHERE rn <= 3""".stripMargin),
+      Seq("L2", "A1")
+    ),
+
     // Winnowing rolling-hash fingerprints: shared-hash near-dup candidates
     // (langIdOracleSql helper lives at the bottom of this object)
     // would join on exploded fingerprint hashes. Oracle-matched via the
