@@ -28,7 +28,7 @@ object ExplainAudit {
       "q1_pricing_summary", "q_star_join", "j1_incremental_antijoin",
       "j3_upsert_overlay", "e2_cosine_topk", "dd_minhash_lsh",
       "dd_jaccard_blocked", "w_tumbling_hourly", "f6_docid_filter",
-      "a4_token_budget_buckets"
+      "a4_token_budget_buckets", "ta_topk_per_source"
     )
 
     var bad = 0
@@ -90,7 +90,10 @@ object ExplainAudit {
       ("minhash candidates join on band buckets, no cartesian",
         !plan("dd_minhash_lsh").contains("CartesianProduct")),
       ("blocked jaccard join is equi-key, no cartesian",
-        !plan("dd_jaccard_blocked").contains("CartesianProduct"))
+        !plan("dd_jaccard_blocked").contains("CartesianProduct")),
+      ("per-group top-k aggregates map-side (partial_top_k before the exchange)",
+        plan("ta_topk_per_source").contains("partial_top_k") &&
+          plan("ta_topk_per_source").contains("ObjectHashAggregate"))
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>
