@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-stable sampling and splitting for training-data
+  * pipelines.
+  *
+  * `df.sample()` draws from a seeded RNG stream, so membership depends on
+  * partitioning and row order — re-running after a repartition (or on a
+  * different cluster size) yields a different subset. Hash-based membership
+  * (`hash(id) mod N < threshold`) is the scale-correct alternative: every
+  * row decides its own fate from its key alone, so samples and train/val/
+  * test splits are reproducible across runs, engines, and topology changes,
+  * and a document never migrates between splits when the corpus grows.
+  */
+object Sampling {
+
+  /** Buckets per unit of probability: thresholds are expressed in 1/10000ths. */
+  val Buckets = 10000
+
+  private def bucket(idCol: Column, hashFn: Column => Column): Column =
+    pmod(hashFn(idCol), lit(Buckets))
+
+  /** Keep ~`fraction` of rows, membership decided by the id hash alone. */
+  def sampleByHash(
+      df: DataFrame,
+      idCol: String,
+      fraction: Double,
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction must be in [0,1], got $fraction")
+    df.filter(bucket(col(idCol), hashFn) < lit(math.round(fraction * Buckets)))
+  }
+
+  /** Assign every row to exactly one named split by cumulative hash-bucket
+    * ranges — disjoint and exhaustive by construction (weights normalize and
+    * the last split absorbs rounding).
+    *
+    * @param weights ordered (name, weight) pairs, e.g.
+    *                `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`
+    */
+  def assignSplits(
+      df: DataFrame,
+      idCol: String,
+      weights: Seq[(String, Double)],
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val cumulative = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    val thresholds = cumulative.map(c => math.round(c * Buckets))
+    val b = bucket(col(idCol), hashFn)
+    val assigned = weights.map(_._1).zip(thresholds).foldRight(lit(weights.last._1)) {
+      case ((name, thr), rest) => when(b < lit(thr), lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", assigned)
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.Dedup
+import graft.operators.{Dedup, Sampling}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -434,6 +434,26 @@ object TextQueries {
           .groupBy(col("pred_stopword"), col("pred_ngram")).agg(count(lit(1)).as("n")),
       Some(langIdOracleSql),
       Seq("C1")
+    ),
+
+    // Deterministic hash-bucket train/val/test split: membership from the id
+    // hash alone (reproducible across runs/engines/topology), oracle-checked
+    // with the shared md5-derived hash.
+    "ta_split_counts" -> Q(
+      (s, d) =>
+        Sampling.assignSplits(documents(s, d), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hashFn = c => Dedup.md5Lower60(c.cast("string")))
+          .groupBy(col("split"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars")),
+      Some(s"""SELECT split, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (
+              |  SELECT n_chars,
+              |         CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+              |  FROM (SELECT n_chars,
+              |               (CAST((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4) AS BIGINT) % 10000) AS b
+              |        FROM documents))
+              |GROUP BY split""".stripMargin),
+      Seq("F8", "A1")
     ),
 
     // Per-group top-k via the native top_k aggregate (bounded k-buffer with

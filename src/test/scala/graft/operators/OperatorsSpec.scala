@@ -63,6 +63,28 @@ class OperatorsSpec extends SparkSpec {
     assert(dups == ((2L to 10L).toSet + 101L))
   }
 
+  test("hash sampling and splits: deterministic, disjoint, exhaustive, proportional") {
+    val df = (1L to 10000L).toDF("id")
+    val s1 = Sampling.sampleByHash(df, "id", 0.3).as[Long].collect().toSet
+    val s2 = Sampling.sampleByHash(df.repartition(7), "id", 0.3).as[Long].collect().toSet
+    assert(s1 == s2, "membership must not depend on partitioning")
+    assert(math.abs(s1.size - 3000) < 300, s"~30% expected, got ${s1.size}")
+    // a 10% sample is a subset of the 30% sample (nested thresholds)
+    val s3 = Sampling.sampleByHash(df, "id", 0.1).as[Long].collect().toSet
+    assert(s3.subsetOf(s1))
+
+    val splits = Sampling.assignSplits(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val byGroup = splits.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(byGroup.values.sum == 10000, "every row lands in exactly one split")
+    assert(math.abs(byGroup("train") - 8000) < 400 && math.abs(byGroup("val") - 1000) < 200)
+    // growing the corpus never moves an existing row between splits
+    val bigger = Sampling.assignSplits((1L to 20000L).toDF("id"), "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val joined = splits.withColumnRenamed("split", "s1")
+      .join(bigger.withColumnRenamed("split", "s2"), Seq("id"))
+    assert(joined.filter(col("s1") =!= col("s2")).isEmpty)
+  }
+
   test("dedupCorpus: exact twins, transitive near-dups, and uniques compose") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near1 = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
