@@ -33,6 +33,26 @@ object Sampling {
     df.filter(bucket(col(idCol), hashFn) < lit(math.round(fraction * Buckets)))
   }
 
+  /** Rebalance a corpus toward target mixture ratios: keep a per-key
+    * fraction of rows (downsample overrepresented sources), membership
+    * again decided by the id hash alone. Keys absent from `fractions` are
+    * kept whole.
+    */
+  def rebalance(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      fractions: Map[String, Double],
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0), "fractions must be in [0,1]")
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(lit(Buckets.toLong)) {
+      case (rest, (k, f)) =>
+        when(col(keyCol) === k, lit(math.round(f * Buckets))).otherwise(rest)
+    }
+    df.filter(bucket(col(idCol), hashFn) < threshold)
+  }
+
   /** Assign every row to exactly one named split by cumulative hash-bucket
     * ranges — disjoint and exhaustive by construction (weights normalize and
     * the last split absorbs rounding).

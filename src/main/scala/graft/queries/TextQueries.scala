@@ -456,6 +456,22 @@ object TextQueries {
       Seq("F8", "A1")
     ),
 
+    // Deterministic per-source rebalancing toward target mixture ratios.
+    "ta_rebalance" -> Q(
+      (s, d) =>
+        Sampling.rebalance(documents(s, d), "doc_id", "source",
+          Map("src0" -> 0.5, "src1" -> 0.25),
+          hashFn = c => Dedup.md5Lower60(c.cast("string")))
+          .groupBy(col("source")).agg(count(lit(1)).as("n")),
+      Some("""SELECT source, count(*) AS n FROM (
+             |  SELECT source,
+             |         (CAST((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4) AS BIGINT) % 10000) AS b
+             |  FROM documents)
+             |WHERE b < (CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500 ELSE 10000 END)
+             |GROUP BY source""".stripMargin),
+      Seq("F8", "A1")
+    ),
+
     // Per-group top-k via the native top_k aggregate (bounded k-buffer with
     // map-side partial aggregation — ships k rows per group per partition to
     // the exchange instead of sorting every row like the window form).

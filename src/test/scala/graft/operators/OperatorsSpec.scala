@@ -83,6 +83,13 @@ class OperatorsSpec extends SparkSpec {
     val joined = splits.withColumnRenamed("split", "s1")
       .join(bigger.withColumnRenamed("split", "s2"), Seq("id"))
     assert(joined.filter(col("s1") =!= col("s2")).isEmpty)
+
+    // rebalance: per-key fractions apply, unlisted keys kept whole
+    val keyed = (1L to 6000L).map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val rebalanced = Sampling.rebalance(keyed, "id", "key", Map("k0" -> 0.5, "k1" -> 0.1))
+      .groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(math.abs(rebalanced("k0") - 1000) < 200 && math.abs(rebalanced("k1") - 200) < 100)
+    assert(rebalanced("k2") == 2000, "keys without a fraction are untouched")
   }
 
   test("dedupCorpus: exact twins, transitive near-dups, and uniques compose") {
