@@ -97,11 +97,25 @@ object ScaleProbe {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     require(nChanged == nChangedShuffle, "broadcast and shuffle paths must agree")
 
+    // Corpus dedup at scale: the replicated corpus is ~mult× exact-duplicate,
+    // so the exact phase collapses it and the near-dup phases run on the
+    // survivors — the realistic shape of a crawl dedup pass.
+    val dedupInput = (0 until mult)
+      .map(i => base.withColumn("doc_id", col("doc_id") + lit(i.toLong * 10_000_000L)))
+      .reduce(_.unionByName(_))
+      .select(col("doc_id"), col("text"))
+      .cache()
+    dedupInput.count() // materialize input (excluded from the dedup timing)
+    val (nKept, tDedup) = timed {
+      graft.operators.Dedup.dedupCorpus(dedupInput, "doc_id", "text", maxBucketSize = 100).count()
+    }
+
     println(
       s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
         s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
         s""""ledger_save_sec":${f"$tLedgerSave%.1f"},"identify_changed":$nChanged,""" +
         s""""identify_sec":${f"$tIdentify%.1f"},"identify_shuffle_sec":${f"$tIdentifyShuffle%.1f"},""" +
+        s""""dedup_sec":${f"$tDedup%.1f"},"dedup_kept":$nKept,""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
     spark.stop()

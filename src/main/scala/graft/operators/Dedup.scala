@@ -337,7 +337,11 @@ object Dedup {
       bucketHash: Column => Column = s => xxhash64(s)
   ): DataFrame = {
     val exactKeepers = exact(df, textCol, idCol).select(col("keep_id").as(idCol))
-    val exactKept = df.join(exactKeepers, Seq(idCol), "left_semi")
+    // the exact-kept set feeds three consumers (both self-join sides of the
+    // candidate generation and the final anti-join); materialize it once so
+    // the upstream lineage — which may itself be an expensive scan/transform
+    // — is not replayed per consumer
+    val exactKept = df.join(exactKeepers, Seq(idCol), "left_semi").localCheckpoint(true)
     val pairs = minhashCandidates(
       exactKept, idCol, textCol, numHashes, bands, maxBucketSize, baseHash, bucketHash)
     val drops = duplicateIds(pairs).withColumnRenamed("id", idCol)
