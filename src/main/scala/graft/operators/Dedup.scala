@@ -363,6 +363,9 @@ object Dedup {
       maxBucketSize: Int = 10000
   ): DataFrame = {
     import graft.functions.VectorFunctions._
+    // one norm per VECTOR, not per pair: a bucket of n vectors forms
+    // O(n²) pairs, so recomputing both norms inside the pair cosine triples
+    // the dominant per-pair cost for nothing
     val bucketed = capBuckets(
       df.select(
         col(idCol).as("id"),
@@ -370,12 +373,16 @@ object Dedup {
         lshBucket(col(vecCol), dim, nPlanes).as("bucket")
       ),
       Seq("bucket"), maxBucketSize
-    )
-    val a = bucketed.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = bucketed.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    ).withColumn("nrm", norm(col("vec")))
+    val a = bucketed.select(
+      col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
+    val b = bucketed.select(
+      col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"), col("nrm").as("nrm_b"))
+    val nn = col("nrm_a") * col("nrm_b")
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cos",
+        when(nn > 0.0, dot(col("vec_a"), col("vec_b")) / nn).otherwise(lit(0.0)))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .distinct()
