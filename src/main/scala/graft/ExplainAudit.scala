@@ -76,9 +76,29 @@ object ExplainAudit {
       scan.contains("PartitionFilters") && scan.contains("cid")
     }
 
+    // K3 delete anti-join mirrors J1: broadcast for small tombstone sets,
+    // shuffle when broadcast is unavailable — proving no forced hint pins
+    // the plan (mass dataset retirement must not exceed the broadcast limit)
+    val (k3SmallTombstones, k3ShuffleTombstones) = {
+      import spark.implicits._
+      val store = new graft.sources.ChunkStore(
+        java.nio.file.Files.createTempDirectory("audit-k3").toString + "/store")
+      val chunks = (0 until 100).map(i => (s"c$i", s"doc${i % 10}")).toDF("chunkId", "documentId")
+      val ids = Seq("doc1", "doc2").toDF("documentId")
+      def deletePlan = store.remainingAfter(chunks, ids).queryExecution.executedPlan.toString
+      val small = deletePlan.contains("BroadcastHashJoin") && deletePlan.contains("LeftAnti")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffle = try !deletePlan.contains("BroadcastHashJoin")
+      finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      (small, shuffle)
+    }
+
     val checks = Seq(
       ("j1 anti-join broadcasts a small ledger (size-adaptive, no hint)", j1SmallLedger),
       ("j1 anti-join shuffles when broadcast is unavailable (no forced hint)", j1ShuffleLedger),
+      ("k3 delete anti-join broadcasts a small tombstone set (no hint)", k3SmallTombstones),
+      ("k3 delete anti-join shuffles when broadcast is unavailable (no forced hint)", k3ShuffleTombstones),
       ("ivf probe prunes cid partitions on a persisted index", ivfPrunes),
       ("star join uses broadcast joins only",
         !plan("q_star_join").contains("SortMergeJoin")),

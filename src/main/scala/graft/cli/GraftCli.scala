@@ -115,9 +115,9 @@ object GraftCli {
   ): DataFrame = {
     val qv = provider.embedBatch(Seq(query)).head
     val chunks = store.read(spark).filter(col("embedding").isNotNull)
-    Similarity.topK(chunks, "embedding", "chunkId", qv, k)
-      .join(chunks.select("chunkId", "documentId", "content"), Seq("chunkId"))
-      .orderBy(col("sim").desc, col("chunkId"))
+    // content rides through the top-k heap: one store scan, no join-back
+    // (the TakeOrdered result is already sim-desc ordered)
+    Similarity.topK(chunks, "embedding", "chunkId", qv, k, Seq("documentId", "content"))
       .select("chunkId", "documentId", "sim", "content")
   }
 

@@ -59,6 +59,57 @@ final class DeterministicProvider(val dimensions: Int = 64) extends EmbeddingPro
   }
 }
 
+/** Oracle-replayable deterministic provider: dimension `i` of a text's
+  * vector derives from the same 60-bit md5 construction the dedup oracles
+  * replay in DuckDB (`md5_number_lower(x) >> 4`, see
+  * [[graft.operators.Dedup.md5Lower60]]):
+  *
+  *   v(i) = ((md5Lower60(md5Hex(text) + ":" + i) mod 2048) - 1024) / 1024
+  *
+  * Components are multiples of 2⁻¹⁰ in [-1, 1), so every value is exactly
+  * representable in float32 AND in double — sums, dot products (multiples of
+  * 2⁻²⁰) and norms over these vectors are bit-identical between the engine
+  * and a DuckDB SQL oracle, which is what promotes E1 stats from rows-only
+  * to hash-matched. One md5 of the full text per doc, then one md5 of a
+  * ~36-char string per dimension (the cheap expansion order).
+  */
+final class ReplayableProvider(val dimensions: Int = 16) extends EmbeddingProvider {
+  override def modelName: String = s"md5-replayable-$dimensions"
+
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    val md = MessageDigest.getInstance("MD5")
+    texts.map { t =>
+      val seedHex = ReplayableProvider.hex(md.digest(t.getBytes(StandardCharsets.UTF_8)))
+      Array.tabulate(dimensions) { i =>
+        md.reset()
+        val h = ReplayableProvider.md5Lower60(md.digest(s"$seedHex:$i".getBytes(StandardCharsets.UTF_8)))
+        (((h % 2048L) - 1024L) / 1024.0).toFloat
+      }
+    }
+  }
+}
+
+object ReplayableProvider {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def hex(bytes: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(bytes.length * 2)
+    bytes.foreach { b => sb.append(hexChars((b >> 4) & 0xf)).append(hexChars(b & 0xf)) }
+    sb.toString
+  }
+
+  /** JVM twin of [[graft.operators.Dedup.md5Lower60]] / DuckDB
+    * `md5_number_lower(x) >> 4`: the lower 8 digest bytes little-endian,
+    * shifted right 4 bits (60 bits, always non-negative).
+    */
+  def md5Lower60(digest: Array[Byte]): Long = {
+    var v = 0L
+    var b = 15
+    while (b >= 9) { v = (v << 8) | (digest(b) & 0xffL); b -= 1 }
+    (v << 4) | ((digest(8) & 0xf0L) >> 4)
+  }
+}
+
 object Embedding {
 
   /** Append `embedding`, `embeddingModel`, `embeddedAt` columns to `df` by

@@ -34,6 +34,31 @@ object VectorFunctions {
     */
   def vecLit(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
 
+  /** Driver-side twin of [[norm]] for a literal vector: same left-to-right
+    * double accumulation as the `aggregate` fold, so the value is
+    * bit-identical to what `norm(vecLit(v))` would compute per row.
+    */
+  def normLocal(v: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    math.sqrt(s)
+  }
+
+  /** Cosine against a literal query vector with the query norm precomputed
+    * driver-side — Catalyst does not constant-fold `aggregate` over array
+    * literals, so the plain [[cosine]] form re-evaluates `‖q‖` per row
+    * (twice: guard + divisor). This variant folds it into a single `lit`.
+    */
+  def cosineToLit(a: Column, q: Array[Float]): Column = {
+    val qn = normLocal(q)
+    if (qn == 0.0) lit(0.0)
+    else {
+      val nn = norm(a) * lit(qn)
+      when(nn > 0.0, dot(a, vecLit(q)) / nn).otherwise(lit(0.0))
+    }
+  }
+
   /** The ±1 sign pattern of one deterministic pseudo-random hyperplane, as a
     * `+`/`-` string — the single source of truth for the column expression
     * below AND for SQL oracles that inline the same plane as a literal.

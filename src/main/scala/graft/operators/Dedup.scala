@@ -290,14 +290,18 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("comp").as("nbrComp")), Seq("dst"))
         .groupBy("src").agg(min("nbrComp").as("nbrComp"))
         .withColumnRenamed("src", "id")
+      // lazy checkpoint + one count: the count materializes the round's
+      // labels (cutting lineage) AND yields the convergence signal in the
+      // same job — an eager checkpoint followed by a separate isEmpty scan
+      // would run two actions per round
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(
           col("id"),
           least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
           col("comp").as("prev"))
-        .localCheckpoint(true)
-      converged = next.filter(col("comp") < col("prev")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("comp") < col("prev")).count() == 0
       labels = next.select("id", "comp")
       iter += 1
     }

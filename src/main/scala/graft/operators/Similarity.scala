@@ -21,10 +21,15 @@ object Similarity {
     * (broadcast by value into codegen), so the plan is scan → project →
     * TakeOrderedAndProject. No shuffle, no crossJoin.
     */
-  def topK(df: DataFrame, vecCol: String, idCol: String, query: Array[Float], k: Int): DataFrame =
-    df.withColumn("sim", cosine(col(vecCol), vecLit(query)))
+  def topK(df: DataFrame, vecCol: String, idCol: String, query: Array[Float], k: Int,
+           /** extra columns carried through the top-k heap — lets a serving
+             * path return payload (content, metadata) from the SAME scan
+             * instead of joining back to the corpus afterwards.
+             */
+           carry: Seq[String] = Nil): DataFrame =
+    df.withColumn("sim", cosineToLit(col(vecCol), query))
       .orderBy(col("sim").desc, col(idCol))
-      .select(col(idCol), round(col("sim"), 6).as("sim"))
+      .select(col(idCol) +: carry.map(col) :+ round(col("sim"), 6).as("sim"): _*)
       .limit(k)
 
   /** IVF (inverted-file) index: vectors are assigned to their
@@ -39,13 +44,68 @@ object Similarity {
     */
   final case class IvfIndex(centroids: Seq[(Int, Array[Float])], assigned: DataFrame)
 
-  def buildIvf(df: DataFrame, vecCol: String, idCol: String, k: Int): IvfIndex = {
-    def assignTo(cents: Seq[(Int, Array[Float])])(d: DataFrame): DataFrame = {
+  /** Assign every row to its max-cosine centroid cell. Two equivalent paths:
+    *
+    *  - k ≤ 64: a codegen'd `array_max` over per-centroid cosine structs —
+    *    stays inside whole-stage codegen, zero serialization;
+    *  - k > 64: `mapPartitions` over the broadcast centroid array — the
+    *    expression tree grows linearly in k and falls out of codegen's
+    *    method-size limits around 64 cells, at which point a tight
+    *    per-partition loop is faster and keeps the plan constant-size.
+    *
+    * Both compute cosine with identical left-to-right double accumulation
+    * and the same tie-break (equal sim → larger cid, `array_max`'s
+    * lexicographic struct order), so assignments are bit-identical — pinned
+    * by OperatorsSpec at k=128.
+    */
+  private[graft] def assignCells(
+      d: DataFrame, vecCol: String, cents: Seq[(Int, Array[Float])]): DataFrame =
+    if (cents.size <= 64) {
       val simStructs = array(cents.map { case (cid, v) =>
-        struct(cosine(col(vecCol), vecLit(v)).as("sim"), lit(cid).as("cid"))
+        struct(cosineToLit(col(vecCol), v).as("sim"), lit(cid).as("cid"))
       }: _*)
       d.withColumn("cid", array_max(simStructs).getField("cid"))
+    } else {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.catalyst.encoders.RowEncoder
+      import org.apache.spark.sql.types.IntegerType
+      val outSchema = d.schema.add("cid", IntegerType)
+      val enc = RowEncoder.encoderFor(outSchema)
+      val vecIdx = d.schema.fieldIndex(vecCol)
+      val centArr = cents.sortBy(_._1).toArray
+      val centNorms = centArr.map { case (_, c) => normLocal(c) }
+      d.mapPartitions { rows =>
+        rows.map { r =>
+          val v = r.getSeq[Float](vecIdx).toArray
+          // norm(a) exactly as the column expression: sqrt of the
+          // left-to-right double fold of squares
+          var na = 0.0
+          var i = 0
+          while (i < v.length) { na += v(i).toDouble * v(i).toDouble; i += 1 }
+          na = math.sqrt(na)
+          var best = Double.NegativeInfinity
+          var bestCid = Int.MinValue
+          var ci = 0
+          while (ci < centArr.length) {
+            val (cid, c) = centArr(ci)
+            val nn = na * centNorms(ci)
+            val sim = if (nn > 0.0) {
+              var dp = 0.0
+              var j = 0
+              while (j < v.length) { dp += v(j).toDouble * c(j).toDouble; j += 1 }
+              dp / nn
+            } else 0.0
+            if (sim > best || (sim == best && cid > bestCid)) { best = sim; bestCid = cid }
+            ci += 1
+          }
+          Row.fromSeq(r.toSeq :+ bestCid)
+        }
+      }(enc)
     }
+
+  def buildIvf(df: DataFrame, vecCol: String, idCol: String, k: Int): IvfIndex = {
+    def assignTo(cents: Seq[(Int, Array[Float])])(d: DataFrame): DataFrame =
+      assignCells(d, vecCol, cents)
     // deterministic seeds: first k rows by id
     val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }.toSeq
@@ -126,7 +186,7 @@ object Similarity {
       }.distinct
     df.withColumn("bucket", bucketCol)
       .filter(col("bucket").isin(probeBuckets: _*))
-      .withColumn("sim", cosine(col(vecCol), vecLit(query)))
+      .withColumn("sim", cosineToLit(col(vecCol), query))
       .orderBy(col("sim").desc, col(idCol))
       .select(col(idCol), round(col("sim"), 6).as("sim"))
       .limit(k)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables._
 import graft.chunker.LovdataChunker
-import graft.embed.{DeterministicProvider, Embedding}
+import graft.embed.{DeterministicProvider, Embedding, ReplayableProvider}
 import graft.functions.TextFunctions
 import graft.multimodal.Multimodal
 import graft.operators.Identify
@@ -213,8 +213,12 @@ object PipelineQueries {
     ),
 
     // S2/W1-W4/A4/A5/C17: the chunker over synthesized Lovdata XML, all
-    // three tiers. No SQL oracle (the fold semantics are the point) — the
-    // ScalaTest suite pins the behavior; the driver records rows>0.
+    // three tiers. The fold semantics are not SQL-expressible, but the
+    // chunker is a pure function of the documents table, so its aggregate
+    // per scale factor is a constant: the oracle reads the checked-in golden
+    // fixture (generated by [[graft.FixtureGen]], keyed by the sf's document
+    // count). ScalaTest pins the fold laws; the golden pins end-to-end
+    // determinism.
     "s2_chunker_stats" -> Q(
       (s, d) => {
         val chunker = new LovdataChunker(targetTokens = 64, maxTokens = 200, minTokens = 20)
@@ -233,22 +237,52 @@ object PipelineQueries {
             sum(col("is_merged")).as("n_merged")
           )
       },
-      None,
+      Some("""SELECT lang, n_chunks, sum_toks, n_merged
+             |FROM read_parquet('/root/repo/tools/fixtures/s2_chunker_stats/*.parquet')
+             |WHERE n_docs = (SELECT count(*) FROM documents)
+             |  AND corpus_chars = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)""".stripMargin),
       Seq("S2", "W1", "W3", "W4", "A4", "A5", "C17", "C16", "C3", "F7")
     ),
 
-    // E1: deterministic batch embedding via mapPartitions(grouped(100)).
+    // E1: deterministic batch embedding via mapPartitions(grouped(100)),
+    // hash-matched end to end: the ReplayableProvider's arithmetic is the
+    // md5Lower60 construction DuckDB replays with `md5_number_lower >> 4`,
+    // quantized to multiples of 2⁻¹⁰ so component sums (×1024) and per-doc
+    // squared norms (×2²⁰) are exact integers in both engines.
     "e1_embed_stats" -> Q(
       (s, d) => {
         val emb = Embedding.embed(
           documents(s, d).select(col("doc_id"), col("lang"), col("text")),
-          "text", new DeterministicProvider(64)
+          "text", new ReplayableProvider(16)
         )
-        emb.withColumn("nrm", round(graft.functions.VectorFunctions.norm(col("embedding")), 3))
+        val v1 = element_at(col("embedding"), 1).cast("double")
+        emb
+          .withColumn("nrm", graft.functions.VectorFunctions.norm(col("embedding")))
           .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n"), round(sum(col("nrm")), 1).as("sum_norm"))
+          .agg(
+            count(lit(1)).as("n"),
+            min(size(col("embedding"))).as("dims"),
+            sum(v1 * 1024).cast("long").as("sum_v1_k"),
+            sum(round(col("nrm") * 1e6, 0)).cast("long").as("sum_norm_micro"),
+            min(col("embeddingModel")).as("model"),
+            every(col("embeddedAt").rlike(
+              "^[0-9]{4}-[0-9]{2}-[0-9]{2}T[0-9]{2}:[0-9]{2}:[0-9]{2}Z$")).as("ts_ok")
+          )
       },
-      None,
+      Some("""WITH vecs AS (
+             |  SELECT d.lang, d.doc_id, t.i,
+             |         (CAST(((md5_number_lower(md5(d.text) || ':' || CAST(t.i AS VARCHAR)) >> 4) % 2048) AS BIGINT) - 1024) / 1024.0 AS v
+             |  FROM documents d, range(16) t(i)),
+             |per_doc AS (
+             |  SELECT lang, doc_id,
+             |         sum(v * v) AS sq,
+             |         sum(CASE WHEN i = 0 THEN v END) AS v1
+             |  FROM vecs GROUP BY lang, doc_id)
+             |SELECT lang, count(*) AS n, 16 AS dims,
+             |  CAST(sum(v1 * 1024) AS BIGINT) AS sum_v1_k,
+             |  CAST(sum(round(sqrt(sq) * 1000000)) AS BIGINT) AS sum_norm_micro,
+             |  'md5-replayable-16' AS model, TRUE AS ts_ok
+             |FROM per_doc GROUP BY lang""".stripMargin),
       Seq("E1", "C14")
     ),
 

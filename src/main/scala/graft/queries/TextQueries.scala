@@ -350,17 +350,35 @@ object TextQueries {
       Seq("C13")
     ),
 
-    // Approximate aggregates — the 100 TB default for distincts/quantiles
-    // (HLL and quantile-sketch algorithms differ per engine → rows-only;
-    // the error bound vs exact is pinned in OperatorsSpec).
+    // Approximate aggregates — the 100 TB default for distincts/quantiles.
+    // HLL and quantile-sketch internals differ per engine, so raw sketch
+    // values can't hash-match; instead the query emits the error ENVELOPE as
+    // booleans which DuckDB verifies exactly as constants. HLL: |approx −
+    // exact| within the default 5% rsd (±1 for tiny cardinalities). Quantile:
+    // the ε-approximate-quantile rank guarantee — the returned value's rank
+    // interval [count(<v), count(≤v)] must straddle 0.5n within ε (robust to
+    // ties and discreteness, unlike a value-distance bound; ε = 1/accuracy
+    // plus a 1/n discreteness margin).
     "ta_approx_stats" -> Q(
-      (s, d) =>
-        documents(s, d).groupBy(col("lang")).agg(
-          approx_count_distinct(col("source")).as("approx_sources"),
-          round(percentile_approx(col("n_chars").cast("double"), lit(0.5), lit(1000)), 0).as("median_chars"),
-          count(lit(1)).as("n")
-        ),
-      None,
+      (s, d) => {
+        val docs = documents(s, d)
+        val sketch = docs.groupBy(col("lang")).agg(
+          approx_count_distinct(col("source")).as("ac"),
+          countDistinct(col("source")).as("ec"),
+          percentile_approx(col("n_chars").cast("double"), lit(0.5), lit(1000)).as("am")
+        )
+        docs.join(sketch, Seq("lang")).groupBy(col("lang")).agg(
+          count(lit(1)).as("n"),
+          (abs(first(col("ac")) - first(col("ec")))
+            <= greatest(lit(1), first(col("ec")) * 0.05)).as("hll_in_bound"),
+          ((sum(when(col("n_chars") < col("am"), 1).otherwise(0)) / count(lit(1))
+            <= 0.5 + 0.02) &&
+            (sum(when(col("n_chars") <= col("am"), 1).otherwise(0)) / count(lit(1))
+              >= 0.5 - 0.02)).as("quantile_in_bound")
+        )
+      },
+      Some("""SELECT lang, count(*) AS n, TRUE AS hll_in_bound, TRUE AS quantile_in_bound
+             |FROM documents GROUP BY lang""".stripMargin),
       Seq("A2", "A3")
     ),
 

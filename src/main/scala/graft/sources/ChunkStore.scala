@@ -111,7 +111,7 @@ final class ChunkStore(
       try {
         val before = inBuckets.count()
         if (before == 0) return 0L
-        val remaining = inBuckets.join(broadcast(ids), Seq("documentId"), "left_anti").cache()
+        val remaining = remainingAfter(inBuckets, ids).cache()
         val after = remaining.count()
         // Dynamic overwrite only rewrites partitions present in the output —
         // buckets left empty must be dropped explicitly (the reference unlinks
@@ -126,6 +126,15 @@ final class ChunkStore(
       } finally inBuckets.unpersist()
     } finally ids.unpersist()
   }
+
+  /** The anti-join at the heart of K3, shared with the plan audit. No
+    * broadcast hint: the tombstone set is unbounded (retiring a whole dataset
+    * can mean 10⁷–10⁸ ids). Hint-free, AQE broadcasts small id sets at
+    * runtime and falls back to a shuffled anti-join for large ones — the
+    * same size-adaptive shape as the J1 ledger anti-join.
+    */
+  private[graft] def remainingAfter(inBuckets: DataFrame, ids: DataFrame): DataFrame =
+    inBuckets.join(ids, Seq("documentId"), "left_anti")
 
   private def write(spark: SparkSession, df: DataFrame): Unit = {
     // sort by documentId within each bucket file: parquet row-group min/max

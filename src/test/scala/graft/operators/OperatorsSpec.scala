@@ -212,6 +212,34 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.contains(brute.head), "IVF with 2 probes must find the exact nearest vector")
   }
 
+  test("IVF assigner: mapPartitions path (k>64) matches the codegen argmax bit-for-bit") {
+    // 300 vectors spread over a ring plus some collinear ties; 128 centroids
+    // forces the mapPartitions path, which must agree with the k<=64
+    // column-expression path on every row (same fold order, same tie-break)
+    val vecs = (0 until 300).map { i =>
+      val angle = i / 300.0 * 2 * math.Pi
+      val r = 1f + (i % 3) * 0.5f
+      (i.toLong, Array((r * math.cos(angle)).toFloat, (r * math.sin(angle)).toFloat,
+        (i % 7) / 7f, 0.25f))
+    }.toDF("vec_id", "embedding")
+    val cents = (0 until 128).map { c =>
+      val angle = c / 128.0 * 2 * math.Pi
+      (c, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, (c % 5) / 5f, 0.1f))
+    }
+    val viaMapPartitions = Similarity.assignCells(vecs, "embedding", cents)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    // the column-expression path has no k limit of its own — invoke it
+    // directly on the same centroids as the ground truth
+    val simStructs = array(cents.map { case (cid, v) =>
+      struct(graft.functions.VectorFunctions.cosineToLit(col("embedding"), v).as("sim"),
+        lit(cid).as("cid"))
+    }: _*)
+    val viaExpr = vecs.withColumn("cid", array_max(simStructs).getField("cid"))
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(viaMapPartitions.size == 300)
+    assert(viaMapPartitions == viaExpr)
+  }
+
   test("winnowing fingerprint: deterministic, overlap-sensitive") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val shared = (1 to 25).map(i => s"w$i").mkString(" ") + " x1 x2 x3 x4 x5"
