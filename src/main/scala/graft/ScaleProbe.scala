@@ -69,6 +69,22 @@ object ScaleProbe {
     val (_, tStore) = timed { store.upsert(spark, embedded) }
     val stored = store.count(spark)
 
+    // K3 mass-delete at corpus scale: retire ~25% of documents through the
+    // hint-free tombstone anti-join (dataset retirement is a routine 100 TB
+    // operation; the id set must never be pinned to a broadcast). The
+    // expected chunk count is computed independently via a semi-join first,
+    // so the delete is verified exactly, not just timed.
+    val tombstones = corpus.select(col("docId"))
+      .filter(pmod(xxhash64(col("docId")), lit(4)) === 0).cache()
+    val nTombstones = tombstones.count()
+    val expectedDeleted = store.read(spark)
+      .join(tombstones.withColumnRenamed("docId", "documentId"), Seq("documentId"), "left_semi")
+      .count()
+    val (nDeleted, tDelete) = timed { store.deleteByDocuments(spark, tombstones) }
+    require(nDeleted == expectedDeleted,
+      s"delete removed $nDeleted chunks, semi-join expected $expectedDeleted")
+    require(store.count(spark) == stored - nDeleted, "post-delete store count mismatch")
+
     // Ledger at corpus scale: one row per document, persisted as
     // status-partitioned parquet with no driver materialization, then the
     // size-adaptive J1 anti-join over a 1%-changed CDC snapshot — including
@@ -113,6 +129,7 @@ object ScaleProbe {
     println(
       s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
         s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
+        s""""delete_docs":$nTombstones,"deleted_chunks":$nDeleted,"delete_sec":${f"$tDelete%.1f"},""" +
         s""""ledger_save_sec":${f"$tLedgerSave%.1f"},"identify_changed":$nChanged,""" +
         s""""identify_sec":${f"$tIdentify%.1f"},"identify_shuffle_sec":${f"$tIdentifyShuffle%.1f"},""" +
         s""""dedup_sec":${f"$tDedup%.1f"},"dedup_kept":$nKept,""" +

@@ -305,7 +305,88 @@ object Dedup {
       labels = next.select("id", "comp")
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"components: not converged after $maxIter rounds — labels may split " +
+          "one cluster; raise maxIter or use componentsStar (O(log diameter) rounds)")
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star — the
+    * extreme-scale variant of [[components]] (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14). Min-label propagation
+    * moves labels one hop per round (rounds = cluster diameter); star
+    * rounds contract whole star subtrees onto the minimum node, converging
+    * in O(log d) rounds — at 100 TB, chain-shaped near-dup clusters
+    * (boilerplate with drifting headers) stop dictating round count.
+    *
+    * Each round is two conditional-star steps, each a groupBy-min + equi-
+    * join (no neighbor-list materialization — the min is the only
+    * aggregate, so a hot node never builds a collect_set). One action per
+    * round: the convergence signal (edge count + order-free XOR of edge
+    * hashes — XOR can't overflow under ANSI arithmetic) rides on the same
+    * job that materializes the round's lazy checkpoint.
+    *
+    * Same contract as [[components]]: (id, comp) for every id in a pair,
+    * comp = min reachable id. Equivalence is pinned by OperatorsSpec on
+    * chains, cliques, forests and random graphs, and by the shared
+    * `dd_components` DuckDB oracle in the battery.
+    */
+  def componentsStar(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20
+  ): DataFrame = {
+    val nodes = pairs.select(col(idA).as("id"))
+      .unionByName(pairs.select(col(idB).as("id"))).distinct().localCheckpoint(true)
+
+    // large-star: every node u links its strictly-larger neighbors to
+    // m = min(N(u) ∪ {u}); small-star: on (big, small)-oriented edges,
+    // every u links its smaller neighbors (and itself) to m = min(N(u)).
+    // Both emit (x, m) with x > m, so edges stay (child, smaller-parent).
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, Seq("u"))
+        // the v = m row re-emits the (u, m) spoke; every other row hands its
+        // v over to m — together: N(u) ∪ {u} \ {m} all point at m
+        .select(when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(col(idA).as("u"), col(idB).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var signature = (-1L, -1L)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIter) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val sig = next
+        .agg(count(lit(1)).cast("long"), expr("bit_xor(xxhash64(u, v))"))
+        .head()
+      val nextSig = (sig.getLong(0), sig.getLong(1))
+      converged = nextSig == signature
+      signature = nextSig
+      edges = next
+      iter += 1
+    }
+    // at convergence edges are stars (child → min-root); label roots with
+    // themselves and every node not in a pair-edge with itself
+    val labels = edges.select(col("u").as("id"), col("v").as("comp"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
   /** The ids to DROP after near-dup clustering: everything that is not its

@@ -175,6 +175,26 @@ object VectorQueries {
       Seq("A6")
     ),
 
+    // Same clustering through the alternating large-star/small-star
+    // algorithm (the O(log diameter) extreme-scale path) — verified against
+    // the SAME recursive-CTE oracle as dd_components, proving the two
+    // engine implementations and the SQL closure all agree.
+    "dd_components_star" -> Q(
+      (s, d) => {
+        val pairs = Dedup.minhashCandidates(documents(s, d), "doc_id", "text",
+          numHashes = 16, bands = 4, maxBucketSize = 100,
+          baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash)
+        Dedup.componentsStar(pairs)
+          .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+          .agg(
+            count(lit(1)).as("n_components"),
+            sum(col("sz")).as("n_clustered_docs"),
+            max(col("sz")).as("max_component_size"))
+      },
+      Some(componentsOracleSql(numHashes = 16, bands = 4, maxBucketSize = 100)),
+      Seq("A6")
+    ),
+
     // Flagship corpus dedup: exact (sha2 keep-min) → MinHash-LSH candidates
     // → connected components → one canonical doc per cluster, as one call.
     // Oracle: group-by-text keep-min + the shared pairs CTE + recursive

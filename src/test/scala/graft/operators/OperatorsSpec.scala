@@ -212,6 +212,34 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.contains(brute.head), "IVF with 2 probes must find the exact nearest vector")
   }
 
+  test("componentsStar equals min-label components on chains, cliques, forests, random graphs") {
+    val rng = new scala.util.Random(7)
+    val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
+      ("long chain", (1L to 29L).map(i => (i, i + 1))),
+      ("clique", (for { a <- 1L to 8L; b <- (a + 1) to 8L } yield (a, b))),
+      ("forest of pairs+triples", Seq((10L, 11L), (20L, 21L), (21L, 22L), (30L, 30L))),
+      ("random", (1 to 120).map(_ => (rng.nextInt(60).toLong, rng.nextInt(60).toLong))),
+      ("reversed ids", (1L to 9L).map(i => (i + 1, i)))
+    )
+    graphs.foreach { case (name, es) =>
+      val pairs = es.toDF("id_a", "id_b")
+      // min-label needs rounds = diameter (40 covers the 29-link chain);
+      // star converges within its default 20 on every shape here
+      val viaLabel = Dedup.components(pairs, maxIter = 40).as[(Long, Long)].collect().toMap
+      val viaStar = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+      assert(viaStar == viaLabel, s"$name: star and min-label disagree")
+    }
+  }
+
+  test("componentsStar converges in O(log d) rounds on a chain min-label needs O(d) for") {
+    // 200-link chain: min-label at maxIter=20 would NOT converge (diameter
+    // 200); the star rounds contract it comfortably inside 20
+    val pairs = (1L to 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.componentsStar(pairs, maxIter = 20).as[(Long, Long)].collect()
+    assert(comps.length == 201)
+    assert(comps.forall(_._2 == 1L), "whole chain collapses to the minimum id")
+  }
+
   test("IVF assigner: mapPartitions path (k>64) matches the codegen argmax bit-for-bit") {
     // 300 vectors spread over a ring plus some collinear ties; 128 centroids
     // forces the mapPartitions path, which must agree with the k<=64
