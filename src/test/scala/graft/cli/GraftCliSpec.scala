@@ -120,6 +120,10 @@ class GraftCliSpec extends SparkSpec {
     assert(top.getAs[String]("documentId") == "doc_a",
       "same text embeds to the same vector, so its own chunk must rank first")
     assert(math.abs(top.getAs[Double]("sim") - 1.0) < 1e-4)
+    // serving path reads the store exactly once: content rides through the
+    // top-k heap instead of a join-back to a second scan
+    assert(hits.queryExecution.executedPlan.collectLeaves().size == 1,
+      "search must plan a single store scan")
   }
 
   test("settings drive chunk params, store bucketing, and dataset pattern end-to-end") {
