@@ -109,7 +109,7 @@ object Dedup {
     * MinHash pipelines cap or drop them; AQE's skew-join split handles the
     * surviving moderate imbalance.
     */
-  private def capBuckets(rows: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
+  private[operators] def capBuckets(rows: DataFrame, keys: Seq[String], maxBucketSize: Int): DataFrame =
     if (maxBucketSize == Int.MaxValue) rows
     else {
       // window count, not groupBy + semi-join: one shuffle on the bucket key
@@ -197,6 +197,71 @@ object Dedup {
 
   def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column =
     winnowingFingerprintWith(c, k, w, g => xxhash64(g))
+
+  /** Distinct word n-gram hashes of a text column (empty when the text has
+    * fewer than n words) — the shared primitive of winnowing and
+    * decontamination. `hashFn` is pluggable so oracles can replay with
+    * [[md5Lower60]]; the default is the faster non-negative xxhash64.
+    */
+  def ngramHashes(c: Column, n: Int, hashFn: Column => Column = g => xxBaseHash(g)): Column = {
+    val toks = split(trim(c), "\\s+")
+    val nGrams = greatest(size(toks) - (n - 1), lit(0))
+    val kgrams = transform(sequence(lit(1), greatest(nGrams, lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+    when(nGrams <= 0, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(kgrams, g => hashFn(g))))
+  }
+
+  /** Benchmark decontamination — the n-gram collision rule of the published
+    * eval-overlap filters (GPT-3 appendix C / C4 style): a corpus document
+    * is contaminated when it shares at least `minCollisions` distinct word
+    * n-grams with ANY benchmark document. Both sides reduce to n-gram
+    * HASHES before the join, so the shuffle carries longs, not n-gram
+    * strings, and the join is equi-key on the hash — no all-pairs anywhere.
+    * Hint-free: eval sets are tiny next to a training corpus, so AQE
+    * broadcasts the benchmark gram set while it fits and shuffles past the
+    * ceiling, same shape as the J1/K3 anti-joins.
+    *
+    * @return one `idCol` row per contaminated corpus document
+    */
+  def contaminatedIds(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      minCollisions: Int = 1,
+      hashFn: Column => Column = g => xxBaseHash(g)
+  ): DataFrame = {
+    val benchGrams = benchmark
+      .select(explode(ngramHashes(col(benchTextCol), n, hashFn)).as("_gram")).distinct()
+    // ngramHashes is array_distinct, so post-join rows per doc = distinct
+    // colliding grams — countable directly for the minCollisions threshold
+    val corpusGrams = corpus
+      .select(col(idCol), explode(ngramHashes(col(textCol), n, hashFn)).as("_gram"))
+    val hits = corpusGrams.join(benchGrams, Seq("_gram"), "left_semi")
+    if (minCollisions <= 1) hits.select(col(idCol)).distinct()
+    else hits.groupBy(col(idCol)).agg(count(lit(1)).as("_hits"))
+      .filter(col("_hits") >= minCollisions).select(col(idCol))
+  }
+
+  /** Corpus minus contaminated documents, schema unchanged (the apply side
+    * of [[contaminatedIds]]).
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      minCollisions: Int = 1,
+      hashFn: Column => Column = g => xxBaseHash(g)
+  ): DataFrame =
+    corpus.join(
+      contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n, minCollisions, hashFn),
+      Seq(idCol), "left_anti")
 
   /** SimHash: `bits`-wide signature from per-token hashes — bit i of the
     * signature is the sign of sum over tokens of (bit i ? +1 : -1).

@@ -192,6 +192,55 @@ object Similarity {
       .limit(k)
   }
 
+  /** Approximate k-NN JOIN — the two-sided member of the E2 family: for
+    * EVERY query row, the top-k cosine neighbors among corpus rows whose
+    * hyperplane bucket is within Hamming distance `probes` of the query's
+    * (use case: match a candidate pool against a whole query set —
+    * retrieval eval, cross-corpus linking, nearest-benchmark analysis).
+    *
+    * Scale shape: each query explodes to its `Σ C(nPlanes, r≤probes)` probe
+    * buckets; both sides then shuffle ONCE on the bucket key and the join
+    * is equi-key — never query×corpus. A corpus row sits in exactly one
+    * bucket and probe masks are distinct, so (query, corpus) candidates are
+    * unique without dedup. Oversized corpus buckets (degenerate embedding
+    * clusters) are dropped by the same cap as [[Dedup.cosineCandidates]].
+    * Per-query top-k runs through the native `top_k` aggregate — k rows per
+    * query per partition reach the exchange, not every candidate (ties:
+    * larger sim, then larger neighbor id).
+    */
+  def nnJoin(
+      corpus: DataFrame,
+      corpusIdCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int,
+      nPlanes: Int = 8,
+      probes: Int = 1,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    val masks: Seq[Int] = (0 to probes.min(nPlanes)).flatMap(r =>
+      (0 until nPlanes).combinations(r).map(_.foldLeft(0)((m, b) => m | (1 << b)))).distinct
+    val c = Dedup.capBuckets(
+      corpus.select(col(corpusIdCol).as("_nn_cid"), col(vecCol).as("_nn_cvec"))
+        .withColumn("_nn_bucket", lshBucket(col("_nn_cvec"), dim, nPlanes)),
+      Seq("_nn_bucket"), maxBucketSize)
+    val q = queries.select(col(queryIdCol).as("_nn_qid"), col(vecCol).as("_nn_qvec"))
+      .withColumn("_nn_qb", lshBucket(col("_nn_qvec"), dim, nPlanes))
+      .withColumn("_nn_bucket",
+        explode(array(masks.map(m => col("_nn_qb").bitwiseXOR(lit(m))): _*)))
+    q.join(c, Seq("_nn_bucket"))
+      .withColumn("_nn_sim", cosine(col("_nn_qvec"), col("_nn_cvec")))
+      .groupBy(col("_nn_qid"))
+      .agg(expr(s"top_k(struct(_nn_sim, _nn_cid), $k)").as("_nn_top"))
+      .select(col("_nn_qid"), explode(col("_nn_top")).as("_nn_t"))
+      .select(
+        col("_nn_qid").as(queryIdCol),
+        col("_nn_t._nn_cid").as("neighbor_id"),
+        round(col("_nn_t._nn_sim"), 6).as("sim"))
+  }
+
   /** Driver-side twin of [[graft.functions.VectorFunctions.lshBucket]] for a
     * literal query vector: identical plane signs, identical left-to-right
     * double accumulation, so the bucket id matches the column expression

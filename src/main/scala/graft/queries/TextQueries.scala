@@ -535,6 +535,42 @@ object TextQueries {
       Seq("C13")
     ),
 
+    // Benchmark decontamination: corpus docs sharing any 5-gram with the
+    // benchmark subset (doc_id % 37 = 0 plays the eval set). Oracle replays
+    // the full hash-join pipeline via md5Lower60 n-gram hashes, and
+    // n_clean is computed by the independent decontaminate() anti-join so
+    // the apply side is verified too.
+    "dd_contamination" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val bench = docs.filter(col("doc_id") % 37 === 0).select(col("text"))
+        val contaminated = Dedup.contaminatedIds(
+          docs, "doc_id", "text", bench, "text", n = 5, hashFn = Dedup.md5Lower60)
+        val clean = Dedup.decontaminate(
+          docs, "doc_id", "text", bench, "text", n = 5, hashFn = Dedup.md5Lower60)
+        docs.agg(count(lit(1)).as("n_total"))
+          .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
+          .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN len(toks) - 4 <= 0 THEN CAST([] AS BIGINT[])
+             |    ELSE list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+             |      i -> CAST((md5_number_lower(array_to_string(list_slice(toks, i, i + 4), ' ')) >> 4) AS BIGINT))
+             |    END)) AS h
+             |  FROM corpus),
+             |bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 37 = 0),
+             |contaminated AS (
+             |  SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (h))
+             |SELECT (SELECT count(*) FROM documents) AS n_total,
+             |       (SELECT count(*) FROM contaminated) AS n_contaminated,
+             |       (SELECT count(*) FROM documents) -
+             |         (SELECT count(*) FROM contaminated) AS n_clean""".stripMargin),
+      Seq("A6", "C13")
+    ),
+
     // Blocked n-gram-Jaccard near-dup: candidates share (source, n_chars).
     "dd_jaccard_blocked" -> Q(
       (s, d) =>

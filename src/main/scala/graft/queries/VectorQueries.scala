@@ -247,6 +247,23 @@ object VectorQueries {
       Seq("A6")
     ),
 
+    // Two-sided approximate k-NN join: every 20th vector plays the query
+    // set, the rest the corpus; per-query top-3 through the native top_k
+    // aggregate. Oracle replays buckets (inlined plane signs), Hamming-1
+    // candidate join, cosine and the per-query window.
+    "e2_nn_join" -> Q(
+      (s, d) => {
+        val vecs = embeddings(s, d)
+        Similarity.nnJoin(
+          vecs.filter(col("vec_id") % 20 =!= 0), "vec_id",
+          vecs.filter(col("vec_id") % 20 === 0), "vec_id",
+          "embedding", dim = 64, k = 3, nPlanes = 6, probes = 1,
+          maxBucketSize = Int.MaxValue) // uncapped: the oracle replays every bucket
+      },
+      Some(nnJoinOracleSql(nPlanes = 6, probes = 1, k = 3)),
+      Seq("E2")
+    ),
+
     // Embedding-cosine near-dup, hyperplane-bucketed. Oracle-matched via the
     // same inlined plane-sign literals as e2_ann_lsh_topk.
     "dd_cosine_lsh" -> Q(
@@ -432,6 +449,36 @@ object VectorQueries {
        |       (SELECT CAST(count(*) AS BIGINT) FROM docs2) AS n_exact_kept,
        |       (SELECT CAST(count(*) AS BIGINT) FROM docs2) -
        |         (SELECT CAST(count(*) AS BIGINT) FROM drops) AS n_kept""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Similarity.nnJoin]]: queries are
+    * `vec_id % 20 = 0`, corpus the rest; candidates within Hamming
+    * `probes` of the query bucket; per-query top-k by (sim DESC, id DESC)
+    * — the `top_k(struct(sim, id))` tie-break.
+    */
+  private def nnJoinOracleSql(nPlanes: Int, probes: Int, k: Int): String =
+    s"""WITH ${bucketsSql(nPlanes)},
+       |qb AS (SELECT vec_id AS qid, bucket FROM buckets WHERE vec_id % 20 = 0),
+       |cb AS (SELECT vec_id AS cid, bucket FROM buckets WHERE vec_id % 20 <> 0),
+       |cand AS (
+       |  SELECT q.qid, c.cid FROM qb q JOIN cb c
+       |  ON bit_count(xor(q.bucket, c.bucket)) <= $probes),
+       |qv AS (SELECT vec_id AS qid, i, x FROM unn WHERE vec_id % 20 = 0),
+       |cv AS (SELECT vec_id AS cid, i, x FROM unn WHERE vec_id % 20 <> 0),
+       |sims AS (
+       |  SELECT d.qid, d.cid, sum(c2.x * q2.x) AS dot,
+       |         sqrt(sum(c2.x * c2.x)) AS na, sqrt(sum(q2.x * q2.x)) AS nb
+       |  FROM cand d
+       |  JOIN cv c2 ON c2.cid = d.cid
+       |  JOIN qv q2 ON q2.qid = d.qid AND q2.i = c2.i
+       |  GROUP BY d.qid, d.cid),
+       |ranked AS (
+       |  SELECT qid, cid,
+       |         CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END AS sim,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY (CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END) DESC, cid DESC) AS rn
+       |  FROM sims)
+       |SELECT qid AS vec_id, cid AS neighbor_id, round(sim, 6) AS sim
+       |FROM ranked WHERE rn <= $k""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.cosineCandidates]] + count. */
   private def cosineLshOracleSql(nPlanes: Int, threshold: Double, maxBucketSize: Int): String =

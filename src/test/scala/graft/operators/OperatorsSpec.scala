@@ -268,6 +268,62 @@ class OperatorsSpec extends SparkSpec {
     assert(viaMapPartitions == viaExpr)
   }
 
+  test("decontamination flags n-gram collisions with a benchmark set, plan has no cartesian") {
+    val benchText = (1 to 30).map(i => s"bench$i").mkString(" ")
+    val leaked = "prefix words then " + (5 to 20).map(i => s"bench$i").mkString(" ") // shares 13-grams
+    val nearMiss = (1 to 30).map(i => s"bench$i").grouped(12).map(_.mkString(" ")).mkString(" UNIQUE ")
+    val clean = (1 to 40).map(i => s"clean$i").mkString(" ")
+    val corpus = Seq((1L, leaked), (2L, clean), (3L, nearMiss), (4L, "short text"))
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1(benchText)).toDF("text")
+
+    val contaminated = Dedup.contaminatedIds(corpus, "doc_id", "text", bench, "text", n = 13)
+    assert(!contaminated.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    assert(contaminated.as[Long].collect().toSet == Set(1L),
+      "only the doc sharing a full 13-gram run is flagged (interrupted runs and short docs are not)")
+
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", n = 13)
+    assert(kept.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    assert(kept.columns.toSeq == corpus.columns.toSeq, "schema unchanged")
+
+    // minCollisions raises the bar: doc 1 shares exactly 4 distinct 13-grams
+    // (16 bench tokens → 4 windows), so a threshold of 5 clears it
+    val strict = Dedup.contaminatedIds(corpus, "doc_id", "text", bench, "text",
+      n = 13, minCollisions = 5)
+    assert(strict.as[Long].collect().isEmpty)
+    val atBar = Dedup.contaminatedIds(corpus, "doc_id", "text", bench, "text",
+      n = 13, minCollisions = 4)
+    assert(atBar.as[Long].collect().toSet == Set(1L))
+  }
+
+  test("nnJoin returns per-query brute-force top-k at full probe radius, no cartesian") {
+    val corpus = (0 until 48).map { i =>
+      val a = i / 48.0 * 2 * math.Pi
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat, 0.2f, 0f))
+    }.toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Array(1f, 0.05f, 0.2f, 0f)),
+      (101L, Array(-1f, -0.05f, 0.2f, 0f))
+    ).toDF("vec_id", "embedding")
+
+    val nn = Similarity.nnJoin(corpus, "vec_id", queries, "vec_id", "embedding",
+      dim = 4, k = 3, nPlanes = 4, probes = 4) // radius = nPlanes → every bucket probed
+    assert(!nn.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val got = nn.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    // brute-force ground truth per query via the single-query operator
+    val b100 = Similarity.topK(corpus, "embedding", "vec_id", Array(1f, 0.05f, 0.2f, 0f), 3)
+      .select("vec_id").as[Long].collect().toSet
+    val b101 = Similarity.topK(corpus, "embedding", "vec_id", Array(-1f, -0.05f, 0.2f, 0f), 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got(100L) == b100 && got(101L) == b101,
+      "full-radius nnJoin must equal per-query brute force")
+
+    // map-side partial top-k: the aggregate ships k rows per query per
+    // partition, not every candidate
+    assert(nn.queryExecution.executedPlan.toString.contains("partial_top_k"))
+  }
+
   test("winnowing fingerprint: deterministic, overlap-sensitive") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val shared = (1 to 25).map(i => s"w$i").mkString(" ") + " x1 x2 x3 x4 x5"
