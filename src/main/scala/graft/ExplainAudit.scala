@@ -28,7 +28,8 @@ object ExplainAudit {
       "q1_pricing_summary", "q_star_join", "j1_incremental_antijoin",
       "j3_upsert_overlay", "e2_cosine_topk", "dd_minhash_lsh",
       "dd_jaccard_blocked", "w_tumbling_hourly", "f6_docid_filter",
-      "a4_token_budget_buckets", "ta_topk_per_source"
+      "a4_token_budget_buckets", "ta_topk_per_source",
+      "dd_contamination", "e2_nn_join"
     )
 
     var bad = 0
@@ -113,7 +114,12 @@ object ExplainAudit {
         !plan("dd_jaccard_blocked").contains("CartesianProduct")),
       ("per-group top-k aggregates map-side (partial_top_k before the exchange)",
         plan("ta_topk_per_source").contains("partial_top_k") &&
-          plan("ta_topk_per_source").contains("ObjectHashAggregate"))
+          plan("ta_topk_per_source").contains("ObjectHashAggregate")),
+      ("decontamination joins on n-gram hashes, no cartesian",
+        !plan("dd_contamination").contains("CartesianProduct")),
+      ("nn join is bucket-equi-key with map-side per-query top-k",
+        !plan("e2_nn_join").contains("CartesianProduct") &&
+          plan("e2_nn_join").contains("partial_top_k"))
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>

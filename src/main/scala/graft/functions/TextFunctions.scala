@@ -174,4 +174,21 @@ object TextFunctions {
     */
   def fingerprint(c: Column): Column =
     substring(sha2(regexp_replace(lower(trim(c)), "\\s+", " "), 256), 1, 16)
+
+  /** PII scrubbing — the standard pre-training redaction pass (emails,
+    * IPv4 addresses, phone-shaped numbers → typed placeholders). Patterns
+    * are deliberately RE2-compatible (no lookaround/backrefs) so the exact
+    * same regexes run in Spark's Java engine and a DuckDB oracle; applied
+    * email → ip → phone so earlier placeholders can't be re-matched.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phoneRe = "\\+[0-9][0-9 ()./-]{6,}[0-9]"
+
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
 }

@@ -76,4 +76,34 @@ object Sampling {
     }
     df.withColumn("split", assigned)
   }
+
+  /** Sequence packing — assign documents to fixed-token-budget training
+    * bins the way pretraining data is actually packed: concatenate in a
+    * deterministic order (by `idCol` within each `keyCol` stream) and cut
+    * every `targetTokens`; a document's bin is the context window its first
+    * token lands in (`floor(running_prefix / target)`). Deterministic,
+    * rebuild-stable, and exactly replayable by a SQL window oracle.
+    *
+    * Scale shape: one shuffle on `keyCol` + an ordered window per stream —
+    * the sort-based packing every published pipeline uses. Streams are the
+    * parallelism unit; pick `keyCol` (source, shard, ...) so no single
+    * stream dominates.
+    *
+    * @return df plus a `bin` column (0-based window index within the key)
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      keyCol: String,
+      targetTokens: Int
+  ): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.withColumn("bin",
+      floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)).cast("double") / targetTokens)
+        .cast("long"))
+  }
 }

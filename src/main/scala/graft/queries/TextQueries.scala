@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, QualityFilters, Sampling}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -380,6 +380,118 @@ object TextQueries {
       Some("""SELECT lang, count(*) AS n, TRUE AS hll_in_bound, TRUE AS quantile_in_bound
              |FROM documents GROUP BY lang""".stripMargin),
       Seq("A2", "A3")
+    ),
+
+    // PII scrubbing: deterministic emails/IPs/phones are appended to every
+    // document, scrubbed, and the oracle replays the SAME RE2-safe regexes
+    // (DuckDB needs the 'g' flag for replace-all parity with Spark).
+    "ta_pii_scrub" -> Q(
+      (s, d) => {
+        val withPii = documents(s, d).withColumn("t",
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+            lit(" or +47 22 "), (col("doc_id") % 100).cast("string"), lit(" 55 666"),
+            lit(" at 10.0."), (col("doc_id") % 256).cast("string"), lit(".7 end")))
+        withPii.select(col("lang"), scrubPii(col("t")).as("scrubbed"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(length(col("scrubbed"))).as("sum_len"),
+            count(when(col("scrubbed").contains("<EMAIL>")
+              && col("scrubbed").contains("<IP>")
+              && col("scrubbed").contains("<PHONE>"), 1)).as("n_all_redacted"),
+            count(when(col("scrubbed").rlike(emailRe)
+              || col("scrubbed").rlike(ipv4Re)
+              || col("scrubbed").rlike(phoneRe), 1)).as("n_leaking")
+          )
+      },
+      Some(s"""SELECT lang, count(*) AS n,
+              |  CAST(sum(length(scrubbed)) AS BIGINT) AS sum_len,
+              |  CAST(count(CASE WHEN contains(scrubbed, '<EMAIL>')
+              |    AND contains(scrubbed, '<IP>')
+              |    AND contains(scrubbed, '<PHONE>') THEN 1 END) AS BIGINT) AS n_all_redacted,
+              |  CAST(count(CASE WHEN regexp_matches(scrubbed, '$emailRe')
+              |    OR regexp_matches(scrubbed, '$ipv4Re')
+              |    OR regexp_matches(scrubbed, '$phoneRe') THEN 1 END) AS BIGINT) AS n_leaking
+              |FROM (
+              |  SELECT lang, regexp_replace(regexp_replace(regexp_replace(
+              |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              |      || ' or +47 22 ' || CAST(doc_id % 100 AS VARCHAR) || ' 55 666'
+              |      || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end',
+              |    '$emailRe', '<EMAIL>', 'g'),
+              |    '$ipv4Re', '<IP>', 'g'),
+              |    '$phoneRe', '<PHONE>', 'g') AS scrubbed
+              |  FROM documents)
+              |GROUP BY lang""".stripMargin),
+      Seq("C3", "C10")
+    ),
+
+    // Gopher/MassiveText repetition rules: dup-word fraction and the char
+    // fraction of the most frequent 2-gram, thresholded per the published
+    // cut-offs. Per-doc doubles are bit-equal across engines (same integer
+    // ratios), so the threshold counts are exact.
+    "ta_repetition" -> Q(
+      (s, d) =>
+        QualityFilters.repetitionSignals(documents(s, d), "doc_id", "text", n = 2)
+          .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(round(col("dup_word_frac") * 1e6, 0)).cast("long").as("sum_dup_word_micro"),
+            count(when(col("dup_word_frac") > 0.5, 1)).as("n_dupword_hi"),
+            count(when(col("top_ngram_char_frac") > 0.2, 1)).as("n_topgram_hi")
+          ),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang, length(text) AS chars,
+             |         regexp_split_to_array(trim(text), '\s+') AS ts
+             |  FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(
+             |    CASE WHEN len(ts) - 1 <= 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE list_transform(range(1, greatest(len(ts) - 1, 1) + 1),
+             |      i -> array_to_string(list_slice(ts, i, i + 1), ' ')) END) AS gram
+             |  FROM toks),
+             |counted AS (
+             |  SELECT doc_id, gram, count(*) AS cnt FROM grams GROUP BY doc_id, gram),
+             |top AS (
+             |  SELECT doc_id, gram, cnt FROM (
+             |    SELECT doc_id, gram, cnt,
+             |           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn
+             |    FROM counted) WHERE rn = 1),
+             |sig AS (
+             |  SELECT t.doc_id, t.lang,
+             |         round(1.0 - CAST(len(list_distinct(t.ts)) AS DOUBLE)
+             |           / greatest(len(t.ts), 1), 6) AS dup_word_frac,
+             |         round(COALESCE(CAST(tp.cnt AS DOUBLE) * length(tp.gram)
+             |           / greatest(t.chars, 1), 0.0), 6) AS top_ngram_char_frac
+             |  FROM toks t LEFT JOIN top tp USING (doc_id))
+             |SELECT lang, count(*) AS n,
+             |  CAST(sum(round(dup_word_frac * 1000000)) AS BIGINT) AS sum_dup_word_micro,
+             |  CAST(count(CASE WHEN dup_word_frac > 0.5 THEN 1 END) AS BIGINT) AS n_dupword_hi,
+             |  CAST(count(CASE WHEN top_ngram_char_frac > 0.2 THEN 1 END) AS BIGINT) AS n_topgram_hi
+             |FROM sig GROUP BY lang""".stripMargin),
+      Seq("A1", "A6")
+    ),
+
+    // Sequence packing: concat-and-split training bins (4096-char budget,
+    // FIFO by doc_id within each source stream), summarized per source.
+    "ta_packing" -> Q(
+      (s, d) =>
+        Sampling.packSequences(documents(s, d), "doc_id", "n_chars", "source", 4096)
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("bin")).as("n_bins"),
+            max(col("bin")).as("max_bin")
+          ),
+      Some("""SELECT source, count(*) AS n, count(DISTINCT bin) AS n_bins, max(bin) AS max_bin
+             |FROM (
+             |  SELECT source, CAST(floor(COALESCE(sum(n_chars) OVER (
+             |    PARTITION BY source ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096.0) AS BIGINT) AS bin
+             |  FROM documents)
+             |GROUP BY source""".stripMargin),
+      Seq("A1", "W2")
     ),
 
     // Corpus vocabulary: top-20 words by frequency (explode → count → top-k).

@@ -324,6 +324,51 @@ class OperatorsSpec extends SparkSpec {
     assert(nn.queryExecution.executedPlan.toString.contains("partial_top_k"))
   }
 
+  test("PII scrub redacts emails, IPv4 and phones; clean text is untouched") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, "mail me at alice.smith+x@sub.example.org today"),
+      (2L, "server 192.168.001.12 responded"),
+      (3L, "call +47 22 33 44 55 now"),
+      (4L, "version 3.4 of chapter 12 is fine"), // dotted short number: not an IP
+      (5L, "all three: bob@x.io from 10.0.0.7 dial +1 (555) 123-4567 done")
+    ).toDF("id", "t")
+    val got = rows.select(col("id"), TextFunctions.scrubPii(col("t")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "mail me at <EMAIL> today")
+    assert(got(2L) == "server <IP> responded")
+    assert(got(3L) == "call <PHONE> now")
+    assert(got(4L) == "version 3.4 of chapter 12 is fine")
+    assert(got(5L) == "all three: <EMAIL> from <IP> dial <PHONE> done")
+  }
+
+  test("repetition signals: dup-word and top-2gram fractions match hand computation") {
+    // "a b a b a b": 6 words, 2 distinct → dup_word_frac = 4/6; 2-grams:
+    // "a b"×3, "b a"×2 → top gram "a b" (3 occurrences × 3 chars) / 11 chars
+    val df = Seq(
+      (1L, "a b a b a b"),
+      (2L, "all words here are unique tokens"),
+      (3L, "x") // fewer words than the 2-gram size
+    ).toDF("doc_id", "text")
+    val sig = QualityFilters.repetitionSignals(df, "doc_id", "text", n = 2)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(sig(1L)._1 == math.rint((1.0 - 2.0 / 6.0) * 1e6) / 1e6)
+    assert(sig(1L)._2 == math.rint(3.0 * 3.0 / 11.0 * 1e6) / 1e6)
+    assert(sig(2L)._1 == 0.0 && sig(2L)._2 < 0.5)
+    assert(sig(3L)._1 == 0.0 && sig(3L)._2 == 0.0, "sub-n-gram docs score zero, not null")
+  }
+
+  test("sequence packing: bins are contiguous token windows, stable per stream") {
+    val df = Seq(
+      (1L, "s1", 600), (2L, "s1", 600), (3L, "s1", 600), (4L, "s1", 600),
+      (10L, "s2", 2000), (11L, "s2", 100)
+    ).toDF("doc_id", "source", "toks")
+    val packed = Sampling.packSequences(df, "doc_id", "toks", "source", 1000)
+      .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+    // s1 prefix sums 0,600,1200,1800 → bins 0,0,1,1; s2: 0,2000 → bins 0,2
+    assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 10L -> 0L, 11L -> 2L))
+  }
+
   test("winnowing fingerprint: deterministic, overlap-sensitive") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val shared = (1 to 25).map(i => s"w$i").mkString(" ") + " x1 x2 x3 x4 x5"
