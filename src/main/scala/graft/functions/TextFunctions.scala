@@ -191,4 +191,17 @@ object TextFunctions {
         regexp_replace(c, emailRe, "<EMAIL>"),
         ipv4Re, "<IP>"),
       phoneRe, "<PHONE>")
+
+  /** C4-style line filtering (Raffel et al. 2020 §2.2): keep only lines
+    * that end in terminal punctuation AND have at least `minWords` words;
+    * drop the document's other lines and re-join. Lines are split on
+    * newline; the whole pass is codegen'd array ops — no UDF, no shuffle.
+    */
+  def c4LineFilter(c: Column, minWords: Int = 3): Column = {
+    val lines = split(c, "\n")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"']\\s*$") &&
+        size(split(trim(l), "\\s+")) >= minWords && (length(trim(l)) > 0))
+    concat_ws("\n", kept)
+  }
 }

@@ -426,6 +426,44 @@ object TextQueries {
       Seq("C3", "C10")
     ),
 
+    // C4 line rules: a 4-line synthetic doc per row (the original text, a
+    // short line, a qualifying sentence, an unterminated line); the filter
+    // must keep exactly the qualifying lines. Oracle replays the same
+    // regex + word-count rule over split lines.
+    "ta_c4_lines" -> Q(
+      (s, d) => {
+        val doc = concat_ws("\n",
+          col("text"),
+          lit("too short."),
+          lit("A good long sentence stays here."),
+          lit("this line has no terminal punctuation at all"))
+        documents(s, d)
+          .select(col("lang"), c4LineFilter(doc, minWords = 3).as("kept"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(length(col("kept"))).as("sum_kept_len"),
+            count(when(col("kept").contains("stays here."), 1)).as("n_kept_sentence"),
+            count(when(col("kept").contains("no terminal"), 1)).as("n_kept_bad")
+          )
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |  CAST(sum(length(kept)) AS BIGINT) AS sum_kept_len,
+             |  CAST(count(CASE WHEN contains(kept, 'stays here.') THEN 1 END) AS BIGINT) AS n_kept_sentence,
+             |  CAST(count(CASE WHEN contains(kept, 'no terminal') THEN 1 END) AS BIGINT) AS n_kept_bad
+             |FROM (
+             |  SELECT lang, array_to_string(list_filter(
+             |    string_split(text || chr(10) || 'too short.' || chr(10)
+             |      || 'A good long sentence stays here.' || chr(10)
+             |      || 'this line has no terminal punctuation at all', chr(10)),
+             |    l -> regexp_matches(l, '[.!?"'']\s*$')
+             |         AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
+             |         AND length(trim(l)) > 0), chr(10)) AS kept
+             |  FROM documents)
+             |GROUP BY lang""".stripMargin),
+      Seq("C3", "F9")
+    ),
+
     // Gopher/MassiveText repetition rules: dup-word fraction and the char
     // fraction of the most frequent 2-gram, thresholded per the published
     // cut-offs. Per-doc doubles are bit-equal across engines (same integer

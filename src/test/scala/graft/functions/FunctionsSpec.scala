@@ -54,6 +54,22 @@ class FunctionsSpec extends SparkSpec {
       one[String](fingerprint(lit("hello world"))), "fingerprint normalizes case+whitespace")
   }
 
+  test("C4 line filter keeps terminal-punctuated lines of enough words") {
+    val doc = Seq(
+      "A proper sentence ends like this.",
+      "short one.",
+      "no punctuation on this line",
+      "Is a question fine?",
+      "  ",
+      "Quoted line works too.\""
+    ).mkString("\n")
+    val kept = one[String](c4LineFilter(lit(doc), minWords = 3))
+    assert(kept == Seq(
+      "A proper sentence ends like this.",
+      "Is a question fine?",
+      "Quoted line works too.\"").mkString("\n"))
+  }
+
   test("vector math: dot, norm, cosine on known values") {
     val a = vecLit(Array(3f, 4f))
     val b = vecLit(Array(4f, 3f))
