@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.scalacheck.Gen
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.{check, Parameters}
+
+import graft.SparkSpec
+
+/** Randomized invariants for the round-4 operator families, each checked
+  * against a driver-side ground-truth recomputation (no Spark machinery on
+  * the oracle side of the property).
+  */
+class OperatorsPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = Parameters.default.withMinSuccessfulTests(8)
+  private def holds(p: org.scalacheck.Prop): Unit = {
+    val r = check(params, p)
+    assert(r.passed, r.status.toString)
+  }
+
+  private val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+  private val textGen = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+  private val corpusGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, textGen))
+    .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+
+  test("decontaminate with an empty benchmark is the identity") {
+    val corpus = (1L to 10L).map(i => (i, s"text number $i here")).toDF("doc_id", "text")
+    val bench = Seq.empty[String].toDF("text")
+    val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", n = 3)
+    assert(kept.count() == 10)
+  }
+
+  test("contamination: self-benchmark flags exactly docs with >= n words; thresholds are monotone") {
+    holds(forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val self = Dedup.contaminatedIds(df, "doc_id", "text", df, "text", n = 3)
+        .as[Long].collect().toSet
+      val expected = rows.filter(_._2.split("\\s+").count(_.nonEmpty) >= 3).map(_._1).toSet
+      val strict = Dedup.contaminatedIds(df, "doc_id", "text", df, "text", n = 3, minCollisions = 2)
+        .as[Long].collect().toSet
+      self == expected && strict.subsetOf(self)
+    })
+  }
+
+  test("packSequences bins equal the driver-computed prefix-sum windows") {
+    val rowsGen = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("s1", "s2"), Gen.chooseNum(1, 900))))
+      .map(_.zipWithIndex.map { case ((src, tk), i) => (i.toLong, src, tk) })
+    holds(forAll(rowsGen) { rows =>
+      val df = rows.toDF("doc_id", "source", "toks")
+      val got = Sampling.packSequences(df, "doc_id", "toks", "source", 500)
+        .select("doc_id", "bin").as[(Long, Long)].collect().toMap
+      val expected = rows.groupBy(_._2).values.flatMap { group =>
+        val sorted = group.sortBy(_._1)
+        val prefix = sorted.map(_._3.toLong).scanLeft(0L)(_ + _)
+        sorted.map(_._1).zip(prefix.map(p => math.floor(p.toDouble / 500).toLong))
+      }.toMap
+      got == expected
+    })
+  }
+
+  test("componentsStar labels equal a driver-side union-find on random graphs") {
+    val edgesGen = Gen.chooseNum(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))))
+    holds(forAll(edgesGen) { es =>
+      val pairs = es.toDF("id_a", "id_b")
+      val got = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+      // union-find ground truth: comp = min reachable id
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = es.flatMap(e => Seq(e._1, e._2)).distinct.map(x => x -> find(x)).toMap
+      got == expected
+    })
+  }
+
+  test("nnJoin results carry true cosines, valid neighbors, and at most k rows per query") {
+    val vecGen = Gen.listOfN(4, Gen.chooseNum(-5, 5)).map(_.map(_.toFloat / 5f).toArray)
+    val setGen = Gen.zip(
+      Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, vecGen)),
+      Gen.chooseNum(1, 3).flatMap(n => Gen.listOfN(n, vecGen)))
+    holds(forAll(setGen) { case (cvecs, qvecs) =>
+      val corpus = cvecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      val queries = qvecs.zipWithIndex.map { case (v, i) => (100L + i, v) }.toDF("vec_id", "embedding")
+      val got = Similarity.nnJoin(corpus, "vec_id", queries, "vec_id", "embedding",
+        dim = 4, k = 2, nPlanes = 3, probes = 3).collect()
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        if (na * nb > 0) d / (na * nb) else 0.0
+      }
+      got.forall { r =>
+        val qid = r.getLong(0); val cid = r.getLong(1); val sim = r.getDouble(2)
+        cid >= 0 && cid < cvecs.length && qid >= 100 &&
+          math.abs(sim - cos(qvecs((qid - 100).toInt), cvecs(cid.toInt))) < 1e-6
+      } && got.groupBy(_.getLong(0)).values.forall(_.length <= 2)
+    })
+  }
+}
