@@ -233,14 +233,36 @@ object Dedup {
       n: Int = 13,
       minCollisions: Int = 1,
       hashFn: Column => Column = g => xxBaseHash(g)
+  ): DataFrame =
+    contaminatedIdsAgainstGrams(
+      corpus, idCol, textCol,
+      benchmarkGrams(benchmark, benchTextCol, n, hashFn), n, minCollisions, hashFn)
+
+  /** The benchmark side of [[contaminatedIds]] precomputed as a distinct
+    * gram-hash set (`_gram` column) — compute once, persist, and reuse
+    * across many corpora/microbatches.
+    */
+  def benchmarkGrams(
+      benchmark: DataFrame, benchTextCol: String, n: Int,
+      hashFn: Column => Column = g => xxBaseHash(g)
+  ): DataFrame =
+    benchmark.select(explode(ngramHashes(col(benchTextCol), n, hashFn)).as("_gram")).distinct()
+
+  /** [[contaminatedIds]] against an already-materialized gram set. */
+  def contaminatedIdsAgainstGrams(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchGrams: DataFrame,
+      n: Int,
+      minCollisions: Int = 1,
+      hashFn: Column => Column = g => xxBaseHash(g)
   ): DataFrame = {
-    val benchGrams = benchmark
-      .select(explode(ngramHashes(col(benchTextCol), n, hashFn)).as("_gram")).distinct()
     // ngramHashes is array_distinct, so post-join rows per doc = distinct
     // colliding grams — countable directly for the minCollisions threshold
     val corpusGrams = corpus
       .select(col(idCol), explode(ngramHashes(col(textCol), n, hashFn)).as("_gram"))
-    val hits = corpusGrams.join(benchGrams, Seq("_gram"), "left_semi")
+    val hits = corpusGrams.join(benchGrams.select(col("_gram")), Seq("_gram"), "left_semi")
     if (minCollisions <= 1) hits.select(col(idCol)).distinct()
     else hits.groupBy(col(idCol)).agg(count(lit(1)).as("_hits"))
       .filter(col("_hits") >= minCollisions).select(col(idCol))

@@ -149,6 +149,25 @@ final class ChunkStore(
     if (format == "json") w.json(path) else w.parquet(path)
   }
 
+  /** Number of data files across bucket directories (hidden/_SUCCESS
+    * excluded); bucket-dir listing only — never reads data. Note the store
+    * needs no compaction pass: [[write]] hash-repartitions on `doc_prefix`
+    * before `partitionBy`, so every upsert/delete rewrites each touched
+    * bucket as exactly ONE sorted file — the one-file-per-bucket invariant
+    * holds for the store's whole lifetime (pinned by ChunkStoreSpec).
+    */
+  def dataFileCount(spark: SparkSession): Long = {
+    val f = fs(spark)
+    val root = new Path(path)
+    if (!f.exists(root)) return 0L
+    f.listStatus(root).filter(s => s.isDirectory && s.getPath.getName.startsWith("doc_prefix="))
+      .map { d =>
+        f.listStatus(d.getPath)
+          .count(s => s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+          .toLong
+      }.sum
+  }
+
   /** A2: chunk count. */
   def count(spark: SparkSession): Long = read(spark).count()
 

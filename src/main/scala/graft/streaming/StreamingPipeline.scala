@@ -83,6 +83,37 @@ object StreamingPipeline {
       .dropDuplicatesWithinWatermark("_h")
       .drop("_h")
 
+  /** Streaming decontamination — the streaming twin of
+    * [[graft.operators.Dedup.decontaminate]]: documents arriving on the
+    * stream are dropped when their word n-grams collide with a STATIC
+    * benchmark set. The per-document check is an EXISTS over exploded
+    * n-grams, which a single stream-static join can't express without
+    * unbounded dedup state — so the check runs with batch semantics inside
+    * each microbatch (`foreachBatch`, the same pattern [[writer]] uses).
+    * The benchmark gram set is computed ONCE
+    * ([[graft.operators.Dedup.benchmarkGrams]] — persist it) and reused by
+    * every microbatch as the static join side; clean rows flow to `sink`.
+    */
+  def decontaminatingWriter(
+      source: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchGrams: DataFrame,
+      n: Int,
+      checkpointDir: String
+  )(sink: DataFrame => Unit): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val contaminated = graft.operators.Dedup
+            .contaminatedIdsAgainstGrams(batch, idCol, textCol, benchGrams, n)
+          sink(batch.join(contaminated, Seq(idCol), "left_anti"))
+        }
+      }
+
   /** Watermarked sliding-window counts over an event stream — the streaming
     * twin of [[graft.operators.EventWindows.sliding]].
     */

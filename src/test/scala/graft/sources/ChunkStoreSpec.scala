@@ -93,6 +93,22 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.read(spark).count() == 1)
   }
 
+  test("one file per bucket holds across repeated upsert cycles (no compaction needed)") {
+    val store = new ChunkStore(tmpDir("store_files"), prefixLen = 1)
+    // three separate upsert cycles over the same documents: each touched
+    // bucket is rewritten whole as a single sorted file every time, so the
+    // store never fragments and never needs a compaction pass
+    (0 until 3).foreach { cycle =>
+      store.upsert(spark, chunks(
+        (1 to 12).map(i => (s"c$i-$cycle", s"doc$i", s"text $i cycle $cycle", cycle)): _*))
+    }
+    val buckets = store.read(spark)
+      .select(substring(sha2(col("documentId"), 256), 1, 1)).distinct().count()
+    assert(store.dataFileCount(spark) == buckets,
+      "exactly one data file per occupied bucket after three upsert cycles")
+    assert(store.count(spark) == 36)
+  }
+
   test("read of a missing store is empty, not an error") {
     val store = new ChunkStore(tmpDir("gone") + "/nothing")
     assert(store.count(spark) == 0)

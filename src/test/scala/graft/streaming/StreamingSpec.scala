@@ -114,6 +114,32 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming decontamination drops colliding docs per microbatch, benchmark reused") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val benchText = (1 to 20).map(i => s"bench$i").mkString(" ")
+    val benchGrams = graft.operators.Dedup.benchmarkGrams(
+      Seq(Tuple1(benchText)).toDF("text"), "text", n = 5).cache()
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+
+    val mem = MemoryStream[(Long, String)]
+    // data lands before start: AvailableNow processes it then terminates
+    mem.addData(
+      (1L, "leaked " + (3 to 9).map(i => s"bench$i").mkString(" ")), // 7-token bench run
+      (2L, "totally clean text with several words here"),
+      (3L, (1 to 20).map(i => s"own$i").mkString(" "))
+    )
+    val q = StreamingPipeline.decontaminatingWriter(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", benchGrams, n = 5,
+      tmpDir("decon_ckpt")
+    ) { clean =>
+      collected ++= clean.select("doc_id", "text").as[(Long, String)].collect()
+    }.start()
+    q.awaitTermination()
+    assert(collected.map(_._1).toSet == Set(2L, 3L),
+      "the doc sharing a 5-gram run with the benchmark is dropped; clean docs pass")
+  }
+
   test("flatMapGroupsWithState emits closed sessions only, keeps open tail in state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
