@@ -84,6 +84,7 @@ object ScaleProbe {
     require(nDeleted == expectedDeleted,
       s"delete removed $nDeleted chunks, semi-join expected $expectedDeleted")
     require(store.count(spark) == stored - nDeleted, "post-delete store count mismatch")
+    tombstones.unpersist() // release before the timed stages that follow
 
     // Ledger at corpus scale: one row per document, persisted as
     // status-partitioned parquet with no driver materialization, then the
@@ -126,6 +127,19 @@ object ScaleProbe {
       graft.operators.Dedup.dedupCorpus(dedupInput, "doc_id", "text", maxBucketSize = 100).count()
     }
 
+    // Decontamination at scale: a 1%-of-corpus "benchmark" (the realistic
+    // eval-suite-to-corpus ratio is far smaller) swept against all docs via
+    // the 13-gram hash join; gram set built once, persisted.
+    val benchGrams = graft.operators.Dedup.benchmarkGrams(
+      dedupInput.filter(col("doc_id") % 100 === 0).select(col("text")), "text", n = 13)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    benchGrams.count() // materialize outside the timing
+    val (nContaminated, tDecontam) = timed {
+      graft.operators.Dedup.contaminatedIdsAgainstGrams(
+        dedupInput, "doc_id", "text", benchGrams, n = 13).count()
+    }
+    benchGrams.unpersist()
+
     println(
       s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
         s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
@@ -133,6 +147,7 @@ object ScaleProbe {
         s""""ledger_save_sec":${f"$tLedgerSave%.1f"},"identify_changed":$nChanged,""" +
         s""""identify_sec":${f"$tIdentify%.1f"},"identify_shuffle_sec":${f"$tIdentifyShuffle%.1f"},""" +
         s""""dedup_sec":${f"$tDedup%.1f"},"dedup_kept":$nKept,""" +
+        s""""decontam_sec":${f"$tDecontam%.1f"},"contaminated":$nContaminated,""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
     spark.stop()

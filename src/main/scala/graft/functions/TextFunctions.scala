@@ -180,16 +180,22 @@ object TextFunctions {
     * are deliberately RE2-compatible (no lookaround/backrefs) so the exact
     * same regexes run in Spark's Java engine and a DuckDB oracle; applied
     * email → ip → phone so earlier placeholders can't be re-matched.
+    *
+    * The IP boundary is an explicit consumed-and-restored `[^0-9.]` class,
+    * NOT `\b`: Java's `\b` counts Unicode letters as word characters while
+    * RE2's is ASCII-only, so `10.0.0.4ø` would scrub in the oracle but not
+    * in the engine. The class form behaves identically in both (and, as a
+    * bonus, refuses dotted version strings like `1.2.3.4.5`).
     */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  val ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val ipv4Re = "(^|[^0-9.])([0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3})([^0-9.]|$)"
   val phoneRe = "\\+[0-9][0-9 ()./-]{6,}[0-9]"
 
   def scrubPii(c: Column): Column =
     regexp_replace(
       regexp_replace(
         regexp_replace(c, emailRe, "<EMAIL>"),
-        ipv4Re, "<IP>"),
+        ipv4Re, "$1<IP>$3"),
       phoneRe, "<PHONE>")
 
   /** C4-style line filtering (Raffel et al. 2020 §2.2): keep only lines

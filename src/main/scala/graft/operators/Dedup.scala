@@ -183,13 +183,9 @@ object Dedup {
   def winnowingFingerprintWith(
       c: Column, k: Int, w: Int, hashFn: Column => Column
   ): Column = {
-    val toks = split(trim(c), "\\s+")
-    val nGrams = greatest(size(toks) - (k - 1), lit(0))
-    val kgrams = transform(sequence(lit(1), greatest(nGrams, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
-    val hashes = transform(kgrams, g => hashFn(g))
+    val hashes = transform(wordNgrams(c, k), g => hashFn(g))
     val nWins = greatest(size(hashes) - (w - 1), lit(1))
-    when(nGrams <= 0, array().cast("array<bigint>"))
+    when(size(hashes) === 0, array().cast("array<bigint>"))
       .otherwise(array_distinct(
         transform(sequence(lit(1), nWins), j => array_min(slice(hashes, j, lit(w))))
       ))
@@ -198,19 +194,26 @@ object Dedup {
   def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column =
     winnowingFingerprintWith(c, k, w, g => xxhash64(g))
 
-  /** Distinct word n-gram hashes of a text column (empty when the text has
-    * fewer than n words) — the shared primitive of winnowing and
-    * decontamination. `hashFn` is pluggable so oracles can replay with
-    * [[md5Lower60]]; the default is the faster non-negative xxhash64.
+  /** Word n-grams of a text column as space-joined strings, in document
+    * order (duplicates preserved); empty when the text has fewer than n
+    * words. The single tokenization+windowing shared by winnowing,
+    * decontamination, and the repetition quality rules — fix the
+    * split-of-empty-string quirk or the guard HERE, once.
     */
-  def ngramHashes(c: Column, n: Int, hashFn: Column => Column = g => xxBaseHash(g)): Column = {
+  def wordNgrams(c: Column, n: Int): Column = {
     val toks = split(trim(c), "\\s+")
     val nGrams = greatest(size(toks) - (n - 1), lit(0))
-    val kgrams = transform(sequence(lit(1), greatest(nGrams, lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
-    when(nGrams <= 0, array().cast("array<bigint>"))
-      .otherwise(array_distinct(transform(kgrams, g => hashFn(g))))
+    when(nGrams <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), greatest(nGrams, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
+
+  /** Distinct word n-gram hashes ([[wordNgrams]] → hash → distinct).
+    * `hashFn` is pluggable so oracles can replay with [[md5Lower60]]; the
+    * default is the faster non-negative xxhash64.
+    */
+  def ngramHashes(c: Column, n: Int, hashFn: Column => Column = g => xxBaseHash(g)): Column =
+    array_distinct(transform(wordNgrams(c, n), g => hashFn(g)))
 
   /** Benchmark decontamination — the n-gram collision rule of the published
     * eval-overlap filters (GPT-3 appendix C / C4 style): a corpus document
@@ -469,6 +472,10 @@ object Dedup {
       edges = next
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"componentsStar: not converged after $maxIter rounds — labels may " +
+          "split one cluster; raise maxIter")
     // at convergence edges are stars (child → min-root); label roots with
     // themselves and every node not in a pair-edge with itself
     val labels = edges.select(col("u").as("id"), col("v").as("comp"))

@@ -24,26 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object QualityFilters {
 
-  def repetitionSignals(df: DataFrame, idCol: String, textCol: String, n: Int = 2): DataFrame = {
+  /** @param carry extra input columns carried through to the output (e.g.
+    *              a grouping key) — saves the caller a join back to the
+    *              source just to recover them.
+    */
+  def repetitionSignals(
+      df: DataFrame, idCol: String, textCol: String, n: Int = 2,
+      carry: Seq[String] = Nil
+  ): DataFrame = {
     val toks = split(trim(col(textCol)), "\\s+")
-    val base = df.select(
-      col(idCol),
-      toks.as("_toks"),
-      length(col(textCol)).as("_chars")
+    val grams = df.select(
+      Seq(
+        col(idCol),
+        length(col(textCol)).as("_chars"),
+        size(toks).as("_n_words"),
+        size(array_distinct(toks)).as("_n_distinct"),
+        explode_outer(Dedup.wordNgrams(col(textCol), n)).as("_gram")
+      ) ++ carry.map(col): _*
     )
-    val nGrams = greatest(size(col("_toks")) - (n - 1), lit(0))
-    val grams = base.select(
-      col(idCol),
-      col("_chars"),
-      size(col("_toks")).as("_n_words"),
-      size(array_distinct(col("_toks"))).as("_n_distinct"),
-      explode_outer(
-        when(nGrams <= 0, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), greatest(nGrams, lit(1))),
-            i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))
-      ).as("_gram")
-    )
-    val counted = grams.groupBy(col(idCol), col("_chars"), col("_n_words"), col("_n_distinct"), col("_gram"))
+    val keys = Seq(idCol, "_chars", "_n_words", "_n_distinct") ++ carry
+    val counted = grams.groupBy(col("_gram") +: keys.map(col): _*)
       .agg(count(col("_gram")).as("_cnt"))
     // most frequent n-gram per doc; ties toward the larger gram string so
     // the pick (and the oracle's) is deterministic
@@ -52,13 +52,15 @@ object QualityFilters {
         .orderBy(col("_cnt").desc, col("_gram").desc)))
     ranked.filter(col("_rn") === 1)
       .select(
-        col(idCol),
-        round(lit(1.0) - col("_n_distinct").cast("double")
-          / greatest(col("_n_words"), lit(1)).cast("double"), 6).as("dup_word_frac"),
-        round(
-          when(col("_gram").isNull, lit(0.0)).otherwise(
-            col("_cnt").cast("double") * length(col("_gram")).cast("double")
-              / greatest(col("_chars"), lit(1)).cast("double")),
-          6).as("top_ngram_char_frac"))
+        Seq(
+          col(idCol),
+          round(lit(1.0) - col("_n_distinct").cast("double")
+            / greatest(col("_n_words"), lit(1)).cast("double"), 6).as("dup_word_frac"),
+          round(
+            when(col("_gram").isNull, lit(0.0)).otherwise(
+              col("_cnt").cast("double") * length(col("_gram")).cast("double")
+                / greatest(col("_chars"), lit(1)).cast("double")),
+            6).as("top_ngram_char_frac")
+        ) ++ carry.map(col): _*)
   }
 }

@@ -95,7 +95,12 @@ object Similarity {
               while (j < v.length) { dp += v(j).toDouble * c(j).toDouble; j += 1 }
               dp / nn
             } else 0.0
-            if (sim > best || (sim == best && cid > bestCid)) { best = sim; bestCid = cid }
+            // Spark's SQL double ordering (array_max), not IEEE >/==: NaN
+            // ranks above every double (IEEE > is always false on NaN, which
+            // would leak the bestCid sentinel for a corrupt vector) and
+            // -0.0 ties with 0.0 (plain Double.compare would not)
+            val cmp = if (sim == best) 0 else java.lang.Double.compare(sim, best)
+            if (cmp > 0 || (cmp == 0 && cid > bestCid)) { best = sim; bestCid = cid }
             ci += 1
           }
           Row.fromSeq(r.toSeq :+ bestCid)
@@ -165,6 +170,15 @@ object Similarity {
     * bucket as a partition/cluster column the probe set becomes partition
     * pruning.
     */
+  /** All XOR masks within Hamming distance `probes` of zero — the shared
+    * multi-probe enumeration of [[topKLsh]] (single query, masks applied to
+    * the query bucket) and [[nnJoin]] (masks exploded per query row).
+    */
+  private[operators] def probeMasks(nPlanes: Int, probes: Int): Seq[Int] =
+    (0 to probes.min(nPlanes)).flatMap { r =>
+      (0 until nPlanes).combinations(r).map(_.foldLeft(0)((m, b) => m | (1 << b)))
+    }.distinct
+
   def topKLsh(
       df: DataFrame,
       vecCol: String,
@@ -180,10 +194,7 @@ object Similarity {
     // arithmetic — launching a Spark job for one number would put a scheduler
     // round-trip on the serving path
     val qBucket = lshBucketLocal(query, nPlanes)
-    val probeBuckets: Seq[Int] =
-      (0 to probes.min(nPlanes)).flatMap { r =>
-        (0 until nPlanes).combinations(r).map(bits => bits.foldLeft(qBucket)((m, b) => m ^ (1 << b)))
-      }.distinct
+    val probeBuckets: Seq[Int] = probeMasks(nPlanes, probes).map(_ ^ qBucket)
     df.withColumn("bucket", bucketCol)
       .filter(col("bucket").isin(probeBuckets: _*))
       .withColumn("sim", cosineToLit(col(vecCol), query))
@@ -220,8 +231,7 @@ object Similarity {
       probes: Int = 1,
       maxBucketSize: Int = 10000
   ): DataFrame = {
-    val masks: Seq[Int] = (0 to probes.min(nPlanes)).flatMap(r =>
-      (0 until nPlanes).combinations(r).map(_.foldLeft(0)((m, b) => m | (1 << b)))).distinct
+    val masks = probeMasks(nPlanes, probes)
     val c = Dedup.capBuckets(
       corpus.select(col(corpusIdCol).as("_nn_cid"), col(vecCol).as("_nn_cvec"))
         .withColumn("_nn_bucket", lshBucket(col("_nn_cvec"), dim, nPlanes)),

@@ -419,7 +419,7 @@ object TextQueries {
               |      || ' or +47 22 ' || CAST(doc_id % 100 AS VARCHAR) || ' 55 666'
               |      || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end',
               |    '$emailRe', '<EMAIL>', 'g'),
-              |    '$ipv4Re', '<IP>', 'g'),
+              |    '$ipv4Re', '\\1<IP>\\3', 'g'),
               |    '$phoneRe', '<PHONE>', 'g') AS scrubbed
               |  FROM documents)
               |GROUP BY lang""".stripMargin),
@@ -453,9 +453,9 @@ object TextQueries {
              |  CAST(count(CASE WHEN contains(kept, 'no terminal') THEN 1 END) AS BIGINT) AS n_kept_bad
              |FROM (
              |  SELECT lang, array_to_string(list_filter(
-             |    string_split(text || chr(10) || 'too short.' || chr(10)
-             |      || 'A good long sentence stays here.' || chr(10)
-             |      || 'this line has no terminal punctuation at all', chr(10)),
+             |    string_split(concat_ws(chr(10), text, 'too short.',
+             |      'A good long sentence stays here.',
+             |      'this line has no terminal punctuation at all'), chr(10)),
              |    l -> regexp_matches(l, '[.!?"'']\s*$')
              |         AND len(regexp_split_to_array(trim(l), '\s+')) >= 3
              |         AND length(trim(l)) > 0), chr(10)) AS kept
@@ -470,8 +470,8 @@ object TextQueries {
     // ratios), so the threshold counts are exact.
     "ta_repetition" -> Q(
       (s, d) =>
-        QualityFilters.repetitionSignals(documents(s, d), "doc_id", "text", n = 2)
-          .join(documents(s, d).select(col("doc_id"), col("lang")), Seq("doc_id"))
+        QualityFilters.repetitionSignals(documents(s, d), "doc_id", "text", n = 2,
+          carry = Seq("lang"))
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n"),

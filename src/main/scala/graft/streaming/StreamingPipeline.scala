@@ -100,18 +100,23 @@ object StreamingPipeline {
       textCol: String,
       benchGrams: DataFrame,
       n: Int,
-      checkpointDir: String
+      checkpointDir: String,
+      /** MUST be the hashFn `benchGrams` was built with — grams hashed with
+        * a different function match nothing and every document passes.
+        */
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        g => graft.operators.Dedup.xxBaseHash(g)
   )(sink: DataFrame => Unit): DataStreamWriter[Row] =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val contaminated = graft.operators.Dedup
-            .contaminatedIdsAgainstGrams(batch, idCol, textCol, benchGrams, n)
-          sink(batch.join(contaminated, Seq(idCol), "left_anti"))
-        }
+        // no isEmpty pre-check: it would cost a job per microbatch, and a
+        // sink watching batch boundaries should see empty batches too
+        val contaminated = graft.operators.Dedup
+          .contaminatedIdsAgainstGrams(batch, idCol, textCol, benchGrams, n, hashFn = hashFn)
+        sink(batch.join(contaminated, Seq(idCol), "left_anti"))
       }
 
   /** Watermarked sliding-window counts over an event stream — the streaming

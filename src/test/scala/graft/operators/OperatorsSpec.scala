@@ -342,6 +342,20 @@ class OperatorsSpec extends SparkSpec {
     assert(got(5L) == "all three: <EMAIL> from <IP> dial <PHONE> done")
   }
 
+  test("PII scrub IP boundary: non-ASCII neighbors and dotted versions behave like the oracle") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, "node 10.0.0.4ø marker"), // Java \b would NOT fire here, RE2's would — class boundary fires in both
+      (2L, "semver 1.2.3.4.5 is not an address"),
+      (3L, "10.0.0.1 starts and ends 10.0.0.2")
+    ).toDF("id", "t")
+    val got = rows.select(col("id"), TextFunctions.scrubPii(col("t")).as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "node <IP>ø marker")
+    assert(got(2L) == "semver 1.2.3.4.5 is not an address")
+    assert(got(3L) == "<IP> starts and ends <IP>")
+  }
+
   test("repetition signals: dup-word and top-2gram fractions match hand computation") {
     // "a b a b a b": 6 words, 2 distinct → dup_word_frac = 4/6; 2-grams:
     // "a b"×3, "b a"×2 → top gram "a b" (3 occurrences × 3 chars) / 11 chars
