@@ -121,6 +121,43 @@ object GraftCli {
       .select("chunkId", "documentId", "sim", "content")
   }
 
+  /** `lg decontaminate` — remove every document whose chunk text shares a
+    * word n-gram with a benchmark/eval set (the published eval-overlap
+    * rule), applied to the chunk store: flag via
+    * [[graft.operators.Dedup.contaminatedIds]] over chunk content grouped
+    * by documentId, then retire the flagged documents through the bucketed
+    * delete path.
+    *
+    * @param benchmark a DataFrame with the benchmark texts in `benchTextCol`
+    * @return (contaminated document count, deleted chunk count)
+    */
+  def decontaminate(
+      spark: SparkSession,
+      store: ChunkStore,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      n: Int = 13
+  ): (Long, Long) = {
+    val chunks = store.read(spark).select(col("documentId"), col("content"))
+    val contaminated = graft.operators.Dedup
+      .contaminatedIds(chunks, "documentId", "content", benchmark, benchTextCol, n)
+      .withColumnRenamed("documentId", "docId")
+      .cache()
+    try {
+      val nDocs = contaminated.count()
+      val deleted = if (nDocs == 0) 0L else store.deleteByDocuments(spark, contaminated)
+      (nDocs, deleted)
+    } finally { contaminated.unpersist(); () }
+  }
+
+  /** Benchmark texts from a path: `.txt`/`.jsonl` read as one document per
+    * line; anything else as parquet with a `text` column.
+    */
+  private[cli] def readBenchmark(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".txt") || path.endsWith(".jsonl"))
+      spark.read.text(path).withColumnRenamed("value", "text")
+    else spark.read.parquet(path).select(col("text"))
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -161,6 +198,20 @@ object GraftCli {
             System.err.println("usage: search <storePath> <query> [--limit=K flags]")
             2
         }
+      case "decontaminate" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: benchPath :: tail if tail.lengthIs <= 1 =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val n = tail.headOption.map(_.toInt).getOrElse(13)
+            val (docs, chunksDeleted) =
+              decontaminate(spark, store, readBenchmark(spark, benchPath), "text", n)
+            println(s"contaminated_docs=$docs deleted_chunks=$chunksDeleted")
+            0
+          case _ =>
+            System.err.println("usage: decontaminate <storePath> <benchmarkPath> [ngramSize] [flags]")
+            2
+        }
       case "status" :: ledgerPath :: storePath :: Nil =>
         val s = Ops.status(spark, ledgerPath, new ChunkStore(storePath))
         println(s"processed=${s.processed} failed=${s.failed} chunks=${s.storeChunks} docs=${s.storeDocs}")
@@ -183,6 +234,8 @@ object GraftCli {
             |      --embedding-model=NAME --embedding-dim=N
             |      --tokenizer=word|bpe:<rank-file>
             |  search <storePath> <query> [--limit=K --embedding-dim=N]
+            |  decontaminate <storePath> <benchmarkPath> [ngramSize]
+            |    benchmarkPath: .txt/.jsonl (one doc per line) or parquet with a text column
             |  status <ledgerPath> <storePath>
             |  validate <ledgerPath> <storePath>
             |  migrate <srcPath> <srcFormat> <dstPath> <dstFormat>""".stripMargin)

@@ -126,6 +126,36 @@ class GraftCliSpec extends SparkSpec {
       "search must plan a single store scan")
   }
 
+  test("decontaminate removes documents whose chunks collide with a benchmark file") {
+    val root = tmpDir("clidecon")
+    val store = new ChunkStore(s"$root/store", prefixLen = 1)
+    val leakRun = (1 to 8).map(i => s"bench$i").mkString(" ")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    store.upsert(spark, Seq(
+      ("c1", "doc_leak", s"prefix $leakRun suffix words"),
+      ("c2", "doc_leak", "a second clean chunk of the same doc"),
+      ("c3", "doc_clean", "completely unrelated content with many words")
+    ).toDF("chunkId", "documentId", "content")
+      .select(
+        col("chunkId"), col("documentId"), lit("ds").as("datasetName"), col("content"),
+        lit(5).as("tokenCount"), lit("h").as("sectionHeading"), lit("").as("absoluteAddress"),
+        lit("none").as("splitReason"), lit(null).cast("string").as("parentChunkId"),
+        sha2(col("content"), 256).as("sourceHash"),
+        array().cast("array<string>").as("crossRefs"),
+        lit(0).as("chunkIndex"), lit(null).cast("array<float>").as("embedding"),
+        lit("m").as("embeddingModel"), lit("t0").as("embeddedAt")))
+
+    val benchPath = s"$root/bench.txt"
+    Files.write(Paths.get(benchPath),
+      ((1 to 20).map(i => s"bench$i").mkString(" ") + "\nanother eval doc line").getBytes("UTF-8"))
+
+    val (docs, deleted) = GraftCli.decontaminate(
+      spark, store, GraftCli.readBenchmark(spark, benchPath), "text", n = 5)
+    assert(docs == 1 && deleted == 2, "both chunks of the leaking doc are retired")
+    assert(store.distinctDocumentIds(spark).as[String].collect().toSeq == Seq("doc_clean"))
+  }
+
   test("settings drive chunk params, store bucketing, and dataset pattern end-to-end") {
     val root = tmpDir("clicfg")
     val extracted = s"$root/extracted"
