@@ -200,8 +200,14 @@ object Dedup {
     * decontamination, and the repetition quality rules — fix the
     * split-of-empty-string quirk or the guard HERE, once.
     */
-  def wordNgrams(c: Column, n: Int): Column = {
-    val toks = split(trim(c), "\\s+")
+  def wordNgrams(c: Column, n: Int): Column =
+    wordNgramsFromTokens(split(trim(c), "\\s+"), n)
+
+  /** [[wordNgrams]] over an already-tokenized array column — use when the
+    * caller materializes the token array once and derives several
+    * statistics from it (tokenization is the expensive step).
+    */
+  def wordNgramsFromTokens(toks: Column, n: Int): Column = {
     val nGrams = greatest(size(toks) - (n - 1), lit(0))
     when(nGrams <= 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(1), greatest(nGrams, lit(1))),
