@@ -491,11 +491,16 @@ object Dedup {
 
   /** The ids to DROP after near-dup clustering: everything that is not its
     * cluster's canonical (minimum) id.
+    *
+    * @param star cluster via [[componentsStar]] (O(log diameter) rounds)
+    *             instead of min-label [[components]] — same labels, chosen
+    *             when cluster shapes may be chains rather than near-cliques
     */
   def duplicateIds(
-      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20
+      pairs: DataFrame, idA: String = "id_a", idB: String = "id_b", maxIter: Int = 20,
+      star: Boolean = false
   ): DataFrame =
-    components(pairs, idA, idB, maxIter)
+    (if (star) componentsStar(pairs, idA, idB, maxIter) else components(pairs, idA, idB, maxIter))
       .filter(col("id") =!= col("comp"))
       .select(col("id"))
 
@@ -519,7 +524,11 @@ object Dedup {
       bands: Int = 4,
       maxBucketSize: Int = 10000,
       baseHash: Column => Column = t => xxBaseHash(t),
-      bucketHash: Column => Column = s => xxhash64(s)
+      bucketHash: Column => Column = s => xxhash64(s),
+      /** cluster with [[componentsStar]] instead of min-label (see
+        * [[duplicateIds]]).
+        */
+      star: Boolean = false
   ): DataFrame = {
     val exactKeepers = exact(df, textCol, idCol).select(col("keep_id").as(idCol))
     // the exact-kept set feeds three consumers (both self-join sides of the
@@ -529,7 +538,7 @@ object Dedup {
     val exactKept = df.join(exactKeepers, Seq(idCol), "left_semi").localCheckpoint(true)
     val pairs = minhashCandidates(
       exactKept, idCol, textCol, numHashes, bands, maxBucketSize, baseHash, bucketHash)
-    val drops = duplicateIds(pairs).withColumnRenamed("id", idCol)
+    val drops = duplicateIds(pairs, star = star).withColumnRenamed("id", idCol)
     exactKept.join(drops, Seq(idCol), "left_anti")
   }
 

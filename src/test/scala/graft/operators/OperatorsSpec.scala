@@ -106,6 +106,9 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.contains(1L), "cluster canonical (minimum id) survives")
     assert(!kept.contains(2L), "exact twin dropped")
     assert(!kept.contains(3L), "near-dup clustered away")
+    val keptStar = Dedup.dedupCorpus(df, "doc_id", "text", star = true)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptStar == kept, "star clustering keeps the identical set")
   }
 
   test("simhash: near-dups have small hamming distance, unrelated large") {
