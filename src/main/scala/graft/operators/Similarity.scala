@@ -251,6 +251,48 @@ object Similarity {
         round(col("_nn_t._nn_sim"), 6).as("sim"))
   }
 
+  /** Two-sided IVF k-NN join — [[nnJoin]]'s index-backed sibling: corpus
+    * vectors are pre-assigned to centroid cells (the [[writeIvf]] layout),
+    * every query row is scored against the centroid table (k rows by
+    * construction — the one place a broadcast hint is justified) to pick
+    * its `nProbes` cells, then a cell-equi-join + native per-query top-k.
+    * Against a persisted index the cell join reads only probed `cid`
+    * partitions; per-query work is `nProbes/k` of the corpus. Ties: probe
+    * ranking and neighbor ranking both break toward the larger id.
+    */
+  def nnJoinIvf(
+      index: IvfIndex,
+      corpusIdCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nProbes: Int
+  ): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val centsDf = index.centroids.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "_nn_cent")
+    val probeWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_nn_qid")).orderBy(col("_nn_csim").desc, col("cid").desc)
+    val qCells = queries.select(col(queryIdCol).as("_nn_qid"), col(vecCol).as("_nn_qvec"))
+      .crossJoin(broadcast(centsDf))
+      .withColumn("_nn_csim", cosine(col("_nn_qvec"), col("_nn_cent")))
+      .withColumn("_nn_rank", row_number().over(probeWin))
+      .filter(col("_nn_rank") <= nProbes)
+      .select(col("_nn_qid"), col("_nn_qvec"), col("cid"))
+    qCells
+      .join(index.assigned.select(
+        col(corpusIdCol).as("_nn_cid"), col(vecCol).as("_nn_cvec"), col("cid")), Seq("cid"))
+      .withColumn("_nn_sim", cosine(col("_nn_qvec"), col("_nn_cvec")))
+      .groupBy(col("_nn_qid"))
+      .agg(expr(s"top_k(struct(_nn_sim, _nn_cid), $k)").as("_nn_top"))
+      .select(col("_nn_qid"), explode(col("_nn_top")).as("_nn_t"))
+      .select(
+        col("_nn_qid").as(queryIdCol),
+        col("_nn_t._nn_cid").as("neighbor_id"),
+        round(col("_nn_t._nn_sim"), 6).as("sim"))
+  }
+
   /** Driver-side twin of [[graft.functions.VectorFunctions.lshBucket]] for a
     * literal query vector: identical plane signs, identical left-to-right
     * double accumulation, so the bucket id matches the column expression

@@ -264,6 +264,22 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // Two-sided IVF k-NN join: the deterministic index is built on the
+    // corpus half, each query probes its best 2 of 8 cells, top-3 within.
+    // Oracle replays the whole chain: seed/assign/Lloyd/assign, per-query
+    // probe ranking, and the per-query window.
+    "e2_nn_join_ivf" -> Q(
+      (s, d) => {
+        val vecs = embeddings(s, d)
+        val index = Similarity.buildIvf(
+          vecs.filter(col("vec_id") % 20 =!= 0), "embedding", "vec_id", k = 8)
+        Similarity.nnJoinIvf(index, "vec_id",
+          vecs.filter(col("vec_id") % 20 === 0), "vec_id", "embedding", k = 3, nProbes = 2)
+      },
+      Some(nnJoinIvfOracleSql(kCentroids = 8, nProbes = 2, k = 3)),
+      Seq("E2")
+    ),
+
     // Embedding-cosine near-dup, hyperplane-bucketed. Oracle-matched via the
     // same inlined plane-sign literals as e2_ann_lsh_topk.
     "dd_cosine_lsh" -> Q(
@@ -449,6 +465,69 @@ object VectorQueries {
        |       (SELECT CAST(count(*) AS BIGINT) FROM docs2) AS n_exact_kept,
        |       (SELECT CAST(count(*) AS BIGINT) FROM docs2) -
        |         (SELECT CAST(count(*) AS BIGINT) FROM drops) AS n_kept""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Similarity.nnJoinIvf]] over the
+    * deterministic build of [[graft.operators.Similarity.buildIvf]] on the
+    * corpus half (vec_id % 20 <> 0): seed rows, argmax assignment, one
+    * Lloyd step, re-assignment; then every query (vec_id % 20 = 0) ranks
+    * cells (ties toward larger cid), probes the best `nProbes`, and takes
+    * its top-k within them (ties toward larger neighbor id).
+    */
+  private def nnJoinIvfOracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
+    s"""WITH unn AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings WHERE vec_id % 20 <> 0),
+       |seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM unn ORDER BY vec_id LIMIT $kCentroids)),
+       |seedvec AS (SELECT s.cid, u.i, u.x FROM seeds s JOIN unn u ON u.vec_id = s.vec_id),
+       |cos1 AS (
+       |  SELECT u.vec_id, sv.cid, sum(u.x * sv.x) AS dot,
+       |         sqrt(sum(u.x * u.x)) AS na, sqrt(sum(sv.x * sv.x)) AS nb
+       |  FROM unn u JOIN seedvec sv ON u.i = sv.i GROUP BY u.vec_id, sv.cid),
+       |assign1 AS (
+       |  SELECT vec_id,
+       |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
+       |  FROM cos1 GROUP BY vec_id),
+       |cents AS (
+       |  SELECT a.cid, u.i, avg(u.x) AS c
+       |  FROM assign1 a JOIN unn u USING (vec_id) GROUP BY a.cid, u.i),
+       |cos2 AS (
+       |  SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot,
+       |         sqrt(sum(u.x * u.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
+       |  FROM unn u JOIN cents c ON u.i = c.i GROUP BY u.vec_id, c.cid),
+       |assign2 AS (
+       |  SELECT vec_id,
+       |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
+       |  FROM cos2 GROUP BY vec_id),
+       |qv AS (SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,
+       |              CAST(unnest(embedding) AS DOUBLE) AS x
+       |       FROM embeddings WHERE vec_id % 20 = 0),
+       |qcos AS (
+       |  SELECT q.qid, c.cid, sum(q.x * c.c) AS dot,
+       |         sqrt(sum(q.x * q.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
+       |  FROM qv q JOIN cents c ON q.i = c.i GROUP BY q.qid, c.cid),
+       |probes AS (
+       |  SELECT qid, cid FROM (
+       |    SELECT qid, cid, row_number() OVER (PARTITION BY qid
+       |      ORDER BY (CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END) DESC, cid DESC) AS rn
+       |    FROM qcos) WHERE rn <= $nProbes),
+       |cand AS (SELECT p.qid, a.vec_id AS nid FROM probes p JOIN assign2 a ON a.cid = p.cid),
+       |sims AS (
+       |  SELECT d.qid, d.nid, sum(v.x * q.x) AS dot,
+       |         sqrt(sum(v.x * v.x)) AS na, sqrt(sum(q.x * q.x)) AS nb
+       |  FROM cand d
+       |  JOIN unn v ON v.vec_id = d.nid
+       |  JOIN qv q ON q.qid = d.qid AND q.i = v.i
+       |  GROUP BY d.qid, d.nid),
+       |ranked AS (
+       |  SELECT qid, nid, CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END AS sim,
+       |         row_number() OVER (PARTITION BY qid
+       |           ORDER BY (CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END) DESC, nid DESC) AS rn
+       |  FROM sims)
+       |SELECT qid AS vec_id, nid AS neighbor_id, round(sim, 6) AS sim
+       |FROM ranked WHERE rn <= $k""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Similarity.nnJoin]]: queries are
     * `vec_id % 20 = 0`, corpus the rest; candidates within Hamming

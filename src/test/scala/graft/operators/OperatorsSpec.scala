@@ -386,6 +386,33 @@ class OperatorsSpec extends SparkSpec {
     assert(packed == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 10L -> 0L, 11L -> 2L))
   }
 
+  test("nnJoinIvf at full probe width equals per-query brute force") {
+    val corpus = (0 until 48).map { i =>
+      val a = i / 48.0 * 2 * math.Pi
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat, 0.2f, 0f))
+    }.toDF("vec_id", "embedding")
+    val queries = Seq(
+      (100L, Array(1f, 0.05f, 0.2f, 0f)),
+      (101L, Array(-1f, -0.05f, 0.2f, 0f))
+    ).toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(corpus, "embedding", "vec_id", k = 6)
+    // probing every cell = exhaustive search, so results must match brute
+    // force (the only nested-loop in the plan is the intentional broadcast
+    // of the k-row centroid table; the corpus join stays equi-key on cid)
+    val nn = Similarity.nnJoinIvf(index, "vec_id", queries, "vec_id", "embedding", k = 3, nProbes = 6)
+    assert(!nn.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+    val got = nn.collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    Seq((100L, Array(1f, 0.05f, 0.2f, 0f)), (101L, Array(-1f, -0.05f, 0.2f, 0f))).foreach {
+      case (qid, qv) =>
+        val brute = Similarity.topK(corpus, "embedding", "vec_id", qv, 3)
+          .select("vec_id").as[Long].collect().toSet
+        assert(got(qid) == brute, s"query $qid diverges from brute force")
+    }
+    // reduced probing narrows the scan but still returns k rows per query
+    val narrow = Similarity.nnJoinIvf(index, "vec_id", queries, "vec_id", "embedding", k = 3, nProbes = 2)
+    assert(narrow.collect().groupBy(_.getLong(0)).values.forall(_.length == 3))
+  }
+
   test("winnowing fingerprint: deterministic, overlap-sensitive") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val shared = (1 to 25).map(i => s"w$i").mkString(" ") + " x1 x2 x3 x4 x5"
