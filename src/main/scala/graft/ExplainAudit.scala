@@ -29,7 +29,7 @@ object ExplainAudit {
       "j3_upsert_overlay", "e2_cosine_topk", "dd_minhash_lsh",
       "dd_jaccard_blocked", "w_tumbling_hourly", "f6_docid_filter",
       "a4_token_budget_buckets", "ta_topk_per_source",
-      "dd_contamination", "e2_nn_join"
+      "dd_contamination", "e2_nn_join", "e2_nn_join_ivf"
     )
 
     var bad = 0
@@ -119,7 +119,10 @@ object ExplainAudit {
         !plan("dd_contamination").contains("CartesianProduct")),
       ("nn join is bucket-equi-key with map-side per-query top-k",
         !plan("e2_nn_join").contains("CartesianProduct") &&
-          plan("e2_nn_join").contains("partial_top_k"))
+          plan("e2_nn_join").contains("partial_top_k")),
+      ("ivf nn join: corpus side joins equi-key on the cell id, no cartesian",
+        !plan("e2_nn_join_ivf").contains("CartesianProduct") &&
+          plan("e2_nn_join_ivf").contains("partial_top_k"))
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>
