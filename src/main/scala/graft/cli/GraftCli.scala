@@ -150,12 +150,17 @@ object GraftCli {
     } finally { contaminated.unpersist(); () }
   }
 
-  /** Benchmark texts from a path: `.txt`/`.jsonl` read as one document per
-    * line; anything else as parquet with a `text` column.
+  /** Benchmark texts from a path: `.txt` read as one document per line;
+    * `.json`/`.jsonl` PARSED as JSON with a `text` field (reading JSON
+    * lines as raw text would n-gram the keys/quotes/escapes and silently
+    * miss real contamination); anything else as parquet with a `text`
+    * column.
     */
   private[cli] def readBenchmark(spark: SparkSession, path: String): DataFrame =
-    if (path.endsWith(".txt") || path.endsWith(".jsonl"))
+    if (path.endsWith(".txt"))
       spark.read.text(path).withColumnRenamed("value", "text")
+    else if (path.endsWith(".jsonl") || path.endsWith(".json"))
+      spark.read.json(path).select(col("text"))
     else spark.read.parquet(path).select(col("text"))
 
   def main(args: Array[String]): Unit = {
@@ -201,7 +206,9 @@ object GraftCli {
       case "decontaminate" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
-          case storePath :: benchPath :: tail if tail.lengthIs <= 1 =>
+          case storePath :: benchPath :: tail
+              if tail.lengthIs <= 1 &&
+                tail.forall(t => t.nonEmpty && t.length <= 4 && t.forall(_.isDigit)) =>
             val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
             val n = tail.headOption.map(_.toInt).getOrElse(13)
             val (docs, chunksDeleted) =
@@ -235,7 +242,8 @@ object GraftCli {
             |      --tokenizer=word|bpe:<rank-file>
             |  search <storePath> <query> [--limit=K --embedding-dim=N]
             |  decontaminate <storePath> <benchmarkPath> [ngramSize]
-            |    benchmarkPath: .txt/.jsonl (one doc per line) or parquet with a text column
+            |    benchmarkPath: .txt (one doc per line), .json/.jsonl (objects with a
+            |    "text" field), or parquet with a text column
             |  status <ledgerPath> <storePath>
             |  validate <ledgerPath> <storePath>
             |  migrate <srcPath> <srcFormat> <dstPath> <dstFormat>""".stripMargin)

@@ -45,6 +45,17 @@ object VectorFunctions {
     math.sqrt(s)
   }
 
+  /** Cosine from a precomputed-norm pair — for joins that score many
+    * (row, row) pairs: compute each side's norm ONCE in a projection below
+    * the join instead of re-folding both vectors per pair (the guard and
+    * divisor would otherwise each re-evaluate them). Bit-identical to
+    * [[cosine]] when `na`/`nb` are the [[norm]] of `a`/`b`.
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column = {
+    val nn = na * nb
+    when(nn > 0.0, dot(a, b) / nn).otherwise(lit(0.0))
+  }
+
   /** Cosine against a literal query vector with the query norm precomputed
     * driver-side — Catalyst does not constant-fold `aggregate` over array
     * literals, so the plain [[cosine]] form re-evaluates `‖q‖` per row

@@ -232,16 +232,33 @@ object Similarity {
       maxBucketSize: Int = 10000
   ): DataFrame = {
     val masks = probeMasks(nPlanes, probes)
+    // norms fold once per corpus/query ROW in projections below the join —
+    // scoring a pair re-folds nothing (same fix as cosineCandidates)
     val c = Dedup.capBuckets(
-      corpus.select(col(corpusIdCol).as("_nn_cid"), col(vecCol).as("_nn_cvec"))
+      corpus.select(col(corpusIdCol).as("_nn_cid"), col(vecCol).as("_nn_cvec"),
+        norm(col(vecCol)).as("_nn_cn"))
         .withColumn("_nn_bucket", lshBucket(col("_nn_cvec"), dim, nPlanes)),
       Seq("_nn_bucket"), maxBucketSize)
-    val q = queries.select(col(queryIdCol).as("_nn_qid"), col(vecCol).as("_nn_qvec"))
+    // query norm computed BEFORE the probe-bucket explode: a generator's
+    // input projection is outside CSE scope, so folding it post-explode
+    // would re-run per probe
+    val q = queries.select(col(queryIdCol).as("_nn_qid"), col(vecCol).as("_nn_qvec"),
+      norm(col(vecCol)).as("_nn_qn"))
       .withColumn("_nn_qb", lshBucket(col("_nn_qvec"), dim, nPlanes))
       .withColumn("_nn_bucket",
         explode(array(masks.map(m => col("_nn_qb").bitwiseXOR(lit(m))): _*)))
-    q.join(c, Seq("_nn_bucket"))
-      .withColumn("_nn_sim", cosine(col("_nn_qvec"), col("_nn_cvec")))
+    val cands = q.join(c, Seq("_nn_bucket"))
+      .withColumn("_nn_sim",
+        cosineWithNorms(col("_nn_qvec"), col("_nn_cvec"), col("_nn_qn"), col("_nn_cn")))
+    perQueryTopK(cands, queryIdCol, k)
+  }
+
+  /** The shared output tail of the two-sided joins: native map-side top-k
+    * per query over `(_nn_qid, _nn_cid, _nn_sim)` candidates, exploded to
+    * (queryId, neighbor_id, sim) rows with ties toward the larger neighbor.
+    */
+  private def perQueryTopK(cands: DataFrame, queryIdCol: String, k: Int): DataFrame =
+    cands
       .groupBy(col("_nn_qid"))
       .agg(expr(s"top_k(struct(_nn_sim, _nn_cid), $k)").as("_nn_top"))
       .select(col("_nn_qid"), explode(col("_nn_top")).as("_nn_t"))
@@ -249,7 +266,6 @@ object Similarity {
         col("_nn_qid").as(queryIdCol),
         col("_nn_t._nn_cid").as("neighbor_id"),
         round(col("_nn_t._nn_sim"), 6).as("sim"))
-  }
 
   /** Two-sided IVF k-NN join — [[nnJoin]]'s index-backed sibling: corpus
     * vectors are pre-assigned to centroid cells (the [[writeIvf]] layout),
@@ -271,26 +287,30 @@ object Similarity {
   ): DataFrame = {
     val spark = queries.sparkSession
     import spark.implicits._
-    val centsDf = index.centroids.map { case (cid, v) => (cid, v.toSeq) }.toDF("cid", "_nn_cent")
-    val probeWin = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_nn_qid")).orderBy(col("_nn_csim").desc, col("cid").desc)
-    val qCells = queries.select(col(queryIdCol).as("_nn_qid"), col(vecCol).as("_nn_qvec"))
-      .crossJoin(broadcast(centsDf))
-      .withColumn("_nn_csim", cosine(col("_nn_qvec"), col("_nn_cent")))
-      .withColumn("_nn_rank", row_number().over(probeWin))
-      .filter(col("_nn_rank") <= nProbes)
-      .select(col("_nn_qid"), col("_nn_qvec"), col("cid"))
-    qCells
-      .join(index.assigned.select(
-        col(corpusIdCol).as("_nn_cid"), col(vecCol).as("_nn_cvec"), col("cid")), Seq("cid"))
-      .withColumn("_nn_sim", cosine(col("_nn_qvec"), col("_nn_cvec")))
+    // centroid norms computed driver-side (k rows); query norm once per row
+    val centsDf = index.centroids
+      .map { case (cid, v) => (cid, v.toSeq, normLocal(v)) }
+      .toDF("cid", "_nn_cent", "_nn_centn")
+    val qv = queries.select(col(queryIdCol).as("_nn_qid"), col(vecCol).as("_nn_qvec"),
+      norm(col(vecCol)).as("_nn_qn"))
+    // probe selection via the map-side top_k aggregate: the exchange carries
+    // nProbes (cid, sim) rows per query per partition — NOT a window shuffle
+    // of numQueries × k rows each dragging the full query vector
+    val probed = qv.crossJoin(broadcast(centsDf))
+      .withColumn("_nn_csim",
+        cosineWithNorms(col("_nn_qvec"), col("_nn_cent"), col("_nn_qn"), col("_nn_centn")))
       .groupBy(col("_nn_qid"))
-      .agg(expr(s"top_k(struct(_nn_sim, _nn_cid), $k)").as("_nn_top"))
-      .select(col("_nn_qid"), explode(col("_nn_top")).as("_nn_t"))
-      .select(
-        col("_nn_qid").as(queryIdCol),
-        col("_nn_t._nn_cid").as("neighbor_id"),
-        round(col("_nn_t._nn_sim"), 6).as("sim"))
+      .agg(expr(s"top_k(struct(_nn_csim, cid), $nProbes)").as("_nn_p"))
+      .select(col("_nn_qid"), explode(col("_nn_p")).as("_nn_pc"))
+      .select(col("_nn_qid"), col("_nn_pc.cid").as("cid"))
+    val cands = probed
+      .join(qv, Seq("_nn_qid"))
+      .join(index.assigned.select(
+        col(corpusIdCol).as("_nn_cid"), col(vecCol).as("_nn_cvec"),
+        norm(col(vecCol)).as("_nn_cn"), col("cid")), Seq("cid"))
+      .withColumn("_nn_sim",
+        cosineWithNorms(col("_nn_qvec"), col("_nn_cvec"), col("_nn_qn"), col("_nn_cn")))
+    perQueryTopK(cands, queryIdCol, k)
   }
 
   /** Driver-side twin of [[graft.functions.VectorFunctions.lshBucket]] for a

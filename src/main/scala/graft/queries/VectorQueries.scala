@@ -414,7 +414,7 @@ object VectorQueries {
        |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
        |  FROM cos1 GROUP BY vec_id),
        |cents AS (
-       |  SELECT a.cid, u.i, avg(u.x) AS c
+       |  SELECT a.cid, u.i, CAST(CAST(avg(u.x) AS FLOAT) AS DOUBLE) AS c
        |  FROM assign1 a JOIN unn u USING (vec_id) GROUP BY a.cid, u.i),
        |cos2 AS (
        |  SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot,
@@ -491,7 +491,7 @@ object VectorQueries {
        |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
        |  FROM cos1 GROUP BY vec_id),
        |cents AS (
-       |  SELECT a.cid, u.i, avg(u.x) AS c
+       |  SELECT a.cid, u.i, CAST(CAST(avg(u.x) AS FLOAT) AS DOUBLE) AS c
        |  FROM assign1 a JOIN unn u USING (vec_id) GROUP BY a.cid, u.i),
        |cos2 AS (
        |  SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot,
