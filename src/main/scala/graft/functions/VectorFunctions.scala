@@ -97,4 +97,70 @@ object VectorFunctions {
     (0 until nPlanes)
       .map(p => hyperplaneSign(vec, dim, seed + p) * lit(1 << p))
       .reduce(_ + _)
+
+  // ---------------------------------------------------------------------
+  // Int8 scalar quantization — the 100 TB memory path. A float32 corpus of
+  // 100 TB becomes 25 TB as int8 with per-vector scales; quantized cosine
+  // is computed entirely in exact integer arithmetic (scales cancel), so
+  // the scan is both 4× smaller and free of per-element float multiplies.
+
+  /** Per-vector symmetric int8 quantization: `q_i = round(x_i · 127/max|x|)`
+    * (zero vector → all-zero codes, scale 0). Codes are emitted as `long`
+    * so integer dot products below never overflow and line up with BIGINT
+    * arithmetic in SQL engines. Rounding is Spark's `round` (HALF_UP on the
+    * canonical decimal form — see [[quantizeInt8Local]] for the twin).
+    */
+  def quantizeInt8(v: Column): Column = {
+    val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
+    val scale  = when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0))
+    struct(
+      scale.as("scale"),
+      transform(v, x => round(x.cast("double") * scale).cast("long")).as("q")
+    )
+  }
+
+  /** Dequantize int8 codes back to approximate floats: `x̂_i = q_i / scale`. */
+  def dequantizeInt8(quant: Column): Column = {
+    val s = quant.getField("scale")
+    when(s > 0.0, transform(quant.getField("q"), q => q.cast("double") / s))
+      .otherwise(transform(quant.getField("q"), q => lit(0.0)))
+  }
+
+  /** Exact integer dot product over two long-code arrays. */
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over int8 code arrays — per-vector scales cancel, so this equals
+    * cosine of the dequantized vectors. Integer sums are exact; only the
+    * final `sqrt`/division touch floating point.
+    */
+  def cosineQuantized(qa: Column, qb: Column): Column = {
+    val d  = dotLong(qa, qb).cast("double")
+    val nn = sqrt(dotLong(qa, qa).cast("double")) * sqrt(dotLong(qb, qb).cast("double"))
+    when(nn > 0.0, d / nn).otherwise(lit(0.0))
+  }
+
+  /** Driver-side twin of [[quantizeInt8]] for a literal query vector.
+    * Spark's `round` on a double is `BigDecimal.valueOf(x).setScale(0,
+    * HALF_UP)` (half away from zero on the shortest decimal form) — this
+    * twin uses the identical construction so a quantized query literal is
+    * bit-identical to what the column expression would produce.
+    */
+  def quantizeInt8Local(v: Array[Float]): Array[Long] = {
+    var maxabs = 0.0
+    var i = 0
+    while (i < v.length) {
+      val a = math.abs(v(i).toDouble)
+      if (a > maxabs) maxabs = a
+      i += 1
+    }
+    if (maxabs == 0.0) Array.fill(v.length)(0L)
+    else {
+      val scale = 127.0 / maxabs
+      v.map { x =>
+        java.math.BigDecimal.valueOf(x.toDouble * scale)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      }
+    }
+  }
 }

@@ -32,6 +32,38 @@ object Similarity {
       .select(col(idCol) +: carry.map(col) :+ round(col("sim"), 6).as("sim"): _*)
       .limit(k)
 
+  /** Brute-force top-k over int8-quantized codes: the corpus is quantized
+    * in-plan (at 100 TB the codes would be the stored representation — 4×
+    * smaller scan), the query is quantized driver-side with the bit-exact
+    * twin, and scoring is an exact integer dot product per row; per-vector
+    * scales cancel out of cosine, so ranking only touches floating point in
+    * the final divide. Plan shape is identical to [[topK]]: scan → project
+    * → TakeOrderedAndProject, no shuffle.
+    *
+    * Output carries the exact integer evidence (`dot_q`, `nsq_q`) alongside
+    * the rounded similarity — an oracle can match the integers exactly.
+    */
+  def topKQuantized(df: DataFrame, vecCol: String, idCol: String, query: Array[Float], k: Int): DataFrame = {
+    val qCodes = quantizeInt8Local(query)
+    var qNormSq = 0L
+    qCodes.foreach(q => qNormSq += q * q)
+    val qNorm = math.sqrt(qNormSq.toDouble)
+    val qLit  = array(qCodes.map(lit): _*)
+    val sim =
+      if (qNorm == 0.0) lit(0.0)
+      else {
+        val nn = sqrt(col("nsq_q").cast("double")) * lit(qNorm)
+        when(nn > 0.0, col("dot_q").cast("double") / nn).otherwise(lit(0.0))
+      }
+    df.select(col(idCol), quantizeInt8(col(vecCol)).getField("q").as("q"))
+      .withColumn("dot_q", dotLong(col("q"), qLit))
+      .withColumn("nsq_q", dotLong(col("q"), col("q")))
+      .withColumn("sim_q", sim)
+      .orderBy(col("sim_q").desc, col(idCol))
+      .select(col(idCol), col("dot_q"), col("nsq_q"), round(col("sim_q"), 6).as("sim_q"))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) index: vectors are assigned to their
     * nearest-centroid cell once at build time; a query scores only the
     * `nProbes` cells nearest to it. With `cid` as a partition column the

@@ -58,6 +58,20 @@ object VectorQueries {
       Seq("E2", "F6")
     ),
 
+    // Int8-quantized cosine top-k: per-vector symmetric quantization
+    // (round(x·127/max|x|)), exact integer dot products, scales cancel out
+    // of cosine. Oracle replays the quantization in DuckDB and matches the
+    // integer evidence columns (dot_q, nsq_q) exactly — the float round(…,6)
+    // is only on the derived similarity.
+    "e2_quantized_topk" -> Q(
+      (s, d) => Similarity.topKQuantized(
+        embeddings(s, d).filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", queryVec(s, d), 10
+      ),
+      Some(quantizedTopKOracleSql(k = 10)),
+      Seq("E2")
+    ),
+
     // Vector norms: aggregate/zip_with arithmetic parity check.
     "vec_norm_stats" -> Q(
       (s, d) =>
@@ -290,6 +304,37 @@ object VectorQueries {
       Seq("E2")
     )
   )
+
+  /** DuckDB twin of [[graft.operators.Similarity.topKQuantized]]: per-vector
+    * int8 quantization (`round(x·127/max|x|)` — DuckDB `round` is half-away-
+    * from-zero, matching Spark's HALF_UP on doubles), exact BIGINT dot
+    * products, cosine from the integers.
+    */
+  private def quantizedTopKOracleSql(k: Int): String =
+    s"""WITH m AS (
+       |  SELECT vec_id,
+       |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT e.vec_id,
+       |         list_transform(e.embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * (CASE WHEN m.maxabs > 0 THEN 127.0 / m.maxabs ELSE 0 END)) AS BIGINT)) AS q
+       |  FROM embeddings e JOIN m USING (vec_id)),
+       |unq AS (SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS qx FROM codes),
+       |qv AS (SELECT i, qx FROM unq WHERE vec_id = 0),
+       |cv AS (SELECT vec_id, i, qx FROM unq WHERE vec_id <> 0),
+       |sims AS (
+       |  SELECT c.vec_id, sum(c.qx * q.qx) AS dot_q, sum(c.qx * c.qx) AS nsq_q
+       |  FROM cv c JOIN qv q ON c.i = q.i GROUP BY c.vec_id),
+       |qn AS (SELECT sqrt(CAST(sum(qx * qx) AS DOUBLE)) AS nq FROM qv),
+       |scored AS (
+       |  SELECT vec_id, CAST(dot_q AS BIGINT) AS dot_q, CAST(nsq_q AS BIGINT) AS nsq_q,
+       |         CASE WHEN sqrt(CAST(nsq_q AS DOUBLE)) * (SELECT nq FROM qn) > 0
+       |              THEN CAST(dot_q AS DOUBLE) / (sqrt(CAST(nsq_q AS DOUBLE)) * (SELECT nq FROM qn))
+       |              ELSE 0 END AS sim
+       |  FROM sims)
+       |SELECT vec_id, dot_q, nsq_q, round(sim, 6) AS sim_q
+       |FROM scored ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.minhashCandidates]] + count,
     * generated with the SAME affine constants ([[graft.operators.Dedup

@@ -78,4 +78,46 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(one[Double](cosine(a, b)) - 24.0 / 25.0) < 1e-12)
     assert(one[Double](cosine(a, vecLit(Array(0f, 0f)))) == 0.0, "zero norm → 0")
   }
+
+  test("int8 quantization: local twin is bit-identical to the column expression") {
+    val rng = new scala.util.Random(7)
+    val vecs = Seq.fill(50)(Array.fill(64)((rng.nextFloat() * 2 - 1))) :+
+      Array.fill(64)(0f) :+ Array(1e-8f, -1e-8f, 0.5f) // tiny + tie-prone values
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val fromCol = spark.range(1)
+        .select(quantizeInt8(vecLit(v)).getField("q").as("q"))
+        .head().getAs[scala.collection.Seq[Long]]("q").toSeq
+      assert(fromCol == quantizeInt8Local(v).toSeq, s"vector $i")
+    }
+  }
+
+  test("int8 quantization: quantized cosine within 0.02 of full precision") {
+    val rng = new scala.util.Random(11)
+    (0 until 30).foreach { i =>
+      val a = Array.fill(64)((rng.nextFloat() * 2 - 1))
+      val b = Array.fill(64)((rng.nextFloat() * 2 - 1))
+      val full  = one[Double](cosine(vecLit(a), vecLit(b)))
+      val qa    = array(quantizeInt8Local(a).map(lit): _*)
+      val qb    = array(quantizeInt8Local(b).map(lit): _*)
+      val quant = one[Double](cosineQuantized(qa, qb))
+      assert(math.abs(full - quant) < 0.02, s"pair $i: full=$full quant=$quant")
+    }
+    // zero-vector guard
+    assert(one[Double](cosineQuantized(array(lit(0L)), array(lit(0L)))) == 0.0)
+  }
+
+  test("int8 quantization: dequantize roundtrip error within half a step") {
+    val v = Array(0.9f, -0.3f, 0.05f, -1.0f)
+    val row = spark.range(1)
+      .select(dequantizeInt8(quantizeInt8(vecLit(v))).as("d"))
+      .head().getAs[scala.collection.Seq[Double]]("d")
+    v.zip(row).foreach { case (x, xhat) =>
+      assert(math.abs(x - xhat) <= 0.5 * 1.0 / 127.0 + 1e-9, s"$x vs $xhat")
+    }
+    // zero vector dequantizes to zeros, not NaN
+    val z = spark.range(1)
+      .select(dequantizeInt8(quantizeInt8(vecLit(Array(0f, 0f)))).as("d"))
+      .head().getAs[scala.collection.Seq[Double]]("d")
+    assert(z == Seq(0.0, 0.0))
+  }
 }
