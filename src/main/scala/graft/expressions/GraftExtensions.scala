@@ -24,6 +24,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => TokenCount(children.head)
     ))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(
+        classOf[NfcNormalize].getName,
+        null,
+        "nfc_normalize",
+        "nfc_normalize(str) - Unicode NFC canonical composition (no-alloc fast path when already normalized)",
+        ""
+      ),
+      (children: Seq[Expression]) => NfcNormalize(children.head)
+    ))
+    ext.injectFunction((
       FunctionIdentifier("top_k"),
       new ExpressionInfo(
         classOf[TopK].getName,

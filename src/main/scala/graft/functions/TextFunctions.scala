@@ -80,6 +80,44 @@ object TextFunctions {
 
   // ---- text-analysis extensions (training-data pipeline operators) ----
 
+  /** Unicode NFC canonical composition — the native codegen
+    * [[graft.expressions.NfcNormalize]] when the session has
+    * [[graft.expressions.GraftExtensions]] registered, else a UDF fallback
+    * (Spark ships no built-in normalization function).
+    */
+  def nfcNormalize(c: Column): Column = {
+    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      scala.util.Try(s.catalog.functionExists("nfc_normalize")).getOrElse(false)
+    }
+    if (native) call_function("nfc_normalize", c)
+    else udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)).apply(c)
+  }
+
+  /** Control characters to scrub: C0 minus `\t`/`\n`, DEL, and the C1 block.
+    * Spelled as explicit ranges (NOT `\p{Cc}` intersections — RE2 oracles
+    * have no char-class intersection syntax, and Java/RE2 agree on `\x{…}`).
+    */
+  private val controlCharClass = "[\\x00-\\x08\\x0B-\\x1F\\x7F\\x{80}-\\x{9F}]"
+
+  /** Strip control characters (keeps `\t` and `\n`). */
+  def stripControlChars(c: Column): Column =
+    regexp_replace(c, controlCharClass, "")
+
+  /** Collapse whitespace runs to single spaces and trim the ends. */
+  def collapseWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Canonical text normalization for dedup/fingerprint stability:
+    * NFC composition → control-char strip → whitespace collapse. Run this
+    * BEFORE hashing/shingling so visually identical strings from different
+    * sources (NFD exports, stray control bytes, ragged whitespace) land in
+    * the same dedup bucket.
+    */
+  def normalizeText(c: Column): Column =
+    collapseWhitespace(stripControlChars(nfcNormalize(c)))
+
   /** Quality signals: length, punctuation ratio, distinct-word ratio,
     * stopword ratio. All codegen'd column arithmetic.
     */

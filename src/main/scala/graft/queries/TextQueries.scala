@@ -303,6 +303,41 @@ object TextQueries {
       Seq("C1", "C2")
     ),
 
+    // Canonical text normalization (NFC → control strip → whitespace
+    // collapse). The input is salted with an NFD sequence (e + combining
+    // acute), a control byte, and ragged spaces so every stage does real
+    // work; the oracle replays it via DuckDB's nfc_normalize + the same
+    // explicit-range control class, and the 60-bit md5 fingerprint of every
+    // normalized string is folded with bit_xor (order-free, overflow-free)
+    // so the contents are value-checked, not just measured.
+    "ta_normalize" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .withColumn("norm",
+            normalizeText(concat(col("text"), lit(" Ame\u0301lie\u0007  x"))))
+          .withColumn("fp", Dedup.md5Lower60(col("norm")))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(length(col("norm"))).as("sum_len"),
+            expr("bit_xor(fp)").as("xor_fp")
+          ),
+      Some("""WITH salted AS (
+             |  SELECT lang, text || ' Ame' || chr(769) || 'lie' || chr(7) || '  x' AS t
+             |  FROM documents),
+             |normed AS (
+             |  SELECT lang, trim(regexp_replace(
+             |           regexp_replace(nfc_normalize(t),
+             |             '[\x00-\x08\x0B-\x1F\x7F\x{80}-\x{9F}]', '', 'g'),
+             |           '\s+', ' ', 'g')) AS nt
+             |  FROM salted)
+             |SELECT lang, count(*) AS n,
+             |       CAST(sum(length(nt)) AS BIGINT) AS sum_len,
+             |       bit_xor(CAST((md5_number_lower(nt) >> 4) AS BIGINT)) AS xor_fp
+             |FROM normed GROUP BY lang""".stripMargin),
+      Seq("C1")
+    ),
+
     // Text analysis: quality signals per language.
     "ta_quality_signals" -> Q(
       (s, d) =>

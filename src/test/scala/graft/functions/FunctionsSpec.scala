@@ -70,6 +70,20 @@ class FunctionsSpec extends SparkSpec {
       "Quoted line works too.\"").mkString("\n"))
   }
 
+  test("normalizeText: NFC composes, controls stripped, whitespace collapsed") {
+    // NFD e + combining acute composes to a single codepoint
+    assert(one[String](nfcNormalize(lit("Ame\u0301lie"))) == "Am\u00e9lie")
+    assert(one[Int](length(nfcNormalize(lit("e\u0301")))) == 1)
+    // already-NFC strings pass through unchanged
+    assert(one[String](nfcNormalize(lit("plain ascii"))) == "plain ascii")
+    // C0 (minus \t\n), DEL, and C1 controls are stripped; \t and \n survive
+    assert(one[String](stripControlChars(lit("a\u0007b\u009Fc\td\ne"))) == "abc\td\ne")
+    // whitespace runs collapse and ends trim
+    assert(one[String](collapseWhitespace(lit("  a \t b\n\nc  "))) == "a b c")
+    // the composition
+    assert(one[String](normalizeText(lit(" Ame\u0301lie\u0007  x "))) == "Am\u00e9lie x")
+  }
+
   test("vector math: dot, norm, cosine on known values") {
     val a = vecLit(Array(3f, 4f))
     val b = vecLit(Array(4f, 3f))
