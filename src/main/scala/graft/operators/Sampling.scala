@@ -77,6 +77,44 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Temperature-based mixture sampling — the standard multilingual /
+    * multi-source rebalancing rule (XLM-R-style): resample so the corpus
+    * mixture follows `share_s^alpha` instead of the raw share. `alpha < 1`
+    * flattens the mixture (upweights low-resource sources relative to their
+    * natural share); `alpha = 1` is a no-op; downsampling only (no source's
+    * keep-fraction exceeds 1 — the scarcest-per-target source is kept whole
+    * and everything else downsamples toward the tempered mixture).
+    *
+    * Keep-fractions derive from per-source counts: `w_s = (n_s/N)^alpha`,
+    * `f_s = min_j(n_j/w_j) · w_s / n_s` — the normalizing constant cancels,
+    * which also keeps the arithmetic a chain of individually-rounded IEEE
+    * ops (no cross-source float sum), so an external SQL engine replays the
+    * fractions bit-identically. Membership is then the same hash-bucket
+    * rule as [[rebalance]]: content-stable, topology-free, reproducible.
+    *
+    * Scale shape: one map-side-combined count per source (k rows to the
+    * driver, k = #sources) + a scan with a per-row hash filter — no shuffle
+    * of the corpus itself.
+    */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      alpha: Double,
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1], got $alpha")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("ns"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val total = counts.map(_._2).sum.toDouble
+    def pow(x: Double): Double =
+      if (alpha == 0.5) math.sqrt(x) else math.pow(x, alpha) // sqrt is IEEE-exact
+    val w = counts.map { case (k, ns) => (k, ns, pow(ns.toDouble / total)) }
+    val c = w.map { case (_, ns, ws) => ns.toDouble / ws }.min
+    val fractions = w.map { case (k, ns, ws) => k -> c * ws / ns.toDouble }.toMap
+    rebalance(df, idCol, keyCol, fractions, hashFn)
+  }
+
   /** Sequence packing — assign documents to fixed-token-budget training
     * bins the way pretraining data is actually packed: concatenate in a
     * deterministic order (by `idCol` within each `keyCol` stream) and cut

@@ -69,6 +69,29 @@ object RelationalQueries {
       Seq("J1", "F4")
     ),
 
+    // J1 via the bloom pre-filter: identical semantics to
+    // j1_incremental_antijoin (same oracle), but rows the bloom proves
+    // absent from the exclusion set bypass the anti-join shuffle — the
+    // 100 TB path once the ledger outgrows broadcast. The bloom only
+    // routes; the exact anti-join resolves every "maybe", so the result
+    // is exact.
+    "j1_bloom_prefilter" -> Q(
+      (s, d) => {
+        val state = orders(s, d).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
+        graft.operators.BloomAntiJoin
+          .antiJoin(lineitem(s, d), "l_orderkey", state, "o_orderkey",
+            expectedItems = 200000L, fpp = 0.01)
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+             |FROM lineitem
+             |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus='F')
+             |GROUP BY l_returnflag""".stripMargin),
+      Seq("J1", "F4")
+    ),
+
     // J2/SO1: validation set compare — ids on one side but not the other.
     "j2_validation_setdiff" -> Q(
       (s, d) => {

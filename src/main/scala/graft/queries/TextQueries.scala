@@ -288,6 +288,31 @@ object TextQueries {
       Seq("C16")
     ),
 
+    // The registered-SQL surface: the same engine operators reached through
+    // spark.sql() text — token_count (native codegen expression) and
+    // normalize_text (composition binding) resolved from the extension-
+    // injected FunctionRegistry, proving a SQL-only user gets the identical
+    // semantics the DataFrame API battery verifies. chr(769)/chr(7) build
+    // the same NFD + control salt as ta_normalize on both engines.
+    "sql_function_registry" -> Q(
+      (s, d) => {
+        documents(s, d).createOrReplaceTempView("documents_sqlreg")
+        s.sql("""SELECT lang, count(*) AS n,
+                |       sum(token_count(text)) AS sum_toks,
+                |       CAST(sum(length(normalize_text(
+                |         text || ' Ame\u0301lie\u0007  x'))) AS BIGINT) AS sum_norm_len
+                |FROM documents_sqlreg GROUP BY lang""".stripMargin)
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]'))) AS BIGINT) AS sum_toks,
+             |       CAST(sum(length(trim(regexp_replace(
+             |         regexp_replace(nfc_normalize(text || ' Ame' || chr(769) || 'lie' || chr(7) || '  x'),
+             |           '[\x00-\x08\x0B-\x1F\x7F\x{80}-\x{9F}]', '', 'g'),
+             |         '\s+', ' ', 'g')))) AS BIGINT) AS sum_norm_len
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("C1")
+    ),
+
     // C1/C2: deterministic token count + hard-split part count.
     "c1_c2_token_stats" -> Q(
       (s, d) =>
@@ -672,6 +697,35 @@ object TextQueries {
              |  FROM documents)
              |WHERE b < (CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 2500 ELSE 10000 END)
              |GROUP BY source""".stripMargin),
+      Seq("F8", "A1")
+    ),
+
+    // Temperature-based mixture resampling (alpha = 0.5): per-source keep
+    // fractions derived from corpus counts so the kept mixture follows
+    // share^alpha. alpha=0.5 makes the power an IEEE-exact sqrt and the
+    // fraction formula avoids any cross-source float sum, so DuckDB replays
+    // the fractions bit-for-bit; membership is the shared md5-derived hash.
+    "ta_temperature_mix" -> Q(
+      (s, d) =>
+        Sampling.temperatureMix(documents(s, d), "doc_id", "source", alpha = 0.5,
+          hashFn = c => Dedup.md5Lower60(c.cast("string")))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
+      Some("""WITH counts AS (
+             |  SELECT source, CAST(count(*) AS BIGINT) AS ns FROM documents GROUP BY source),
+             |w AS (
+             |  SELECT source, ns,
+             |         sqrt(CAST(ns AS DOUBLE) / (SELECT CAST(sum(ns) AS DOUBLE) FROM counts)) AS ws
+             |  FROM counts),
+             |f AS (
+             |  SELECT source,
+             |         CAST(round((SELECT min(CAST(ns AS DOUBLE) / ws) FROM w) * ws / CAST(ns AS DOUBLE) * 10000) AS BIGINT) AS thr
+             |  FROM w),
+             |b AS (
+             |  SELECT source,
+             |         (CAST((md5_number_lower(CAST(doc_id AS VARCHAR)) >> 4) AS BIGINT) % 10000) AS b
+             |  FROM documents)
+             |SELECT b.source, count(*) AS n_kept
+             |FROM b JOIN f USING (source) WHERE b.b < f.thr GROUP BY b.source""".stripMargin),
       Seq("F8", "A1")
     ),
 

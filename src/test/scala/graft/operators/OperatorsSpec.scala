@@ -92,6 +92,51 @@ class OperatorsSpec extends SparkSpec {
     assert(rebalanced("k2") == 2000, "keys without a fraction are untouched")
   }
 
+  test("bloom anti-join: exactly equals left_anti on long and string keys, keeps null keys") {
+    val left = ((1L to 5000L).map(i => (i: java.lang.Long, s"v$i")) :+
+      ((null: java.lang.Long), "nullkey")).toDF("id", "payload")
+    val right = (4000L to 9000L by 3).toDF("id")
+    val viaBloom = BloomAntiJoin.antiJoin(left, "id", right, "id", fpp = 0.05)
+      .select("payload").as[String].collect().toSet
+    val viaAnti = left.join(right, Seq("id"), "left_anti")
+      .select("payload").as[String].collect().toSet
+    assert(viaBloom == viaAnti)
+    assert(viaBloom.contains("nullkey"), "null keys never equi-match → kept")
+
+    val sl = (1 to 2000).map(i => s"doc$i").toDF("k")
+    val sr = (1500 to 2500).map(i => s"doc$i").toDF("k")
+    val sBloom = BloomAntiJoin.antiJoin(sl, "k", sr, "k").as[String].collect().toSet
+    assert(sBloom == (1 until 1500).map(i => s"doc$i").toSet)
+  }
+
+  test("temperatureMix: flattens the mixture, keeps the scarce-per-target source whole") {
+    // skewed corpus: 8000 / 1500 / 500 rows across three sources
+    val rows = (1L to 8000L).map(i => (i, "big")) ++
+      (8001L to 9500L).map(i => (i, "mid")) ++ (9501L to 10000L).map(i => (i, "small"))
+    val df = rows.toDF("id", "key")
+    // alpha = 1 is the identity mixture: every source kept whole
+    val id = Sampling.temperatureMix(df, "id", "key", alpha = 1.0)
+      .groupBy("key").count().as[(String, Long)].collect().toMap
+    assert(id == Map("big" -> 8000L, "mid" -> 1500L, "small" -> 500L))
+    // alpha = 0.5 tempers: kept counts ~ c*sqrt(n_s) — ratios flatten from
+    // 16:3:1 toward 4:sqrt(3):1, and the binding source stays whole
+    val t = Sampling.temperatureMix(df, "id", "key", alpha = 0.5)
+      .groupBy("key").count().as[(String, Long)].collect().toMap
+    val expected = Map(
+      "big" -> 500.0 * math.sqrt(8000.0 / 500.0),
+      "mid" -> 500.0 * math.sqrt(1500.0 / 500.0),
+      "small" -> 500.0)
+    expected.foreach { case (k, e) =>
+      assert(math.abs(t(k) - e) < 0.15 * e + 50, s"$k: got ${t(k)}, want ~$e")
+    }
+    assert(t("small") == 500L, "the scarcest-per-target source is kept whole")
+    // deterministic: re-running yields the identical kept set
+    val a = Sampling.temperatureMix(df, "id", "key", alpha = 0.5).select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(df.repartition(5), "id", "key", alpha = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("dedupCorpus: exact twins, transitive near-dups, and uniques compose") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near1 = (1 to 38).map(i => s"tok$i").mkString(" ") + " tokX tokY"
