@@ -29,7 +29,8 @@ object ExplainAudit {
       "j3_upsert_overlay", "e2_cosine_topk", "dd_minhash_lsh",
       "dd_jaccard_blocked", "w_tumbling_hourly", "f6_docid_filter",
       "a4_token_budget_buckets", "ta_topk_per_source",
-      "dd_contamination", "e2_nn_join", "e2_nn_join_ivf"
+      "dd_contamination", "e2_nn_join", "e2_nn_join_ivf",
+      "e2_quantized_topk", "j1_bloom_prefilter"
     )
 
     var bad = 0
@@ -122,7 +123,16 @@ object ExplainAudit {
           plan("e2_nn_join").contains("partial_top_k")),
       ("ivf nn join: corpus side joins equi-key on the cell id, no cartesian",
         !plan("e2_nn_join_ivf").contains("CartesianProduct") &&
-          plan("e2_nn_join_ivf").contains("partial_top_k"))
+          plan("e2_nn_join_ivf").contains("partial_top_k")),
+      ("quantized topk plans as TakeOrdered over integer dot products (no shuffle)",
+        plan("e2_quantized_topk").contains("TakeOrderedAndProject")),
+      // the bloom pre-filter must ROUTE, not duplicate: one anti-join total,
+      // so the bloom-cleared branch of the union reaches the aggregate
+      // without any join (that branch is the shuffle the filter saves)
+      ("bloom anti-join routes definite keeps around the single anti-join", {
+        val p = plan("j1_bloom_prefilter")
+        p.contains("Union") && "LeftAnti".r.findAllMatchIn(p).size == 1
+      })
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>

@@ -33,6 +33,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => NfcNormalize(children.head)
     ))
     ext.injectFunction((
+      FunctionIdentifier("occurrence_count"),
+      info("occurrence_count", classOf[OccurrenceCount],
+        "occurrence_count(str, substr) - non-overlapping occurrences, single scan, no allocation"),
+      (children: Seq[Expression]) => OccurrenceCount(children(0), children(1))
+    ))
+    ext.injectFunction((
       FunctionIdentifier("top_k"),
       info("top_k", classOf[TopK],
         "top_k(expr, k) - the k largest values of an orderable expression; " +

@@ -191,10 +191,16 @@ object TextFunctions {
   )
 
   private def trigramScore(padded: Column, lang: String): Column = {
+    // native single-scan occurrence count when the extensions are
+    // registered; the length-minus-replace idiom (which copies the string
+    // per pattern — 6×5 times per row here) as the no-extensions fallback.
+    // Both count non-overlapping left-to-right matches: value-identical.
+    val native = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
+      scala.util.Try(s.catalog.functionExists("occurrence_count")).getOrElse(false)
+    }
     val counts = langTrigrams(lang).map { g =>
-      // occurrences of g = (len(s) - len(remove(s, g))) / len(g);
-      // literal replace(), not regexp — this runs 6×5 times per row
-      (length(padded) - length(call_function("replace", padded, lit(g), lit("")))) / lit(g.length)
+      if (native) call_function("occurrence_count", padded, lit(g))
+      else (length(padded) - length(call_function("replace", padded, lit(g), lit("")))) / lit(g.length)
     }
     counts.reduce(_ + _).cast("double") / greatest(length(padded), lit(1)).cast("double")
   }

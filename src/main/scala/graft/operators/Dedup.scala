@@ -45,6 +45,14 @@ object Dedup {
     */
   val MersenneP: Long = (1L << 31) - 1
 
+  /** Edge-count ceiling for the driver union-find finish in
+    * [[components]]/[[componentsStar]]: a contracted graph at or under this
+    * many edges resolves in one collect instead of per-round join stages
+    * (≈32 MB of (long,long) rows at the default — far under a driver heap,
+    * far over any real near-dup candidate set's contracted size).
+    */
+  val DriverFinishEdges: Long = 2000000L
+
   /** Deterministic per-seed affine constants, shared by the Spark expression
     * and generated oracle SQL.
     */
@@ -369,7 +377,8 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      finishThreshold: Long = Dedup.DriverFinishEdges
   ): DataFrame = {
     // localCheckpoint (not cache) each round: iterative self-referencing
     // plans grow without it — the lineage cut is what keeps plan size and
@@ -377,35 +386,90 @@ object Dedup {
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint(true)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("comp").as("nbrComp")), Seq("dst"))
-        .groupBy("src").agg(min("nbrComp").as("nbrComp"))
-        .withColumnRenamed("src", "id")
-      // lazy checkpoint + one count: the count materializes the round's
-      // labels (cutting lineage) AND yields the convergence signal in the
-      // same job — an eager checkpoint followed by a separate isEmpty scan
-      // would run two actions per round
-      val next = labels
-        .join(nbrMin, Seq("id"), "left")
-        .select(
-          col("id"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
-          col("comp").as("prev"))
-        .localCheckpoint(false)
-      converged = next.filter(col("comp") < col("prev")).count() == 0
-      labels = next.select("id", "comp")
-      iter += 1
+    // size-adaptive finish (the AQE philosophy applied to iteration): the
+    // edge set is already materialized, so its count is one cheap job —
+    // when the graph fits the driver threshold, a union-find resolves ALL
+    // rounds at once instead of paying per-round stage overhead. At 100 TB
+    // the distributed rounds below shrink the active graph geometrically;
+    // this same check is what lets a big run finish its tail early.
+    val fast =
+      if (edges.count() <= finishThreshold) driverUnionFind(edges, "src", "dst") else None
+    fast.getOrElse {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id")).localCheckpoint(true)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("comp").as("nbrComp")), Seq("dst"))
+          .groupBy("src").agg(min("nbrComp").as("nbrComp"))
+          .withColumnRenamed("src", "id")
+        // lazy checkpoint + one count: the count materializes the round's
+        // labels (cutting lineage) AND yields the convergence signal in the
+        // same job — an eager checkpoint followed by a separate isEmpty scan
+        // would run two actions per round
+        val next = labels
+          .join(nbrMin, Seq("id"), "left")
+          .select(
+            col("id"),
+            least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"),
+            col("comp").as("prev"))
+          .localCheckpoint(false)
+        converged = next.filter(col("comp") < col("prev")).count() == 0
+        labels = next.select("id", "comp")
+        iter += 1
+      }
+      if (!converged)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"components: not converged after $maxIter rounds — labels may split " +
+            "one cluster; raise maxIter or use componentsStar (O(log diameter) rounds)")
+      labels
     }
-    if (!converged)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"components: not converged after $maxIter rounds — labels may split " +
-          "one cluster; raise maxIter or use componentsStar (O(log diameter) rounds)")
-    labels
+  }
+
+  /** Driver union-find over a collected edge list — the finish path for a
+    * (contracted) graph whose edge count fits under `finishThreshold`.
+    * Union-by-minimum keeps every root the minimum id of its set, so labels
+    * are exactly the `comp = min reachable id` contract. Supports integral
+    * and string ids (the orderings `least`/`min` would use); other key
+    * types return None and take the distributed path.
+    */
+  private def driverUnionFind(
+      edges: DataFrame, srcCol: String, dstCol: String): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val spark = edges.sparkSession
+    val dt = edges.schema(srcCol).dataType
+    def resolve[T](rows: Array[(T, T)])(implicit ord: Ordering[T]): Seq[(T, T)] = {
+      val parent = scala.collection.mutable.HashMap.empty[T, T]
+      def find(x: T): T = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      rows.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // smaller root wins → root stays the set minimum
+          if (ord.lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+        } else if (!parent.contains(ra)) parent(ra) = ra
+      }
+      val nodes = rows.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+      nodes.iterator.map(x => (x, find(x))).toSeq
+    }
+    import spark.implicits._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        val rows = edges.select(col(srcCol).cast("long"), col(dstCol).cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        Some(resolve(rows).toDF("id", "comp")
+          .select(col("id").cast(dt).as("id"), col("comp").cast(dt).as("comp")))
+      case StringType =>
+        val rows = edges.select(col(srcCol), col(dstCol))
+          .collect().map(r => (r.getString(0), r.getString(1)))
+        Some(resolve(rows).toDF("id", "comp"))
+      case _ => None
+    }
   }
 
   /** Connected components via alternating large-star / small-star — the
@@ -432,7 +496,8 @@ object Dedup {
       pairs: DataFrame,
       idA: String = "id_a",
       idB: String = "id_b",
-      maxIter: Int = 20
+      maxIter: Int = 20,
+      finishThreshold: Long = Dedup.DriverFinishEdges
   ): DataFrame = {
     val nodes = pairs.select(col(idA).as("id"))
       .unionByName(pairs.select(col(idB).as("id"))).distinct().localCheckpoint(true)
@@ -464,6 +529,16 @@ object Dedup {
       .select(col(idA).as("u"), col(idB).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct().localCheckpoint(true)
+    // same size-adaptive driver finish as [[components]] — singletons
+    // (self-pair-only nodes) are restored by the trailing nodes join
+    val fastLabels =
+      if (edges.count() <= finishThreshold) driverUnionFind(edges, "u", "v") else None
+    fastLabels match {
+      case Some(lbl) =>
+        return nodes.join(lbl, Seq("id"), "left")
+          .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+      case None => ()
+    }
     var signature = (-1L, -1L)
     var iter = 0
     var converged = edges.isEmpty

@@ -84,6 +84,27 @@ class FunctionsSpec extends SparkSpec {
     assert(one[String](normalizeText(lit(" Ame\u0301lie\u0007  x "))) == "Am\u00e9lie x")
   }
 
+  test("occurrence_count: single-scan count equals the length-minus-replace idiom") {
+    val cases = Seq(
+      ("aaa", "aa"),       // overlap: non-overlapping count = 1, not 2
+      ("aaaa", "aa"),      // = 2
+      ("the the the", "the"),
+      ("", "x"),
+      ("abc", "abc"),
+      ("ababab", "abab"),  // = 1 (second match would overlap)
+      ("héhéhé", "hé"),    // multi-byte
+      ("no hits here", "zz")
+    )
+    cases.foreach { case (s, g) =>
+      val native = one[Long](call_function("occurrence_count", lit(s), lit(g)))
+      val idiom = one[Double](
+        (length(lit(s)) - length(call_function("replace", lit(s), lit(g), lit("")))) / lit(g.length))
+      assert(native.toDouble == idiom, s"'$s' / '$g': native=$native idiom=$idiom")
+    }
+    assert(one[Long](call_function("occurrence_count", lit("abc"), lit(""))) == 0L,
+      "empty pattern counts 0")
+  }
+
   test("vector math: dot, norm, cosine on known values") {
     val a = vecLit(Array(3f, 4f))
     val b = vecLit(Array(4f, 3f))

@@ -65,7 +65,10 @@ class OperatorsPropertySpec extends SparkSpec {
       Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 15L), Gen.chooseNum(0L, 15L))))
     holds(forAll(edgesGen) { es =>
       val pairs = es.toDF("id_a", "id_b")
-      val got = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+      // force the distributed star rounds — the driver-finish path IS a
+      // union-find, so testing it against one would be circular
+      val got = Dedup.componentsStar(pairs, finishThreshold = -1L)
+        .as[(Long, Long)].collect().toMap
       // union-find ground truth: comp = min reachable id
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {

@@ -272,18 +272,36 @@ class OperatorsSpec extends SparkSpec {
     graphs.foreach { case (name, es) =>
       val pairs = es.toDF("id_a", "id_b")
       // min-label needs rounds = diameter (40 covers the 29-link chain);
-      // star converges within its default 20 on every shape here
-      val viaLabel = Dedup.components(pairs, maxIter = 40).as[(Long, Long)].collect().toMap
-      val viaStar = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
+      // star converges within its default 20 on every shape here.
+      // finishThreshold = -1 forces the distributed rounds; the defaults
+      // take the driver union-find finish — all four must agree.
+      val viaLabel = Dedup.components(pairs, maxIter = 40, finishThreshold = -1L)
+        .as[(Long, Long)].collect().toMap
+      val viaStar = Dedup.componentsStar(pairs, maxIter = 20, finishThreshold = -1L)
+        .as[(Long, Long)].collect().toMap
+      val viaDriver = Dedup.components(pairs, maxIter = 40).as[(Long, Long)].collect().toMap
+      val viaDriverStar = Dedup.componentsStar(pairs).as[(Long, Long)].collect().toMap
       assert(viaStar == viaLabel, s"$name: star and min-label disagree")
+      assert(viaDriver == viaLabel, s"$name: driver finish and min-label disagree")
+      assert(viaDriverStar == viaLabel, s"$name: driver star finish and min-label disagree")
     }
+  }
+
+  test("components driver finish handles string ids with the same min-label contract") {
+    val pairs = Seq(("docB", "docA"), ("docB", "docC"), ("docX", "docX"), ("docY", "docZ"))
+      .toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).as[(String, String)].collect().toMap
+    assert(got == Map(
+      "docA" -> "docA", "docB" -> "docA", "docC" -> "docA",
+      "docX" -> "docX", "docY" -> "docY", "docZ" -> "docY"))
   }
 
   test("componentsStar converges in O(log d) rounds on a chain min-label needs O(d) for") {
     // 200-link chain: min-label at maxIter=20 would NOT converge (diameter
     // 200); the star rounds contract it comfortably inside 20
     val pairs = (1L to 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comps = Dedup.componentsStar(pairs, maxIter = 20).as[(Long, Long)].collect()
+    val comps = Dedup.componentsStar(pairs, maxIter = 20, finishThreshold = -1L)
+      .as[(Long, Long)].collect()
     assert(comps.length == 201)
     assert(comps.forall(_._2 == 1L), "whole chain collapses to the minimum id")
   }
