@@ -190,20 +190,25 @@ object TextFunctions {
     "no" -> Seq("det", " og", "en ", " er", "som", "ske")
   )
 
-  private def trigramScore(padded: Column, lang: String): Column = {
-    // native single-scan occurrence count when the extensions are
-    // registered; the length-minus-replace idiom (which copies the string
-    // per pattern — 6×5 times per row here) as the no-extensions fallback.
-    // Both count non-overlapping left-to-right matches: value-identical.
+  /** Non-overlapping occurrences of a literal substring: the native
+    * single-scan [[graft.expressions.OccurrenceCount]] when the extensions
+    * are registered; the length-minus-replace idiom (which copies the
+    * string per pattern) as the no-extensions fallback. Value-identical —
+    * both count left-to-right non-overlapping matches.
+    */
+  def occurrences(c: Column, pat: String): Column = {
+    require(pat.nonEmpty, "pattern must be non-empty")
     val native = org.apache.spark.sql.SparkSession.getActiveSession.exists { s =>
       scala.util.Try(s.catalog.functionExists("occurrence_count")).getOrElse(false)
     }
-    val counts = langTrigrams(lang).map { g =>
-      if (native) call_function("occurrence_count", padded, lit(g))
-      else (length(padded) - length(call_function("replace", padded, lit(g), lit("")))) / lit(g.length)
-    }
-    counts.reduce(_ + _).cast("double") / greatest(length(padded), lit(1)).cast("double")
+    if (native) call_function("occurrence_count", c, lit(pat))
+    else ((length(c) - length(call_function("replace", c, lit(pat), lit("")))) / lit(pat.length))
+      .cast("long")
   }
+
+  private def trigramScore(padded: Column, lang: String): Column =
+    langTrigrams(lang).map(g => occurrences(padded, g))
+      .reduce(_ + _).cast("double") / greatest(length(padded), lit(1)).cast("double")
 
   def langIdNgram(c: Column): Column = {
     val padded = concat(lit(" "), lower(trim(c)), lit(" "))
@@ -212,6 +217,20 @@ object TextFunctions {
     }
     array_max(array(scored: _*)).getField("lang")
   }
+
+  /** URL extraction + domain parsing — web-corpus curation primitives.
+    * Patterns are RE2-safe (no lookaround) so SQL oracles replay them
+    * byte-for-byte.
+    */
+  val urlRe = "https?://[^\\s]+"
+
+  def extractUrls(c: Column): Column = regexp_extract_all(c, lit(urlRe), lit(0))
+
+  /** The host part of a URL (up to the first `/ : ? #` after the scheme),
+    * lowercased — the blocklist join key.
+    */
+  def urlDomain(u: Column): Column =
+    lower(regexp_extract(u, "^https?://([^/:?#]+)", 1))
 
   /** Document fingerprint: first 16 hex chars of sha-256 over the
     * whitespace-normalized, lowercased text — stable across formatting noise.

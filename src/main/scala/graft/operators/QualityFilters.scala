@@ -24,6 +24,147 @@ import org.apache.spark.sql.functions._
   */
 object QualityFilters {
 
+  /** The eight English words whose presence Gopher's rule 7 requires two
+    * of (Rae et al. 2021, A1.1).
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher document-level quality rule set (Rae et al. 2021,
+    * appendix A1.1) as per-document signal columns plus the combined
+    * `gopher_keep` verdict:
+    *
+    *  1. word count in [minWords, maxWords] (50 / 100,000);
+    *  2. mean word length in [3, 10] characters;
+    *  3. symbol-to-word ratio (`#` + ellipsis) ≤ 0.1;
+    *  4. < 90% of lines start with a bullet;
+    *  5. < 30% of lines end with an ellipsis;
+    *  6. ≥ 80% of words contain an alphabetic character;
+    *  7. ≥ 2 distinct words from the 8-word stopword list.
+    *
+    * Everything is per-row codegen'd column arithmetic — no shuffle, no
+    * UDF; filtering is embarrassingly parallel at any scale. Character
+    * classes are explicit ASCII (`[A-Za-z]`) so a RE2-based oracle replays
+    * them byte-for-byte.
+    */
+  def gopherSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      carry: Seq[String] = Nil
+  ): DataFrame = {
+    import graft.functions.TextFunctions.occurrences
+    val t = col(textCol)
+    val base = df.select(
+      Seq(
+        col(idCol),
+        t.as("_t"),
+        split(trim(t), "\\s+").as("_toks"),
+        split(t, "\n").as("_lines")
+      ) ++ carry.map(col): _*)
+    val nWords = size(col("_toks"))
+    val sumLen = aggregate(col("_toks"), lit(0), (a, x) => a + length(x))
+    val mwl = sumLen.cast("double") / greatest(nWords, lit(1)).cast("double")
+    val nSym = occurrences(col("_t"), "#") + occurrences(col("_t"), "...") +
+      occurrences(col("_t"), "…")
+    val symRatio = nSym.cast("double") / greatest(nWords, lit(1)).cast("double")
+    val nLines = greatest(size(col("_lines")), lit(1)).cast("double")
+    val bulletFrac = size(filter(col("_lines"), l => {
+      val s = ltrim(l)
+      s.startsWith("•") || s.startsWith("- ") || s.startsWith("* ")
+    })).cast("double") / nLines
+    val ellipsisFrac = size(filter(col("_lines"), l => {
+      val s = rtrim(l)
+      s.endsWith("...") || s.endsWith("…")
+    })).cast("double") / nLines
+    val alphaFrac = size(filter(col("_toks"), x => x.rlike("[A-Za-z]")))
+      .cast("double") / greatest(nWords, lit(1)).cast("double")
+    val toksLower = transform(col("_toks"), x => lower(x))
+    val stopTypes = size(filter(
+      array(GopherStopwords.map(lit): _*), sw => array_contains(toksLower, sw)))
+    val keep =
+      nWords.between(minWords, maxWords) &&
+        mwl.between(3.0, 10.0) &&
+        symRatio <= 0.1 &&
+        bulletFrac < 0.9 &&
+        ellipsisFrac < 0.3 &&
+        alphaFrac >= 0.8 &&
+        stopTypes >= 2
+    base.select(
+      Seq(
+        col(idCol),
+        nWords.cast("long").as("n_words"),
+        round(mwl, 6).as("mean_word_len"),
+        round(symRatio, 6).as("symbol_ratio"),
+        round(bulletFrac, 6).as("bullet_line_frac"),
+        round(ellipsisFrac, 6).as("ellipsis_line_frac"),
+        round(alphaFrac, 6).as("alpha_word_frac"),
+        stopTypes.cast("long").as("stopword_types"),
+        keep.as("gopher_keep")
+      ) ++ carry.map(col): _*)
+  }
+
+  /** Rows of `df` that pass every Gopher rule, schema unchanged. */
+  def gopherFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000
+  ): DataFrame =
+    df.join(
+      gopherSignals(df, idCol, textCol, minWords, maxWords)
+        .filter(col("gopher_keep")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Ids of documents citing any blocklisted domain: explode the extracted
+    * URLs, parse domains, match the blocklist, distinct. A suffix match
+    * (`evil.org` also blocks `ads.evil.org`) mirrors how published
+    * blocklists (e.g. UT1) are applied.
+    *
+    * Scale shape: suffix matching is done by EXPLODING each domain's label
+    * suffixes (`ads.evil.org` → itself, `evil.org`) and equi-joining the
+    * blocklist on them — never an `endsWith` theta-join, which would plan
+    * as a nested-loop against every blocklist row. Domains have a handful
+    * of labels, so the explode is a small constant factor, the join is
+    * hash/broadcast-able, and AQE sizes it (no hint).
+    */
+  def blockedDomainIds(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: DataFrame, // one column: `domain`
+      suffixMatch: Boolean = true
+  ): DataFrame = {
+    import graft.functions.TextFunctions.{extractUrls, urlDomain}
+    val domains = df
+      .select(col(idCol), explode(extractUrls(col(textCol))).as("_url"))
+      .select(col(idCol), urlDomain(col("_url")).as("_domain"))
+      .filter(col("_domain") =!= "")
+    val keys =
+      if (!suffixMatch) domains.select(col(idCol), col("_domain").as("_key"))
+      else {
+        // suffixes keep >= 2 labels (plus the whole domain): evil.org
+        // blocks ads.evil.org, but org alone blocks nothing
+        val parts = split(col("_domain"), "\\.")
+        domains.select(
+          col(idCol),
+          explode(transform(
+            sequence(lit(1), greatest(size(parts) - 1, lit(1))),
+            i => array_join(slice(parts, i, size(parts)), "."))).as("_key"))
+      }
+    keys.join(
+      blocklist.select(lower(col("domain")).as("_key")), Seq("_key"))
+      .select(col(idCol)).distinct()
+  }
+
+  /** Corpus minus documents citing blocklisted domains, schema unchanged. */
+  def blocklistFilter(
+      df: DataFrame, idCol: String, textCol: String, blocklist: DataFrame,
+      suffixMatch: Boolean = true
+  ): DataFrame =
+    df.join(blockedDomainIds(df, idCol, textCol, blocklist, suffixMatch),
+      Seq(idCol), "left_anti")
+
   /** @param carry extra input columns carried through to the output (e.g.
     *              a grouping key) — saves the caller a join back to the
     *              source just to recover them.

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.EventWindows
+import graft.operators.{AsOfJoin, EventWindows}
 
 /** Event-table battery: CDC-style status filters (F1-F3 semantics), JSON
   * codec (C15), timestamp formatting (C14), and the event-time window
@@ -119,6 +119,45 @@ object EventQueries {
              |FROM events CROSS JOIN (VALUES (0),(1)) AS t(k)
              |GROUP BY wstart, event_type""".stripMargin),
       Seq("A2")
+    ),
+
+    // As-of join: every click joined to the user's latest prior (or
+    // equal-time) view state. Spark has no native as-of join; the operator
+    // is the sort-based union+window form (one shuffle, no range
+    // cross-product), oracled against DuckDB's native ASOF LEFT JOIN. The
+    // view side is pre-aggregated to one row per (user, ts) so the match
+    // is tie-free on both engines.
+    "j_asof_state" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("state_id"), max(col("value")).as("state_value"))
+        AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
+            Seq("state_id", "state_value"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_clicks"),
+            count(col("asof_state_id")).as("n_matched"),
+            sum(col("asof_state_id")).as("sum_state_ids"),
+            round(sum(col("asof_state_value")), 2).as("sum_state_value"))
+      },
+      Some("""WITH clicks AS (
+             |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click'),
+             |views AS (
+             |  SELECT user_id, ts, max(event_id) AS state_id, max(value) AS state_value
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+             |j AS (
+             |  SELECT c.user_id, v.state_id, v.state_value
+             |  FROM clicks c ASOF LEFT JOIN views v
+             |    ON c.user_id = v.user_id AND c.ts >= v.ts)
+             |SELECT user_id, count(*) AS n_clicks, count(state_id) AS n_matched,
+             |       CAST(sum(state_id) AS BIGINT) AS sum_state_ids,
+             |       round(sum(state_value), 2) AS sum_state_value
+             |FROM j GROUP BY user_id""".stripMargin),
+      Seq("J1", "W2")
     ),
 
     // Session windows: 30-minute inactivity gap per user.

@@ -524,6 +524,86 @@ object TextQueries {
       Seq("C3", "F9")
     ),
 
+    // URL extraction + domain blocklist: per-doc URLs are salted in
+    // deterministically; suffix matching is label-suffix explode +
+    // equi-join (never an endsWith theta-join). tracker3.net suffix-blocks
+    // the ads.tracker3.net citations (doc_id % 5 = 3) and s7.example.com
+    // exact-blocks doc_id % 20 = 7.
+    "ta_urls" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val salted = documents(s, d).withColumn("text2",
+          concat(col("text"),
+            lit(" see https://s"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com/page?q=1 ref http://ads.tracker"),
+            (col("doc_id") % 5).cast("string"), lit(".net/x")))
+        val bl = Seq("tracker3.net", "s7.example.com").toDF("domain")
+        val blocked = QualityFilters.blockedDomainIds(salted, "doc_id", "text2", bl)
+          .withColumn("is_blocked", lit(1L))
+        salted
+          .withColumn("n_urls", size(extractUrls(col("text2"))).cast("long"))
+          .join(blocked, Seq("doc_id"), "left")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("n_urls")).as("sum_urls"),
+            sum(coalesce(col("is_blocked"), lit(0L))).as("n_blocked"))
+      },
+      Some("""WITH salted AS (
+             |  SELECT doc_id, lang,
+             |         text || ' see https://s' || CAST(doc_id % 20 AS VARCHAR) ||
+             |         '.example.com/page?q=1 ref http://ads.tracker' ||
+             |         CAST(doc_id % 5 AS VARCHAR) || '.net/x' AS t
+             |  FROM documents),
+             |urls AS (
+             |  SELECT doc_id, lang, regexp_extract_all(t, 'https?://[^\s]+') AS us FROM salted),
+             |doms AS (
+             |  SELECT doc_id, lower(regexp_extract(unnest(us), '^https?://([^/:?#]+)', 1)) AS dom
+             |  FROM urls),
+             |keys AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(
+             |           range(1, greatest(len(string_split(dom, '.')) - 1, 1) + 1),
+             |           i -> array_to_string(list_slice(string_split(dom, '.'), i,
+             |                  len(string_split(dom, '.'))), '.'))) AS k
+             |  FROM doms WHERE dom <> ''),
+             |blocked AS (
+             |  SELECT DISTINCT doc_id FROM keys WHERE k IN ('tracker3.net', 's7.example.com'))
+             |SELECT lang, count(*) AS n, CAST(sum(len(us)) AS BIGINT) AS sum_urls,
+             |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM blocked) THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
+             |FROM urls GROUP BY lang""".stripMargin),
+      Seq("C6", "F8")
+    ),
+
+    // The full Gopher document-level rule set (word count, mean word
+    // length, symbol ratio, bullet/ellipsis lines, alphabetic words,
+    // stopword types -> gopher_keep). The corpus has no newlines, so every
+    // third doc is salted with bullet/ellipsis lines to exercise rules 4-5.
+    // Ratio sums use the exact-integer trick (per-doc round(x*1e6) then
+    // BIGINT sums) so group aggregation order cannot introduce float noise.
+    "ta_gopher" -> Q(
+      (s, d) => {
+        val salted = documents(s, d).withColumn("text2",
+          when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit("\n\u2022 item one\n- item two\ntrailing...")))
+            .otherwise(col("text")))
+        QualityFilters.gopherSignals(salted, "doc_id", "text2", carry = Seq("lang"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("gopher_keep"), 1L).otherwise(0L)).as("n_keep"),
+            sum(col("n_words")).as("sum_words"),
+            sum(round(col("mean_word_len") * 1e6).cast("long")).as("s_mwl"),
+            sum(round(col("symbol_ratio") * 1e6).cast("long")).as("s_sym"),
+            sum(round(col("bullet_line_frac") * 1e6).cast("long")).as("s_bullet"),
+            sum(round(col("ellipsis_line_frac") * 1e6).cast("long")).as("s_ellipsis"),
+            sum(round(col("alpha_word_frac") * 1e6).cast("long")).as("s_alpha"),
+            sum(col("stopword_types")).as("s_stop"))
+      },
+      Some(gopherOracleSql),
+      Seq("C1", "F9")
+    ),
+
     // Gopher/MassiveText repetition rules: dup-word fraction and the char
     // fraction of the most frequent 2-gram, thresholded per the published
     // cut-offs. Per-doc doubles are bit-equal across engines (same integer
@@ -861,4 +941,53 @@ object TextQueries {
        |SELECT pred_stopword, pred_ngram, count(*) AS n
        |FROM scored GROUP BY pred_stopword, pred_ngram""".stripMargin
   }
+  /** DuckDB twin of [[graft.operators.QualityFilters.gopherSignals]] over
+    * the salted battery corpus (same thresholds, same explicit ASCII
+    * classes, same exact-integer ratio scaling).
+    */
+  private def gopherOracleSql: String =
+    """WITH salted AS (
+      |  SELECT lang,
+      |         CASE WHEN doc_id % 3 = 0
+      |              THEN text || chr(10) || chr(8226) || ' item one' || chr(10) || '- item two' || chr(10) || 'trailing...'
+      |              ELSE text END AS t
+      |  FROM documents),
+      |base AS (
+      |  SELECT lang, t,
+      |         regexp_split_to_array(trim(t), '\s+') AS toks,
+      |         string_split(t, chr(10)) AS lines
+      |  FROM salted),
+      |sig AS (
+      |  SELECT lang,
+      |    len(toks) AS n_words,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS mwl,
+      |    CAST((length(t) - length(replace(t, '#', '')))
+      |       + (length(t) - length(replace(t, '...', ''))) / 3
+      |       + (length(t) - length(replace(t, chr(8230), ''))) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS sym,
+      |    CAST(len(list_filter(lines, l -> starts_with(ltrim(l), chr(8226))
+      |           OR starts_with(ltrim(l), '- ') OR starts_with(ltrim(l), '* '))) AS DOUBLE)
+      |      / greatest(len(lines), 1) AS bullet,
+      |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...')
+      |           OR ends_with(rtrim(l), chr(8230)))) AS DOUBLE)
+      |      / greatest(len(lines), 1) AS ellipsis,
+      |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS alpha,
+      |    len(list_filter(['the','be','to','of','and','that','have','with'],
+      |          sw -> list_contains(list_transform(toks, x -> lower(x)), sw))) AS stop_types
+      |  FROM base)
+      |SELECT lang, count(*) AS n,
+      |  CAST(sum(CASE WHEN n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+      |                 AND sym <= 0.1 AND bullet < 0.9 AND ellipsis < 0.3
+      |                 AND alpha >= 0.8 AND stop_types >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+      |  CAST(sum(n_words) AS BIGINT) AS sum_words,
+      |  CAST(sum(CAST(round(round(mwl, 6) * 1e6) AS BIGINT)) AS BIGINT) AS s_mwl,
+      |  CAST(sum(CAST(round(round(sym, 6) * 1e6) AS BIGINT)) AS BIGINT) AS s_sym,
+      |  CAST(sum(CAST(round(round(bullet, 6) * 1e6) AS BIGINT)) AS BIGINT) AS s_bullet,
+      |  CAST(sum(CAST(round(round(ellipsis, 6) * 1e6) AS BIGINT)) AS BIGINT) AS s_ellipsis,
+      |  CAST(sum(CAST(round(round(alpha, 6) * 1e6) AS BIGINT)) AS BIGINT) AS s_alpha,
+      |  CAST(sum(stop_types) AS BIGINT) AS s_stop
+      |FROM sig GROUP BY lang""".stripMargin
+
 }

@@ -92,6 +92,99 @@ class OperatorsSpec extends SparkSpec {
     assert(rebalanced("k2") == 2000, "keys without a fraction are untouched")
   }
 
+  test("url blocklist: domain parse, suffix semantics, exact-only mode") {
+    import graft.functions.TextFunctions.{extractUrls, urlDomain}
+    val urls = spark.range(1).select(
+      extractUrls(lit("x https://A.Evil.org/p?q=1 y http://ok.com z ftp://skipped.net")).as("u"))
+      .head().getAs[scala.collection.Seq[String]]("u")
+    assert(urls == Seq("https://A.Evil.org/p?q=1", "http://ok.com"))
+    assert(spark.range(1).select(urlDomain(lit("https://A.Evil.org:8080/p")).as("d"))
+      .head().getString(0) == "a.evil.org")
+
+    val docs = Seq(
+      (1L, "see https://ads.evil.org/banner"),   // suffix-blocked by evil.org
+      (2L, "see https://evil.org/front"),        // exact-blocked
+      (3L, "see https://notevil.org/x"),         // NOT blocked (label boundary)
+      (4L, "see https://fine.com/x"),
+      (5L, "no urls at all")
+    ).toDF("id", "text")
+    val bl = Seq("evil.org").toDF("domain")
+    val blocked = QualityFilters.blockedDomainIds(docs, "id", "text", bl)
+      .as[Long].collect().toSet
+    assert(blocked == Set(1L, 2L), s"got $blocked")
+    val exactOnly = QualityFilters.blockedDomainIds(docs, "id", "text", bl, suffixMatch = false)
+      .as[Long].collect().toSet
+    assert(exactOnly == Set(2L))
+    val kept = QualityFilters.blocklistFilter(docs, "id", "text", bl)
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L, 5L))
+  }
+
+  test("gopherSignals: hand-computed rules and the combined keep verdict") {
+    // 6 words, mean len (3+3+2+3+4+3)/6 = 3.0, all alphabetic, 3 stopword
+    // types (the, of, and), no symbols — fails only the 50-word minimum
+    val goodish = "the cat of the卵 and cat"
+    //   NB: the 4th token "the卵" still contains [A-Za-z]
+    val bullets = "• one\n• two\n- three\nplain..."
+    val df = Seq((1L, goodish), (2L, bullets)).toDF("id", "text")
+    val sig = QualityFilters.gopherSignals(df, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val g = sig(1L)
+    assert(g.getAs[Long]("n_words") == 6L)
+    assert(g.getAs[Double]("mean_word_len") == 3.0) // (3+3+2+4+3+3)/6
+    assert(g.getAs[Double]("alpha_word_frac") == 1.0)
+    assert(g.getAs[Long]("stopword_types") == 3L)
+    assert(!g.getAs[Boolean]("gopher_keep"), "fails the 50-word minimum")
+
+    val b = sig(2L)
+    assert(b.getAs[Double]("bullet_line_frac") == 0.75, "3 of 4 lines are bullets")
+    assert(b.getAs[Double]("ellipsis_line_frac") == 0.25, "1 of 4 lines ends in ellipsis")
+    assert(!b.getAs[Boolean]("gopher_keep"))
+
+    // a passing document: 60 varied words with stopwords and clean lines
+    val words = (1 to 56).map(i => s"word$i").mkString(" ")
+    val pass = s"the cat of and $words"
+    val p = QualityFilters.gopherSignals(Seq((3L, pass)).toDF("id", "text"), "id", "text")
+      .head()
+    assert(p.getAs[Boolean]("gopher_keep"), s"expected pass, got $p")
+    // and gopherFilter applies the verdict as a semi-join
+    val kept = QualityFilters.gopherFilter(
+      Seq((1L, goodish), (3L, pass)).toDF("id", "text"), "id", "text")
+      .select("id").as[Long].collect().toSeq
+    assert(kept == Seq(3L))
+  }
+
+  test("as-of join: latest prior-or-equal state per key, null before first state, row-atomic payload") {
+    val clicks = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L), (2L, 50L, 103L))
+      .toDF("user", "t", "click_id")
+    val states = Seq(
+      (1L, 10L, 7L, "a"),   // equal-time state IS visible to click t=10
+      (1L, 15L, 8L, "b"),
+      (2L, 60L, 9L, "c")    // after user 2's only click → no match
+    ).toDF("user", "t", "sid", "tag")
+    val out = AsOfJoin.asOf(clicks, states, Seq("user"), "t", "t", Seq("sid", "tag"))
+      .select("click_id", "asof_sid", "asof_tag")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out(100L) == (Some(7L), Some("a")), "equal timestamp matches")
+    assert(out(101L) == (Some(8L), Some("b")), "latest prior wins")
+    assert(out(102L) == (None, None), "click before any state → null")
+    assert(out(103L) == (None, None), "state strictly after the click never matches")
+
+    // payload is row-atomic: a later state with a null field must not let an
+    // older field value bleed through
+    val states2 = Seq(
+      (1L, 10L, Some(7L), Some("old")),
+      (1L, 15L, Some(8L), None: Option[String])
+    ).toDF("user", "t", "sid", "tag")
+    val atomic = AsOfJoin.asOf(
+      Seq((1L, 20L, 1L)).toDF("user", "t", "click_id"),
+      states2, Seq("user"), "t", "t", Seq("sid", "tag"))
+      .select("asof_sid", "asof_tag").head()
+    assert(atomic.getLong(0) == 8L && atomic.isNullAt(1),
+      "the t=15 row matches as a unit — tag must be its null, not t=10's value")
+  }
+
   test("bloom anti-join: exactly equals left_anti on long and string keys, keeps null keys") {
     val left = ((1L to 5000L).map(i => (i: java.lang.Long, s"v$i")) :+
       ((null: java.lang.Long), "nullkey")).toDF("id", "payload")
