@@ -140,6 +140,65 @@ object ScaleProbe {
     }
     benchGrams.unpersist()
 
+    // Bloom-prefiltered anti-join vs the plain shuffle anti-join, on the
+    // path a 100 TB run takes (broadcast disabled): the exclusion set is 1%
+    // of ids, so the bloom routes ~99% of the corpus around the exchange.
+    // Counts must agree exactly — the bloom only routes.
+    val corpusIds = dedupInput.select(col("doc_id"))
+    val exclusion = corpusIds.filter(pmod(xxhash64(col("doc_id")), lit(100)) === 0)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (nPlainAnti, tPlainAnti) = timed {
+      corpusIds.join(exclusion, Seq("doc_id"), "left_anti").count()
+    }
+    val (nBloomAnti, tBloomAnti) = timed {
+      graft.operators.BloomAntiJoin.antiJoin(
+        corpusIds, "doc_id", exclusion, "doc_id", expectedItems = nDocs / 100).count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    require(nPlainAnti == nBloomAnti,
+      s"bloom anti-join returned $nBloomAnti rows, plain returned $nPlainAnti")
+
+    // Quantized vs full-precision brute-force top-k over a mult×-replicated
+    // embedding corpus: the int8 scan is the 4×-smaller representation; the
+    // two rankings should approximately agree (recall@10 reported).
+    val baseVecs = Tables.embeddings(spark, sfDir).filter(col("vec_id") =!= 0)
+    val bigVecs = (0 until mult)
+      .map(i => baseVecs.withColumn("vec_id", col("vec_id") + lit(i.toLong * 10_000_000L)))
+      .reduce(_.unionByName(_))
+      .select(col("vec_id"), col("embedding")).cache()
+    val nVecs = bigVecs.count()
+    val qv = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val (fullTop, tFullTopK) = timed {
+      graft.operators.Similarity.topK(bigVecs, "embedding", "vec_id", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    // production layout: codes are the at-rest representation — quantize
+    // once (timed separately), then score the cached codes per query
+    val (codes, tQuantize) = timed {
+      val c = bigVecs.select(col("vec_id"),
+        graft.functions.VectorFunctions.quantizeInt8(col("embedding")).getField("q").as("q"))
+        .cache()
+      c.count(); c
+    }
+    val (quantTop, tQuantTopK) = timed {
+      graft.operators.Similarity.topKQuantizedCodes(codes, "q", "vec_id", qv, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
+    val recall10 = fullTop.intersect(quantTop).size
+    codes.unpersist()
+    bigVecs.unpersist()
+
+    // Gopher rule throughput: the full seven-rule signal pass over every
+    // doc (rule 7 uses the corpus-language stopword union — the published
+    // English-only list would zero the verdict on this multilingual corpus).
+    val (nGopherKeep, tGopher) = timed {
+      graft.operators.QualityFilters.gopherSignals(dedupInput, "doc_id", "text",
+          stopwords = (graft.operators.QualityFilters.GopherStopwords ++
+            graft.functions.TextFunctions.langStopwords.values.flatten).distinct)
+        .filter(col("gopher_keep")).count()
+    }
+
     println(
       s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
         s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
@@ -148,6 +207,9 @@ object ScaleProbe {
         s""""identify_sec":${f"$tIdentify%.1f"},"identify_shuffle_sec":${f"$tIdentifyShuffle%.1f"},""" +
         s""""dedup_sec":${f"$tDedup%.1f"},"dedup_kept":$nKept,""" +
         s""""decontam_sec":${f"$tDecontam%.1f"},"contaminated":$nContaminated,""" +
+        s""""anti_plain_sec":${f"$tPlainAnti%.1f"},"anti_bloom_sec":${f"$tBloomAnti%.1f"},""" +
+        s""""vecs":$nVecs,"topk_full_sec":${f"$tFullTopK%.1f"},"quantize_once_sec":${f"$tQuantize%.1f"},"topk_int8_sec":${f"$tQuantTopK%.1f"},"recall10":$recall10,""" +
+        s""""gopher_keep":$nGopherKeep,"gopher_sec":${f"$tGopher%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
     spark.stop()

@@ -112,11 +112,18 @@ object VectorFunctions {
     */
   def quantizeInt8(v: Column): Column = {
     val maxabs = array_max(transform(v, x => abs(x.cast("double"))))
-    val scale  = when(maxabs > 0.0, lit(127.0) / maxabs).otherwise(lit(0.0))
-    struct(
-      scale.as("scale"),
-      transform(v, x => round(x.cast("double") * scale).cast("long")).as("q")
-    )
+    // bind the max-abs fold ONCE per row through a single-element-array
+    // lambda: referencing the fold expression inside the per-element lambda
+    // below would re-evaluate it per element — O(dim²) per row (measured
+    // 8× on the 200k-vector scale probe)
+    element_at(
+      transform(array(maxabs), m => {
+        val scale = when(m > 0.0, lit(127.0) / m).otherwise(lit(0.0))
+        struct(
+          scale.as("scale"),
+          transform(v, x => round(x.cast("double") * scale).cast("long")).as("q"))
+      }),
+      1)
   }
 
   /** Dequantize int8 codes back to approximate floats: `x̂_i = q_i / scale`. */

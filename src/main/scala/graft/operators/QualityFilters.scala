@@ -53,6 +53,11 @@ object QualityFilters {
       textCol: String,
       minWords: Int = 50,
       maxWords: Int = 100000,
+      /** rule-7 word list — swap for a corpus-language list (the published
+        * constant is English-only and zeroes the rule on multilingual data)
+        */
+      stopwords: Seq[String] = GopherStopwords,
+      minStopwordTypes: Int = 2,
       carry: Seq[String] = Nil
   ): DataFrame = {
     import graft.functions.TextFunctions.occurrences
@@ -83,7 +88,7 @@ object QualityFilters {
       .cast("double") / greatest(nWords, lit(1)).cast("double")
     val toksLower = transform(col("_toks"), x => lower(x))
     val stopTypes = size(filter(
-      array(GopherStopwords.map(lit): _*), sw => array_contains(toksLower, sw)))
+      array(stopwords.map(lit): _*), sw => array_contains(toksLower, sw)))
     val keep =
       nWords.between(minWords, maxWords) &&
         mwl.between(3.0, 10.0) &&
@@ -91,7 +96,7 @@ object QualityFilters {
         bulletFrac < 0.9 &&
         ellipsisFrac < 0.3 &&
         alphaFrac >= 0.8 &&
-        stopTypes >= 2
+        stopTypes >= minStopwordTypes
     base.select(
       Seq(
         col(idCol),

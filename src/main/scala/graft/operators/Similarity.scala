@@ -43,7 +43,16 @@ object Similarity {
     * Output carries the exact integer evidence (`dot_q`, `nsq_q`) alongside
     * the rounded similarity — an oracle can match the integers exactly.
     */
-  def topKQuantized(df: DataFrame, vecCol: String, idCol: String, query: Array[Float], k: Int): DataFrame = {
+  def topKQuantized(df: DataFrame, vecCol: String, idCol: String, query: Array[Float], k: Int): DataFrame =
+    topKQuantizedCodes(
+      df.select(col(idCol), quantizeInt8(col(vecCol)).getField("q").as("q")),
+      "q", idCol, query, k)
+
+  /** [[topKQuantized]] over a corpus whose int8 codes are already
+    * materialized — the production layout (codes are the at-rest
+    * representation; quantization runs once at ingest, not per query).
+    */
+  def topKQuantizedCodes(codes: DataFrame, codesCol: String, idCol: String, query: Array[Float], k: Int): DataFrame = {
     val qCodes = quantizeInt8Local(query)
     var qNormSq = 0L
     qCodes.foreach(q => qNormSq += q * q)
@@ -55,7 +64,7 @@ object Similarity {
         val nn = sqrt(col("nsq_q").cast("double")) * lit(qNorm)
         when(nn > 0.0, col("dot_q").cast("double") / nn).otherwise(lit(0.0))
       }
-    df.select(col(idCol), quantizeInt8(col(vecCol)).getField("q").as("q"))
+    codes.select(col(idCol), col(codesCol).as("q"))
       .withColumn("dot_q", dotLong(col("q"), qLit))
       .withColumn("nsq_q", dotLong(col("q"), col("q")))
       .withColumn("sim_q", sim)

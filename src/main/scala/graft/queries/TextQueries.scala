@@ -587,7 +587,8 @@ object TextQueries {
           when(col("doc_id") % 3 === 0,
             concat(col("text"), lit("\n\u2022 item one\n- item two\ntrailing...")))
             .otherwise(col("text")))
-        QualityFilters.gopherSignals(salted, "doc_id", "text2", carry = Seq("lang"))
+        QualityFilters.gopherSignals(salted, "doc_id", "text2",
+          stopwords = gopherBatteryStopwords, carry = Seq("lang"))
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n"),
@@ -941,12 +942,23 @@ object TextQueries {
        |SELECT pred_stopword, pred_ngram, count(*) AS n
        |FROM scored GROUP BY pred_stopword, pred_ngram""".stripMargin
   }
+  /** The battery's rule-7 word list: the published English constant plus
+    * the langId stopword profiles — the corpus is multilingual, and the
+    * English-only list would zero the rule (every doc failing rule 7 makes
+    * `n_keep` a degenerate 0=0 check). Sorted so the oracle inlines the
+    * identical list.
+    */
+  private lazy val gopherBatteryStopwords: Seq[String] =
+    (graft.operators.QualityFilters.GopherStopwords ++
+      graft.functions.TextFunctions.langStopwords.values.flatten).distinct.sorted
+
   /** DuckDB twin of [[graft.operators.QualityFilters.gopherSignals]] over
     * the salted battery corpus (same thresholds, same explicit ASCII
-    * classes, same exact-integer ratio scaling).
+    * classes, same exact-integer ratio scaling, stopword list inlined from
+    * the same Scala source).
     */
   private def gopherOracleSql: String =
-    """WITH salted AS (
+    s"""WITH salted AS (
       |  SELECT lang,
       |         CASE WHEN doc_id % 3 = 0
       |              THEN text || chr(10) || chr(8226) || ' item one' || chr(10) || '- item two' || chr(10) || 'trailing...'
@@ -954,7 +966,7 @@ object TextQueries {
       |  FROM documents),
       |base AS (
       |  SELECT lang, t,
-      |         regexp_split_to_array(trim(t), '\s+') AS toks,
+      |         regexp_split_to_array(trim(t), '\\s+') AS toks,
       |         string_split(t, chr(10)) AS lines
       |  FROM salted),
       |sig AS (
@@ -974,7 +986,7 @@ object TextQueries {
       |      / greatest(len(lines), 1) AS ellipsis,
       |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
       |      / greatest(len(toks), 1) AS alpha,
-      |    len(list_filter(['the','be','to','of','and','that','have','with'],
+      |    len(list_filter([${gopherBatteryStopwords.map(w => s"'$w'").mkString(",")}],
       |          sw -> list_contains(list_transform(toks, x -> lower(x)), sw))) AS stop_types
       |  FROM base)
       |SELECT lang, count(*) AS n,
