@@ -205,6 +205,28 @@ object Similarity {
     topK(index.assigned.filter(col("cid").isin(probeCids: _*)), vecCol, idCol, query, k)
   }
 
+  /** IVF-SQ8: probe the index like [[topKIvf]] but score int8 codes — the
+    * composed 100 TB search path: `cid` partition pruning limits WHICH rows
+    * are read, the int8 representation makes each read row 4× smaller and
+    * its scoring exact integer arithmetic. Cell ranking (a driver-side
+    * scan of k centroid rows) is identical to [[topKIvf]], so the probe
+    * set — and therefore the candidate set — matches the full-precision
+    * variant exactly; only within-cell scoring is quantized.
+    */
+  def topKIvfSq8(index: IvfIndex, vecCol: String, idCol: String,
+                 query: Array[Float], k: Int, nProbes: Int): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+    }
+    val probeCids = index.centroids.sortBy { case (_, c) => -cos(query, c) }
+      .take(nProbes).map(_._1)
+    topKQuantized(
+      index.assigned.filter(col("cid").isin(probeCids: _*)), vecCol, idCol, query, k)
+  }
+
   /** LSH-bucketed approximate top-k: only rows whose hyperplane bucket is
     * within Hamming distance `probes` of the query bucket are scored (multi-
     * probe LSH: each extra bit flip trades scan width for recall). With the

@@ -138,6 +138,21 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // IVF-SQ8: the same deterministic index and probe-cell selection as
+    // e2_ann_ivf_topk, with int8 scoring inside the probed cells — the
+    // composed scale path (partition pruning chooses WHICH rows, the int8
+    // codes make each row 4x smaller). Oracle composes the IVF build
+    // replay with the quantization replay.
+    "e2_ann_ivf_sq8" -> Q(
+      (s, d) => {
+        val index = Similarity.buildIvf(
+          embeddings(s, d).filter(col("vec_id") =!= 0), "embedding", "vec_id", k = 16)
+        Similarity.topKIvfSq8(index, "embedding", "vec_id", queryVec(s, d), k = 10, nProbes = 2)
+      },
+      Some(ivfSq8OracleSql(kCentroids = 16, nProbes = 2, k = 10)),
+      Seq("E2")
+    ),
+
     // ANN via random-hyperplane LSH buckets. Oracle-matched: the plane sign
     // patterns are inlined into the SQL from the SAME generator the Spark
     // expression uses (VectorFunctions.planeSignString), and bucket probing
@@ -441,7 +456,11 @@ object VectorQueries {
     * k by id), argmax assignment, one Lloyd step, probe the best `nProbes`
     * cells, brute-force within them.
     */
-  private def ivfOracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
+  /** The deterministic IVF build + probe-cell selection, shared by the
+    * full-precision and SQ8 oracles: everything through `probes` (the
+    * `nProbes` best cells for the query).
+    */
+  private def ivfBuildPrefix(kCentroids: Int, nProbes: Int): String =
     s"""WITH unn AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |         CAST(unnest(embedding) AS DOUBLE) AS x
@@ -478,7 +497,10 @@ object VectorQueries {
        |probes AS (
        |  SELECT cid FROM qcos
        |  ORDER BY (CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END) DESC
-       |  LIMIT $nProbes),
+       |  LIMIT $nProbes)""".stripMargin
+
+  private def ivfOracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
+    s"""${ivfBuildPrefix(kCentroids, nProbes)},
        |v2 AS (SELECT u.vec_id, u.i, u.x FROM unn u JOIN assign2 a USING (vec_id)
        |       WHERE a.cid IN (SELECT cid FROM probes)),
        |sims AS (SELECT v2.vec_id, sum(v2.x * q.x) AS dot, sqrt(sum(v2.x * v2.x)) AS na
@@ -487,6 +509,38 @@ object VectorQueries {
        |SELECT vec_id, round(dot / (na * (SELECT nb FROM nb2)), 6) AS sim FROM sims
        |ORDER BY dot / (na * (SELECT nb FROM nb2)) DESC, vec_id
        |LIMIT $k""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Similarity.topKIvfSq8]]: identical
+    * build + probe selection, int8 scoring within the probed cells (the
+    * same quantization replay as the brute-force quantized oracle).
+    */
+  private def ivfSq8OracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
+    s"""${ivfBuildPrefix(kCentroids, nProbes)},
+       |cand AS (SELECT vec_id FROM assign2 WHERE cid IN (SELECT cid FROM probes)),
+       |m AS (
+       |  SELECT vec_id,
+       |         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+       |  FROM embeddings),
+       |codes AS (
+       |  SELECT e.vec_id,
+       |         list_transform(e.embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * (CASE WHEN m.maxabs > 0 THEN 127.0 / m.maxabs ELSE 0 END)) AS BIGINT)) AS q
+       |  FROM embeddings e JOIN m USING (vec_id)),
+       |unq AS (SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS qx FROM codes),
+       |qv2 AS (SELECT i, qx FROM unq WHERE vec_id = 0),
+       |cv AS (SELECT u.vec_id, u.i, u.qx FROM unq u JOIN cand USING (vec_id)),
+       |sims2 AS (
+       |  SELECT c.vec_id, sum(c.qx * q.qx) AS dot_q, sum(c.qx * c.qx) AS nsq_q
+       |  FROM cv c JOIN qv2 q ON c.i = q.i GROUP BY c.vec_id),
+       |qn AS (SELECT sqrt(CAST(sum(qx * qx) AS DOUBLE)) AS nq FROM qv2),
+       |scored AS (
+       |  SELECT vec_id, CAST(dot_q AS BIGINT) AS dot_q, CAST(nsq_q AS BIGINT) AS nsq_q,
+       |         CASE WHEN sqrt(CAST(nsq_q AS DOUBLE)) * (SELECT nq FROM qn) > 0
+       |              THEN CAST(dot_q AS DOUBLE) / (sqrt(CAST(nsq_q AS DOUBLE)) * (SELECT nq FROM qn))
+       |              ELSE 0 END AS sim
+       |  FROM sims2)
+       |SELECT vec_id, dot_q, nsq_q, round(sim, 6) AS sim_q
+       |FROM scored ORDER BY sim DESC, vec_id LIMIT $k""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.dedupCorpus]] phase counts:
     * exact keep-min by text (equivalent to grouping by sha2(text)), the

@@ -353,6 +353,27 @@ class OperatorsSpec extends SparkSpec {
     assert(ivf.contains(brute.head), "IVF with 2 probes must find the exact nearest vector")
   }
 
+  test("IVF-SQ8: all-cell probing equals brute quantized; 2-probe finds the nearest") {
+    val vecs = (0 until 60).map { i =>
+      val angle = i / 60.0 * 2 * math.Pi
+      (i.toLong, Array(math.cos(angle).toFloat, math.sin(angle).toFloat, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val index = Similarity.buildIvf(vecs, "embedding", "vec_id", k = 6)
+    val q = Array(1f, 0.05f, 0f, 0f)
+    // probing every cell must reduce exactly to the brute quantized ranking
+    val all = Similarity.topKIvfSq8(index, "embedding", "vec_id", q, 5, nProbes = 6)
+      .collect().map(_.toSeq).toSeq
+    val brute = Similarity.topKQuantized(vecs, "embedding", "vec_id", q, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(all == brute, "full-probe IVF-SQ8 must equal brute quantized top-k")
+    // and the narrow probe still finds the exact nearest vector
+    val narrow = Similarity.topKIvfSq8(index, "embedding", "vec_id", q, 3, nProbes = 2)
+      .select("vec_id").as[Long].collect()
+    val bruteTop = Similarity.topK(vecs, "embedding", "vec_id", q, 1)
+      .select("vec_id").as[Long].head()
+    assert(narrow.contains(bruteTop))
+  }
+
   test("componentsStar equals min-label components on chains, cliques, forests, random graphs") {
     val rng = new scala.util.Random(7)
     val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
