@@ -30,7 +30,8 @@ object ExplainAudit {
       "dd_jaccard_blocked", "w_tumbling_hourly", "f6_docid_filter",
       "a4_token_budget_buckets", "ta_topk_per_source",
       "dd_contamination", "e2_nn_join", "e2_nn_join_ivf",
-      "e2_quantized_topk", "j1_bloom_prefilter"
+      "e2_quantized_topk", "j1_bloom_prefilter",
+      "j_range_attrib", "j_range_overlap"
     )
 
     var bad = 0
@@ -132,6 +133,13 @@ object ExplainAudit {
       ("bloom anti-join routes definite keeps around the single anti-join", {
         val p = plan("j1_bloom_prefilter")
         p.contains("Union") && "LeftAnti".r.findAllMatchIn(p).size == 1
+      }),
+      // a bare BETWEEN join with no equality conjunct would plan as a
+      // BroadcastNestedLoopJoin — the bucketized form must stay equi-key
+      ("range joins are bucket-equi-key, never nested-loop", {
+        val a = plan("j_range_attrib"); val o = plan("j_range_overlap")
+        Seq(a, o).forall(p =>
+          !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
       })
     )
     println("\n===== invariants =====")

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{AsOfJoin, EventWindows}
+import graft.operators.{AsOfJoin, EventWindows, RangeJoin}
 
 /** Event-table battery: CDC-style status filters (F1-F3 semantics), JSON
   * codec (C15), timestamp formatting (C14), and the event-time window
@@ -158,6 +158,84 @@ object EventQueries {
              |       round(sum(state_value), 2) AS sum_state_value
              |FROM j GROUP BY user_id""".stripMargin),
       Seq("J1", "W2")
+    ),
+
+    // Range join, point-in-interval: attribute every non-error event to the
+    // same user's 10-minute incident windows (one window per error event).
+    // The operator buckets the time axis and equi-joins on (bucket, user) —
+    // a bare BETWEEN join with no equality conjunct would plan as a
+    // BroadcastNestedLoopJoin. Oracle is DuckDB's native range-predicate
+    // join; the residual filter makes the bucketing invisible to results.
+    "j_range_attrib" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        val incidents = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("incident_id"), col("user_id"),
+            col("us").as("lo"), (col("us") + lit(600000000L)).as("hi"))
+        val points = ev.filter(col("event_type") =!= "error")
+          .select(col("event_id"), col("user_id"), col("us").as("p"), col("value"))
+        RangeJoin.pointInInterval(points, incidents, "p", "lo", "hi",
+            keys = Seq("user_id"), bucketWidth = 600000000L)
+          .groupBy(col("incident_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("event_id")).as("sum_event_ids"),
+            round(sum(col("value")), 2).as("sum_value"))
+      },
+      Some("""WITH inc AS (
+             |  SELECT event_id AS incident_id, user_id, epoch_us(ts) AS lo,
+             |         epoch_us(ts) + 600000000 AS hi
+             |  FROM events WHERE event_type = 'error'),
+             |pts AS (
+             |  SELECT event_id, user_id AS puser, epoch_us(ts) AS p, value
+             |  FROM events WHERE event_type <> 'error')
+             |SELECT incident_id, count(*) AS n_events,
+             |       CAST(sum(event_id) AS BIGINT) AS sum_event_ids,
+             |       round(sum(value), 2) AS sum_value
+             |FROM pts JOIN inc ON puser = inc.user_id AND p BETWEEN lo AND hi
+             |GROUP BY incident_id""".stripMargin),
+      Seq("J1")
+    ),
+
+    // Range join, interval overlap: per user, error windows [t, t+10m]
+    // overlapping purchase windows [t-5m, t+5m]. Both sides explode to
+    // bucket spans; each overlapping pair is claimed exactly once (in the
+    // bucket of greatest(lo_l, lo_r)) — the oracle's plain overlap join
+    // pins that the dedup-by-claim-bucket emits no duplicates.
+    "j_range_overlap" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+          .withColumn("us", unix_micros(col("ts").cast("timestamp")))
+        val errWin = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("err_id"), col("user_id"),
+            col("us").as("err_lo"), (col("us") + lit(600000000L)).as("err_hi"))
+        val buyWin = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("buy_id"), col("user_id"),
+            (col("us") - lit(300000000L)).as("buy_lo"), (col("us") + lit(300000000L)).as("buy_hi"))
+        RangeJoin.overlap(errWin, buyWin, "err_lo", "err_hi", "buy_lo", "buy_hi",
+            keys = Seq("user_id"), bucketWidth = 600000000L)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(col("err_id")).as("sum_err_ids"),
+            sum(col("buy_id")).as("sum_buy_ids"))
+      },
+      Some("""WITH ew AS (
+             |  SELECT event_id AS err_id, user_id, epoch_us(ts) AS err_lo,
+             |         epoch_us(ts) + 600000000 AS err_hi
+             |  FROM events WHERE event_type = 'error'),
+             |bw AS (
+             |  SELECT event_id AS buy_id, user_id AS buser, epoch_us(ts) - 300000000 AS buy_lo,
+             |         epoch_us(ts) + 300000000 AS buy_hi
+             |  FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, count(*) AS n_pairs,
+             |       CAST(sum(err_id) AS BIGINT) AS sum_err_ids,
+             |       CAST(sum(buy_id) AS BIGINT) AS sum_buy_ids
+             |FROM ew JOIN bw ON user_id = buser
+             |  AND err_lo <= buy_hi AND buy_lo <= err_hi
+             |GROUP BY user_id""".stripMargin),
+      Seq("J1")
     ),
 
     // Session windows: 30-minute inactivity gap per user.

@@ -374,6 +374,68 @@ class OperatorsSpec extends SparkSpec {
     assert(narrow.contains(bruteTop))
   }
 
+  test("range join point-in-interval: equals naive BETWEEN join, inclusive bounds, null drop") {
+    val rng = new scala.util.Random(11)
+    val points = (0 until 300).map(i =>
+      (i.toLong, (i % 5).toLong, if (i == 7) null.asInstanceOf[java.lang.Long]
+       else java.lang.Long.valueOf(rng.nextInt(10000).toLong)))
+      .toDF("pid", "k", "p")
+    val intervals = (0 until 80).map { i =>
+      val lo = rng.nextInt(9500).toLong
+      (1000L + i, (i % 5).toLong, lo, lo + rng.nextInt(2000).toLong)
+    }.toDF("iid", "k", "lo", "hi")
+    // widths much smaller and larger than typical spans give identical results
+    for (w <- Seq(64L, 1024L, 100000L)) {
+      val got = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", Seq("k"), w)
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      val naive = points.as("a").join(intervals.as("b"),
+          col("a.k") === col("b.k") && col("p") >= col("lo") && col("p") <= col("hi"))
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"width $w must match the naive range join")
+    }
+    // inclusive endpoints: p == lo and p == hi both match
+    val edge = RangeJoin.pointInInterval(
+      Seq((1L, 0L, 100L), (2L, 0L, 200L), (3L, 0L, 99L)).toDF("pid", "k", "p"),
+      Seq((9L, 0L, 100L, 200L)).toDF("iid", "k", "lo", "hi"),
+      "p", "lo", "hi", Seq("k"), 7L)
+    assert(edge.select("pid").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("range join overlap: equals naive overlap join with no duplicate pairs") {
+    val rng = new scala.util.Random(23)
+    def mk(n: Int, idBase: Long, span: Int) = (0 until n).map { i =>
+      val lo = rng.nextInt(8000).toLong
+      (idBase + i, (i % 3).toLong, lo, lo + rng.nextInt(span).toLong)
+    }
+    val left = mk(120, 0L, 3000).toDF("lid", "k", "l_lo", "l_hi")
+    val right = mk(90, 5000L, 50).toDF("rid", "k", "r_lo", "r_hi")
+    val naive = left.as("a").join(right.as("b"),
+        col("a.k") === col("b.k") && col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+      .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+    // narrow buckets force long intervals to share MANY buckets — the
+    // claim-bucket rule must still emit each pair exactly once
+    for (w <- Seq(16L, 500L, 100000L)) {
+      val got = RangeJoin.overlap(left, right, "l_lo", "l_hi", "r_lo", "r_hi", Seq("k"), w)
+        .select("lid", "rid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == naive, s"width $w must match the naive overlap join, duplicate-free")
+    }
+    // touching endpoints overlap (inclusive semantics)
+    val touch = RangeJoin.overlap(
+      Seq((1L, 0L, 0L, 100L)).toDF("lid", "k", "l_lo", "l_hi"),
+      Seq((2L, 0L, 100L, 200L), (3L, 0L, 101L, 200L)).toDF("rid", "k", "r_lo", "r_hi"),
+      "l_lo", "l_hi", "r_lo", "r_hi", Seq("k"), 30L)
+    assert(touch.select("rid").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("range join plans as an equi-join — never a nested-loop cross-product") {
+    val points = Seq((1L, 0L, 5L)).toDF("pid", "k", "p")
+    val intervals = Seq((9L, 0L, 0L, 10L)).toDF("iid", "k", "lo", "hi")
+    val plan = RangeJoin.pointInInterval(points, intervals, "p", "lo", "hi", Seq("k"), 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bucketized range join must be an equi-join, got:\n$plan")
+  }
+
   test("componentsStar equals min-label components on chains, cliques, forests, random graphs") {
     val rng = new scala.util.Random(7)
     val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
