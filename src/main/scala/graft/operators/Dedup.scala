@@ -656,4 +656,96 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .distinct()
   }
+
+  /** Exact-substring duplicate spans — the ExactSubstr rule of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), re-expressed as a corpus-wide n-gram occurrence
+    * join instead of a monolithic suffix array (which needs the whole
+    * corpus addressable from one machine — a non-starter at 100 TB):
+    *
+    *  1. every overlapping word n-gram occurrence becomes one
+    *     `(gramHash, doc, pos)` row — the shuffle carries longs, never
+    *     gram text;
+    *  2. a partial-aggregating groupBy finds each gram's occurrence count
+    *     and its globally-first occurrence (min `(doc, pos)`). NOT a
+    *     per-gram window: a hyper-common gram would pile its entire
+    *     occurrence list into one window partition, while groupBy combines
+    *     map-side and leaves one row per gram for the join-back, which AQE
+    *     then broadcasts or skew-splits;
+    *  3. every non-first occurrence of a gram seen more than once marks
+    *     its token range `[pos, pos+n-1]` as duplicated;
+    *  4. overlapping/adjacent marked ranges merge into maximal spans with
+    *     the classic interval-merge window — per-DOCUMENT partitions, so
+    *     the sort is bounded by document length, not corpus size.
+    *
+    * Keep-first means re-running after removal leaves each duplicated
+    * gram at least its canonical copy, except where a first occurrence is
+    * covered by a DIFFERENT gram's duplicate span (the same property the
+    * byte-range ExactSubstr has).
+    *
+    * @return one row per maximal span: `idCol`, `span_start`/`span_end`
+    *         (1-based inclusive token positions), `span_tokens`
+    */
+  def duplicateSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      hashFn: Column => Column = g => xxBaseHash(g)
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, "n must be positive")
+    val occ = corpus
+      .select(
+        col(idCol).as("_doc"),
+        posexplode(transform(wordNgrams(col(textCol), n), g => hashFn(g))).as(Seq("_p0", "_gram")))
+      .select(col("_doc"), (col("_p0") + 1).as("_pos"), col("_gram"))
+    val grams = occ
+      .groupBy(col("_gram"))
+      .agg(count(lit(1)).as("_cnt"), min(struct(col("_doc"), col("_pos"))).as("_first"))
+      .filter(col("_cnt") > 1)
+    val dup = occ
+      .join(grams, Seq("_gram"))
+      .filter(!(col("_doc") === col("_first._doc") && col("_pos") === col("_first._pos")))
+      .select(col("_doc"), col("_pos").as("_s"), (col("_pos") + (n - 1)).as("_e"))
+    val byDoc = Window.partitionBy(col("_doc")).orderBy(col("_s"))
+    dup
+      .withColumn("_pmax", max(col("_e")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new", when(col("_pmax").isNull || col("_s") > col("_pmax") + 1, 1).otherwise(0))
+      .withColumn("_sid", sum(col("_new")).over(byDoc))
+      .groupBy(col("_doc"), col("_sid"))
+      .agg(min(col("_s")).as("span_start"), max(col("_e")).as("span_end"))
+      .select(
+        col("_doc").as(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** The apply side of [[duplicateSpans]]: rewrite `textCol` with every
+    * duplicated span's tokens removed. Documents containing a span come
+    * back whitespace-normalized (single-space joined — token identity is
+    * what the dedup rule defines); untouched documents pass through
+    * byte-identical. Span membership is an array-expression scan, so the
+    * rewrite is embarrassingly parallel after one equi-join on the id.
+    */
+  def removeDuplicateSpans(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 8,
+      hashFn: Column => Column = g => xxBaseHash(g)
+  ): DataFrame = {
+    val spans = duplicateSpans(corpus, idCol, textCol, n, hashFn)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e"))).as("_spans"))
+    val toks = split(trim(col(textCol)), "\\s+")
+    val kept = filter(
+      transform(toks, (t, i) => struct((i + 1).as("i"), t.as("t"))),
+      x => !exists(col("_spans"), sp => x("i") >= sp("s") && x("i") <= sp("e")))
+    corpus
+      .join(spans, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("_spans").isNull, col(textCol))
+          .otherwise(concat_ws(" ", transform(kept, x => x("t")))))
+      .drop("_spans")
+  }
 }

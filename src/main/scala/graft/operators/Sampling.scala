@@ -144,4 +144,31 @@ object Sampling {
       floor(coalesce(sum(col(tokenCol)).over(w), lit(0L)).cast("double") / targetTokens)
         .cast("long"))
   }
+
+  /** Deterministic sample of exactly `k` rows per group (inspection sets,
+    * per-source eval slices, few-shot pools): rank rows inside each group
+    * by the id hash — salted so different draws are independent — and keep
+    * the first `k`. Groups with fewer than `k` rows are kept whole.
+    *
+    * Scale shape: the `row_number <= k` filter compiles to
+    * WindowGroupLimit, which truncates each group to `k` rows map-side
+    * BEFORE the exchange, so the shuffle carries at most `k` rows per
+    * group per input partition — never the corpus. The id tiebreak makes
+    * the draw total-ordered and therefore reproducible across topology.
+    */
+  def sampleKPerGroup(
+      df: DataFrame,
+      idCol: String,
+      groupCols: Seq[String],
+      k: Int,
+      salt: String = "",
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    val h = hashFn(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
 }

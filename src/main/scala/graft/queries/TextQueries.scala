@@ -909,6 +909,81 @@ object TextQueries {
              |SELECT count(*) AS n_pairs, round(sum(jaccard),4) AS sum_jaccard
              |FROM pairs WHERE jaccard >= 0.3""".stripMargin),
       Seq("A6")
+    ),
+
+    // Exact-substring duplicate spans (Lee et al. ExactSubstr): every 7th
+    // doc gets a shared 10-token tail, so the tail's three fully-internal
+    // 8-grams repeat corpus-wide (plus whatever the synthetic text repeats
+    // naturally). The oracle replays the whole pipeline — positional md5
+    // n-gram hashes, keep-first rule, interval merge — in SQL windows.
+    "dd_dup_spans" -> Q(
+      (s, d) => {
+        val salted = documents(s, d).select(
+          col("doc_id"), col("lang"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"),
+              lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+            .otherwise(col("text")).as("t"))
+        Dedup.duplicateSpans(salted.select(col("doc_id"), col("t")), "doc_id", "t",
+            n = 8, hashFn = Dedup.md5Lower60)
+          .join(salted.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_spans"),
+            sum(col("span_tokens")).as("sum_span_tokens"),
+            max(col("span_tokens")).as("max_span_tokens"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, lang,
+             |         regexp_split_to_array(trim(CASE WHEN doc_id % 7 = 0
+             |           THEN text || ' alpha beta gamma delta epsilon zeta eta theta iota kappa'
+             |           ELSE text END), '\s+') AS toks
+             |  FROM documents),
+             |occ AS (
+             |  SELECT doc_id, i AS pos,
+             |         CAST((md5_number_lower(array_to_string(list_slice(toks, i, i + 7), ' ')) >> 4) AS BIGINT) AS g
+             |  FROM corpus, UNNEST(range(1, greatest(len(toks) - 7, 0) + 1)) AS u(i)),
+             |marked AS (
+             |  SELECT doc_id, pos, pos + 7 AS e,
+             |         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rk,
+             |         count(*) OVER (PARTITION BY g) AS cnt
+             |  FROM occ),
+             |m AS (
+             |  SELECT doc_id, pos AS s, e,
+             |         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+             |  FROM marked WHERE cnt > 1 AND rk > 1),
+             |g2 AS (
+             |  SELECT doc_id, s, e,
+             |         sum(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+             |           OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM m),
+             |spans AS (SELECT doc_id, min(s) AS ss, max(e) AS se FROM g2 GROUP BY doc_id, sid)
+             |SELECT d.lang, count(DISTINCT s.doc_id) AS n_docs, count(*) AS n_spans,
+             |       CAST(sum(se - ss + 1) AS BIGINT) AS sum_span_tokens,
+             |       CAST(max(se - ss + 1) AS BIGINT) AS max_span_tokens
+             |FROM spans s JOIN documents d ON s.doc_id = d.doc_id
+             |GROUP BY d.lang""".stripMargin),
+      Seq("A6", "C13")
+    ),
+
+    // Deterministic exactly-k-per-group sampling: 3 docs per (lang, source)
+    // cell, ranked by the salted md5 hash; the rank<=k filter compiles to
+    // WindowGroupLimit (map-side truncation). Oracle replays the identical
+    // rank rule.
+    "ta_sample_k" -> Q(
+      (s, d) =>
+        Sampling.sampleKPerGroup(documents(s, d), "doc_id", Seq("lang", "source"), k = 3,
+            salt = "s5", hashFn = Dedup.md5Lower60)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids")),
+      Some("""SELECT lang, count(*) AS n_sampled, CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM (
+             |  SELECT lang, doc_id,
+             |         row_number() OVER (PARTITION BY lang, source
+             |           ORDER BY CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':s5') >> 4) AS BIGINT), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 3 GROUP BY lang""".stripMargin),
+      Seq("L2", "A1")
     )
   )
 

@@ -436,6 +436,81 @@ class OperatorsSpec extends SparkSpec {
       s"bucketized range join must be an equi-join, got:\n$plan")
   }
 
+  test("duplicateSpans equals brute-force ExactSubstr on a random corpus") {
+    // small vocab forces natural n-gram repeats; two docs also share an
+    // injected exact sentence
+    val rng = new scala.util.Random(31)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val shared = "x y z w x y z w x y"
+    val docs: Seq[(Long, String)] = (0 until 25).map { i =>
+      val body = Seq.fill(12 + rng.nextInt(20))(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, if (i % 9 == 0) s"$body $shared" else body)
+    }
+    val n = 3
+    // brute force: gram -> occurrences; mark all but the (doc,pos)-first
+    // occurrence of each repeated gram; merge overlapping/adjacent ranges
+    val occ = for {
+      (id, t) <- docs
+      toks = t.trim.split("\\s+").toSeq
+      i <- 0 to toks.size - n
+    } yield (toks.slice(i, i + n).mkString(" "), id, i + 1)
+    val dupPos = occ.groupBy(_._1).values.filter(_.size > 1).flatMap {
+      _.sortBy(o => (o._2, o._3)).tail.map(o => (o._2, o._3))
+    }.toSeq
+    val expected = dupPos.groupBy(_._1).flatMap { case (id, ps) =>
+      ps.map(_._2).sorted.map(p => (p, p + n - 1))
+        .foldLeft(List.empty[(Int, Int)]) {
+          case ((s, e) :: rest, (s2, e2)) if s2 <= e + 1 => (s, math.max(e, e2)) :: rest
+          case (acc, r) => r :: acc
+        }.map { case (s, e) => (id, s.toLong, e.toLong) }
+    }.toSet
+    val got = Dedup.duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+      .select("doc_id", "span_start", "span_end").as[(Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // spans are maximal (no overlap/adjacency within a doc) and >= n tokens
+    got.groupBy(_._1).foreach { case (_, spans) =>
+      val sorted = spans.toSeq.sortBy(_._2)
+      sorted.foreach { case (_, s, e) => assert(e - s + 1 >= n) }
+      sorted.sliding(2).foreach {
+        case Seq((_, _, e1), (_, s2, _)) => assert(s2 > e1 + 1, "merged spans must not touch")
+        case _ =>
+      }
+    }
+  }
+
+  test("removeDuplicateSpans drops exactly the covered tokens, leaves clean docs byte-identical") {
+    val docs = Seq(
+      (1L, "p q r s t u v w"),          // first occurrence — kept whole
+      (2L, "m n  p q r s t u v w"),     // dup tail removed (note double space)
+      (3L, "completely unrelated words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "p q r s t u v w", "canonical copy is kept")
+    assert(out(2L) == "m n", "every duplicated token goes; survivors re-joined")
+    assert(out(3L) == "completely unrelated words here", "untouched docs pass through byte-identical")
+  }
+
+  test("sampleKPerGroup: exactly k per group, deterministic, salt-sensitive") {
+    val df = (0 until 200).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "grp")
+    val a = Sampling.sampleKPerGroup(df, "id", Seq("grp"), k = 7, salt = "s1")
+      .as[(Long, String)].collect().toSet
+    assert(a.groupBy(_._2).values.forall(_.size == 7))
+    val again = Sampling.sampleKPerGroup(df, "id", Seq("grp"), k = 7, salt = "s1")
+      .as[(Long, String)].collect().toSet
+    assert(a == again, "same salt draws the same sample")
+    val b = Sampling.sampleKPerGroup(df, "id", Seq("grp"), k = 7, salt = "s2")
+      .as[(Long, String)].collect().toSet
+    assert(a != b, "different salts draw different samples")
+    // undersized groups are kept whole
+    val tiny = Seq((1L, "g"), (2L, "g")).toDF("id", "grp")
+    assert(Sampling.sampleKPerGroup(tiny, "id", Seq("grp"), k = 7).count() == 2)
+    // the rank<=k filter must compile to a WindowGroupLimit (map-side trim)
+    val plan = Sampling.sampleKPerGroup(df, "id", Seq("grp"), k = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
+
   test("componentsStar equals min-label components on chains, cliques, forests, random graphs") {
     val rng = new scala.util.Random(7)
     val graphs: Seq[(String, Seq[(Long, Long)])] = Seq(
