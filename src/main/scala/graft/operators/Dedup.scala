@@ -579,6 +579,43 @@ object Dedup {
       .filter(col("id") =!= col("comp"))
       .select(col("id"))
 
+  /** [[duplicateIds]] with a quality-aware keep rule: within each near-dup
+    * cluster the row with the HIGHEST `prefCol` (ties → smallest id) is the
+    * canonical copy, everything else is dropped — what CCNet/RefinedWeb-
+    * style pipelines do when near-dups differ in quality (keep the longest
+    * / highest-scored variant, not the arbitrary min-id one).
+    *
+    * The per-cluster argmax is a `row_number <= 1` window, which compiles
+    * to WindowGroupLimit: each cluster is truncated map-side before the
+    * exchange, so the shuffle carries candidates, not the corpus.
+    *
+    * @param prefs frame carrying `idCol` and `prefCol` for every id that
+    *              can appear in `pairs` (extra rows are fine — only
+    *              clustered ids join)
+    * @return one `id` row per dropped (non-canonical) document
+    */
+  def duplicateIdsByPreference(
+      pairs: DataFrame,
+      prefs: DataFrame,
+      idCol: String,
+      prefCol: String,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      maxIter: Int = 20,
+      star: Boolean = false
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps =
+      if (star) componentsStar(pairs, idA, idB, maxIter)
+      else components(pairs, idA, idB, maxIter)
+    val w = Window.partitionBy(col("comp")).orderBy(col("_pref").desc, col("id").asc)
+    comps
+      .join(prefs.select(col(idCol).as("id"), col(prefCol).as("_pref")), Seq("id"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > 1)
+      .select(col("id"))
+  }
+
   /** One-call corpus deduplication — the composed pipeline a training-data
     * run actually wants:
     *
@@ -603,9 +640,24 @@ object Dedup {
       /** cluster with [[componentsStar]] instead of min-label (see
         * [[duplicateIds]]).
         */
-      star: Boolean = false
+      star: Boolean = false,
+      /** when set, keep the highest-`preferCol` (ties → smallest id) row
+        * per duplicate group — BOTH exact sha2 groups and near-dup
+        * clusters — instead of the min-id one (see
+        * [[duplicateIdsByPreference]]).
+        */
+      preferCol: Option[String] = None
   ): DataFrame = {
-    val exactKeepers = exact(df, textCol, idCol).select(col("keep_id").as(idCol))
+    import org.apache.spark.sql.expressions.Window
+    val exactKeepers = preferCol match {
+      case Some(p) =>
+        val w = Window.partitionBy(col("_h")).orderBy(col(p).desc, col(idCol).asc)
+        df.withColumn("_h", sha2(col(textCol), 256))
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+          .select(col(idCol))
+      case None => exact(df, textCol, idCol).select(col("keep_id").as(idCol))
+    }
     // the exact-kept set feeds three consumers (both self-join sides of the
     // candidate generation and the final anti-join); materialize it once so
     // the upstream lineage — which may itself be an expensive scan/transform
@@ -613,7 +665,11 @@ object Dedup {
     val exactKept = df.join(exactKeepers, Seq(idCol), "left_semi").localCheckpoint(true)
     val pairs = minhashCandidates(
       exactKept, idCol, textCol, numHashes, bands, maxBucketSize, baseHash, bucketHash)
-    val drops = duplicateIds(pairs, star = star).withColumnRenamed("id", idCol)
+    val drops = (preferCol match {
+      case Some(p) =>
+        duplicateIdsByPreference(pairs, exactKept.select(col(idCol), col(p)), idCol, p, star = star)
+      case None => duplicateIds(pairs, star = star)
+    }).withColumnRenamed("id", idCol)
     exactKept.join(drops, Seq(idCol), "left_anti")
   }
 

@@ -245,6 +245,23 @@ object VectorQueries {
       Seq("A6")
     ),
 
+    // Quality-aware corpus dedup: same exact → candidates → components
+    // pipeline, but each duplicate group keeps its LONGEST member (n_chars,
+    // ties → min id) instead of the min-id one. sum_kept_ids pins the
+    // identity of the selection, not just its size — a wrong canonical
+    // would hash-mismatch even at equal counts.
+    "dd_dedup_prefer" -> Q(
+      (s, d) => {
+        val kept = Dedup.dedupCorpus(documents(s, d), "doc_id", "text",
+          numHashes = 16, bands = 4, maxBucketSize = 100,
+          baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash,
+          preferCol = Some("n_chars"))
+        kept.agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+      },
+      Some(dedupPreferOracleSql(numHashes = 16, bands = 4, maxBucketSize = 100)),
+      Seq("A6")
+    ),
+
     // SimHash signatures + near-dup bucketing by the top signature bits.
     // Oracle-matched: the 60-bit md5-derived token hash is recomputable in
     // DuckDB (`md5_number_lower >> 4`), so the whole signature is checked
@@ -564,6 +581,34 @@ object VectorQueries {
        |       (SELECT CAST(count(*) AS BIGINT) FROM docs2) AS n_exact_kept,
        |       (SELECT CAST(count(*) AS BIGINT) FROM docs2) -
        |         (SELECT CAST(count(*) AS BIGINT) FROM drops) AS n_kept""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Dedup.dedupCorpus]] with
+    * `preferCol = n_chars`: argmax-by-(n_chars desc, id asc) keep rule at
+    * both the exact phase and the cluster phase.
+    */
+  private def dedupPreferOracleSql(numHashes: Int, bands: Int, maxBucketSize: Int): String =
+    s"""WITH RECURSIVE exact_keep AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rk
+       |    FROM documents) WHERE rk = 1),
+       |docs2 AS (SELECT d.doc_id, d.text, d.n_chars FROM documents d JOIN exact_keep USING (doc_id)),
+       |${minhashPairsCte(numHashes, bands, maxBucketSize, source = "docs2")},
+       |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+       |ranked AS (
+       |  SELECT c.id, row_number() OVER (
+       |    PARTITION BY c.comp ORDER BY d.n_chars DESC, c.id) AS rk
+       |  FROM comps c JOIN docs2 d ON c.id = d.doc_id),
+       |drops AS (SELECT id FROM ranked WHERE rk > 1)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM docs2) -
+       |         (SELECT CAST(count(*) AS BIGINT) FROM drops) AS n_kept,
+       |       (SELECT CAST(sum(doc_id) AS BIGINT) FROM docs2) -
+       |         (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM drops) AS sum_kept_ids""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Similarity.nnJoinIvf]] over the
     * deterministic build of [[graft.operators.Similarity.buildIvf]] on the
