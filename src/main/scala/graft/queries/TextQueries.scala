@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, QualityFilters, Sampling}
+import graft.operators.{Dedup, QualityFilters, Sampling, TextSearch}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -984,8 +984,79 @@ object TextQueries {
              |           ORDER BY CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':s5') >> 4) AS BIGINT), doc_id) AS rn
              |  FROM documents) WHERE rn <= 3 GROUP BY lang""".stripMargin),
       Seq("L2", "A1")
+    ),
+
+    // Okapi BM25 keyword search (brute): query-term filter runs BEFORE the
+    // only corpus-wide shuffle; document frequency is a |query|-row broadcast.
+    // Oracle replays the identical formula (same association order; the
+    // trailing round(,6) absorbs sum-reassociation noise as elsewhere).
+    "ts_bm25" -> Q(
+      (s, d) =>
+        TextSearch.bm25Scores(documents(s, d), "text", "doc_id", bm25Terms)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(15),
+      Some(bm25OracleSql),
+      Seq("A1", "L2", "C1")
+    ),
+
+    // The same search through the persisted inverted index: postings are
+    // partitioned by xxhash64(term) bucket, so the query's scan prunes to
+    // its terms' buckets (PLANS.md pins the PartitionFilters invariant).
+    // Same oracle as ts_bm25 — the index must change the plan, not the math.
+    "ts_bm25_indexed" -> Q(
+      (s, d) => {
+        val path = bm25IndexDir(d)
+        TextSearch.writeIndex(s, documents(s, d), "text", "doc_id", path, nBuckets = 16)
+        TextSearch.searchIndex(s, path, bm25Terms, k = Int.MaxValue)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some(bm25OracleSql),
+      Seq("A1", "L2", "F6")
     )
   )
+
+  private def bm25Terms = Seq("spark", "vector", "hash")
+
+  private def bm25IndexDir(d: String): String = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val p = s"/tmp/graft/$sf/bm25_index"
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete(): Unit
+    }
+    val f = new java.io.File(p)
+    if (f.exists()) rm(f)
+    p
+  }
+
+  /** DuckDB twin of [[graft.operators.TextSearch.bm25Scores]] with the Okapi
+    * defaults (k1=1.2, b=0.75), written with the same literal arithmetic
+    * (`1.2 + 1.0`, `1.0 - 0.75`) so both engines round the identical doubles.
+    */
+  private def bm25OracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(toks) AS dl, toks FROM toks),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM lens)
+       |  WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |           * (tf * (1.2 + 1.0))
+       |           / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS w
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+       |SELECT doc_id, round(sum(w), 6) AS score
+       |FROM scored GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
 
   /** DuckDB twin of [[graft.functions.TextFunctions.langId]] +
     * [[graft.functions.TextFunctions.langIdNgram]], generated from the SAME

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BM25 laws: hand-computed scores, brute == indexed, and the inverted
+  * index's term-bucket partition pruning (the at-rest scale path).
+  */
+class TextSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "apple"),
+    (4L, "cherry cherry cherry date"),
+    (5L, "date elderberry   fig")
+  ).toDF("doc_id", "text")
+
+  test("bm25 matches the hand-computed Okapi formula") {
+    // corpus: N=5, dls = [3,2,1,4,3] (whitespace runs collapse), avgdl=13/5
+    // query = [apple]: df=2, postings: (1, tf=2, dl=3), (3, tf=1, dl=1)
+    val n = 5.0
+    val avgdl = 13.0 / 5.0
+    val idf = math.log(1.0 + (n - 2 + 0.5) / (2 + 0.5))
+    def w(tf: Double, dl: Double) =
+      idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+    val got = TextSearch.bm25TopK(corpus, "text", "doc_id", Seq("apple"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 3L))
+    assert(math.abs(got(1L) - w(2, 3)) < 1e-12)
+    assert(math.abs(got(3L) - w(1, 1)) < 1e-12)
+    // length normalization: doc 3's dl=1 beats doc 1's higher tf at dl=3
+    assert(got(3L) > got(1L))
+  }
+
+  test("multi-term scores are per-term sums; docs without any term are absent") {
+    val got = TextSearch.bm25TopK(corpus, "text", "doc_id", Seq("apple", "banana"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(got.keySet == Set(1L, 2L, 3L)) // docs 4,5 have neither term
+    val appleOnly = TextSearch.bm25TopK(corpus, "text", "doc_id", Seq("apple"), 10)
+      .as[(Long, Double)].collect().toMap
+    val bananaOnly = TextSearch.bm25TopK(corpus, "text", "doc_id", Seq("banana"), 10)
+      .as[(Long, Double)].collect().toMap
+    // doc 1 holds both terms: its score is exactly the sum of the
+    // single-term scores (df per term is unchanged by the query mix)
+    assert(math.abs(got(1L) - (appleOnly(1L) + bananaOnly(1L))) < 1e-12)
+    // doc 2 holds only banana: adding apple to the query changes nothing
+    assert(math.abs(got(2L) - bananaOnly(2L)) < 1e-12)
+  }
+
+  test("query terms absent from the corpus contribute nothing; unknown-only query is empty") {
+    val a = TextSearch.bm25Scores(corpus, "text", "doc_id", Seq("apple", "zzz"))
+      .as[(Long, Double)].collect().toMap
+    val b = TextSearch.bm25Scores(corpus, "text", "doc_id", Seq("apple"))
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+    assert(TextSearch.bm25Scores(corpus, "text", "doc_id", Seq("zzz")).isEmpty)
+  }
+
+  test("indexed search equals brute search and prunes term buckets at the scan") {
+    val dir = tmpDir("bm25") + "/index"
+    TextSearch.writeIndex(spark, corpus, "text", "doc_id", dir, nBuckets = 8)
+    val q = Seq("apple", "cherry")
+    val brute = TextSearch.bm25TopK(corpus, "text", "doc_id", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val viaIndex = TextSearch.searchIndex(spark, dir, q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaIndex.map(_._1) == brute.map(_._1))
+    viaIndex.zip(brute).foreach { case ((_, s1), (_, s2)) =>
+      assert(math.abs(s1 - s2) < 1e-12)
+    }
+    val scan = TextSearch.searchIndex(spark, dir, q, 10)
+      .queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("bucket")).getOrElse("")
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"query must prune postings partitions by term bucket:\n$scan")
+  }
+
+  test("duplicate query terms do not double-count") {
+    val once = TextSearch.bm25Scores(corpus, "text", "doc_id", Seq("apple"))
+      .as[(Long, Double)].collect().toMap
+    val twice = TextSearch.bm25Scores(corpus, "text", "doc_id", Seq("apple", "apple"))
+      .as[(Long, Double)].collect().toMap
+    assert(once == twice)
+  }
+}
