@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, QualityFilters, Sampling, TextSearch}
+import graft.operators.{Dedup, LanguageModel, QualityFilters, Sampling, TextSearch}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -1015,6 +1015,28 @@ object TextQueries {
       },
       Some(bm25OracleSql),
       Seq("A1", "L2", "F6")
+    ),
+
+    // CCNet-style perplexity filter: bigram LM (add-0.5 smoothing) trained
+    // on the even-doc_id slice, every document scored under it. Per-doc
+    // log-ppl is rounded to 6dp on both sides, then aggregated in exact
+    // integer micro-units (the gopher s_* pattern); the keep threshold 3.45
+    // sits 2.7e-5 from the nearest document — far beyond float noise.
+    "ta_perplexity" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val lm = LanguageModel.trainBigram(docs.filter(col("doc_id") % 2 === 0), "text")
+        LanguageModel.scoreDocs(lm, docs, "text", "doc_id")
+          .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("n_toks")).as("sum_toks"),
+            sum(round(round(col("log_ppl"), 6) * 1e6).cast("long")).as("s_logppl"),
+            sum(when(round(col("log_ppl"), 6) <= 3.45, 1L).otherwise(0L)).as("n_keep"))
+      },
+      Some(perplexityOracleSql),
+      Seq("A1", "C1", "F9")
     )
   )
 
@@ -1057,6 +1079,42 @@ object TextQueries {
        |SELECT doc_id, round(sum(w), 6) AS score
        |FROM scored GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.LanguageModel]]: the same even-slice
+    * bigram LM, the same smoothing arithmetic (`0.5 * vocab` written out so
+    * both engines fold the identical doubles), per-doc log-ppl rounded to
+    * 6dp then integer-summed in micro-units.
+    */
+  private def perplexityOracleSql: String =
+    """WITH lens AS (
+      |  SELECT doc_id, lang, list_filter(string_split(trim(text), ' '), t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |train AS (SELECT doc_id, toks FROM lens WHERE doc_id % 2 = 0 AND len(toks) >= 1),
+      |uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM train) GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS total, count(*) AS vocab FROM uni),
+      |tflat AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM train),
+      |bi AS (SELECT a.w AS w1, b.w AS w2, count(*) AS c12
+      |       FROM tflat a JOIN tflat b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |       GROUP BY w1, w2),
+      |scored AS (SELECT doc_id, lang, toks, len(toks) AS n_toks FROM lens WHERE len(toks) >= 1),
+      |firstlp AS (
+      |  SELECT s.doc_id, ln((COALESCE(u.c, 0) + 0.5) / (tot.total + 0.5 * tot.vocab)) AS lp
+      |  FROM scored s LEFT JOIN uni u ON u.w = s.toks[1] CROSS JOIN tot),
+      |sflat AS (SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS w FROM scored),
+      |spairs AS (SELECT a.doc_id, a.w AS w1, b.w AS w2
+      |           FROM sflat a JOIN sflat b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+      |pairlp AS (
+      |  SELECT p.doc_id, ln((COALESCE(bi.c12, 0) + 0.5) / (COALESCE(u.c, 0) + 0.5 * tot.vocab)) AS lp
+      |  FROM spairs p LEFT JOIN bi ON bi.w1 = p.w1 AND bi.w2 = p.w2
+      |  LEFT JOIN uni u ON u.w = p.w1 CROSS JOIN tot),
+      |lp AS (SELECT doc_id, lp FROM firstlp UNION ALL SELECT doc_id, lp FROM pairlp),
+      |perdoc AS (SELECT doc_id, sum(lp) AS logprob FROM lp GROUP BY doc_id),
+      |final AS (SELECT s.lang, s.n_toks, -p.logprob / s.n_toks AS log_ppl
+      |          FROM perdoc p JOIN scored s USING (doc_id))
+      |SELECT lang, count(*) AS n, CAST(sum(n_toks) AS BIGINT) AS sum_toks,
+      |       CAST(sum(CAST(round(round(log_ppl, 6) * 1e6) AS BIGINT)) AS BIGINT) AS s_logppl,
+      |       CAST(sum(CASE WHEN round(log_ppl, 6) <= 3.45 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+      |FROM final GROUP BY lang""".stripMargin
 
   /** DuckDB twin of [[graft.functions.TextFunctions.langId]] +
     * [[graft.functions.TextFunctions.langIdNgram]], generated from the SAME
