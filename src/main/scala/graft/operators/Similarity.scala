@@ -165,6 +165,58 @@ object Similarity {
     IvfIndex(refined, assignTo(refined)(df))
   }
 
+  /** Fixed-point scale for [[kmeans]] accumulation: 2²⁰ keeps float32
+    * inputs lossy by < 1e-6 while per-cell integer sums stay far inside
+    * Long range (|x| ≲ 10 ⇒ ~2²³ per element ⇒ ~10⁹ members per cell
+    * before overflow is even conceivable).
+    */
+  val KmeansScale: Long = 1L << 20
+
+  /** Deterministic spherical k-means (Lloyd): assignment is max-cosine
+    * ([[assignCells]] — codegen'd argmax, bit-stable tie-break), the update
+    * step accumulates vectors in fixed-point int64 (quantized ONCE at
+    * [[KmeansScale]]). Integer addition is associative, so every
+    * iteration's centroids are bit-identical under any partitioning,
+    * shuffle order, or executor count — a float `avg` cannot promise that,
+    * and at 100 TB a nondeterministic build means two index rebuilds
+    * disagree about cell membership. Cells that lose all members keep
+    * their previous centroid.
+    */
+  def kmeans(
+      df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int = 2): Seq[(Int, Array[Float])] = {
+    val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }.toSeq
+    val dim = seeds.head._2.length
+    val q = df.withColumn(
+      "_q", transform(col(vecCol), x => round(x.cast("double") * KmeansScale).cast("long")))
+    var cents = seeds
+    for (_ <- 0 until iters) {
+      val sums = assignCells(q, vecCol, cents)
+        .groupBy(col("cid"))
+        .agg(
+          count(lit(1)).as("n"),
+          array((0 until dim).map(i => sum(element_at(col("_q"), i + 1))): _*).as("s"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          r.getInt(0) -> r.getSeq[Long](2)
+            .map(x => (x.toDouble / n / KmeansScale).toFloat).toArray
+        }.toMap
+      cents = cents.map { case (cid, old) => (cid, sums.getOrElse(cid, old)) }
+    }
+    cents
+  }
+
+  /** [[buildIvf]] with a real k-means training loop instead of the single
+    * refinement — same index shape, deterministic build (see [[kmeans]]).
+    */
+  def buildIvfKmeans(
+      df: DataFrame, vecCol: String, idCol: String, k: Int, iters: Int = 2): IvfIndex = {
+    val cents = kmeans(df, vecCol, idCol, k, iters)
+    IvfIndex(cents, assignCells(df, vecCol, cents))
+  }
+
   /** Persist an IVF index with `cid` as a partition column — the 100 TB
     * layout the design comment on [[buildIvf]] promises: a probe of
     * `nProbes` cells becomes partition pruning on the scan, so a search

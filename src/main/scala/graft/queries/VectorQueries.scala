@@ -138,6 +138,21 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // IVF trained by real k-means (2 Lloyd iterations) with fixed-point
+    // integer accumulation: per-cell sums are exact int64 adds, so the
+    // build is bit-identical under any partitioning — which is exactly what
+    // lets DuckDB replay BOTH iterations and land on the same index.
+    "e2_ann_ivf_kmeans" -> Q(
+      (s, d) => {
+        val index = Similarity.buildIvfKmeans(
+          embeddings(s, d).filter(col("vec_id") =!= 0), "embedding", "vec_id",
+          k = 16, iters = 2)
+        Similarity.topKIvf(index, "embedding", "vec_id", queryVec(s, d), k = 10, nProbes = 2)
+      },
+      Some(ivfKmeansOracleSql(kCentroids = 16, nProbes = 2, k = 10)),
+      Seq("E2")
+    ),
+
     // IVF-SQ8: the same deterministic index and probe-cell selection as
     // e2_ann_ivf_topk, with int8 scoring inside the probed cells — the
     // composed scale path (partition pruning chooses WHICH rows, the int8
@@ -515,6 +530,64 @@ object VectorQueries {
        |  SELECT cid FROM qcos
        |  ORDER BY (CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END) DESC
        |  LIMIT $nProbes)""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.Similarity.buildIvfKmeans]] (2 Lloyd
+    * iterations) + [[graft.operators.Similarity.topKIvf]]. The update step
+    * replays the fixed-point accumulation exactly: vectors quantized once at
+    * 2²⁰, integer sums, `sum / n / scale` in the same association order, the
+    * same double→float32 rounding of the centroid, and COALESCE carries a
+    * starved cell's previous centroid like the Scala loop does.
+    */
+  private def ivfKmeansOracleSql(kCentroids: Int, nProbes: Int, k: Int): String = {
+    def cosAssign(fromCents: String, no: Int): String =
+      s"""cos$no AS (
+         |  SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot,
+         |         sqrt(sum(u.x * u.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
+         |  FROM unn u JOIN $fromCents c ON u.i = c.i GROUP BY u.vec_id, c.cid),
+         |assign$no AS (
+         |  SELECT vec_id,
+         |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
+         |  FROM cos$no GROUP BY vec_id)""".stripMargin
+    def fixedPointMean(fromAssign: String, prevCents: String, no: Int): String =
+      s"""m$no AS (
+         |  SELECT a.cid, q.i,
+         |         CAST(CAST(CAST(sum(q.qx) AS DOUBLE) / count(*) / 1048576.0 AS FLOAT) AS DOUBLE) AS c
+         |  FROM $fromAssign a JOIN qfix q USING (vec_id) GROUP BY a.cid, q.i),
+         |c$no AS (SELECT p.cid, p.i, COALESCE(m.c, p.c) AS c
+         |         FROM $prevCents p LEFT JOIN m$no m ON m.cid = p.cid AND m.i = p.i)""".stripMargin
+    s"""WITH unn AS (
+       |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |         CAST(unnest(embedding) AS DOUBLE) AS x
+       |  FROM embeddings WHERE vec_id <> 0),
+       |qfix AS (SELECT vec_id, i, CAST(round(x * 1048576.0) AS BIGINT) AS qx FROM unn),
+       |seeds AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT DISTINCT vec_id FROM unn ORDER BY vec_id LIMIT $kCentroids)),
+       |c0 AS (SELECT s.cid, u.i, u.x AS c FROM seeds s JOIN unn u ON u.vec_id = s.vec_id),
+       |${cosAssign("c0", 1)},
+       |${fixedPointMean("assign1", "c0", 1)},
+       |${cosAssign("c1", 2)},
+       |${fixedPointMean("assign2", "c1", 2)},
+       |${cosAssign("c2", 3)},
+       |qv AS (SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+       |       FROM embeddings WHERE vec_id = 0),
+       |qcos AS (
+       |  SELECT c.cid, sum(q.x * c.c) AS dot,
+       |         sqrt(sum(q.x * q.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
+       |  FROM qv q JOIN c2 c ON q.i = c.i GROUP BY c.cid),
+       |probes AS (
+       |  SELECT cid FROM qcos
+       |  ORDER BY (CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END) DESC
+       |  LIMIT $nProbes),
+       |v2 AS (SELECT u.vec_id, u.i, u.x FROM unn u JOIN assign3 a USING (vec_id)
+       |       WHERE a.cid IN (SELECT cid FROM probes)),
+       |sims AS (SELECT v2.vec_id, sum(v2.x * q.x) AS dot, sqrt(sum(v2.x * v2.x)) AS na
+       |         FROM v2 JOIN qv q ON v2.i = q.i GROUP BY v2.vec_id),
+       |nb2 AS (SELECT sqrt(sum(x * x)) AS nb FROM qv)
+       |SELECT vec_id, round(dot / (na * (SELECT nb FROM nb2)), 6) AS sim FROM sims
+       |ORDER BY dot / (na * (SELECT nb FROM nb2)) DESC, vec_id
+       |LIMIT $k""".stripMargin
+  }
 
   private def ivfOracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
     s"""${ivfBuildPrefix(kCentroids, nProbes)},
