@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines.
@@ -146,9 +146,26 @@ object Dedup {
       baseHash: Column => Column = t => xxBaseHash(t),
       bucketHash: Column => Column = s => xxhash64(s)
   ): DataFrame = {
+    val capped = capBuckets(
+      bandRows(df, idCol, textCol, numHashes, bands, baseHash, bucketHash),
+      Seq("band", "bucket"), maxBucketSize)
+    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Per-document banded signature rows `(id, band, bucket)` — the unit the
+    * LSH self-join runs on, and the at-rest layout of the incremental
+    * signature index.
+    */
+  private[operators] def bandRows(
+      df: DataFrame, idCol: String, textCol: String, numHashes: Int, bands: Int,
+      baseHash: Column => Column, bucketHash: Column => Column): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
+    df.select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       // materialize ONE base hash per token; CollapseProject keeps this
       // separate because the array is referenced numHashes times below
@@ -156,12 +173,68 @@ object Dedup {
       .withColumn("sig", minhashSignatureFromBase(col("baseH"), numHashes))
       .withColumn("bandBucket", explode(lshBandsWith(col("sig"), bands, rowsPerBand, bucketHash)))
       .select(col("id"), col("bandBucket.band"), col("bandBucket.bucket"))
-    val capped = capBuckets(sigs, Seq("band", "bucket"), maxBucketSize)
-    val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
+  }
+
+  // ------------------------------------------------- incremental signature index
+
+  /** Persist the banded signature rows of `df` as the incremental dedup
+    * index, partitioned by `band`. New arrivals are then deduped against
+    * the corpus WITHOUT recomputing corpus signatures
+    * ([[incrementalCandidates]]) — at 100 TB, re-shingling the whole corpus
+    * per ingest batch is the difference between a minutes-long increment and
+    * a full recompute. Rows are stored uncapped; the skew cap is applied at
+    * query time over the combined (stored ∪ new) bucket population, so
+    * incremental results match what a full-corpus run would produce.
+    */
+  def writeSignatureIndex(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      numHashes: Int = 16, bands: Int = 4,
+      baseHash: Column => Column = t => xxBaseHash(t),
+      bucketHash: Column => Column = s => xxhash64(s)): Unit =
+    bandRows(df, idCol, textCol, numHashes, bands, baseHash, bucketHash)
+      .repartition(col("band"))
+      .write.partitionBy("band").mode(SaveMode.Overwrite).parquet(path)
+
+  /** Register a processed batch's signatures in the index (append-only; the
+    * parquet layout needs no compaction — band partitioning keeps files
+    * grouped).
+    */
+  def appendToSignatureIndex(
+      df: DataFrame, idCol: String, textCol: String, path: String,
+      numHashes: Int = 16, bands: Int = 4,
+      baseHash: Column => Column = t => xxBaseHash(t),
+      bucketHash: Column => Column = s => xxhash64(s)): Unit =
+    bandRows(df, idCol, textCol, numHashes, bands, baseHash, bucketHash)
+      .repartition(col("band"))
+      .write.partitionBy("band").mode(SaveMode.Append).parquet(path)
+
+  /** Candidate near-dup pairs INVOLVING the new batch: new-vs-corpus and
+    * new-vs-new, exactly the pairs a full [[minhashCandidates]] run over
+    * (corpus ∪ batch) would emit minus the corpus-internal ones. Signatures
+    * are computed only for `newDocs`; the corpus side is a parquet scan of
+    * the index. The equi-join key is (band, bucket) with the shared skew
+    * cap — no CartesianProduct, bounded per-bucket fan-out.
+    */
+  def incrementalCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      newDocs: DataFrame, idCol: String, textCol: String, indexPath: String,
+      numHashes: Int = 16, bands: Int = 4, maxBucketSize: Int = 10000,
+      baseHash: Column => Column = t => xxBaseHash(t),
+      bucketHash: Column => Column = s => xxhash64(s)): DataFrame = {
+    val fresh = bandRows(newDocs, idCol, textCol, numHashes, bands, baseHash, bucketHash)
+      .withColumn("_new", lit(true))
+    val stored = spark.read.parquet(indexPath)
+      .select(col("id"), col("band"), col("bucket"))
+      .withColumn("_new", lit(false))
+    val capped = capBuckets(stored.unionByName(fresh), Seq("band", "bucket"), maxBucketSize)
+    val a = capped.filter(col("_new"))
+      .select(col("band"), col("bucket"), col("id").as("id_x"))
+    val b = capped.select(col("band"), col("bucket"), col("id").as("id_y"))
     a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+      .filter(col("id_x") =!= col("id_y"))
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"))
       .distinct()
   }
 

@@ -17,6 +17,21 @@ object VectorQueries {
     embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).toArray
 
+  /** Fresh scratch dir under /tmp/graft/<sf>/ (same convention as the
+    * pipeline battery's stores).
+    */
+  private def scratchDir(d: String, name: String): String = {
+    val sf = java.nio.file.Paths.get(d).getFileName.toString
+    val p = s"/tmp/graft/$sf/$name"
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete(): Unit
+    }
+    val f = new java.io.File(p)
+    if (f.exists()) rm(f)
+    p
+  }
+
   val all: Map[String, Q] = Map(
 
     // E2: brute-force cosine top-k — scan → project → TakeOrdered, no shuffle.
@@ -194,6 +209,35 @@ object VectorQueries {
           .agg(count(lit(1)).as("n_candidate_pairs")),
       Some(minhashOracleSql(numHashes = 16, bands = 4, maxBucketSize = 10000)),
       Seq("A6")
+    ),
+
+    // Incremental dedup against the persisted signature index: 80% of the
+    // corpus is indexed once (band-partitioned parquet), the remaining 20%
+    // arrives as a batch, and only the batch is re-shingled. The result must
+    // equal a full-corpus candidate run filtered to pairs involving the
+    // batch — which is exactly what the oracle computes (shared pairs CTE,
+    // new-doc predicate), so the index path can't silently drift from the
+    // batch path.
+    "dd_incremental" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val path = scratchDir(d, "minhash_index")
+        Dedup.writeSignatureIndex(docs.filter(col("doc_id") % 10 < 8), "doc_id", "text",
+          path, numHashes = 16, bands = 4,
+          baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash)
+        Dedup.incrementalCandidates(s, docs.filter(col("doc_id") % 10 >= 8), "doc_id", "text",
+          path, numHashes = 16, bands = 4, maxBucketSize = 10000,
+          baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash)
+          .agg(
+            count(lit(1)).as("n_pairs"),
+            sum(when(col("id_a") % 10 >= 8 && col("id_b") % 10 >= 8, 1L).otherwise(0L))
+              .as("n_new_new"))
+      },
+      Some(s"""WITH ${minhashPairsCte(numHashes = 16, bands = 4, maxBucketSize = 10000)}
+              |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              |       CAST(sum(CASE WHEN id_a % 10 >= 8 AND id_b % 10 >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_new
+              |FROM pairs WHERE id_a % 10 >= 8 OR id_b % 10 >= 8""".stripMargin),
+      Seq("A6", "F6")
     ),
 
     // Near-dup clustering: connected components over the minhash candidate

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Laws for the incremental MinHash signature index: the index path must
+  * produce exactly the pairs a full-corpus run would, restricted to pairs
+  * involving the new batch — no drift, including under the skew cap and
+  * across appends.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // near-dup families spanning the old/new boundary: 1≈2 (old-old),
+  // 3≈11 (old-new), 11≈12 (new-new), 4 and 13 unique
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (3L, "large scale data pipelines need careful dedup of near duplicate text"),
+    (4L, "completely unrelated content about cooking pasta with fresh tomatoes"),
+    (11L, "large scale data pipelines need careful dedup of near duplicate texts"),
+    (12L, "large scale data pipelines need careful dedup of near duplicated texts"),
+    (13L, "another singleton document concerning alpine hiking routes in winter")
+  ).toDF("doc_id", "text")
+
+  private def oldDocs = docs.filter(col("doc_id") < 10)
+  private def newDocs = docs.filter(col("doc_id") >= 10)
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+  test("incremental pairs == full-corpus pairs involving the new batch") {
+    val dir = tmpDir("sigidx") + "/index"
+    Dedup.writeSignatureIndex(oldDocs, "doc_id", "text", dir)
+    val inc = pairsOf(Dedup.incrementalCandidates(spark, newDocs, "doc_id", "text", dir))
+    val full = pairsOf(Dedup.minhashCandidates(docs, "doc_id", "text"))
+      .filter { case (a, b) => a >= 10 || b >= 10 }
+    assert(inc == full)
+    assert(inc.nonEmpty) // the families above really do collide
+    // and no corpus-internal pair leaks in
+    assert(inc.forall { case (a, b) => a >= 10 || b >= 10 })
+  }
+
+  test("appending a processed batch makes later batches dedup against it") {
+    val dir = tmpDir("sigidx2") + "/index"
+    Dedup.writeSignatureIndex(oldDocs, "doc_id", "text", dir)
+    val batch1 = docs.filter(col("doc_id") === 11L)
+    Dedup.appendToSignatureIndex(batch1, "doc_id", "text", dir)
+    val batch2 = docs.filter(col("doc_id") === 12L)
+    val inc = pairsOf(Dedup.incrementalCandidates(spark, batch2, "doc_id", "text", dir))
+    // 12 pairs with 11 only because 11's signatures were appended
+    assert(inc.contains((11L, 12L)))
+  }
+
+  test("the skew cap applies to the combined bucket population") {
+    // 30 copies of one text across old and new: cap 5 kills those buckets
+    // in BOTH the full run and the incremental run
+    val many = (1L to 30L).map(i => (i, "same text repeated in every document here"))
+      .toDF("doc_id", "text")
+    val old = many.filter(col("doc_id") <= 20)
+    val fresh = many.filter(col("doc_id") > 20)
+    val dir = tmpDir("sigidx3") + "/index"
+    Dedup.writeSignatureIndex(old, "doc_id", "text", dir)
+    val inc = pairsOf(Dedup.incrementalCandidates(spark, fresh, "doc_id", "text", dir,
+      maxBucketSize = 5))
+    val full = pairsOf(Dedup.minhashCandidates(many, "doc_id", "text", maxBucketSize = 5))
+      .filter { case (a, b) => a > 20 || b > 20 }
+    assert(inc == full)
+    assert(inc.isEmpty) // every bucket is over the cap
+  }
+}
