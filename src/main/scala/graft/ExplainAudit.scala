@@ -31,7 +31,8 @@ object ExplainAudit {
       "a4_token_budget_buckets", "ta_topk_per_source",
       "dd_contamination", "e2_nn_join", "e2_nn_join_ivf",
       "e2_quantized_topk", "j1_bloom_prefilter",
-      "j_range_attrib", "j_range_overlap"
+      "j_range_attrib", "j_range_overlap",
+      "ts_bm25", "dd_incremental", "ta_perplexity", "e2_ann_ivf_kmeans"
     )
 
     var bad = 0
@@ -140,7 +141,30 @@ object ExplainAudit {
         val a = plan("j_range_attrib"); val o = plan("j_range_overlap")
         Seq(a, o).forall(p =>
           !p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
-      })
+      }),
+      // BM25 brute: the query-term IN filter must run below the tf
+      // aggregation so the only corpus-wide exchange carries matching
+      // postings, and the |query|-row df side must broadcast
+      ("bm25 filters postings to the query terms and broadcasts df", {
+        val p = plan("ts_bm25")
+        p.contains(" IN (") && p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct")
+      }),
+      // BM25 indexed: the postings scan must prune term-bucket partitions
+      ("bm25 index search prunes postings partitions by term bucket", {
+        val leaves = SparkEntry.battery("ts_bm25_indexed").fn(spark, sfDir)
+          .queryExecution.executedPlan.collectLeaves().map(_.toString)
+        leaves.exists(l => l.contains("PartitionFilters") && l.contains("bucket#"))
+      }),
+      // incremental dedup: the corpus side is a parquet scan of the stored
+      // signature index — signatures are NOT recomputed from documents
+      ("incremental dedup scans stored signatures, no cartesian", {
+        val p = plan("dd_incremental")
+        p.contains("minhash_index") && !p.contains("CartesianProduct")
+      }),
+      // perplexity scoring: LM count lookups are equi-joins
+      ("perplexity scoring joins LM counts equi-key, no cartesian",
+        !plan("ta_perplexity").contains("CartesianProduct"))
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>

@@ -187,6 +187,14 @@ object ScaleProbe {
     }
     val recall10 = fullTop.intersect(quantTop).size
     codes.unpersist()
+
+    // K-means IVF training at scale: k=64 centroids (the mapPartitions
+    // assigner path), 2 Lloyd iterations over the replicated vectors —
+    // fixed-point accumulation makes the result independent of this run's
+    // partitioning, so the timing is the only variable.
+    val (nCents, tKmeans) = timed {
+      graft.operators.Similarity.kmeans(bigVecs, "embedding", "vec_id", k = 64, iters = 2).size
+    }
     bigVecs.unpersist()
 
     // Gopher rule throughput: the full seven-rule signal pass over every
@@ -197,6 +205,53 @@ object ScaleProbe {
           stopwords = (graft.operators.QualityFilters.GopherStopwords ++
             graft.functions.TextFunctions.langStopwords.values.flatten).distinct)
         .filter(col("gopher_keep")).count()
+    }
+
+    // BM25 at scale: the index build is the one-time tokenize+count pass
+    // (the at-rest layout); a query against the persisted index then reads
+    // only its terms' buckets. Brute scoring is timed for contrast — it
+    // re-tokenizes the corpus per query.
+    val bm25Path = "/tmp/graft/scaleprobe_bm25"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bm25Path))
+    val bm25Query = Seq("spark", "vector", "hash")
+    val (_, tBm25Build) = timed {
+      graft.operators.TextSearch.writeIndex(spark, dedupInput, "text", "doc_id",
+        bm25Path, nBuckets = 64)
+    }
+    val (nBm25, tBm25Query) = timed {
+      graft.operators.TextSearch.searchIndex(spark, bm25Path, bm25Query, 10).count()
+    }
+    val (_, tBm25Brute) = timed {
+      graft.operators.TextSearch.bm25TopK(dedupInput, "text", "doc_id", bm25Query, 10).count()
+    }
+
+    // Incremental dedup at scale: index 99% of the corpus once, then dedup
+    // the remaining 1% batch against it — the per-ingest cost is the batch
+    // leg, not the index build, and it must beat re-running candidates over
+    // the full corpus (also timed).
+    val sigPath = "/tmp/graft/scaleprobe_sigs"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sigPath))
+    val oldCorpus = dedupInput.filter(pmod(xxhash64(col("doc_id")), lit(100)) =!= 0)
+    val newBatch = dedupInput.filter(pmod(xxhash64(col("doc_id")), lit(100)) === 0)
+    val (_, tSigBuild) = timed {
+      graft.operators.Dedup.writeSignatureIndex(oldCorpus, "doc_id", "text", sigPath)
+    }
+    val (nIncPairs, tIncremental) = timed {
+      graft.operators.Dedup.incrementalCandidates(spark, newBatch, "doc_id", "text",
+        sigPath, maxBucketSize = 100).count()
+    }
+    val (_, tFullPairs) = timed {
+      graft.operators.Dedup.minhashCandidates(dedupInput, "doc_id", "text",
+        maxBucketSize = 100).count()
+    }
+
+    // Perplexity filter at scale: LM trained on a ~10% trusted slice, every
+    // document scored — two corpus-wide equi-joins against the count tables.
+    val (nPplKeep, tPerplexity) = timed {
+      val lm = graft.operators.LanguageModel.trainBigram(
+        dedupInput.filter(pmod(xxhash64(col("doc_id")), lit(10)) === 0), "text")
+      graft.operators.LanguageModel.perplexityFilter(
+        lm, dedupInput, "text", "doc_id", maxLogPpl = 3.45).count()
     }
 
     println(
@@ -210,6 +265,10 @@ object ScaleProbe {
         s""""anti_plain_sec":${f"$tPlainAnti%.1f"},"anti_bloom_sec":${f"$tBloomAnti%.1f"},""" +
         s""""vecs":$nVecs,"topk_full_sec":${f"$tFullTopK%.1f"},"quantize_once_sec":${f"$tQuantize%.1f"},"topk_int8_sec":${f"$tQuantTopK%.1f"},"recall10":$recall10,""" +
         s""""gopher_keep":$nGopherKeep,"gopher_sec":${f"$tGopher%.1f"},""" +
+        s""""kmeans_cents":$nCents,"kmeans_sec":${f"$tKmeans%.1f"},""" +
+        s""""bm25_build_sec":${f"$tBm25Build%.1f"},"bm25_query_sec":${f"$tBm25Query%.1f"},"bm25_brute_sec":${f"$tBm25Brute%.1f"},"bm25_hits":$nBm25,""" +
+        s""""sig_build_sec":${f"$tSigBuild%.1f"},"incremental_pairs":$nIncPairs,"incremental_sec":${f"$tIncremental%.1f"},"full_pairs_sec":${f"$tFullPairs%.1f"},""" +
+        s""""ppl_keep":$nPplKeep,"ppl_sec":${f"$tPerplexity%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
     spark.stop()

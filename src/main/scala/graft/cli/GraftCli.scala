@@ -121,6 +121,29 @@ object GraftCli {
       .select("chunkId", "documentId", "sim", "content")
   }
 
+  /** Build the BM25 inverted index over the chunk store's content — the
+    * keyword complement of [[search]]'s vector path. Chunks are the
+    * retrieval unit (same as vector search), so the two rankings are
+    * directly comparable for hybrid retrieval.
+    */
+  def textIndex(
+      spark: SparkSession, store: ChunkStore, indexPath: String, nBuckets: Int = 64): Unit =
+    graft.operators.TextSearch.writeIndex(
+      spark, store.read(spark), "content", "chunkId", indexPath, nBuckets)
+
+  /** BM25 keyword search: against a built index (term-bucket-pruned scan)
+    * when `target` holds one, else brute over the store's content.
+    */
+  def textSearch(
+      spark: SparkSession, target: String, terms: Seq[String], k: Int = 10,
+      settings: Settings = Settings()): DataFrame =
+    if (new java.io.File(target + "/_stats").exists())
+      graft.operators.TextSearch.searchIndex(spark, target, terms, k)
+    else {
+      val store = new ChunkStore(target, settings.storageType, settings.storePrefixLen)
+      graft.operators.TextSearch.bm25TopK(store.read(spark), "content", "chunkId", terms, k)
+    }
+
   /** `lg decontaminate` — remove every document whose chunk text shares a
     * word n-gram with a benchmark/eval set (the published eval-overlap
     * rule), applied to the chunk store: flag via
@@ -219,6 +242,32 @@ object GraftCli {
             System.err.println("usage: decontaminate <storePath> <benchmarkPath> [ngramSize] [flags]")
             2
         }
+      case "text-index" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: indexPath :: Nil =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            textIndex(spark, store, indexPath)
+            println(s"indexed=$indexPath")
+            0
+          case _ =>
+            System.err.println("usage: text-index <storePath> <indexPath> [flags]")
+            2
+        }
+      case "text-search" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case target :: query :: Nil =>
+            val terms = query.split("[,\\s]+").toSeq.filter(_.nonEmpty)
+            textSearch(spark, target, terms, settings.limit.getOrElse(10), settings)
+              .collect().foreach { r =>
+                println(s"${r.get(0)}\t${r.getAs[Double]("score")}")
+              }
+            0
+          case _ =>
+            System.err.println("usage: text-search <storePath|indexPath> <\"terms\"> [--limit=K]")
+            2
+        }
       case "status" :: ledgerPath :: storePath :: Nil =>
         val s = Ops.status(spark, ledgerPath, new ChunkStore(storePath))
         println(s"processed=${s.processed} failed=${s.failed} chunks=${s.storeChunks} docs=${s.storeDocs}")
@@ -241,6 +290,8 @@ object GraftCli {
             |      --embedding-model=NAME --embedding-dim=N
             |      --tokenizer=word|bpe:<rank-file>
             |  search <storePath> <query> [--limit=K --embedding-dim=N]
+            |  text-index <storePath> <indexPath>
+            |  text-search <storePath|indexPath> <"terms"> [--limit=K]
             |  decontaminate <storePath> <benchmarkPath> [ngramSize]
             |    benchmarkPath: .txt (one doc per line), .json/.jsonl (objects with a
             |    "text" field), or parquet with a text column

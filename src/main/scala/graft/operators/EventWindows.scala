@@ -44,4 +44,22 @@ object EventWindows {
       .groupBy(col(keyCol))
       .agg(sum(col("_new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
   }
+
+  /** Trailing rolling aggregate per key: for every event, the count and sum
+    * over the preceding `windowSeconds` (inclusive of peers at the same
+    * second — RANGE frame semantics, which every ANSI engine shares). One
+    * shuffle on the key; the frame is evaluated in a single sorted pass per
+    * partition, so a key's cost is linear in its events, not quadratic.
+    */
+  def rollingTrailing(
+      df: DataFrame, tsCol: String, keyCol: String, aggCol: String,
+      windowSeconds: Long): DataFrame = {
+    val frame = Window.partitionBy(col(keyCol))
+      .orderBy(col("_s"))
+      .rangeBetween(-(windowSeconds - 1), Window.currentRow)
+    df.withColumn("_s", unix_seconds(col(tsCol).cast("timestamp")))
+      .withColumn("roll_n", count(lit(1)).over(frame))
+      .withColumn("roll_sum", sum(col(aggCol)).over(frame))
+      .drop("_s")
+  }
 }

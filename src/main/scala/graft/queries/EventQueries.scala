@@ -249,6 +249,52 @@ object EventQueries {
              |         THEN 1 ELSE 0 END AS new_session
              |  FROM events) GROUP BY user_id""".stripMargin),
       Seq("A2")
+    ),
+
+    // W-series: trailing 1-hour rolling count/sum per user (RANGE frame on
+    // epoch seconds — peers at the same second included, the ANSI frame
+    // semantics both engines share). Summed over event_id so the rolling
+    // sum is exact integer arithmetic; the outer aggregate keeps the result
+    // compact and order-free.
+    "w_rolling_1h" -> Q(
+      (s, d) =>
+        EventWindows.rollingTrailing(events(s, d), "ts", "user_id", "event_id", 3600L)
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n"),
+            max(col("roll_n")).as("max_roll_n"),
+            sum(col("roll_sum")).as("sum_roll_sum")),
+      Some("""SELECT user_id, count(*) AS n,
+             |       CAST(max(roll_n) AS BIGINT) AS max_roll_n,
+             |       CAST(sum(roll_sum) AS BIGINT) AS sum_roll_sum FROM (
+             |  SELECT user_id,
+             |         count(*) OVER w AS roll_n,
+             |         sum(event_id) OVER w AS roll_sum
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+             |               RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+             |GROUP BY user_id""".stripMargin),
+      Seq("W2", "A2")
+    ),
+
+    // A-series: exact interpolated quantiles (percentile, not the sketch) of
+    // an integer column per event type — both engines compute the same
+    // rational midpoints, so the doubles match bit-for-bit.
+    "a_median_exact" -> Q(
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            expr("percentile(user_id, 0.5)").as("med_user"),
+            expr("percentile(user_id, 0.25)").as("p25_user"),
+            expr("percentile(user_id, 0.75)").as("p75_user")),
+      Some("""SELECT event_type, count(*) AS n,
+             |       quantile_cont(user_id, 0.5) AS med_user,
+             |       quantile_cont(user_id, 0.25) AS p25_user,
+             |       quantile_cont(user_id, 0.75) AS p75_user
+             |FROM events GROUP BY event_type""".stripMargin),
+      Seq("A2")
     )
   )
 }

@@ -126,6 +126,39 @@ class GraftCliSpec extends SparkSpec {
       "search must plan a single store scan")
   }
 
+  test("text-search: BM25 over the store ranks the term-bearing chunk first, indexed == brute") {
+    val root = tmpDir("clitext")
+    val store = new ChunkStore(s"$root/store")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array, col, lit, sha2}
+    val chunks = Seq(
+      ("c1", "doc_a", "zebra zebra antelope grazing on the savanna plains"),
+      ("c2", "doc_b", "container ships and harbor cranes at the port"),
+      ("c3", "doc_c", "a single zebra crossing the road")
+    ).toDF("chunkId", "documentId", "content")
+      .select(
+        col("chunkId"), col("documentId"),
+        lit("ds1").as("datasetName"), col("content"),
+        lit(8).as("tokenCount"), lit("h").as("sectionHeading"),
+        lit("").as("absoluteAddress"), lit("none").as("splitReason"),
+        lit(null).cast("string").as("parentChunkId"),
+        sha2(col("content"), 256).as("sourceHash"),
+        array().cast("array<string>").as("crossRefs"), lit(0).as("chunkIndex"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit("m").as("embeddingModel"), lit("t0").as("embeddedAt"))
+    store.upsert(spark, chunks)
+
+    val brute = GraftCli.textSearch(spark, s"$root/store", Seq("zebra"), k = 5)
+      .select("doc_id").as[String].collect().toSeq
+    // only term-bearing chunks may appear
+    assert(brute.toSet == Set("c1", "c3"))
+
+    GraftCli.textIndex(spark, store, s"$root/bm25")
+    val indexed = GraftCli.textSearch(spark, s"$root/bm25", Seq("zebra"), k = 5)
+      .select("doc_id").as[String].collect().toSeq
+    assert(indexed == brute, "index path must rank exactly like the brute path")
+  }
+
   test("decontaminate removes documents whose chunks collide with a benchmark file") {
     val root = tmpDir("clidecon")
     val store = new ChunkStore(s"$root/store", prefixLen = 1)
