@@ -85,6 +85,29 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner for a
+    * keyword ranking and a vector ranking over the same id space:
+    * `score(id) = Σ_lists 1/(c + rank_in_list)`. Rank-based, so the lists'
+    * raw score scales need no calibration. Inputs are already-truncated
+    * top-N lists (each a handful of rows), so the un-partitioned rank
+    * window is over N rows, never the corpus.
+    */
+  def fuseRrf(
+      results: Seq[DataFrame], idCol: String, scoreCol: String, k: Int,
+      c: Int = 60): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val contribs = results.map { df =>
+      df.select(col(idCol), row_number().over(w).as("r"))
+        .select(col(idCol), (lit(1.0) / (lit(c) + col("r"))).as("contrib"))
+    }
+    contribs.reduce(_.unionByName(_))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"), sum(col("contrib")).as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol))
+      .limit(k)
+  }
+
   // ---------------------------------------------------------------- index
 
   /** Build and persist the inverted index: one posting row per (term, doc)

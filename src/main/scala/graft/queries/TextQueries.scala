@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, LanguageModel, QualityFilters, Sampling, TextSearch}
+import graft.operators.{Dedup, LanguageModel, QualityFilters, Sampling, Similarity, TextSearch}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -1037,6 +1037,29 @@ object TextQueries {
       },
       Some(perplexityOracleSql),
       Seq("A1", "C1", "F9")
+    ),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword ranking
+    // (documents) and the cosine vector ranking (embeddings — the id spaces
+    // align 1:1 in the testdata). Ranks come from the ROUNDED scores on
+    // both sides so rank order is engine-independent; the fused score is
+    // rank-only arithmetic (1/(60+r)), which is why RRF needs no score
+    // calibration between the two lists.
+    "ts_hybrid_rrf" -> Q(
+      (s, d) => {
+        val bm = TextSearch.bm25Scores(documents(s, d), "text", "doc_id", bm25Terms)
+          .select(col("doc_id"), round(col("score"), 6).as("s"))
+          .orderBy(col("s").desc, col("doc_id")).limit(20)
+        val qv = embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        val vec = Similarity.topK(embeddings(s, d).filter(col("vec_id") =!= 0),
+            "embedding", "vec_id", qv, 20)
+          .select(col("vec_id").as("doc_id"), col("sim").as("s"))
+        TextSearch.fuseRrf(Seq(bm, vec), "doc_id", "s", k = 10)
+          .select(col("doc_id"), col("n_lists"), round(col("rrf"), 6).as("rrf"))
+      },
+      Some(hybridRrfOracleSql),
+      Seq("E2", "L2", "SO2")
     )
   )
 
@@ -1079,6 +1102,46 @@ object TextQueries {
        |SELECT doc_id, round(sum(w), 6) AS score
        |FROM scored GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  /** DuckDB twin of the hybrid query: the bm25 CTE (top 20 by rounded
+    * score), the cosine CTE (top 20 — membership by raw sim like the green
+    * e2_cosine_topk oracle, rank by rounded), RRF-fused.
+    */
+  private def hybridRrfOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(toks) AS dl, toks FROM toks),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM lens)
+       |  WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT doc_id,
+       |         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |           * (tf * (1.2 + 1.0))
+       |           / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS w
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+       |bm_top AS (SELECT doc_id, round(sum(w), 6) AS s FROM scored GROUP BY doc_id
+       |           ORDER BY s DESC, doc_id LIMIT 20),
+       |bm_rank AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM bm_top),
+       |qv AS (SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+       |       FROM embeddings WHERE vec_id = 0),
+       |v AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+       |      FROM embeddings WHERE vec_id <> 0),
+       |sims AS (SELECT v.vec_id, sum(v.x * q.x) AS dot, sqrt(sum(v.x * v.x)) AS na
+       |         FROM v JOIN qv q ON v.i = q.i GROUP BY v.vec_id),
+       |nb AS (SELECT sqrt(sum(x * x)) AS nb FROM qv),
+       |vec_top AS (SELECT vec_id AS doc_id, round(dot / (na * (SELECT nb FROM nb)), 6) AS s
+       |            FROM sims ORDER BY dot / (na * (SELECT nb FROM nb)) DESC, vec_id LIMIT 20),
+       |vec_rank AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS r FROM vec_top),
+       |contrib AS (SELECT doc_id, 1.0 / (60 + r) AS cc FROM bm_rank
+       |            UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM vec_rank)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lists, round(sum(cc), 6) AS rrf
+       |FROM contrib GROUP BY doc_id ORDER BY sum(cc) DESC, doc_id LIMIT 10""".stripMargin
 
   /** DuckDB twin of [[graft.operators.LanguageModel]]: the same even-slice
     * bigram LM, the same smoothing arithmetic (`0.5 * vocab` written out so

@@ -119,6 +119,64 @@ object StreamingPipeline {
         sink(batch.join(contaminated, Seq(idCol), "left_anti"))
       }
 
+  /** Streaming incremental NEAR-dup dedup — the streaming face of the
+    * persisted MinHash signature index
+    * ([[graft.operators.Dedup.writeSignatureIndex]]): each microbatch
+    * computes candidate pairs against the index (plus in-batch pairs),
+    * drops every batch document that near-duplicates an indexed document or
+    * an earlier (smaller-id) batch document, hands the survivors to `sink`,
+    * and registers the SURVIVORS' signatures — so later microbatches (and
+    * later runs) dedup against everything already accepted. Only the batch
+    * is ever re-shingled; the corpus side stays a parquet scan.
+    */
+  def dedupingWriter(
+      source: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000
+  )(sink: DataFrame => Unit): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val indexed = new java.io.File(indexPath).exists()
+        val pairs = (
+          if (indexed)
+            graft.operators.Dedup.incrementalCandidates(
+              s, batch, idCol, textCol, indexPath, numHashes, bands, maxBucketSize)
+          else
+            graft.operators.Dedup.minhashCandidates(
+              batch, idCol, textCol, numHashes, bands, maxBucketSize)
+        ).cache()
+        try {
+          val newIds = batch.select(col(idCol).as("_nid")).distinct().cache()
+          // a pair's id_b is dropped when it is a batch doc (covers
+          // both-new and stored<new); id_a is dropped when it is a batch
+          // doc whose partner id_b is stored (new<stored)
+          val dropB = pairs
+            .join(newIds, pairs("id_b") === newIds("_nid"), "left_semi")
+            .select(col("id_b").as("_drop"))
+          val dropA = pairs
+            .join(newIds, pairs("id_a") === newIds("_nid"), "left_semi")
+            .join(newIds.withColumnRenamed("_nid", "_nid2"),
+              pairs("id_b") === col("_nid2"), "left_anti")
+            .select(col("id_a").as("_drop"))
+          val drops = dropB.unionByName(dropA).distinct()
+          val kept = batch.join(drops, batch(idCol) === drops("_drop"), "left_anti").cache()
+          try {
+            sink(kept)
+            graft.operators.Dedup.appendToSignatureIndex(
+              kept, idCol, textCol, indexPath, numHashes, bands)
+          } finally { kept.unpersist(); newIds.unpersist(); () }
+        } finally { pairs.unpersist(); () }
+      }
+
   /** Watermarked sliding-window counts over an event stream — the streaming
     * twin of [[graft.operators.EventWindows.sliding]].
     */

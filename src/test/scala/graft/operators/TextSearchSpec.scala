@@ -78,6 +78,27 @@ class TextSearchSpec extends SparkSpec {
       s"query must prune postings partitions by term bucket:\n$scan")
   }
 
+  test("RRF fusion matches hand-computed reciprocal ranks") {
+    val listA = Seq((10L, 5.0), (11L, 3.0), (12L, 1.0)).toDF("id", "s")
+    val listB = Seq((11L, 0.9), (13L, 0.8)).toDF("id", "s")
+    val got = TextSearch.fuseRrf(Seq(listA, listB), "id", "s", k = 10)
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    // ranks: A: 10→1, 11→2, 12→3; B: 11→1, 13→2
+    assert(math.abs(got(11L) - (1.0 / 62 + 1.0 / 61)) < 1e-15)
+    assert(math.abs(got(10L) - 1.0 / 61) < 1e-15)
+    assert(math.abs(got(12L) - 1.0 / 63) < 1e-15)
+    assert(math.abs(got(13L) - 1.0 / 62) < 1e-15)
+    // the doc present in BOTH lists outranks every single-list doc here
+    assert(got(11L) > got(10L) && got(11L) > got(13L))
+  }
+
+  test("RRF rank ties break by id, not input order") {
+    val t1 = Seq((2L, 1.0), (1L, 1.0)).toDF("id", "s")
+    val got = TextSearch.fuseRrf(Seq(t1), "id", "s", k = 2)
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    assert(got(1L) > got(2L)) // equal scores → smaller id gets rank 1
+  }
+
   test("duplicate query terms do not double-count") {
     val once = TextSearch.bm25Scores(corpus, "text", "doc_id", Seq("apple"))
       .as[(Long, Double)].collect().toMap

@@ -140,6 +140,39 @@ class StreamingSpec extends SparkSpec {
       "the doc sharing a 5-gram run with the benchmark is dropped; clean docs pass")
   }
 
+  test("deduping writer drops near-dups across microbatches and runs via the signature index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmpDir("sdedup") + "/index"
+    val ckpt = tmpDir("sdedup_ckpt")
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+    val textA2 = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val textB = "large scale data pipelines need careful dedup of near duplicate text"
+    val textB2 = "large scale data pipelines need careful dedup of near duplicate texts"
+    val textC = "completely unrelated content about cooking pasta with fresh tomatoes"
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(mem: MemoryStream[(Long, String)]): Unit = {
+      val q = StreamingPipeline.dedupingWriter(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt
+      ) { kept =>
+        collected ++= kept.select("doc_id").as[Long].collect()
+      }.start()
+      q.awaitTermination()
+    }
+    // run 1: 1≈2 (drop 2, the larger id), 3 unique — no index exists yet
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, textA), (2L, textA2), (3L, textB))
+    run(mem)
+    assert(collected.toSet == Set(1L, 3L))
+    // run 2 (fresh query, same checkpoint + index): 11 near-dups the
+    // ACCEPTED doc 3 through the persisted index; 12 is new
+    collected.clear()
+    mem.addData((11L, textB2), (12L, textC))
+    run(mem)
+    assert(collected.toSet == Set(12L),
+      "doc 11 must be dropped against the signatures registered by run 1")
+  }
+
   test("flatMapGroupsWithState emits closed sessions only, keeps open tail in state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
