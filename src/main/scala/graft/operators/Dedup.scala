@@ -824,11 +824,16 @@ object Dedup {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, "n must be positive")
+    // the occurrence table feeds BOTH the gram aggregate and the join-back;
+    // without materialization the n-gram hashing (the dominant cost) runs
+    // twice — the exchanges differ in shape, so ReuseExchange can't dedupe.
+    // A lazy localCheckpoint computes it once and serves both consumers.
     val occ = corpus
       .select(
         col(idCol).as("_doc"),
         posexplode(transform(wordNgrams(col(textCol), n), g => hashFn(g))).as(Seq("_p0", "_gram")))
       .select(col("_doc"), (col("_p0") + 1).as("_pos"), col("_gram"))
+      .localCheckpoint(false)
     val grams = occ
       .groupBy(col("_gram"))
       .agg(count(lit(1)).as("_cnt"), min(struct(col("_doc"), col("_pos"))).as("_first"))
