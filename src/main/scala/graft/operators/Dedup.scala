@@ -146,9 +146,14 @@ object Dedup {
       baseHash: Column => Column = t => xxBaseHash(t),
       bucketHash: Column => Column = s => xxhash64(s)
   ): DataFrame = {
+    // both sides of the self-join derive from the capped band table; a lazy
+    // localCheckpoint computes the signature pipeline (the dominant cost)
+    // once — the two join inputs differ only by alias, but their exchange
+    // shapes don't canonicalize equal, so ReuseExchange can't help.
     val capped = capBuckets(
       bandRows(df, idCol, textCol, numHashes, bands, baseHash, bucketHash),
       Seq("band", "bucket"), maxBucketSize)
+      .localCheckpoint(false)
     val a = capped.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("band", "bucket"))
@@ -227,6 +232,7 @@ object Dedup {
       .select(col("id"), col("band"), col("bucket"))
       .withColumn("_new", lit(false))
     val capped = capBuckets(stored.unionByName(fresh), Seq("band", "bucket"), maxBucketSize)
+      .localCheckpoint(false) // shared by both join sides, as in minhashCandidates
     val a = capped.filter(col("_new"))
       .select(col("band"), col("bucket"), col("id").as("id_x"))
     val b = capped.select(col("band"), col("bucket"), col("id").as("id_y"))
