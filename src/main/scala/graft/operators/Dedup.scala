@@ -364,6 +364,40 @@ object Dedup {
       .filter(col("_hits") >= minCollisions).select(col(idCol))
   }
 
+  /** Fuzzy (near-dup) decontamination: exact n-gram collision
+    * ([[contaminatedIds]]) misses paraphrased eval items — the documented
+    * failure mode of exact decontamination. This flags corpus documents
+    * whose MinHash band buckets collide with any benchmark document's
+    * bucket: the same near-dup criterion as [[minhashCandidates]], applied
+    * corpus-vs-benchmark instead of corpus-vs-self. The join is a
+    * (band, bucket) equi-key left-semi with the benchmark side tiny (an
+    * eval suite), so it broadcasts; the skew cap applies to the corpus
+    * side, where degenerate buckets carry no signal.
+    */
+  def fuzzyContaminatedIds(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchTextCol: String,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000,
+      baseHash: Column => Column = t => xxBaseHash(t),
+      bucketHash: Column => Column = s => xxhash64(s)
+  ): DataFrame = {
+    val corpusBands = capBuckets(
+      bandRows(corpus, idCol, textCol, numHashes, bands, baseHash, bucketHash),
+      Seq("band", "bucket"), maxBucketSize)
+    val benchBuckets = bandRows(
+      benchmark.select(lit(0L).as("_bid"), col(benchTextCol)),
+      "_bid", benchTextCol, numHashes, bands, baseHash, bucketHash)
+      .select(col("band"), col("bucket")).distinct()
+    corpusBands
+      .join(benchBuckets, Seq("band", "bucket"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+  }
+
   /** Corpus minus contaminated documents, schema unchanged (the apply side
     * of [[contaminatedIds]]).
     */

@@ -216,6 +216,17 @@ object RelationalQueries {
       Seq("A2")
     ),
 
+    // CUBE: all grouping-set combinations (rollup's sibling — §2.5 breadth).
+    "q_cube" -> Q(
+      (s, d) =>
+        lineitem(s, d)
+          .cube(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+             |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin),
+      Seq("A2")
+    ),
+
     // Semi-join (EXISTS): orders with at least one heavy line.
     "q_semi_join" -> Q(
       (s, d) =>

@@ -211,6 +211,26 @@ object VectorQueries {
       Seq("A6")
     ),
 
+    // Fuzzy decontamination: corpus docs whose MinHash band buckets collide
+    // with a benchmark doc's — catches paraphrased eval items that exact
+    // n-gram collision (dd_contamination) misses. 2% of the corpus plays
+    // the benchmark; the corpus side is everything else.
+    "dd_fuzzy_contamination" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.fuzzyContaminatedIds(
+          docs.filter(col("doc_id") % 50 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 50 === 0), "text",
+          numHashes = 16, bands = 4, maxBucketSize = 10000,
+          baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash)
+          .agg(
+            count(lit(1)).as("n_flagged"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+      },
+      Some(fuzzyContaminationOracleSql(numHashes = 16, bands = 4, maxBucketSize = 10000)),
+      Seq("A6", "F6")
+    ),
+
     // Incremental dedup against the persisted signature index: 80% of the
     // corpus is indexed once (band-partitioned parquet), the remaining 20%
     // arrives as a batch, and only the batch is re-shingled. The result must
@@ -464,6 +484,46 @@ object VectorQueries {
        |  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
        |  FROM capped a JOIN capped b2 USING (band, bucket)
        |  WHERE a.doc_id < b2.doc_id)""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Dedup.fuzzyContaminatedIds]] over the
+    * 2%-benchmark split: the shared signature construction, band rows split
+    * into corpus (capped AFTER the split, matching the operator) and
+    * benchmark bucket sets, equi-joined.
+    */
+  private def fuzzyContaminationOracleSql(
+      numHashes: Int, bands: Int, maxBucketSize: Int): String = {
+    val p = Dedup.MersenneP
+    val mins = (0 until numHashes).map { s =>
+      val (a, b) = Dedup.affineConstants(s)
+      s"min((h * $a + $b) % $p) AS m$s"
+    }.mkString(",\n         ")
+    val rpb = numHashes / bands
+    val bandSelects = (0 until bands).map { bd =>
+      val cols = (bd * rpb until (bd + 1) * rpb).map(i => s"CAST(m$i AS VARCHAR)")
+        .mkString(" || ',' || ")
+      s"SELECT doc_id, $bd AS band, CAST((md5_number_lower($cols) >> 4) AS BIGINT) AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH docs AS (
+       |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS t FROM docs WHERE len(toks) > 0),
+       |hashed AS (
+       |  SELECT doc_id, (CAST((md5_number_lower(t) >> 4) AS BIGINT) % $p) AS h FROM tok),
+       |sigs AS (
+       |  SELECT doc_id, $mins
+       |  FROM hashed GROUP BY doc_id),
+       |bandrows AS (
+       |  $bandSelects),
+       |corpband AS (SELECT doc_id, band, bucket FROM bandrows WHERE doc_id % 50 <> 0),
+       |capped AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket, count(*) OVER (PARTITION BY band, bucket) AS bn
+       |    FROM corpband) WHERE bn <= $maxBucketSize),
+       |bench AS (SELECT DISTINCT band, bucket FROM bandrows WHERE doc_id % 50 = 0),
+       |flagged AS (SELECT DISTINCT c.doc_id FROM capped c JOIN bench b USING (band, bucket))
+       |SELECT CAST(count(*) AS BIGINT) AS n_flagged,
+       |       CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS sum_ids FROM flagged""".stripMargin
   }
 
   private def minhashOracleSql(numHashes: Int, bands: Int, maxBucketSize: Int): String =

@@ -54,6 +54,24 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc.contains((11L, 12L)))
   }
 
+  test("fuzzy decontamination catches a paraphrase that exact n-grams miss") {
+    // one word changed mid-sentence: every 8-gram crosses the edit, so the
+    // exact rule sees zero collisions, but the MinHash bands still collide
+    val bench = Seq(
+      (0L, "the committee approved the annual budget for infrastructure and education programs yesterday")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "the committee approved the annual budget toward infrastructure and education programs yesterday"),
+      (101L, "completely different text about sailing boats across the northern seas")
+    ).toDF("doc_id", "text")
+    val exact = Dedup.contaminatedIds(corpus, "doc_id", "text", bench, "text", n = 8)
+      .as[Long].collect().toSet
+    assert(exact.isEmpty, "every 8-gram crosses the one-word edit")
+    val fuzzy = Dedup.fuzzyContaminatedIds(corpus, "doc_id", "text", bench, "text")
+      .as[Long].collect().toSet
+    assert(fuzzy == Set(100L), s"minhash bands must flag the paraphrase only, got $fuzzy")
+  }
+
   test("the skew cap applies to the combined bucket population") {
     // 30 copies of one text across old and new: cap 5 kills those buckets
     // in BOTH the full run and the incremental run
