@@ -32,7 +32,8 @@ object ExplainAudit {
       "dd_contamination", "e2_nn_join", "e2_nn_join_ivf",
       "e2_quantized_topk", "j1_bloom_prefilter",
       "j_range_attrib", "j_range_overlap",
-      "ts_bm25", "dd_incremental", "ta_perplexity", "e2_ann_ivf_kmeans"
+      "ts_bm25", "dd_incremental", "ta_perplexity", "e2_ann_ivf_kmeans",
+      "dd_fuzzy_contamination", "ts_hybrid_rrf"
     )
 
     var bad = 0
@@ -156,15 +157,23 @@ object ExplainAudit {
           .queryExecution.executedPlan.collectLeaves().map(_.toString)
         leaves.exists(l => l.contains("PartitionFilters") && l.contains("bucket#"))
       }),
-      // incremental dedup: the corpus side is a parquet scan of the stored
-      // signature index — signatures are NOT recomputed from documents
-      ("incremental dedup scans stored signatures, no cartesian", {
+      // incremental dedup: the shared band table is checkpoint-materialized
+      // (computed once for both join sides) and the pair join is equi-key.
+      // That the corpus side comes from the STORED index (not a re-shingle)
+      // is pinned behaviorally by IncrementalDedupSpec's append test.
+      ("incremental dedup joins the materialized band table equi-key, no cartesian", {
         val p = plan("dd_incremental")
-        p.contains("minhash_index") && !p.contains("CartesianProduct")
+        p.contains("ExistingRDD") && !p.contains("CartesianProduct")
       }),
       // perplexity scoring: LM count lookups are equi-joins
       ("perplexity scoring joins LM counts equi-key, no cartesian",
-        !plan("ta_perplexity").contains("CartesianProduct"))
+        !plan("ta_perplexity").contains("CartesianProduct")),
+      // fuzzy decontamination: (band, bucket) equi-key, benchmark broadcasts
+      ("fuzzy decontamination joins band buckets equi-key with a broadcast bench side", {
+        val p = plan("dd_fuzzy_contamination")
+        p.contains("BroadcastHashJoin") && p.contains("LeftSemi") &&
+          !p.contains("CartesianProduct")
+      })
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>

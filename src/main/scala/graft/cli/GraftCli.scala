@@ -159,11 +159,22 @@ object GraftCli {
       store: ChunkStore,
       benchmark: DataFrame,
       benchTextCol: String,
-      n: Int = 13
+      n: Int = 13,
+      /** fuzzy = MinHash band collision instead of exact n-gram collision —
+        * also catches paraphrased eval items ([[graft.operators.Dedup
+        * .fuzzyContaminatedIds]]); `n` is ignored in fuzzy mode.
+        */
+      fuzzy: Boolean = false
   ): (Long, Long) = {
     val chunks = store.read(spark).select(col("documentId"), col("content"))
-    val contaminated = graft.operators.Dedup
-      .contaminatedIds(chunks, "documentId", "content", benchmark, benchTextCol, n)
+    val contaminated = (
+      if (fuzzy)
+        graft.operators.Dedup
+          .fuzzyContaminatedIds(chunks, "documentId", "content", benchmark, benchTextCol)
+      else
+        graft.operators.Dedup
+          .contaminatedIds(chunks, "documentId", "content", benchmark, benchTextCol, n)
+    )
       .withColumnRenamed("documentId", "docId")
       .cache()
     try {
@@ -227,7 +238,8 @@ object GraftCli {
             2
         }
       case "decontaminate" :: rest =>
-        val (settings, positional) = Settings.fromArgs(rest)
+        val fuzzy = rest.contains("--fuzzy")
+        val (settings, positional) = Settings.fromArgs(rest.filterNot(_ == "--fuzzy"))
         positional match {
           case storePath :: benchPath :: tail
               if tail.lengthIs <= 1 &&
@@ -235,11 +247,12 @@ object GraftCli {
             val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
             val n = tail.headOption.map(_.toInt).getOrElse(13)
             val (docs, chunksDeleted) =
-              decontaminate(spark, store, readBenchmark(spark, benchPath), "text", n)
+              decontaminate(spark, store, readBenchmark(spark, benchPath), "text", n, fuzzy)
             println(s"contaminated_docs=$docs deleted_chunks=$chunksDeleted")
             0
           case _ =>
-            System.err.println("usage: decontaminate <storePath> <benchmarkPath> [ngramSize] [flags]")
+            System.err.println(
+              "usage: decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy] [flags]")
             2
         }
       case "text-index" :: rest =>
@@ -292,7 +305,7 @@ object GraftCli {
             |  search <storePath> <query> [--limit=K --embedding-dim=N]
             |  text-index <storePath> <indexPath>
             |  text-search <storePath|indexPath> <"terms"> [--limit=K]
-            |  decontaminate <storePath> <benchmarkPath> [ngramSize]
+            |  decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy]
             |    benchmarkPath: .txt (one doc per line), .json/.jsonl (objects with a
             |    "text" field), or parquet with a text column
             |  status <ledgerPath> <storePath>
