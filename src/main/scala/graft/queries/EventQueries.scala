@@ -277,6 +277,42 @@ object EventQueries {
       Seq("W2", "A2")
     ),
 
+    // W-series: the ranking-function family (row_number / dense_rank /
+    // ntile / lag) in one pass — event_id is unique, so every ordering is
+    // total and all outputs are exact integers.
+    "w_rank_funcs" -> Q(
+      (s, d) => {
+        val byType = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        val byUser = Window.partitionBy(col("event_type")).orderBy(col("user_id"), col("event_id"))
+        events(s, d)
+          .withColumn("rn", row_number().over(byType))
+          .withColumn("nt", ntile(4).over(byType))
+          .withColumn("dr", dense_rank().over(byUser))
+          .withColumn("gap", col("event_id") - coalesce(lag(col("event_id"), 1).over(byType), lit(0L)))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("nt")).as("sum_ntile"),
+            max(col("dr")).as("max_dense_rank"),
+            sum(col("gap")).as("sum_gaps"),
+            sum(col("rn") * col("user_id")).as("rank_dot"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(nt) AS BIGINT) AS sum_ntile,
+             |       CAST(max(dr) AS BIGINT) AS max_dense_rank,
+             |       CAST(sum(gap) AS BIGINT) AS sum_gaps,
+             |       CAST(sum(rn * user_id) AS BIGINT) AS rank_dot FROM (
+             |  SELECT event_type, user_id,
+             |         row_number() OVER w AS rn,
+             |         ntile(4) OVER w AS nt,
+             |         dense_rank() OVER (PARTITION BY event_type ORDER BY user_id, event_id) AS dr,
+             |         event_id - COALESCE(lag(event_id, 1) OVER w, 0) AS gap
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id))
+             |GROUP BY event_type""".stripMargin),
+      Seq("W2", "A2")
+    ),
+
     // A-series: exact interpolated quantiles (percentile, not the sketch) of
     // an integer column per event type — both engines compute the same
     // rational midpoints, so the doubles match bit-for-bit.

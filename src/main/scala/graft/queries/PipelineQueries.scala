@@ -323,6 +323,28 @@ object PipelineQueries {
 
     // S6: Structured Streaming file-arrival ingest (AvailableNow) driving the
     // same chunk→embed→upsert path; checkpoint plays the ledger's role.
+    // Source-format breadth: documents round-tripped through CSV (write →
+    // schema'd read → aggregate). The oracle reads the SAME csv part files
+    // with DuckDB's reader; the sf0.01 path is fixed because the driver's
+    // correctness gate always runs at sf0.01.
+    "s_csv_roundtrip" -> Q(
+      (s, d) => {
+        val out = tmpDir(d, "csv_docs")
+        cleanDir(out)
+        documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.option("header", "true").mode("overwrite").csv(out)
+        s.read.option("header", "true")
+          .schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+          .csv(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM read_csv('/tmp/graft/sf0.01/csv_docs/*.csv', header=true)
+             |GROUP BY lang""".stripMargin),
+      Seq("S4", "K5")
+    ),
+
     "s6_streaming_ingest" -> Q(
       (s, d) => {
         val inDir = tmpDir(d, "stream_in")

@@ -227,6 +227,26 @@ object RelationalQueries {
       Seq("A2")
     ),
 
+    // Full outer join with deliberately disjoint edges: nations below 15
+    // against customer counts for nations 10+, so left-only, right-only,
+    // and matched rows all appear (§2.4 breadth).
+    "q_full_outer" -> Q(
+      (s, d) => {
+        val nat = nation(s, d).filter(col("n_nationkey") < 15)
+          .select(col("n_nationkey"), col("n_name"))
+        val cust = customer(s, d).filter(col("c_nationkey") >= 10)
+          .groupBy(col("c_nationkey").cast("long").as("n_nationkey"))
+          .agg(count(lit(1)).as("n_cust"))
+        nat.join(cust, Seq("n_nationkey"), "full_outer")
+      },
+      Some("""WITH nat AS (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey < 15),
+             |cust AS (SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey, count(*) AS n_cust
+             |         FROM customer WHERE c_nationkey >= 10 GROUP BY 1)
+             |SELECT COALESCE(nat.n_nationkey, cust.n_nationkey) AS n_nationkey, n_name, n_cust
+             |FROM nat FULL OUTER JOIN cust USING (n_nationkey)""".stripMargin),
+      Seq("J1", "A2")
+    ),
+
     // Semi-join (EXISTS): orders with at least one heavy line.
     "q_semi_join" -> Q(
       (s, d) =>

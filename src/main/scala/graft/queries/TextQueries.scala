@@ -1039,6 +1039,30 @@ object TextQueries {
       Seq("A1", "C1", "F9")
     ),
 
+    // C-series breadth: the string-function family Spark and DuckDB define
+    // identically — levenshtein (unit-cost edit distance), reverse, lpad,
+    // translate — over each document's first token. Exact strings/ints.
+    "c_string_funcs" -> Q(
+      (s, d) =>
+        documents(s, d)
+          .select(col("doc_id"), element_at(split(trim(col("text")), " "), 1).as("w1"))
+          .select(
+            col("doc_id"),
+            levenshtein(col("w1"), lit("spark")).as("lev"),
+            reverse(col("w1")).as("rev"),
+            lpad(col("w1"), 12, "_").as("pad"),
+            translate(col("w1"), "aeiou", "AEIOU").as("tr"))
+          .orderBy(col("doc_id")).limit(50),
+      Some("""SELECT doc_id,
+             |  levenshtein(w1, 'spark') AS lev,
+             |  reverse(w1) AS rev,
+             |  lpad(w1, 12, '_') AS pad,
+             |  translate(w1, 'aeiou', 'AEIOU') AS tr
+             |FROM (SELECT doc_id, string_split(trim(text), ' ')[1] AS w1 FROM documents)
+             |ORDER BY doc_id LIMIT 50""".stripMargin),
+      Seq("C10", "C3")
+    ),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword ranking
     // (documents) and the cosine vector ranking (embeddings — the id spaces
     // align 1:1 in the testdata). Ranks come from the ROUNDED scores on
