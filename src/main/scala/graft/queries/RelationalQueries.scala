@@ -227,6 +227,20 @@ object RelationalQueries {
       Seq("A2")
     ),
 
+    // INTERSECT (SO-series breadth next to except/union): customer nations
+    // that also appear among supplier nations.
+    "so_intersect" -> Q(
+      (s, d) =>
+        customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
+          .intersect(supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey")))
+          .agg(count(lit(1)).as("n"), sum(col("nationkey")).as("sum_keys")),
+      Some("""SELECT count(*) AS n, CAST(sum(nationkey) AS BIGINT) AS sum_keys FROM (
+             |  SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+             |  INTERSECT
+             |  SELECT CAST(s_nationkey AS BIGINT) FROM supplier)""".stripMargin),
+      Seq("SO1", "SO2")
+    ),
+
     // Full outer join with deliberately disjoint edges: nations below 15
     // against customer counts for nations 10+, so left-only, right-only,
     // and matched rows all appear (§2.4 breadth).
