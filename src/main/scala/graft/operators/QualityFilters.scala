@@ -174,6 +174,24 @@ object QualityFilters {
     *              a grouping key) — saves the caller a join back to the
     *              source just to recover them.
     */
+  /** Keep rows at or above the exact per-group `p`-quantile of `scoreCol` —
+    * "top (1-p) fraction per language/source", the relative quality gate
+    * used when absolute thresholds don't transfer across groups. The
+    * threshold is the exact interpolated percentile (not the sketch), so
+    * the gate is reproducible; per-group thresholds are one aggregate and
+    * broadcast back. At extreme group counts the aggregate is still one
+    * row per group; for the sketch variant use `percentile_approx`
+    * upstream and accept the error envelope.
+    */
+  def quantileFilter(
+      df: DataFrame, scoreCol: String, groupCol: String, p: Double): DataFrame = {
+    val thresholds = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($scoreCol, $p)").as("_thr"))
+    df.join(broadcast(thresholds), Seq(groupCol))
+      .filter(col(scoreCol) >= col("_thr"))
+      .drop("_thr")
+  }
+
   def repetitionSignals(
       df: DataFrame, idCol: String, textCol: String, n: Int = 2,
       carry: Seq[String] = Nil

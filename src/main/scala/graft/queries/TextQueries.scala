@@ -1039,6 +1039,24 @@ object TextQueries {
       Seq("A1", "C1", "F9")
     ),
 
+    // Relative quality gate: keep each language's top 75% by n_chars (the
+    // per-group exact-quantile threshold filter). Integer outputs; the
+    // threshold doubles are bit-equal across engines (a_median_exact pins
+    // percentile == quantile_cont).
+    "ta_quantile_filter" -> Q(
+      (s, d) =>
+        QualityFilters.quantileFilter(
+          documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+          "n_chars", "lang", p = 0.25)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_keep"), sum(col("n_chars")).as("sum_chars")),
+      Some("""WITH thr AS (SELECT lang, quantile_cont(n_chars, 0.25) AS t FROM documents GROUP BY lang)
+             |SELECT d.lang, count(*) AS n_keep, CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+             |FROM documents d JOIN thr ON d.lang = thr.lang
+             |WHERE d.n_chars >= thr.t GROUP BY d.lang""".stripMargin),
+      Seq("A1", "F9")
+    ),
+
     // C-series breadth: the string-function family Spark and DuckDB define
     // identically — levenshtein (unit-cost edit distance), reverse, lpad,
     // translate — over each document's first token. Exact strings/ints.
