@@ -178,16 +178,17 @@ object QualityFilters {
     * "top (1-p) fraction per language/source", the relative quality gate
     * used when absolute thresholds don't transfer across groups. The
     * threshold is the exact interpolated percentile (not the sketch), so
-    * the gate is reproducible; per-group thresholds are one aggregate and
-    * broadcast back. At extreme group counts the aggregate is still one
-    * row per group; for the sketch variant use `percentile_approx`
-    * upstream and accept the error envelope.
+    * the gate is reproducible; the threshold table is one row per group, so
+    * AQE broadcasts it while it fits and falls back to a shuffle join at
+    * extreme group cardinality — no forced hint, same as J1/K3. For the
+    * sketch variant use `percentile_approx` upstream and accept the error
+    * envelope.
     */
   def quantileFilter(
       df: DataFrame, scoreCol: String, groupCol: String, p: Double): DataFrame = {
     val thresholds = df.groupBy(col(groupCol))
       .agg(expr(s"percentile($scoreCol, $p)").as("_thr"))
-    df.join(broadcast(thresholds), Seq(groupCol))
+    df.join(thresholds, Seq(groupCol))
       .filter(col(scoreCol) >= col("_thr"))
       .drop("_thr")
   }
