@@ -32,13 +32,16 @@ object RelationalQueries {
       Seq("A2")
     ),
 
-    // Broadcast star join chain: orders → customer → nation → region.
+    // Star join chain: orders → customer → nation → region. No hints —
+    // AQE broadcasts each dim while it fits (the audited plan shows all
+    // three as BroadcastHashJoin) and would shuffle a dim that outgrew the
+    // ceiling, which a forced hint would wrongly pin at 100 TB.
     "q_star_join" -> Q(
       (s, d) =>
         orders(s, d)
-          .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
-          .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-          .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(nation(s, d), col("c_nationkey") === col("n_nationkey"))
+          .join(region(s, d), col("n_regionkey") === col("r_regionkey"))
           .groupBy(col("r_name"))
           .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("sum_price")),
       Some("""SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice),2) AS sum_price
