@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, LanguageModel, QualityFilters, Sampling, Similarity, TextSearch}
+import graft.operators.{BpeTrainer, Dedup, LanguageModel, QualityFilters, Sampling, Similarity, TextSearch}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -1037,6 +1037,30 @@ object TextQueries {
       },
       Some(perplexityOracleSql),
       Seq("A1", "C1", "F9")
+    ),
+
+    // BPE trainer statistics: the weighted adjacent-pair counts of the
+    // first training iteration (the argmax of this table IS merge #1), over
+    // the corpus word-frequency table. Exact integers; the multi-merge
+    // loop is pinned by BpeTrainerSpec against the published example.
+    "ta_bpe_pairs" -> Q(
+      (s, d) =>
+        BpeTrainer.pairCounts(
+          BpeTrainer.wordCounts(documents(s, d), "text")
+            .select(split(col("w"), "").as("syms"), col("n")))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(10),
+      Some("""WITH words AS (
+             |  SELECT w, count(*) AS n FROM (
+             |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+             |  WHERE length(w) > 0 GROUP BY w),
+             |chars AS (SELECT n, string_split(w, '') AS cs FROM words),
+             |pairs AS (
+             |  SELECT n, unnest(list_zip(list_slice(cs, 1, len(cs) - 1), list_slice(cs, 2, len(cs)))) AS p
+             |  FROM chars WHERE len(cs) >= 2)
+             |SELECT p[1] AS a, p[2] AS b, CAST(sum(n) AS BIGINT) AS cnt
+             |FROM pairs GROUP BY 1, 2 ORDER BY cnt DESC, a, b LIMIT 10""".stripMargin),
+      Seq("A1", "C1")
     ),
 
     // Relative quality gate: keep each language's top 75% by n_chars (the
