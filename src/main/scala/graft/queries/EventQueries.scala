@@ -313,6 +313,22 @@ object EventQueries {
       Seq("W2", "A2")
     ),
 
+    // C14-series breadth: the datetime extraction family — date_trunc to
+    // the hour, day-of-week, hour-of-day — as grouping keys. Integer
+    // outputs; ISO dow (Monday=1) is computed the same way on both sides.
+    "c_datetime_funcs" -> Q(
+      (s, d) =>
+        events(s, d)
+          .groupBy(
+            dayofweek(col("ts")).as("dow"),
+            hour(col("ts")).as("hod"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users")),
+      Some("""SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+             |       count(*) AS n, count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1, 2""".stripMargin),
+      Seq("C14", "A2")
+    ),
+
     // A-series: exact interpolated quantiles (percentile, not the sketch) of
     // an integer column per event type — both engines compute the same
     // rational midpoints, so the doubles match bit-for-bit.

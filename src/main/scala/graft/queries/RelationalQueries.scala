@@ -219,6 +219,26 @@ object RelationalQueries {
       Seq("A2")
     ),
 
+    // Statistical aggregates: Pearson correlation + sample covariance/stddev
+    // per group. Both engines implement the same textbook estimators;
+    // round(,6) absorbs accumulation-order noise as with every float agg.
+    "a_corr_stats" -> Q(
+      (s, d) =>
+        lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+            round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qty_disc"),
+            round(stddev_samp(col("l_quantity")), 6).as("sd_qty")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             |       round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+             |       round(stddev_samp(l_quantity), 6) AS sd_qty
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin),
+      Seq("A2")
+    ),
+
     // CUBE: all grouping-set combinations (rollup's sibling — §2.5 breadth).
     "q_cube" -> Q(
       (s, d) =>

@@ -168,6 +168,20 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // Corpus clustering histogram: cell sizes of the k-means IVF build —
+    // the "how balanced is my index" diagnostic. Pure integer outputs; the
+    // oracle replays both Lloyd iterations and counts the same cells.
+    "vec_kmeans_sizes" -> Q(
+      (s, d) => {
+        val index = Similarity.buildIvfKmeans(
+          embeddings(s, d).filter(col("vec_id") =!= 0), "embedding", "vec_id",
+          k = 16, iters = 2)
+        index.assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      },
+      Some(kmeansSizesOracleSql(kCentroids = 16)),
+      Seq("E2", "A2")
+    ),
+
     // IVF-SQ8: the same deterministic index and probe-cell selection as
     // e2_ann_ivf_topk, with int8 scoring inside the probed cells — the
     // composed scale path (partition pruning chooses WHICH rows, the int8
@@ -642,7 +656,10 @@ object VectorQueries {
     * same double→float32 rounding of the centroid, and COALESCE carries a
     * starved cell's previous centroid like the Scala loop does.
     */
-  private def ivfKmeansOracleSql(kCentroids: Int, nProbes: Int, k: Int): String = {
+  /** The k-means build replay through the final assignment (`assign3`) —
+    * shared by the search oracle and the cluster-size oracle.
+    */
+  private def ivfKmeansBuildCtes(kCentroids: Int): String = {
     def cosAssign(fromCents: String, no: Int): String =
       s"""cos$no AS (
          |  SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot,
@@ -672,7 +689,11 @@ object VectorQueries {
        |${fixedPointMean("assign1", "c0", 1)},
        |${cosAssign("c1", 2)},
        |${fixedPointMean("assign2", "c1", 2)},
-       |${cosAssign("c2", 3)},
+       |${cosAssign("c2", 3)}""".stripMargin
+  }
+
+  private def ivfKmeansOracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
+    s"""${ivfKmeansBuildCtes(kCentroids)},
        |qv AS (SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
        |       FROM embeddings WHERE vec_id = 0),
        |qcos AS (
@@ -691,7 +712,11 @@ object VectorQueries {
        |SELECT vec_id, round(dot / (na * (SELECT nb FROM nb2)), 6) AS sim FROM sims
        |ORDER BY dot / (na * (SELECT nb FROM nb2)) DESC, vec_id
        |LIMIT $k""".stripMargin
-  }
+
+  /** Cluster-size histogram of the same k-means build. */
+  private def kmeansSizesOracleSql(kCentroids: Int): String =
+    s"""${ivfKmeansBuildCtes(kCentroids)}
+       |SELECT cid, count(*) AS n_vecs FROM assign3 GROUP BY cid""".stripMargin
 
   private def ivfOracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
     s"""${ivfBuildPrefix(kCentroids, nProbes)},
