@@ -33,7 +33,9 @@ object ExplainAudit {
       "e2_quantized_topk", "j1_bloom_prefilter",
       "j_range_attrib", "j_range_overlap",
       "ts_bm25", "dd_incremental", "ta_perplexity", "e2_ann_ivf_kmeans",
-      "dd_fuzzy_contamination", "ts_hybrid_rrf"
+      "dd_fuzzy_contamination", "ts_hybrid_rrf",
+      "ta_bpe_pairs", "vec_kmeans_sizes", "w_rolling_1h", "a_corr_stats",
+      "ta_quantile_filter"
     )
 
     var bad = 0

@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   * columns plus a typed metadata struct, with decode / feature-extract /
   * resize / frame-sample as batched `mapPartitions` stages.
   *
-  * The decode step itself is a deterministic STUB (no image/audio codecs in
-  * this environment) — everything around it is real: the schema contract,
-  * the batch shape (vectorized batches of `batchSize`, same shape a Pandas
-  * UDF over mapInPandas sees), partition sizing, and null/corrupt handling.
-  * Swap [[MediaDecoder.decode]] for a codec-backed impl and nothing else
-  * changes.
+  * Image (PNG/JPEG/GIF/BMP via `javax.imageio`) and audio (WAV/AIFF PCM via
+  * `javax.sound.sampled`) decoding is REAL — both codecs ship with the JDK,
+  * so no external dependency is needed: [[MediaDecoder.decodeImage]] pools
+  * mean luminance over a √dims×√dims grid, [[MediaDecoder.decodeWav]] pools
+  * mean |amplitude| into `dims` time buckets. Video and unknown formats
+  * fall back to the deterministic byte-stub ([[MediaDecoder.decode]] — the
+  * oracle-checkable path the `mm_binary_features` battery entry pins), so
+  * the pipeline shape is identical whichever decoder fires.
   */
 object Multimodal {
 
@@ -46,6 +48,97 @@ object Multimodal {
       }
       out
     }
+
+    /** REAL image decode (JDK `javax.imageio`: PNG/JPEG/GIF/BMP): returns
+      * (width, height, features) where features is mean luminance pooled
+      * over a √dims×√dims grid, scaled to [-1, 1]. None for blobs no
+      * installed reader accepts.
+      */
+    def decodeImage(bytes: Array[Byte], dims: Int): Option[(Int, Int, Array[Float])] = {
+      if (bytes == null || bytes.isEmpty) return None
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
+      if (img == null) return None
+      val g = math.max(1, math.sqrt(dims.toDouble).toInt)
+      val w = img.getWidth
+      val h = img.getHeight
+      val out = new Array[Float](dims)
+      var cy = 0
+      while (cy < g) {
+        var cx = 0
+        while (cx < g) {
+          val x0 = cx * w / g; val x1 = math.max(x0 + 1, (cx + 1) * w / g)
+          val y0 = cy * h / g; val y1 = math.max(y0 + 1, (cy + 1) * h / g)
+          var sum = 0.0
+          var n = 0
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+                0.114 * (rgb & 0xff)
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          if (n > 0) out(cy * g + cx) = ((sum / n) / 127.5 - 1.0).toFloat
+          cx += 1
+        }
+        cy += 1
+      }
+      Some((w, h, out))
+    }
+
+    /** REAL audio decode (JDK `javax.sound.sampled`: WAV/AIFF PCM): returns
+      * (durationMs, features) where features is mean |amplitude| pooled
+      * into `dims` time buckets, scaled to [0, 1]. None for non-audio.
+      */
+    def decodeWav(bytes: Array[Byte], dims: Int): Option[(Long, Array[Float])] = {
+      if (bytes == null || bytes.isEmpty) return None
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          val frames = in.getFrameLength
+          if (frames <= 0 || fmt.getSampleSizeInBits != 16) return None
+          val durationMs = (frames * 1000.0 / fmt.getFrameRate).toLong
+          val data = in.readAllBytes()
+          val bytesPerSample = 2
+          val channels = fmt.getChannels
+          val nSamples = data.length / (bytesPerSample * channels)
+          if (nSamples == 0) return None
+          val out = new Array[Float](dims)
+          val counts = new Array[Int](dims)
+          val big = fmt.isBigEndian
+          var s = 0
+          while (s < nSamples) {
+            val off = s * bytesPerSample * channels // first channel only
+            val sample =
+              if (big) ((data(off) << 8) | (data(off + 1) & 0xff)).toShort
+              else ((data(off + 1) << 8) | (data(off) & 0xff)).toShort
+            val bucket = (s.toLong * dims / nSamples).toInt
+            out(bucket) += math.abs(sample.toInt) / 32768.0f
+            counts(bucket) += 1
+            s += 1
+          }
+          var i = 0
+          while (i < dims) { if (counts(i) > 0) out(i) /= counts(i); i += 1 }
+          Some((durationMs, out))
+        } finally in.close()
+      } catch { case _: Exception => None }
+    }
+
+    /** Auto decode: real image → real audio → byte-stub fallback. Returns
+      * the features plus which decoder fired.
+      */
+    def decodeAuto(bytes: Array[Byte], dims: Int): (Array[Float], String) =
+      decodeImage(bytes, dims).map { case (_, _, f) => (f, "image") }
+        .orElse(decodeWav(bytes, dims).map { case (_, f) => (f, "audio") })
+        .getOrElse((decode(bytes, dims), "stub"))
 
     /** "Resize": deterministic downsample of the feature vector. */
     def resize(features: Array[Float], newDims: Int): Array[Float] = {
@@ -86,6 +179,37 @@ object Multimodal {
             try MediaDecoder.decode(blob, dims).toSeq
             catch { case _: Exception => null }
           Row.fromSeq(row.toSeq :+ feats)
+        }
+      }
+    }(enc)
+  }
+
+  /** Batched REAL media decode: image/audio blobs get codec-derived
+    * features, everything else the deterministic stub — with a
+    * `decode_kind` column saying which decoder fired. Same batch shape and
+    * failure isolation as [[extractFeatures]].
+    */
+  def extractMediaFeatures(
+      df: DataFrame,
+      blobCol: String,
+      dims: Int = 64,
+      batchSize: Int = 128
+  ): DataFrame = {
+    val outSchema = df.schema
+      .add("features", ArrayType(FloatType))
+      .add("decode_kind", StringType)
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(blobCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val blob = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
+          val (feats, kind) =
+            try {
+              val (f, k) = MediaDecoder.decodeAuto(blob, dims)
+              (f.toSeq, k)
+            } catch { case _: Exception => (null, "error") }
+          Row.fromSeq(row.toSeq :+ feats :+ kind)
         }
       }
     }(enc)
