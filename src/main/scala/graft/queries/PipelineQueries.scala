@@ -345,6 +345,28 @@ object PipelineQueries {
       Seq("S4", "K5")
     ),
 
+    // ORC roundtrip (Spark's other bundled columnar format): write → read →
+    // aggregate. DuckDB cannot read ORC, so the oracle aggregates the SAME
+    // rows from the parquet table — a lossless roundtrip must match it.
+    "s_orc_roundtrip" -> Q(
+      (s, d) => {
+        val out = tmpDir(d, "orc_docs")
+        cleanDir(out)
+        documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .write.mode("overwrite").orc(out)
+        s.read.orc(out)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("S4", "K5")
+    ),
+
     "s6_streaming_ingest" -> Q(
       (s, d) => {
         val inDir = tmpDir(d, "stream_in")
