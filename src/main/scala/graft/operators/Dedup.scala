@@ -308,6 +308,50 @@ object Dedup {
   def ngramHashes(c: Column, n: Int, hashFn: Column => Column = g => xxBaseHash(g)): Column =
     array_distinct(transform(wordNgrams(c, n), g => hashFn(g)))
 
+  /** Marker default for the n-gram-collision family's `hashFn` parameters:
+    * when left at this value, gram hashes come from the polynomial
+    * construction ([[tokenHashes]] + [[polyWindowHashes]]) — each TOKEN hashed once,
+    * windows combined by a Horner fold mod [[MersenneP]] — instead of
+    * hashing every n-token gram STRING. For n=13 that is ~n× less hashing
+    * work per document. Passing any explicit function (an oracle's
+    * [[md5Lower60]], a legacy xxhash) keeps exact string-gram semantics.
+    */
+  val PolyGramHash: Column => Column = identity
+
+  private val PolyC = 1000003L
+
+  /** Per-token hashes reduced mod [[MersenneP]] — materialize this as a
+    * REAL column before feeding [[polyWindowHashes]]: a lambda-invariant
+    * subexpression inside a higher-order function is NOT hoisted by
+    * Catalyst, so inlining it would re-hash every token once per window
+    * (measured 15× slower than the string-gram path instead of ~n× faster).
+    */
+  def tokenHashes(c: Column, tokenHash: Column => Column = t => xxBaseHash(t)): Column =
+    transform(split(trim(c), "\\s+"), t => tokenHash(t) % MersenneP)
+
+  /** Positional (non-distinct) polynomial window hashes over an
+    * already-materialized token-hash array column:
+    * `h(w_i..w_{i+n-1}) = Σ th_j·C^(n-1-j) mod p` via Horner. Pure integer
+    * arithmetic — replayable verbatim by a SQL oracle.
+    */
+  def polyWindowHashes(th: Column, n: Int): Column = {
+    val nGrams = greatest(size(th) - (n - 1), lit(0))
+    when(nGrams <= 0, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), greatest(nGrams, lit(1))), i =>
+        (0 until n).foldLeft(lit(0L).cast("bigint")) { (acc, j) =>
+          (acc * PolyC + element_at(th, i + j)) % MersenneP
+        }))
+  }
+
+  /** Per-document distinct poly gram hashes as (id, gram) rows — the
+    * DataFrame-level poly twin of `explode(ngramHashes(...))`, with the
+    * token-hash array materialized once per row (see [[tokenHashes]]).
+    */
+  private def explodedPolyGrams(
+      df: DataFrame, idCols: Seq[Column], textCol: String, n: Int): DataFrame =
+    df.withColumn("_th", tokenHashes(col(textCol)))
+      .select(idCols :+ explode(array_distinct(polyWindowHashes(col("_th"), n))).as("_gram"): _*)
+
   /** Benchmark decontamination — the n-gram collision rule of the published
     * eval-overlap filters (GPT-3 appendix C / C4 style): a corpus document
     * is contaminated when it shares at least `minCollisions` distinct word
@@ -328,7 +372,7 @@ object Dedup {
       benchTextCol: String,
       n: Int = 13,
       minCollisions: Int = 1,
-      hashFn: Column => Column = g => xxBaseHash(g)
+      hashFn: Column => Column = PolyGramHash
   ): DataFrame =
     contaminatedIdsAgainstGrams(
       corpus, idCol, textCol,
@@ -340,9 +384,11 @@ object Dedup {
     */
   def benchmarkGrams(
       benchmark: DataFrame, benchTextCol: String, n: Int,
-      hashFn: Column => Column = g => xxBaseHash(g)
+      hashFn: Column => Column = PolyGramHash
   ): DataFrame =
-    benchmark.select(explode(ngramHashes(col(benchTextCol), n, hashFn)).as("_gram")).distinct()
+    (if (hashFn eq PolyGramHash) explodedPolyGrams(benchmark, Seq.empty, benchTextCol, n)
+     else benchmark.select(explode(ngramHashes(col(benchTextCol), n, hashFn)).as("_gram")))
+      .select(col("_gram")).distinct()
 
   /** [[contaminatedIds]] against an already-materialized gram set. */
   def contaminatedIdsAgainstGrams(
@@ -352,12 +398,13 @@ object Dedup {
       benchGrams: DataFrame,
       n: Int,
       minCollisions: Int = 1,
-      hashFn: Column => Column = g => xxBaseHash(g)
+      hashFn: Column => Column = PolyGramHash
   ): DataFrame = {
-    // ngramHashes is array_distinct, so post-join rows per doc = distinct
+    // gram hashes are array_distinct, so post-join rows per doc = distinct
     // colliding grams — countable directly for the minCollisions threshold
-    val corpusGrams = corpus
-      .select(col(idCol), explode(ngramHashes(col(textCol), n, hashFn)).as("_gram"))
+    val corpusGrams =
+      if (hashFn eq PolyGramHash) explodedPolyGrams(corpus, Seq(col(idCol)), textCol, n)
+      else corpus.select(col(idCol), explode(ngramHashes(col(textCol), n, hashFn)).as("_gram"))
     val hits = corpusGrams.join(benchGrams.select(col("_gram")), Seq("_gram"), "left_semi")
     if (minCollisions <= 1) hits.select(col(idCol)).distinct()
     else hits.groupBy(col(idCol)).agg(count(lit(1)).as("_hits"))
@@ -409,7 +456,7 @@ object Dedup {
       benchTextCol: String,
       n: Int = 13,
       minCollisions: Int = 1,
-      hashFn: Column => Column = g => xxBaseHash(g)
+      hashFn: Column => Column = PolyGramHash
   ): DataFrame =
     corpus.join(
       contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n, minCollisions, hashFn),
@@ -860,7 +907,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      hashFn: Column => Column = g => xxBaseHash(g)
+      hashFn: Column => Column = PolyGramHash
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, "n must be positive")
@@ -868,10 +915,16 @@ object Dedup {
     // without materialization the n-gram hashing (the dominant cost) runs
     // twice — the exchanges differ in shape, so ReuseExchange can't dedupe.
     // A lazy localCheckpoint computes it once and serves both consumers.
-    val occ = corpus
-      .select(
-        col(idCol).as("_doc"),
-        posexplode(transform(wordNgrams(col(textCol), n), g => hashFn(g))).as(Seq("_p0", "_gram")))
+    val occ = (
+      if (hashFn eq PolyGramHash)
+        corpus.withColumn("_th", tokenHashes(col(textCol)))
+          .select(col(idCol).as("_doc"),
+            posexplode(polyWindowHashes(col("_th"), n)).as(Seq("_p0", "_gram")))
+      else
+        corpus.select(
+          col(idCol).as("_doc"),
+          posexplode(transform(wordNgrams(col(textCol), n), g => hashFn(g))).as(Seq("_p0", "_gram")))
+    )
       .select(col("_doc"), (col("_p0") + 1).as("_pos"), col("_gram"))
       .localCheckpoint(false)
     val grams = occ
@@ -906,7 +959,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      hashFn: Column => Column = g => xxBaseHash(g)
+      hashFn: Column => Column = PolyGramHash
   ): DataFrame = {
     val spans = duplicateSpans(corpus, idCol, textCol, n, hashFn)
       .groupBy(col(idCol))

@@ -1039,6 +1039,29 @@ object TextQueries {
       Seq("A1", "C1", "F9")
     ),
 
+    // The PRODUCTION gram-hash path, oracle-checked: polynomial-of-token-
+    // hashes (Horner mod 2^31-1) with the md5-derived token hash DuckDB can
+    // recompute. The oracle evaluates the same polynomial as a modular SUM
+    // of per-offset terms (Horner == Σ h_j·C^(n-1-j) mod p).
+    "dd_contamination_poly" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("_th", Dedup.tokenHashes(col("text"), Dedup.md5Lower60))
+        def grams = explode(array_distinct(Dedup.polyWindowHashes(col("_th"), 13))).as("_gram")
+        val corpusGrams = docs.filter(col("doc_id") % 50 =!= 0)
+          .select(col("doc_id"), grams)
+        val benchGrams = docs.filter(col("doc_id") % 50 === 0)
+          .select(grams).distinct()
+        corpusGrams.join(benchGrams, Seq("_gram"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .agg(
+            count(lit(1)).as("n_contaminated"),
+            coalesce(sum(col("doc_id")), lit(0L)).as("sum_ids"))
+      },
+      Some(polyContaminationOracleSql(n = 13)),
+      Seq("A6", "C13")
+    ),
+
     // BPE trainer statistics: the weighted adjacent-pair counts of the
     // first training iteration (the argmax of this table IS merge #1), over
     // the corpus word-frequency table. Exact integers; the multi-merge
@@ -1168,6 +1191,42 @@ object TextQueries {
        |SELECT doc_id, round(sum(w), 6) AS score
        |FROM scored GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  /** DuckDB twin of the polynomial gram-hash contamination sweep: token
+    * hashes via `md5_number_lower >> 4 mod p`, window hashes as the modular
+    * sum `Σ h_j · C^(n-1-j) mod p` — value-identical to the Spark side's
+    * Horner fold by modular-arithmetic identity.
+    */
+  private def polyContaminationOracleSql(n: Int): String = {
+    val p = Dedup.MersenneP
+    val C = 1000003L
+    val coefs = (0 until n).map { j =>
+      var x = 1L
+      (0 until (n - 1 - j)).foreach(_ => x = x * C % p)
+      x
+    }
+    val values = coefs.zipWithIndex.map { case (c, j) => s"($j, $c)" }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+       |flat AS (
+       |  SELECT doc_id, len(ts) AS nt, generate_subscripts(ts, 1) AS i,
+       |         (CAST((md5_number_lower(unnest(ts)) >> 4) AS BIGINT) % $p) AS h
+       |  FROM toks),
+       |offs AS (SELECT * FROM (VALUES $values) AS t(off, coef)),
+       |terms AS (
+       |  SELECT doc_id, nt, (i - off) AS start, (h * coef) % $p AS term
+       |  FROM flat JOIN offs ON i - off >= 1),
+       |grams AS (
+       |  SELECT doc_id, start, CAST(SUM(term) % $p AS BIGINT) AS gh
+       |  FROM terms WHERE start <= nt - ${n - 1}
+       |  GROUP BY doc_id, nt, start),
+       |dgrams AS (SELECT DISTINCT doc_id, gh FROM grams),
+       |corp AS (SELECT doc_id, gh FROM dgrams WHERE doc_id % 50 <> 0),
+       |bench AS (SELECT DISTINCT gh FROM dgrams WHERE doc_id % 50 = 0),
+       |flagged AS (SELECT DISTINCT c.doc_id FROM corp c JOIN bench b USING (gh))
+       |SELECT CAST(count(*) AS BIGINT) AS n_contaminated,
+       |       CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS sum_ids FROM flagged""".stripMargin
+  }
 
   /** DuckDB twin of the hybrid query: the bm25 CTE (top 20 by rounded
     * score), the cosine CTE (top 20 — membership by raw sim like the green

@@ -105,7 +105,7 @@ object StreamingPipeline {
         * a different function match nothing and every document passes.
         */
       hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        g => graft.operators.Dedup.xxBaseHash(g)
+        graft.operators.Dedup.PolyGramHash
   )(sink: DataFrame => Unit): DataStreamWriter[Row] =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
