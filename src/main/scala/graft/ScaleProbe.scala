@@ -245,6 +245,15 @@ object ScaleProbe {
         maxBucketSize = 100).count()
     }
 
+    // ExactSubstr duplicate spans at scale (poly gram hashing): a 10% slice
+    // of the replicated corpus — every document exists in ~mult copies, so
+    // nearly every gram is duplicated and the span merge runs at its
+    // worst-case density (all-but-first copies fully marked).
+    val spanSlice = dedupInput.filter(pmod(xxhash64(col("doc_id")), lit(10)) === 0)
+    val (nSpans, tSpans) = timed {
+      graft.operators.Dedup.duplicateSpans(spanSlice, "doc_id", "text", n = 8).count()
+    }
+
     // Perplexity filter at scale: LM trained on a ~10% trusted slice, every
     // document scored — two corpus-wide equi-joins against the count tables.
     val (nPplKeep, tPerplexity) = timed {
@@ -268,6 +277,7 @@ object ScaleProbe {
         s""""kmeans_cents":$nCents,"kmeans_sec":${f"$tKmeans%.1f"},""" +
         s""""bm25_build_sec":${f"$tBm25Build%.1f"},"bm25_query_sec":${f"$tBm25Query%.1f"},"bm25_brute_sec":${f"$tBm25Brute%.1f"},"bm25_hits":$nBm25,""" +
         s""""sig_build_sec":${f"$tSigBuild%.1f"},"incremental_pairs":$nIncPairs,"incremental_sec":${f"$tIncremental%.1f"},"full_pairs_sec":${f"$tFullPairs%.1f"},""" +
+        s""""span_docs":${spanSlice.count()},"dup_spans":$nSpans,"span_sec":${f"$tSpans%.1f"},""" +
         s""""ppl_keep":$nPplKeep,"ppl_sec":${f"$tPerplexity%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
