@@ -188,12 +188,13 @@ object ScaleProbe {
     val recall10 = fullTop.intersect(quantTop).size
     codes.unpersist()
 
-    // K-means IVF training at scale: k=64 centroids (the mapPartitions
-    // assigner path), 2 Lloyd iterations over the replicated vectors —
+    // K-means IVF training at scale: k=65 centroids (one past the codegen
+    // ceiling, so this exercises the mapPartitions assigner path),
+    // 2 Lloyd iterations over the replicated vectors —
     // fixed-point accumulation makes the result independent of this run's
     // partitioning, so the timing is the only variable.
     val (nCents, tKmeans) = timed {
-      graft.operators.Similarity.kmeans(bigVecs, "embedding", "vec_id", k = 64, iters = 2).size
+      graft.operators.Similarity.kmeans(bigVecs, "embedding", "vec_id", k = 65, iters = 2).size
     }
     bigVecs.unpersist()
 

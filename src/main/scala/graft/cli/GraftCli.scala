@@ -137,7 +137,10 @@ object GraftCli {
   def textSearch(
       spark: SparkSession, target: String, terms: Seq[String], k: Int = 10,
       settings: Settings = Settings()): DataFrame =
-    if (new java.io.File(target + "/_stats").exists())
+    if ({
+      val hp = new org.apache.hadoop.fs.Path(target + "/_stats")
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    })
       graft.operators.TextSearch.searchIndex(spark, target, terms, k)
     else {
       val store = new ChunkStore(target, settings.storageType, settings.storePrefixLen)

@@ -192,25 +192,25 @@ object Multimodal {
   def extractMediaFeatures(
       df: DataFrame,
       blobCol: String,
-      dims: Int = 64,
-      batchSize: Int = 128
+      dims: Int = 64
   ): DataFrame = {
     val outSchema = df.schema
       .add("features", ArrayType(FloatType))
       .add("decode_kind", StringType)
     val enc = RowEncoder.encoderFor(outSchema)
     val idx = df.schema.fieldIndex(blobCol)
+    // plain per-row map: the JDK decoders work row-at-a-time, so a
+    // grouped() batching layer would be dead weight here (a vectorized
+    // decoder would batch at this exact spot)
     df.mapPartitions { rows =>
-      rows.grouped(batchSize).flatMap { batch =>
-        batch.map { row =>
-          val blob = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
-          val (feats, kind) =
-            try {
-              val (f, k) = MediaDecoder.decodeAuto(blob, dims)
-              (f.toSeq, k)
-            } catch { case _: Exception => (null, "error") }
-          Row.fromSeq(row.toSeq :+ feats :+ kind)
-        }
+      rows.map { row =>
+        val blob = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
+        val (feats, kind) =
+          try {
+            val (f, k) = MediaDecoder.decodeAuto(blob, dims)
+            (f.toSeq, k)
+          } catch { case _: Exception => (null, "error") }
+        Row.fromSeq(row.toSeq :+ feats :+ kind)
       }
     }(enc)
   }

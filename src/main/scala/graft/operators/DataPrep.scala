@@ -71,7 +71,11 @@ object DataPrep {
 
     val fluent = trusted match {
       case Some(t) =>
-        val lm = LanguageModel.trainBigram(t, textCol)
+        // normalize the trusted slice the same way the corpus was — the LM's
+        // vocabulary must match the tokens it scores (raw newline/tab-fused
+        // tokens would push every corpus bigram to the OOV smoothing floor)
+        val lm = LanguageModel.trainBigram(
+          t.withColumn(textCol, TextFunctions.normalizeText(col(textCol))), textCol)
         checkpointed(repetition.join(
           LanguageModel.perplexityFilter(lm, repetition, textCol, idCol, config.maxLogPpl)
             .select(col("doc_id").as(idCol)),

@@ -228,8 +228,13 @@ object Dedup {
       bucketHash: Column => Column = s => xxhash64(s)): DataFrame = {
     val fresh = bandRows(newDocs, idCol, textCol, numHashes, bands, baseHash, bucketHash)
       .withColumn("_new", lit(true))
+    // distinct: a streaming replay (at-least-once foreachBatch) or a
+    // double-append may register the same signatures twice; duplicate rows
+    // would inflate the per-bucket counts the skew cap reads and could
+    // permanently suppress legitimate candidate pairs
     val stored = spark.read.parquet(indexPath)
       .select(col("id"), col("band"), col("bucket"))
+      .distinct()
       .withColumn("_new", lit(false))
     val capped = capBuckets(stored.unionByName(fresh), Seq("band", "bucket"), maxBucketSize)
       .localCheckpoint(false) // shared by both join sides, as in minhashCandidates
@@ -381,6 +386,11 @@ object Dedup {
   /** The benchmark side of [[contaminatedIds]] precomputed as a distinct
     * gram-hash set (`_gram` column) — compute once, persist, and reuse
     * across many corpora/microbatches.
+    *
+    * COMPATIBILITY: the default gram hashing changed in round 5 from
+    * string-gram xxhash to the polynomial family. A gram set persisted
+    * under the old default matches nothing against new sweeps — rebuild
+    * it, or pass `hashFn = g => xxBaseHash(g)` explicitly on both sides.
     */
   def benchmarkGrams(
       benchmark: DataFrame, benchTextCol: String, n: Int,

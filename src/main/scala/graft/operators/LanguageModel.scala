@@ -50,6 +50,8 @@ object LanguageModel {
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val row = uni.agg(sum(col("c")), count(lit(1))).head()
+    require(!row.isNullAt(0) && row.getLong(1) > 0,
+      "trainBigram: the trusted slice contains no tokens (empty or all-whitespace texts)")
     BigramLm(uni, bi, vocab = row.getLong(1), total = row.getLong(0), addK = addK)
   }
 

@@ -187,6 +187,7 @@ object Similarity {
       iters: Int = 2): Seq[(Int, Array[Float])] = {
     val seeds = df.orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }.toSeq
+    require(seeds.nonEmpty, "kmeans: input has no vectors (empty DataFrame)")
     val dim = seeds.head._2.length
     val q = df.withColumn(
       "_q", transform(col(vecCol), x => round(x.cast("double") * KmeansScale).cast("long")))

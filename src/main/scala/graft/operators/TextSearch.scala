@@ -126,8 +126,12 @@ object TextSearch {
       .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val withDf = tf.withColumn(
-      "df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("term"))))
+    // df via groupBy + equi-join, NOT a per-term window: a hyper-common
+    // term ("the") would pile its entire postings list into one window
+    // partition — the skew trap the duplicateSpans design note documents.
+    // The groupBy combines map-side; AQE skew-splits the join-back.
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val withDf = tf.join(dfreq, "term")
     withDf
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))

@@ -145,7 +145,11 @@ object StreamingPipeline {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val indexed = new java.io.File(indexPath).exists()
+        // Hadoop FS, not java.io.File: the index can live on HDFS/S3
+        val indexed = {
+          val hp = new org.apache.hadoop.fs.Path(indexPath)
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+        }
         val pairs = (
           if (indexed)
             graft.operators.Dedup.incrementalCandidates(
