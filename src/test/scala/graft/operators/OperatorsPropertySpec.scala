@@ -24,6 +24,39 @@ class OperatorsPropertySpec extends SparkSpec {
   private val corpusGen = Gen.chooseNum(1, 12).flatMap(n => Gen.listOfN(n, textGen))
     .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
 
+  test("polyWindowHashes matches a driver-side Horner recomputation bit-for-bit") {
+    val p = Dedup.MersenneP
+    val C = 1000003L
+    // driver-side model: xxhash64 is not recomputable here, so feed KNOWN
+    // token hashes through a literal array column and compare the fold
+    holds(forAll(Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(12, Gen.chooseNum(0L, p - 1)).map(hs => (n, hs)))) { case (n, hs) =>
+      import org.apache.spark.sql.functions.{array, lit}
+      val th = array(hs.map(lit): _*)
+      val got = Seq(1).toDF("x")
+        .select(Dedup.polyWindowHashes(th, n).as("w"))
+        .head().getSeq[Long](0).toSeq
+      val expected =
+        if (hs.length < n) Seq.empty
+        else (0 to hs.length - n).map { i =>
+          hs.slice(i, i + n).foldLeft(0L)((acc, h) => (acc * C + h % p) % p)
+        }
+      got == expected
+    })
+  }
+
+  test("poly and string-gram contamination flag the same documents") {
+    // different hash families, same collision structure: n-gram equality
+    holds(forAll(corpusGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val viaPoly = Dedup.contaminatedIds(df, "doc_id", "text", df, "text", n = 3)
+        .as[Long].collect().toSet
+      val viaString = Dedup.contaminatedIds(df, "doc_id", "text", df, "text", n = 3,
+        hashFn = g => Dedup.xxBaseHash(g)).as[Long].collect().toSet
+      viaPoly == viaString
+    })
+  }
+
   test("decontaminate with an empty benchmark is the identity") {
     val corpus = (1L to 10L).map(i => (i, s"text number $i here")).toDF("doc_id", "text")
     val bench = Seq.empty[String].toDF("text")
