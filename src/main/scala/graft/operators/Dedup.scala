@@ -274,13 +274,57 @@ object Dedup {
     */
   def winnowingFingerprintWith(
       c: Column, k: Int, w: Int, hashFn: Column => Column
-  ): Column = {
-    val hashes = transform(wordNgrams(c, k), g => hashFn(g))
+  ): Column =
+    // NOTE: as a pure Column expression, the gram-hash array is a
+    // lambda-invariant subtree of the window transform and Catalyst
+    // recomputes it once PER WINDOW — quadratic in document length. Fine
+    // for short chunks and oracle replays; long documents must use the
+    // DataFrame form [[withWinnowingFingerprint]], which materializes the
+    // array once per row.
+    winnowingFromHashes(transform(wordNgrams(c, k), g => hashFn(g)), w)
+
+  /** The window-min + distinct pass over an ALREADY-MATERIALIZED k-gram
+    * hash array column — `slice` over a materialized array is O(w) per
+    * window, restoring linear cost in document length.
+    */
+  def winnowingFromHashes(hashes: Column, w: Int): Column = {
     val nWins = greatest(size(hashes) - (w - 1), lit(1))
     when(size(hashes) === 0, array().cast("array<bigint>"))
       .otherwise(array_distinct(
         transform(sequence(lit(1), nWins), j => array_min(slice(hashes, j, lit(w))))
       ))
+  }
+
+  /** Linear-cost winnowing: gram hashes are exploded to rows and the
+    * sliding minimum runs as a per-document RANGE window — one shuffle on
+    * the id, cost linear in document length. (A withColumn materialization
+    * does NOT fix the Column form: CollapseProject inlines the array right
+    * back into the window lambda — measured, still quadratic. Exploding to
+    * rows is the shape Catalyst cannot un-materialize.) Output is
+    * value-identical to the Column form: window minima in document order,
+    * first-occurrence distinct; gram-less documents get an empty array.
+    */
+  def withWinnowingFingerprint(
+      df: DataFrame, idCol: String, textCol: String, outCol: String,
+      k: Int = 3, w: Int = 4,
+      hashFn: Column => Column = g => xxhash64(g)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = df.select(
+      col(idCol),
+      posexplode(transform(wordNgrams(col(textCol), k), g => hashFn(g))).as(Seq("_p", "_h")))
+    val slide = Window.partitionBy(col(idCol)).orderBy(col("_p")).rowsBetween(-(w - 1), 0)
+    val mins = exploded
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(idCol))))
+      .withColumn("_min", min(col("_h")).over(slide))
+      // full windows end at _p >= w-1; a document shorter than w gets its
+      // single all-hashes window from its last row
+      .filter(col("_p") >= w - 1 || col("_p") === col("_n") - 1)
+      .groupBy(col(idCol))
+      .agg(array_distinct(transform(
+        array_sort(collect_list(struct(col("_p"), col("_min")))),
+        x => x.getField("_min"))).as(outCol))
+    df.join(mins, Seq(idCol), "left")
+      .withColumn(outCol, coalesce(col(outCol), array().cast("array<bigint>")))
   }
 
   def winnowingFingerprint(c: Column, k: Int = 3, w: Int = 4): Column =

@@ -832,8 +832,7 @@ object TextQueries {
     // 60-bit md5-derived k-gram hash (DuckDB `md5_number_lower >> 4`).
     "dd_winnowing" -> Q(
       (s, d) =>
-        documents(s, d)
-          .withColumn("fp", Dedup.winnowingFingerprintWith(col("text"), 3, 4, Dedup.md5Lower60))
+        Dedup.withWinnowingFingerprint(documents(s, d), "doc_id", "text", "fp", 3, 4, Dedup.md5Lower60)
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n"), sum(size(col("fp"))).as("sum_fp_hashes")),
       Some("""WITH docs AS (
