@@ -335,6 +335,16 @@ object Dedup {
     * words. The single tokenization+windowing shared by winnowing,
     * decontamination, and the repetition quality rules — fix the
     * split-of-empty-string quirk or the guard HERE, once.
+    *
+    * PERF: the token split sits inside the window lambda, and Catalyst
+    * re-evaluates lambda-invariant subtrees per window — so this form is
+    * quadratic in document length. Production paths avoid it: the poly
+    * gram family materializes [[tokenHashes]] behind a Generate boundary,
+    * winnowing has [[withWinnowingFingerprint]], and the repetition rules
+    * pass an already-materialized token column to
+    * [[wordNgramsFromTokens]]. The remaining direct users are the
+    * md5-oracle replays over chunk-sized text, where the quadratic
+    * constant is immaterial.
     */
   def wordNgrams(c: Column, n: Int): Column =
     wordNgramsFromTokens(split(trim(c), "\\s+"), n)
