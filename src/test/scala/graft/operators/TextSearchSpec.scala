@@ -99,6 +99,29 @@ class TextSearchSpec extends SparkSpec {
     assert(got(1L) > got(2L)) // equal scores → smaller id gets rank 1
   }
 
+  test("BM25 scores are invariant under repartitioning") {
+    val q = Seq("apple", "cherry")
+    val a = TextSearch.bm25Scores(corpus.repartition(7), "text", "doc_id", q)
+      .as[(Long, Double)].collect().toMap
+    val b = TextSearch.bm25Scores(corpus.coalesce(1), "text", "doc_id", q)
+      .as[(Long, Double)].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, s) => assert(math.abs(s - b(id)) < 1e-12) }
+  }
+
+  test("RRF with an empty list contributes nothing; single-list RRF preserves order") {
+    val listA = Seq((1L, 3.0), (2L, 2.0), (3L, 1.0)).toDF("id", "s")
+    val empty = Seq.empty[(Long, Double)].toDF("id", "s")
+    val fused = TextSearch.fuseRrf(Seq(listA, empty), "id", "s", k = 10)
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    val solo = TextSearch.fuseRrf(Seq(listA), "id", "s", k = 10)
+      .select("id", "rrf").as[(Long, Double)].collect().toMap
+    assert(fused == solo)
+    val order = TextSearch.fuseRrf(Seq(listA), "id", "s", k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(order == Seq(1L, 2L, 3L))
+  }
+
   test("duplicate query terms do not double-count") {
     val once = TextSearch.bm25Scores(corpus, "text", "doc_id", Seq("apple"))
       .as[(Long, Double)].collect().toMap
