@@ -5,8 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every battery query on SPARK_GRAFT_SF_DIR and prints
   * one JSON line of per-query wall-clock seconds. Failures are surfaced per
   * query (stderr + a negative time), never swallowed silently.
+  *
+  * Contention robustness: each query runs SPARK_GRAFT_BENCH_RUNS times
+  * (default 3) and reports the MEDIAN, with per-query max−min in a `spread`
+  * map — a single stolen-CPU outlier no longer distorts the artifact (round-5
+  * lesson: one contended run read 116s for a 4s query). Queries whose first
+  * run exceeds SPARK_GRAFT_BENCH_MAXSEC (default 20s) are not repeated, so a
+  * loaded host degrades to the old single-shot behavior instead of 3× cost.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,24 +38,38 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
     } catch { case _: Throwable => () }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val maxSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXSEC", "20").toDouble
+    // same targeted-subset hook Verify honors (comma-separated query names)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
+    val results = selected.map { case (name, fn) =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var failed = false
+      var i = 0
+      while (i < runs && !failed && (i == 0 || times.head <= maxSec)) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() }
         catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
             failures += name
-            false
+            failed = true
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) dt else -dt)
+        times += (System.nanoTime() - t0) / 1e9
+        i += 1
+      }
+      val med = median(times.toSeq)
+      (name, if (failed) -med else med, times.max - times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","failed":${failures.length}}""")
+    val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + f"$sp%.3f" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"sf":"$sfDir","failed":${failures.length}}""")
     spark.stop()
   }
 }

@@ -162,6 +162,17 @@ object TextFunctions {
     "no" -> Seq("og", "i", "det", "en", "er", "som")
   )
 
+  /** Column-level let-binding: evaluates `value` ONCE and hands `body` a
+    * variable reference to it. Catalyst's subexpression elimination skips
+    * subtrees that sit under higher-order-function lambdas, so an expensive
+    * expression repeated across N lambda-bearing siblings is recomputed N
+    * times (the hoisting trap documented in BENCHNOTES); wrapping it as the
+    * input of a 1-element `transform` pins a single evaluation while keeping
+    * the whole expression codegen'd.
+    */
+  private[graft] def letCol(value: Column)(body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   def langIdScore(c: Column, lang: String): Column = {
     val toks = wsTokens(lower(c))
     val sw = array(langStopwords(lang).map(lit): _*)
@@ -169,9 +180,15 @@ object TextFunctions {
       greatest(size(toks), lit(1)).cast("double")
   }
 
-  def langId(c: Column): Column = {
+  private def langIdScoreOf(toks: Column, lang: String): Column = {
+    val sw = array(langStopwords(lang).map(lit): _*)
+    size(filter(toks, t => array_contains(sw, t))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  def langId(c: Column): Column = letCol(wsTokens(lower(c))) { toks =>
     val scored = langStopwords.keys.toSeq.sorted.map { l =>
-      struct(langIdScore(c, l).as("score"), lit(l).as("lang"))
+      struct(langIdScoreOf(toks, l).as("score"), lit(l).as("lang"))
     }
     array_max(array(scored: _*)).getField("lang")
   }
@@ -210,13 +227,13 @@ object TextFunctions {
     langTrigrams(lang).map(g => occurrences(padded, g))
       .reduce(_ + _).cast("double") / greatest(length(padded), lit(1)).cast("double")
 
-  def langIdNgram(c: Column): Column = {
-    val padded = concat(lit(" "), lower(trim(c)), lit(" "))
-    val scored = langTrigrams.keys.toSeq.sorted.map { l =>
-      struct(trigramScore(padded, l).as("score"), lit(l).as("lang"))
+  def langIdNgram(c: Column): Column =
+    letCol(concat(lit(" "), lower(trim(c)), lit(" "))) { padded =>
+      val scored = langTrigrams.keys.toSeq.sorted.map { l =>
+        struct(trigramScore(padded, l).as("score"), lit(l).as("lang"))
+      }
+      array_max(array(scored: _*)).getField("lang")
     }
-    array_max(array(scored: _*)).getField("lang")
-  }
 
   /** URL extraction + domain parsing — web-corpus curation primitives.
     * Patterns are RE2-safe (no lookaround) so SQL oracles replay them
