@@ -64,9 +64,21 @@ object BpeTrainer {
     */
   def train(docs: DataFrame, textCol: String, k: Int, minCount: Long = 2L): Seq[Merge] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
-    var words = wordCounts(docs, textCol)
-      .select(split(col("w"), "").as("syms"), col("n"))
-      .localCheckpoint(false)
+    // Lineage is cut each round (the fold otherwise nests k plans deep) by
+    // re-rooting the vocabulary table on a persisted RDD we hold a handle
+    // to: unlike localCheckpoint, whose blocks only an eventual driver GC
+    // reclaims, the handle lets each round release its predecessor
+    // deterministically — k merges hold ONE copy of the table, not k.
+    var held: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    def cutLineage(df: DataFrame): DataFrame = {
+      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      rdd.count() // materialize BEFORE dropping the previous round's blocks
+      if (held != null) held.unpersist(blocking = false)
+      held = rdd
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+    var words = cutLineage(
+      wordCounts(docs, textCol).select(split(col("w"), "").as("syms"), col("n")))
     var i = 0
     var exhausted = false
     while (i < k && !exhausted) {
@@ -78,13 +90,11 @@ object BpeTrainer {
       else {
         val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += Merge(a, b)
-        // cut lineage each round: the fold otherwise nests k deep
-        words = words
-          .withColumn("syms", applyMerge(col("syms"), a, b))
-          .localCheckpoint(false)
+        words = cutLineage(words.withColumn("syms", applyMerge(col("syms"), a, b)))
       }
       i += 1
     }
+    if (held != null) held.unpersist(blocking = false)
     merges.toSeq
   }
 

@@ -89,8 +89,14 @@ object DataPrep {
 
     val clean = benchmark match {
       case Some(bench) =>
+        // normalize the benchmark like the corpus (and the trusted slice
+        // above): an NFD-composed or control-byte-laden eval item tokenizes
+        // differently from the normalized corpus, and its grams would never
+        // collide — contaminated documents would walk through the gate
         checkpointed(Dedup.decontaminate(
-          deduped, idCol, textCol, bench, textCol, config.decontamNgram))
+          deduped, idCol, textCol,
+          bench.withColumn(textCol, TextFunctions.normalizeText(col(textCol))),
+          textCol, config.decontamNgram))
       case None => deduped
     }
     val nClean = clean.count()

@@ -226,15 +226,23 @@ object Dedup {
       numHashes: Int = 16, bands: Int = 4, maxBucketSize: Int = 10000,
       baseHash: Column => Column = t => xxBaseHash(t),
       bucketHash: Column => Column = s => xxhash64(s)): DataFrame = {
+    // checkpointed: fresh signatures feed both the union below and the
+    // anti-join key set — without it the batch is shingled twice
     val fresh = bandRows(newDocs, idCol, textCol, numHashes, bands, baseHash, bucketHash)
       .withColumn("_new", lit(true))
+      .localCheckpoint(false)
     // distinct: a streaming replay (at-least-once foreachBatch) or a
     // double-append may register the same signatures twice; duplicate rows
     // would inflate the per-bucket counts the skew cap reads and could
-    // permanently suppress legitimate candidate pairs
+    // permanently suppress legitimate candidate pairs. The anti-join covers
+    // the replay case where THIS batch's signatures already landed in the
+    // index (append succeeded, checkpoint commit didn't): those ids would
+    // otherwise appear once per side of the union and double-count toward
+    // the cap, halving the effective bucket size vs a full-corpus run.
     val stored = spark.read.parquet(indexPath)
       .select(col("id"), col("band"), col("bucket"))
       .distinct()
+      .join(fresh.select(col("id")).distinct(), Seq("id"), "left_anti")
       .withColumn("_new", lit(false))
     val capped = capBuckets(stored.unionByName(fresh), Seq("band", "bucket"), maxBucketSize)
       .localCheckpoint(false) // shared by both join sides, as in minhashCandidates
@@ -367,15 +375,48 @@ object Dedup {
   def ngramHashes(c: Column, n: Int, hashFn: Column => Column = g => xxBaseHash(g)): Column =
     array_distinct(transform(wordNgrams(c, n), g => hashFn(g)))
 
-  /** Marker default for the n-gram-collision family's `hashFn` parameters:
-    * when left at this value, gram hashes come from the polynomial
-    * construction ([[tokenHashes]] + [[polyWindowHashes]]) — each TOKEN hashed once,
-    * windows combined by a Horner fold mod [[MersenneP]] — instead of
-    * hashing every n-token gram STRING. For n=13 that is ~n× less hashing
-    * work per document. Passing any explicit function (an oracle's
-    * [[md5Lower60]], a legacy xxhash) keeps exact string-gram semantics.
+  /** The n-gram hash FAMILY used by the gram-collision operators
+    * ([[contaminatedIds]], [[duplicateSpans]], …). The family is a
+    * correctness contract, not a tuning knob: hashes from different
+    * families never collide, so mixing a gram set built under one family
+    * with a sweep under another silently turns decontamination into a
+    * no-op. [[benchmarkGrams]] stamps the family tag into the `_gram`
+    * column metadata (parquet round-trips it), and
+    * [[contaminatedIdsAgainstGrams]] fails fast when tags disagree.
+    *
+    * A sealed ADT rather than a marker function value: the former default
+    * (`PolyGramHash = identity`, dispatched by reference equality) routed
+    * an explicitly-passed `identity` into the string path with UNHASHED
+    * grams — silently incomparable with every persisted set.
     */
-  val PolyGramHash: Column => Column = identity
+  sealed trait GramHash { def tag: String }
+
+  /** Polynomial construction ([[tokenHashes]] + [[polyWindowHashes]]):
+    * each TOKEN hashed once, windows combined by a Horner fold mod
+    * [[MersenneP]] — ~n× less hashing work per document than hashing each
+    * n-token gram string. The default family.
+    */
+  case object PolyGram extends GramHash { val tag = "poly-xx64-m61-v1" }
+
+  /** Hash every n-token gram STRING with `fn`. `tag` alone defines
+    * equality/compatibility — callers introducing a new `fn` must mint a
+    * new tag.
+    */
+  final case class StringGram(tag: String)(val fn: Column => Column) extends GramHash
+
+  /** Legacy pre-round-5 default: xxhash64 over gram strings. */
+  val XxStringGram: StringGram = StringGram("string-xx64-v1")(g => xxBaseHash(g))
+
+  /** Oracle family: the 60-bit md5 hash SQL engines can replay ([[md5Lower60]]). */
+  val Md5Gram: StringGram = StringGram("string-md5lower60-v1")(g => md5Lower60(g))
+
+  private val GramFamilyKey = "gramFamily"
+
+  /** The family tag stamped on a gram set's `_gram` column, if present. */
+  def gramFamilyOf(grams: DataFrame): Option[String] =
+    grams.schema.fields.find(_.name == "_gram")
+      .filter(_.metadata.contains(GramFamilyKey))
+      .map(_.metadata.getString(GramFamilyKey))
 
   private val PolyC = 1000003L
 
@@ -431,7 +472,7 @@ object Dedup {
       benchTextCol: String,
       n: Int = 13,
       minCollisions: Int = 1,
-      hashFn: Column => Column = PolyGramHash
+      hashFn: GramHash = PolyGram
   ): DataFrame =
     contaminatedIdsAgainstGrams(
       corpus, idCol, textCol,
@@ -439,22 +480,28 @@ object Dedup {
 
   /** The benchmark side of [[contaminatedIds]] precomputed as a distinct
     * gram-hash set (`_gram` column) — compute once, persist, and reuse
-    * across many corpora/microbatches.
-    *
-    * COMPATIBILITY: the default gram hashing changed in round 5 from
-    * string-gram xxhash to the polynomial family. A gram set persisted
-    * under the old default matches nothing against new sweeps — rebuild
-    * it, or pass `hashFn = g => xxBaseHash(g)` explicitly on both sides.
+    * across many corpora/microbatches. The hash family's tag rides in the
+    * `_gram` column metadata (parquet preserves it), so a persisted set
+    * replays against [[contaminatedIdsAgainstGrams]] only under the same
+    * family — a mismatch fails fast instead of matching nothing.
     */
   def benchmarkGrams(
       benchmark: DataFrame, benchTextCol: String, n: Int,
-      hashFn: Column => Column = PolyGramHash
-  ): DataFrame =
-    (if (hashFn eq PolyGramHash) explodedPolyGrams(benchmark, Seq.empty, benchTextCol, n)
-     else benchmark.select(explode(ngramHashes(col(benchTextCol), n, hashFn)).as("_gram")))
-      .select(col("_gram")).distinct()
+      hashFn: GramHash = PolyGram
+  ): DataFrame = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(GramFamilyKey, hashFn.tag).build()
+    (hashFn match {
+      case PolyGram => explodedPolyGrams(benchmark, Seq.empty, benchTextCol, n)
+      case sg: StringGram =>
+        benchmark.select(explode(ngramHashes(col(benchTextCol), n, sg.fn)).as("_gram"))
+    }).select(col("_gram").as("_gram", meta)).distinct()
+  }
 
-  /** [[contaminatedIds]] against an already-materialized gram set. */
+  /** [[contaminatedIds]] against an already-materialized gram set. Refuses
+    * a gram set whose stamped hash family disagrees with `hashFn` — the
+    * alternative is a safety filter that silently passes everything.
+    */
   def contaminatedIdsAgainstGrams(
       corpus: DataFrame,
       idCol: String,
@@ -462,13 +509,21 @@ object Dedup {
       benchGrams: DataFrame,
       n: Int,
       minCollisions: Int = 1,
-      hashFn: Column => Column = PolyGramHash
+      hashFn: GramHash = PolyGram
   ): DataFrame = {
+    gramFamilyOf(benchGrams).foreach { stored =>
+      require(stored == hashFn.tag,
+        s"gram set was built under hash family '$stored' but this sweep uses " +
+          s"'${hashFn.tag}' — families never collide, so decontamination would " +
+          "match nothing. Rebuild the gram set or pass the matching GramHash.")
+    }
     // gram hashes are array_distinct, so post-join rows per doc = distinct
     // colliding grams — countable directly for the minCollisions threshold
-    val corpusGrams =
-      if (hashFn eq PolyGramHash) explodedPolyGrams(corpus, Seq(col(idCol)), textCol, n)
-      else corpus.select(col(idCol), explode(ngramHashes(col(textCol), n, hashFn)).as("_gram"))
+    val corpusGrams = hashFn match {
+      case PolyGram => explodedPolyGrams(corpus, Seq(col(idCol)), textCol, n)
+      case sg: StringGram =>
+        corpus.select(col(idCol), explode(ngramHashes(col(textCol), n, sg.fn)).as("_gram"))
+    }
     val hits = corpusGrams.join(benchGrams.select(col("_gram")), Seq("_gram"), "left_semi")
     if (minCollisions <= 1) hits.select(col(idCol)).distinct()
     else hits.groupBy(col(idCol)).agg(count(lit(1)).as("_hits"))
@@ -520,7 +575,7 @@ object Dedup {
       benchTextCol: String,
       n: Int = 13,
       minCollisions: Int = 1,
-      hashFn: Column => Column = PolyGramHash
+      hashFn: GramHash = PolyGram
   ): DataFrame =
     corpus.join(
       contaminatedIds(corpus, idCol, textCol, benchmark, benchTextCol, n, minCollisions, hashFn),
@@ -971,7 +1026,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      hashFn: Column => Column = PolyGramHash
+      hashFn: GramHash = PolyGram
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(n >= 1, "n must be positive")
@@ -979,16 +1034,16 @@ object Dedup {
     // without materialization the n-gram hashing (the dominant cost) runs
     // twice — the exchanges differ in shape, so ReuseExchange can't dedupe.
     // A lazy localCheckpoint computes it once and serves both consumers.
-    val occ = (
-      if (hashFn eq PolyGramHash)
+    val occ = (hashFn match {
+      case PolyGram =>
         corpus.withColumn("_th", tokenHashes(col(textCol)))
           .select(col(idCol).as("_doc"),
             posexplode(polyWindowHashes(col("_th"), n)).as(Seq("_p0", "_gram")))
-      else
+      case sg: StringGram =>
         corpus.select(
           col(idCol).as("_doc"),
-          posexplode(transform(wordNgrams(col(textCol), n), g => hashFn(g))).as(Seq("_p0", "_gram")))
-    )
+          posexplode(transform(wordNgrams(col(textCol), n), g => sg.fn(g))).as(Seq("_p0", "_gram")))
+    })
       .select(col("_doc"), (col("_p0") + 1).as("_pos"), col("_gram"))
       .localCheckpoint(false)
     val grams = occ
@@ -1023,7 +1078,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       n: Int = 8,
-      hashFn: Column => Column = PolyGramHash
+      hashFn: GramHash = PolyGram
   ): DataFrame = {
     val spans = duplicateSpans(corpus, idCol, textCol, n, hashFn)
       .groupBy(col(idCol))

@@ -864,9 +864,9 @@ object TextQueries {
         val docs = documents(s, d)
         val bench = docs.filter(col("doc_id") % 37 === 0).select(col("text"))
         val contaminated = Dedup.contaminatedIds(
-          docs, "doc_id", "text", bench, "text", n = 5, hashFn = Dedup.md5Lower60)
+          docs, "doc_id", "text", bench, "text", n = 5, hashFn = Dedup.Md5Gram)
         val clean = Dedup.decontaminate(
-          docs, "doc_id", "text", bench, "text", n = 5, hashFn = Dedup.md5Lower60)
+          docs, "doc_id", "text", bench, "text", n = 5, hashFn = Dedup.Md5Gram)
         docs.agg(count(lit(1)).as("n_total"))
           .crossJoin(contaminated.agg(count(lit(1)).as("n_contaminated")))
           .crossJoin(clean.agg(count(lit(1)).as("n_clean")))
@@ -924,7 +924,7 @@ object TextQueries {
               lit(" alpha beta gamma delta epsilon zeta eta theta iota kappa")))
             .otherwise(col("text")).as("t"))
         Dedup.duplicateSpans(salted.select(col("doc_id"), col("t")), "doc_id", "t",
-            n = 8, hashFn = Dedup.md5Lower60)
+            n = 8, hashFn = Dedup.Md5Gram)
           .join(salted.select(col("doc_id"), col("lang")), Seq("doc_id"))
           .groupBy(col("lang"))
           .agg(

@@ -101,11 +101,11 @@ object StreamingPipeline {
       benchGrams: DataFrame,
       n: Int,
       checkpointDir: String,
-      /** MUST be the hashFn `benchGrams` was built with — grams hashed with
-        * a different function match nothing and every document passes.
+      /** MUST be the family `benchGrams` was built with — a mismatch means
+        * no gram ever matches. `contaminatedIdsAgainstGrams` checks the tag
+        * stamped on the gram set and fails the first microbatch fast.
         */
-      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        graft.operators.Dedup.PolyGramHash
+      hashFn: graft.operators.Dedup.GramHash = graft.operators.Dedup.PolyGram
   )(sink: DataFrame => Unit): DataStreamWriter[Row] =
     source.writeStream
       .option("checkpointLocation", checkpointDir)

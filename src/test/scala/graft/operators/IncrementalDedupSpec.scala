@@ -54,6 +54,45 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(inc.contains((11L, 12L)))
   }
 
+  test("a replayed batch whose signatures already landed is counted once") {
+    // at-least-once replay: the batch's append succeeded but the caller's
+    // checkpoint commit didn't, so the same batch runs again. Its rows sit
+    // on BOTH sides of the stored∪fresh union; double-counting them would
+    // suppress buckets at half the configured cap. With 6 copies and cap 6,
+    // any double-count pushes the bucket to 12 > 6 and kills every pair.
+    val six = (1L to 6L).map(i => (i, "identical text in all six documents right here"))
+      .toDF("doc_id", "text")
+    val dir = tmpDir("sigidx4") + "/index"
+    Dedup.writeSignatureIndex(six.limit(0), "doc_id", "text", dir) // empty index
+    Dedup.appendToSignatureIndex(six, "doc_id", "text", dir)       // batch registered…
+    val replay = pairsOf(Dedup.incrementalCandidates(spark, six, "doc_id", "text", dir,
+      maxBucketSize = 6))                                          // …then replayed
+    val fresh = pairsOf(Dedup.minhashCandidates(six, "doc_id", "text", maxBucketSize = 6))
+    assert(replay == fresh)
+    assert(replay.nonEmpty) // 6 ≤ cap: the pairs must survive
+  }
+
+  test("gram-set hash families are stamped, survive parquet, and mismatches fail fast") {
+    val bench = Seq((0L, "some benchmark text with enough words to form grams")).toDF("doc_id", "text")
+    val grams = Dedup.benchmarkGrams(bench, "text", n = 3)
+    assert(Dedup.gramFamilyOf(grams).contains(Dedup.PolyGram.tag))
+    val dir = tmpDir("gramfam") + "/grams"
+    grams.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    assert(Dedup.gramFamilyOf(reloaded).contains(Dedup.PolyGram.tag),
+      "family tag must survive a parquet round-trip")
+    val corpus = Seq((1L, "some benchmark text with enough words to form grams")).toDF("doc_id", "text")
+    // matching family: flags the identical document
+    assert(Dedup.contaminatedIdsAgainstGrams(corpus, "doc_id", "text", reloaded, n = 3)
+      .as[Long].collect().toSet == Set(1L))
+    // mismatched family: refuse instead of silently matching nothing
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.contaminatedIdsAgainstGrams(corpus, "doc_id", "text", reloaded, n = 3,
+        hashFn = Dedup.XxStringGram)
+    }
+    assert(ex.getMessage.contains("hash family"))
+  }
+
   test("fuzzy decontamination catches a paraphrase that exact n-grams miss") {
     // one word changed mid-sentence: every 8-gram crosses the edit, so the
     // exact rule sees zero collisions, but the MinHash bands still collide

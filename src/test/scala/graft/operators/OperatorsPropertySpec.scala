@@ -52,7 +52,7 @@ class OperatorsPropertySpec extends SparkSpec {
       val viaPoly = Dedup.contaminatedIds(df, "doc_id", "text", df, "text", n = 3)
         .as[Long].collect().toSet
       val viaString = Dedup.contaminatedIds(df, "doc_id", "text", df, "text", n = 3,
-        hashFn = g => Dedup.xxBaseHash(g)).as[Long].collect().toSet
+        hashFn = Dedup.XxStringGram).as[Long].collect().toSet
       viaPoly == viaString
     })
   }
