@@ -28,7 +28,17 @@ final class ChunkStore(
       * (test scale), 2 → 256 (default), 3 → 4096 (100 TB+). Pick so one
       * bucket's rewrite fits comfortably in executor memory.
       */
-    val prefixLen: Int = 2
+    val prefixLen: Int = 2,
+    /** How long a mutation waits for the store's write lock before failing
+      * with [[ChunkStore.ConcurrentWriteException]]. 0 (default) = fail
+      * fast; a positive value makes concurrent writers SERIALIZE (polling
+      * at 200 ms).
+      */
+    val lockWaitMs: Long = 0L,
+    /** A `_lock` older than this is presumed abandoned (crashed writer) and
+      * broken. Must comfortably exceed the longest expected mutation.
+      */
+    val staleLockMs: Long = 10 * 60 * 1000L
 ) extends Serializable {
 
   import ChunkStore._
@@ -42,6 +52,78 @@ final class ChunkStore(
     substring(sha2(c, 256), 1, prefixLen)
 
   def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
+
+  // ---- write serialization -------------------------------------------------
+  // The store's mutation paths (upsert, delete) are safe for ONE writer:
+  // persist-then-dynamic-overwrite never re-reads partitions it replaces,
+  // but two concurrent mutations can interleave bucket overwrites and lose
+  // one writer's rows. Mutations therefore take an exclusive lock file —
+  // `_lock` under the store root, acquired by atomic create-if-absent
+  // (atomic on HDFS and POSIX; object stores without atomic create need an
+  // external coordinator instead — reference invariant: the tmp+rename
+  // atomic save of `state.py:72-75`). The lock carries a random owner token
+  // so release only ever deletes a lock this writer holds; a lock older
+  // than `staleLockMs` is presumed abandoned and broken. Readers stay
+  // lock-free (they see the store before or after a bucket's atomic
+  // overwrite, never a torn file).
+
+  private def lockFile = new Path(path, "_lock")
+
+  private def tryAcquire(f: org.apache.hadoop.fs.FileSystem, token: String): Boolean =
+    try {
+      val root = new Path(path)
+      if (!f.exists(root)) f.mkdirs(root)
+      f match {
+        case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          // Hadoop's local create(overwrite=false) is check-then-act, NOT
+          // atomic — two same-host writers can both pass the existence
+          // check. POSIX O_CREAT|O_EXCL (CREATE_NEW) arbitrates atomically.
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(f.makeQualified(lockFile).toUri.getPath),
+            token.getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        case _ =>
+          // atomic create-if-absent on HDFS; object stores need an external
+          // coordinator (documented above)
+          val out = f.create(lockFile, /* overwrite = */ false)
+          try out.write(token.getBytes("UTF-8")) finally out.close()
+      }
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def heldToken(f: org.apache.hadoop.fs.FileSystem): Option[String] =
+    try {
+      val in = f.open(lockFile)
+      try Some(new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8"))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def breakIfStale(f: org.apache.hadoop.fs.FileSystem): Unit =
+    try {
+      val st = f.getFileStatus(lockFile)
+      if (System.currentTimeMillis() - st.getModificationTime > staleLockMs)
+        f.delete(lockFile, false)
+    } catch { case _: java.io.IOException => () } // already gone
+
+  private def withWriteLock[T](spark: SparkSession)(body: => T): T = {
+    val f = fs(spark)
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    breakIfStale(f)
+    var acquired = tryAcquire(f, token)
+    while (!acquired && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      breakIfStale(f)
+      acquired = tryAcquire(f, token)
+    }
+    if (!acquired)
+      throw new ConcurrentWriteException(
+        s"another writer holds $lockFile — the chunk store serializes mutations; " +
+          s"retry later, raise lockWaitMs to wait, or remove a stale lock")
+    try body
+    finally if (heldToken(f).contains(token)) f.delete(lockFile, false)
+  }
 
   /** S4/S5: full store scan. Bad JSON lines are tolerated (PERMISSIVE) and
     * dropped, mirroring the reference's skip-with-warning
@@ -63,9 +145,9 @@ final class ChunkStore(
   /** K1/J3: upsert — new chunks replace stored chunks with equal `chunkId`.
     * Touches only the document buckets present in the incoming batch.
     */
-  def upsert(spark: SparkSession, chunks: DataFrame): Unit = {
+  def upsert(spark: SparkSession, chunks: DataFrame): Unit = withWriteLock(spark) {
     val incoming = withPrefix(chunks.select(chunkCols.map(col): _*))
-    if (!exists(spark)) write(spark, incoming)
+    if (dataFileCount(spark) == 0) write(spark, incoming)
     else {
       val prefixes = incoming.select("doc_prefix").distinct()
       val existing = withPrefix(read(spark))
@@ -101,30 +183,36 @@ final class ChunkStore(
     * bucket list (bounded by the bucket count) ever reaches the driver.
     */
   def deleteByDocuments(spark: SparkSession, docs: DataFrame): Long = {
-    if (!exists(spark)) return 0L
-    import spark.implicits._
-    val ids = docs.select(col("docId").as("documentId")).distinct().cache()
-    try {
-      val prefixes = ids.select(docPrefix(col("documentId")).as("p")).distinct().as[String].collect()
-      if (prefixes.isEmpty) return 0L
-      val inBuckets = readRaw(spark).filter(col("doc_prefix").isin(prefixes.toSeq: _*)).cache()
+    if (!exists(spark)) 0L
+    else withWriteLock(spark) {
+      import spark.implicits._
+      val ids = docs.select(col("docId").as("documentId")).distinct().cache()
       try {
-        val before = inBuckets.count()
-        if (before == 0) return 0L
-        val remaining = remainingAfter(inBuckets, ids).cache()
-        val after = remaining.count()
-        // Dynamic overwrite only rewrites partitions present in the output —
-        // buckets left empty must be dropped explicitly (the reference unlinks
-        // empty JSONL files for the same reason).
-        val keptPrefixes = remaining.select("doc_prefix").distinct().as[String].collect().toSet
-        if (after > 0) write(spark, remaining)
-        val f = fs(spark)
-        prefixes.filterNot(keptPrefixes).foreach { p =>
-          f.delete(new Path(s"$path/doc_prefix=$p"), true)
+        val prefixes = ids.select(docPrefix(col("documentId")).as("p")).distinct().as[String].collect()
+        if (prefixes.isEmpty) 0L
+        else {
+          val inBuckets = readRaw(spark).filter(col("doc_prefix").isin(prefixes.toSeq: _*)).cache()
+          try {
+            val before = inBuckets.count()
+            if (before == 0) 0L
+            else {
+              val remaining = remainingAfter(inBuckets, ids).cache()
+              val after = remaining.count()
+              // Dynamic overwrite only rewrites partitions present in the output —
+              // buckets left empty must be dropped explicitly (the reference unlinks
+              // empty JSONL files for the same reason).
+              val keptPrefixes = remaining.select("doc_prefix").distinct().as[String].collect().toSet
+              if (after > 0) write(spark, remaining)
+              val f = fs(spark)
+              prefixes.filterNot(keptPrefixes).foreach { p =>
+                f.delete(new Path(s"$path/doc_prefix=$p"), true)
+              }
+              before - after
+            }
+          } finally inBuckets.unpersist()
         }
-        before - after
-      } finally inBuckets.unpersist()
-    } finally ids.unpersist()
+      } finally ids.unpersist()
+    }
   }
 
   /** The anti-join at the heart of K3, shared with the plan audit. No
@@ -177,6 +265,12 @@ final class ChunkStore(
 }
 
 object ChunkStore {
+
+  /** A mutation found the store's write lock held by another writer (and
+    * `lockWaitMs` elapsed). The store is unchanged — retry, or construct the
+    * store with a positive `lockWaitMs` to serialize writers.
+    */
+  final class ConcurrentWriteException(msg: String) extends RuntimeException(msg)
 
   val chunkCols: Seq[String] = Seq(
     "chunkId", "documentId", "datasetName", "content", "tokenCount",

@@ -113,4 +113,54 @@ class ChunkStoreSpec extends SparkSpec {
     val store = new ChunkStore(tmpDir("gone") + "/nothing")
     assert(store.count(spark) == 0)
   }
+
+  test("a mutation fails clean while another writer holds the lock") {
+    val dir = tmpDir("locked")
+    val store = new ChunkStore(dir)
+    store.upsert(spark, chunks(("c0", "d1", "v1", 0)))
+    // simulate a live competing writer: fresh foreign-owned lock file
+    val lock = new java.io.File(dir, "_lock")
+    val w = new java.io.FileWriter(lock); w.write("someone-else"); w.close()
+    intercept[ChunkStore.ConcurrentWriteException] {
+      store.upsert(spark, chunks(("c1", "d1", "v2", 1)))
+    }
+    intercept[ChunkStore.ConcurrentWriteException] {
+      store.deleteByDocumentIds(spark, Seq("d1"))
+    }
+    // failed clean: store unchanged, foreign lock untouched
+    assert(store.count(spark) == 1)
+    assert(lock.exists())
+    assert(scala.io.Source.fromFile(lock).mkString == "someone-else")
+  }
+
+  test("an abandoned (stale) lock is broken and the mutation proceeds") {
+    val dir = tmpDir("stale")
+    val store = new ChunkStore(dir, staleLockMs = 50L)
+    store.upsert(spark, chunks(("c0", "d1", "v1", 0)))
+    val lock = new java.io.File(dir, "_lock")
+    val w = new java.io.FileWriter(lock); w.write("crashed-writer"); w.close()
+    Thread.sleep(120) // let the lock age past staleLockMs
+    store.upsert(spark, chunks(("c1", "d2", "v2", 0)))
+    assert(store.count(spark) == 2)
+    assert(!lock.exists(), "the new writer must release its own lock")
+  }
+
+  test("concurrent upserts serialize under lockWaitMs and lose no rows") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmpDir("concurrent")
+    val store = new ChunkStore(dir, prefixLen = 1, lockWaitMs = 60000L)
+    store.upsert(spark, chunks(("seed", "d0", "base", 0)))
+    // two writers race over disjoint chunk ids; the lock serializes the
+    // read-overlay-overwrite cycles, so the final store holds both batches
+    val a = Future(store.upsert(spark, chunks(
+      (1 to 8).map(i => (s"a$i", s"docA$i", s"textA$i", 0)): _*)))
+    val b = Future(store.upsert(spark, chunks(
+      (1 to 8).map(i => (s"b$i", s"docB$i", s"textB$i", 0)): _*)))
+    Await.result(a, 120.seconds)
+    Await.result(b, 120.seconds)
+    assert(store.count(spark) == 17, "both writers' rows must survive")
+    assert(!new java.io.File(dir, "_lock").exists())
+  }
 }
