@@ -131,6 +131,19 @@ object GraftCli {
     graft.operators.TextSearch.writeIndex(
       spark, store.read(spark), "content", "chunkId", indexPath, nBuckets)
 
+  /** Register newly-stored chunks in an existing index without re-tokenizing
+    * the corpus ([[graft.operators.TextSearch.appendToIndex]]): `docIds`
+    * limits the batch to those documents' chunks (bucket-pruned store read).
+    */
+  def textIndexAppend(
+      spark: SparkSession, store: ChunkStore, indexPath: String, docIds: Seq[String]): Unit = {
+    val chunks = store.read(spark)
+    val batch =
+      if (docIds.isEmpty) chunks
+      else chunks.filter(org.apache.spark.sql.functions.col("documentId").isin(docIds: _*))
+    graft.operators.TextSearch.appendToIndex(spark, batch, "content", "chunkId", indexPath)
+  }
+
   /** BM25 keyword search: against a built index (term-bucket-pruned scan)
     * when `target` holds one, else brute over the store's content.
     */
@@ -270,6 +283,23 @@ object GraftCli {
             System.err.println("usage: text-index <storePath> <indexPath> [flags]")
             2
         }
+      case "text-index-append" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: indexPath :: docIds =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            textIndexAppend(spark, store, indexPath, docIds)
+            println(s"appended=$indexPath")
+            0
+          case _ =>
+            System.err.println(
+              "usage: text-index-append <storePath> <indexPath> [docId ...] [flags]")
+            2
+        }
+      case "text-index-compact" :: indexPath :: Nil =>
+        graft.operators.TextSearch.compactIndex(spark, indexPath)
+        println(s"compacted=$indexPath")
+        0
       case "text-search" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
@@ -307,6 +337,8 @@ object GraftCli {
             |      --tokenizer=word|bpe:<rank-file>
             |  search <storePath> <query> [--limit=K --embedding-dim=N]
             |  text-index <storePath> <indexPath>
+            |  text-index-append <storePath> <indexPath> [docId ...]
+            |  text-index-compact <indexPath>
             |  text-search <storePath|indexPath> <"terms"> [--limit=K]
             |  decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy]
             |    benchmarkPath: .txt (one doc per line), .json/.jsonl (objects with a

@@ -110,20 +110,14 @@ object TextSearch {
 
   // ---------------------------------------------------------------- index
 
-  /** Build and persist the inverted index: one posting row per (term, doc)
-    * carrying tf, dl, and the term's document frequency (denormalized so a
-    * probe needs no join), partitioned by `bucket = xxhash64(term) mod
-    * nBuckets` so a query's scan prunes to its terms' buckets. Corpus
-    * scalars live under `_stats` (ignored by partition discovery).
+  /** The batch's posting rows: (doc_id, dl, term, tf) + the batch-LOCAL df.
+    * Stored df is segment-local bookkeeping only — [[searchIndex]] derives
+    * the true document frequency merge-on-read — but keeping the column
+    * makes full-build and appended segments schema-identical.
     */
-  def writeIndex(
-      spark: SparkSession, docs: DataFrame, textCol: String, idCol: String,
-      path: String, nBuckets: Int = 64): Unit = {
-    import spark.implicits._
-    val lens = docs.select(col(idCol).as("doc_id"), toks(textCol).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).as("dl"))
-    val tf = lens
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+  private def postingRows(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).as("doc_id"), toks(textCol).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     // df via groupBy + equi-join, NOT a per-term window: a hyper-common
@@ -131,40 +125,139 @@ object TextSearch {
     // partition — the skew trap the duplicateSpans design note documents.
     // The groupBy combines map-side; AQE skew-splits the join-back.
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val withDf = tf.join(dfreq, "term")
-    withDf
+    tf.join(dfreq, "term")
+  }
+
+  private def writeStats(
+      spark: SparkSession, path: String, n: Long, sumDl: Long, nBuckets: Int,
+      appends: Int): Unit = {
+    import spark.implicits._
+    val avgdl = if (n == 0) 1.0 else sumDl.toDouble / n
+    Seq((n, avgdl, nBuckets, sumDl, appends))
+      .toDF("n", "avgdl", "n_buckets", "sum_dl", "appends")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "/_stats")
+  }
+
+  private final case class IndexStats(n: Long, sumDl: Long, nBuckets: Int, appends: Int)
+
+  /** `_stats` with `sum_dl` kept as an exact long so stats MERGE under
+    * append without float drift, and `appends` counting segments added
+    * since the last build/compaction (pre-append-era stats carried neither
+    * — reconstructed as rounded avgdl·n and "assume appended").
+    */
+  private def readStats(spark: SparkSession, path: String): IndexStats = {
+    val df = spark.read.parquet(path + "/_stats")
+    val row = df.head()
+    val n = row.getAs[Long]("n")
+    val sumDl =
+      if (df.columns.contains("sum_dl")) row.getAs[Long]("sum_dl")
+      else math.round(row.getAs[Double]("avgdl") * n)
+    val appends =
+      if (df.columns.contains("appends")) row.getAs[Int]("appends") else 1
+    IndexStats(n, sumDl, row.getAs[Int]("n_buckets"), appends)
+  }
+
+  /** Build and persist the inverted index: one posting row per (term, doc)
+    * carrying tf and dl, partitioned by `bucket = xxhash64(term) mod
+    * nBuckets` so a query's scan prunes to its terms' buckets. Corpus
+    * scalars live under `_stats` (ignored by partition discovery).
+    */
+  def writeIndex(
+      spark: SparkSession, docs: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    val lens = docs.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"))
+    postingRows(docs, textCol, idCol)
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(path)
     val row = lens.agg(count(lit(1)), sum(col("dl"))).head()
     val n = row.getLong(0)
-    val avgdl = if (n == 0) 1.0 else row.getLong(1).toDouble / n
-    Seq((n, avgdl, nBuckets)).toDF("n", "avgdl", "n_buckets")
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(path + "/_stats")
+    writeStats(spark, path, n, if (n == 0) 0L else row.getLong(1), nBuckets, appends = 0)
+  }
+
+  /** Register NEW documents in an existing index without touching the
+    * corpus: tokenize ONLY the batch, append its posting rows into the same
+    * bucket layout, and merge `_stats` by exact integer sums — the
+    * 100 TB shape (a daily ingest re-tokenizes the day, not the archive).
+    * Queries stay correct immediately because [[searchIndex]] derives df
+    * merge-on-read; run [[compactIndex]] periodically to fold accumulated
+    * segment files back to one per bucket. For UPDATED documents rebuild or
+    * compact after a delete — append-only semantics, like Lucene segments
+    * without delete markers. Single-writer, like the store's upsert.
+    */
+  def appendToIndex(
+      spark: SparkSession, docs: DataFrame, textCol: String, idCol: String,
+      path: String): Unit = {
+    val st = readStats(spark, path)
+    val lens = docs.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"))
+    postingRows(docs, textCol, idCol)
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(st.nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Append).parquet(path)
+    val row = lens.agg(count(lit(1)), sum(col("dl"))).head()
+    val nB = row.getLong(0)
+    writeStats(spark, path, st.n + nB, st.sumDl + (if (nB == 0) 0L else row.getLong(1)),
+      st.nBuckets, st.appends + 1)
+  }
+
+  /** Fold appended segments back to the one-sorted-file-per-bucket layout
+    * with globally-correct denormalized df. Reads and re-shuffles POSTING
+    * ROWS only — compaction never re-tokenizes a document, so its cost
+    * scales with index size, not corpus text. Staged into a sibling dir and
+    * swapped by rename (single-writer, like the store).
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val st = readStats(spark, path)
+    val tmp = path + ".compact-tmp"
+    val postings = spark.read.parquet(path).drop("df")
+    val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    postings.join(dfreq, "term")
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(st.nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmp)
+    writeStats(spark, tmp, st.n, st.sumDl, st.nBuckets, appends = 0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
   /** Query the persisted index: prune the postings scan to the query terms'
     * buckets (partition pruning — reads `|buckets(query)|/nBuckets` of the
-    * index), score, top-k. No corpus-wide work at query time.
+    * index), score, top-k. Document frequency is derived merge-on-read: the
+    * true df of a query term is exactly the posting-row count in the pruned
+    * scan, a |query|-row aggregate over rows already being read — which is
+    * what keeps appended segments (whose stored df is segment-local)
+    * correct with no compaction on the query path. No corpus-wide work at
+    * query time.
     */
   def searchIndex(
       spark: SparkSession, path: String, query: Seq[String], k: Int,
       params: Bm25Params = Bm25Params()): DataFrame = {
-    val stats = spark.read.parquet(path + "/_stats").head()
-    val n = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
-    val nBuckets = stats.getInt(2)
+    val st = readStats(spark, path)
+    val avgdl = if (st.n == 0) 1.0 else st.sumDl.toDouble / st.n
     val terms = query.distinct
     // The layout hashed with xxhash64; recompute the query terms' buckets via
     // a tiny local DataFrame rather than reimplementing the hash driver-side.
     import spark.implicits._
     val termBuckets = terms.toDF("term")
-      .withColumn("bucket", pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+      .withColumn("bucket", pmod(xxhash64(col("term")), lit(st.nBuckets.toLong)))
       .collect().map(_.getLong(1)).distinct.toSeq
-    spark.read.parquet(path)
+    val pruned = spark.read.parquet(path)
       .filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
-      .withColumn("w", bm25W(n, avgdl, params))
+    // a built/compacted index (appends == 0) carries globally-correct
+    // denormalized df — score straight off the scan; appended segments'
+    // stored df is segment-local, so derive the true df merge-on-read
+    val scored =
+      if (st.appends == 0) pruned
+      else {
+        val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        pruned.drop("df").join(broadcast(dfreq), "term")
+      }
+    scored
+      .withColumn("w", bm25W(st.n, avgdl, params))
       .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)

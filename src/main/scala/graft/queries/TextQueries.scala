@@ -1016,6 +1016,38 @@ object TextQueries {
       Seq("A1", "L2", "F6")
     ),
 
+    // Incremental index maintenance: build on two thirds of the corpus,
+    // APPEND the remaining third (tokenizing only the batch; _stats merged
+    // by exact integer sums), search through the merge-on-read df path —
+    // then compact (segments → one file per bucket, df re-denormalized,
+    // never re-tokenizing) and search again through the fast appends=0
+    // path. Both searches run against the SAME full-corpus oracle, and the
+    // intersect squeezes them to one result: either path drifting from a
+    // from-scratch build fails the hash.
+    "ts_bm25_incremental" -> Q(
+      (s, d) => {
+        val path = bm25IndexDir(d, "_inc")
+        val docs = documents(s, d)
+        TextSearch.writeIndex(s, docs.filter(col("doc_id") % 3 =!= 0),
+          "text", "doc_id", path, nBuckets = 16)
+        TextSearch.appendToIndex(s, docs.filter(col("doc_id") % 3 === 0),
+          "text", "doc_id", path)
+        // eager checkpoint: the compaction below swaps the segment files out
+        // from under a lazy plan's captured file listing
+        val appended = TextSearch.searchIndex(s, path, bm25Terms, k = Int.MaxValue)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .localCheckpoint()
+        TextSearch.compactIndex(s, path)
+        val compacted = TextSearch.searchIndex(s, path, bm25Terms, k = Int.MaxValue)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+        appended.intersect(compacted)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(15)
+      },
+      Some(bm25OracleSql),
+      Seq("A1", "L2", "F6")
+    ),
+
     // CCNet-style perplexity filter: bigram LM (add-0.5 smoothing) trained
     // on the even-doc_id slice, every document scored under it. Per-doc
     // log-ppl is rounded to 6dp on both sides, then aggregated in exact
@@ -1153,9 +1185,9 @@ object TextQueries {
 
   private def bm25Terms = Seq("spark", "vector", "hash")
 
-  private def bm25IndexDir(d: String): String = {
+  private def bm25IndexDir(d: String, suffix: String = ""): String = {
     val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val p = s"/tmp/graft/$sf/bm25_index"
+    val p = s"/tmp/graft/$sf/bm25_index$suffix"
     def rm(x: java.io.File): Unit = {
       if (x.isDirectory) x.listFiles().foreach(rm)
       x.delete(): Unit

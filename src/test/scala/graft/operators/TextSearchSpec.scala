@@ -78,6 +78,49 @@ class TextSearchSpec extends SparkSpec {
       s"query must prune postings partitions by term bucket:\n$scan")
   }
 
+  test("append + search equals a from-scratch build; compaction preserves it") {
+    val full = tmpDir("bm25full") + "/index"
+    val inc = tmpDir("bm25inc") + "/index"
+    TextSearch.writeIndex(spark, corpus, "text", "doc_id", full, nBuckets = 8)
+    TextSearch.writeIndex(spark, corpus.filter(col("doc_id") <= 3),
+      "text", "doc_id", inc, nBuckets = 8)
+    TextSearch.appendToIndex(spark, corpus.filter(col("doc_id") > 3),
+      "text", "doc_id", inc)
+    val q = Seq("apple", "cherry", "date")
+    val fromFull = TextSearch.searchIndex(spark, full, q, 10)
+      .as[(Long, Double)].collect().toMap
+    val fromInc = TextSearch.searchIndex(spark, inc, q, 10)
+      .as[(Long, Double)].collect().toMap
+    assert(fromInc.keySet == fromFull.keySet)
+    fromInc.foreach { case (id, s) => assert(math.abs(s - fromFull(id)) < 1e-12,
+      s"appended-index score for doc $id drifted") }
+    // compact: segments fold to one file per bucket, df re-denormalized
+    TextSearch.compactIndex(spark, inc)
+    val compacted = TextSearch.searchIndex(spark, inc, q, 10)
+      .as[(Long, Double)].collect().toMap
+    assert(compacted.keySet == fromFull.keySet)
+    compacted.foreach { case (id, s) => assert(math.abs(s - fromFull(id)) < 1e-12) }
+    // one data file per occupied bucket after compaction
+    val bucketDirs = new java.io.File(inc).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty)
+    bucketDirs.foreach { b =>
+      val parts = b.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"bucket ${b.getName} has ${parts.length} files after compaction")
+    }
+  }
+
+  test("appending an empty batch changes nothing") {
+    val dir = tmpDir("bm25empty") + "/index"
+    TextSearch.writeIndex(spark, corpus, "text", "doc_id", dir, nBuckets = 8)
+    val before = TextSearch.searchIndex(spark, dir, Seq("apple"), 10)
+      .as[(Long, Double)].collect().toMap
+    TextSearch.appendToIndex(spark, corpus.limit(0), "text", "doc_id", dir)
+    val after = TextSearch.searchIndex(spark, dir, Seq("apple"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(before == after)
+  }
+
   test("RRF fusion matches hand-computed reciprocal ranks") {
     val listA = Seq((10L, 5.0), (11L, 3.0), (12L, 1.0)).toDF("id", "s")
     val listB = Seq((11L, 0.9), (13L, 0.8)).toDF("id", "s")
