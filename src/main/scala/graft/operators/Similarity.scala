@@ -429,6 +429,24 @@ object Similarity {
     perQueryTopK(cands, queryIdCol, k)
   }
 
+  /** Mean recall@k of an approximate k-NN result against the exact one —
+    * the ANN tuning metric (index parameters trade scan width for recall;
+    * this is the number they buy). Both inputs are [[nnJoin]]-shaped
+    * `(queryIdCol, neighbor_id, …)` tables; per-query overlap is averaged
+    * over the EXACT result's queries, so an approximate miss of a whole
+    * query (all its probe buckets empty) counts as 0, not as absent.
+    * AnnRecallSpec gates the sf0.1 sweep with this.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, queryIdCol: String): Double = {
+    val hits = approx.join(exact, Seq(queryIdCol, "neighbor_id"), "left_semi")
+      .groupBy(col(queryIdCol)).agg(count(lit(1)).as("_hits"))
+    val truth = exact.groupBy(col(queryIdCol)).agg(count(lit(1)).as("_k"))
+    val row = truth.join(hits, Seq(queryIdCol), "left")
+      .agg(avg(coalesce(col("_hits"), lit(0L)).cast("double") / col("_k")))
+      .head()
+    if (row.isNullAt(0)) 1.0 else row.getDouble(0) // no queries: vacuous recall
+  }
+
   /** Driver-side twin of [[graft.functions.VectorFunctions.lshBucket]] for a
     * literal query vector: identical plane signs, identical left-to-right
     * double accumulation, so the bucket id matches the column expression
