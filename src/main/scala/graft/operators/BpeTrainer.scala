@@ -65,14 +65,17 @@ object BpeTrainer {
   def train(docs: DataFrame, textCol: String, k: Int, minCount: Long = 2L): Seq[Merge] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     // Lineage is cut each round (the fold otherwise nests k plans deep) by
-    // re-rooting the vocabulary table on a persisted RDD we hold a handle
-    // to: unlike localCheckpoint, whose blocks only an eventual driver GC
-    // reclaims, the handle lets each round release its predecessor
-    // deterministically — k merges hold ONE copy of the table, not k.
+    // re-rooting the vocabulary table on a locally-checkpointed RDD we hold
+    // a handle to. The checkpoint truncates the RDD dependency chain (a
+    // plain persist would not: round k's tasks serialize the whole k-deep
+    // DAG — StackOverflowError near 256 merges), and the handle lets each
+    // round release its predecessor's blocks deterministically instead of
+    // waiting for a driver GC — k merges hold ONE copy of the table, not k.
     var held: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
     def cutLineage(df: DataFrame): DataFrame = {
-      val rdd = df.rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      rdd.count() // materialize BEFORE dropping the previous round's blocks
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count() // materialize + truncate BEFORE dropping the previous blocks
       if (held != null) held.unpersist(blocking = false)
       held = rdd
       df.sparkSession.createDataFrame(rdd, df.schema)

@@ -244,6 +244,45 @@ object PipelineQueries {
       Seq("S2", "W1", "W3", "W4", "A4", "A5", "C17", "C16", "C3", "F7")
     ),
 
+    // The same chunker flow under the byte-level BPE token counter — the
+    // cl100k-parity path (SURVEY §7 module 2) exercised END TO END: the
+    // committed toy rank table (trained by BpeTrainer on the sf0.001 corpus,
+    // written in the published .tiktoken format) goes through the real
+    // fromTiktokenFile loader, drives token budgets inside the chunker
+    // folds, and the aggregate is pinned by its own golden fixture. A user
+    // pointing `--tokenizer=bpe:cl100k_base.tiktoken` at the real table
+    // follows this exact code path.
+    "s2_chunker_bpe_stats" -> Q(
+      (s, d) => {
+        // budgets scaled to the toy table's ~1.3 bytes/token granularity
+        // (the word-tokenizer entry's 64/200/20 would put whole sentences
+        // over target and the window would drop them — reference semantics)
+        val bpe = graft.functions.BpeTokenCounter.fromTiktokenFile(
+          "/root/repo/tools/fixtures/toy.tiktoken", "toy-bpe")
+        val chunker = new LovdataChunker(
+          targetTokens = 256, maxTokens = 800, minTokens = 80, tokens = bpe)
+        import s.implicits._
+        val withXml = documents(s, d)
+          .withColumn("xml", synthXmlUdf(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("lang"), col("xml"))
+          .as[(Long, String, String)]
+        withXml.flatMap { case (id, lang, xml) =>
+          chunker.chunk(xml).map(c => (lang, c.tokenCount, if (c.merged) 1L else 0L))
+        }.toDF("lang", "toks", "is_merged")
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_chunks"),
+            sum(col("toks")).as("sum_toks"),
+            sum(col("is_merged")).as("n_merged")
+          )
+      },
+      Some("""SELECT lang, n_chunks, sum_toks, n_merged
+             |FROM read_parquet('/root/repo/tools/fixtures/s2_chunker_bpe_stats/*.parquet')
+             |WHERE n_docs = (SELECT count(*) FROM documents)
+             |  AND corpus_chars = (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents)""".stripMargin),
+      Seq("C1", "S2", "A4", "A5")
+    ),
+
     // E1: deterministic batch embedding via mapPartitions(grouped(100)),
     // hash-matched end to end: the ReplayableProvider's arithmetic is the
     // md5Lower60 construction DuckDB replays with `md5_number_lower >> 4`,
