@@ -42,7 +42,13 @@ final case class Settings(
     /** emit task-level progress lines during `process` (reference
       * `progress.py` Rich bars → driver log lines here).
       */
-    progress: Boolean = false
+    progress: Boolean = false,
+    /** API key for an HTTP embedding provider. None = offline deterministic
+      * provider (the zero-egress default). When set, the shape is validated
+      * eagerly — fail at config load, not on the first remote batch
+      * (reference `settings.py:123-133`).
+      */
+    apiKey: Option[String] = None
 ) {
   require(embeddingDimensions >= 1 && embeddingDimensions <= 3072,
     s"embeddingDimensions must be 1..3072, got $embeddingDimensions")
@@ -62,6 +68,11 @@ final case class Settings(
   require(limit.forall(_ > 0), s"limit must be positive, got $limit")
   require(tokenizer == "word" || tokenizer.startsWith("bpe:"),
     s"tokenizer must be 'word' or 'bpe:<rank-file>', got '$tokenizer'")
+  apiKey.foreach { k =>
+    require(k.nonEmpty, "API key cannot be empty")
+    require(k.startsWith("sk-"), "API key must start with 'sk-'")
+    require(k.length >= 20, "API key appears to be too short")
+  }
 
   /** The configured token counter (rank file loaded lazily at use). */
   def tokenCounter: TokenCounter =
@@ -88,7 +99,7 @@ object Settings {
   private val envKeys = Seq(
     "EMBEDDING_MODEL", "EMBEDDING_DIMENSIONS", "STORAGE_TYPE", "STORE_PREFIX_LEN",
     "CHUNK_MAX_TOKENS", "CHUNK_TARGET_TOKENS", "CHUNK_MIN_TOKENS", "CHUNK_OVERLAP_RATIO",
-    "DATASET_FILTER", "FORCE", "LIMIT", "TOKENIZER", "PROGRESS"
+    "DATASET_FILTER", "FORCE", "LIMIT", "TOKENIZER", "PROGRESS", "API_KEY"
   )
 
   def fromEnv(env: Map[String, String] = sys.env): Settings =
@@ -120,6 +131,7 @@ object Settings {
         case Array("dataset", v)            => applyKey(s, "DATASET_FILTER", v)
         case Array("limit", v)              => applyKey(s, "LIMIT", v)
         case Array("tokenizer", v)          => applyKey(s, "TOKENIZER", v)
+        case Array("api-key", v)            => applyKey(s, "API_KEY", v)
         case other =>
           throw new IllegalArgumentException(s"unknown flag: --${other.mkString("=")}")
       }
@@ -141,6 +153,7 @@ object Settings {
     case "LIMIT"                => s.copy(limit = Some(toInt(key, v)))
     case "TOKENIZER"            => s.copy(tokenizer = v)
     case "PROGRESS"             => s.copy(progress = v.equalsIgnoreCase("true") || v == "1")
+    case "API_KEY"              => s.copy(apiKey = Some(v))
   }
 
   private def toInt(key: String, v: String): Int =

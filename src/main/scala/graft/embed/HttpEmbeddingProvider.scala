@@ -35,6 +35,14 @@ final class HttpEmbeddingProvider(
     retryBaseDelayMs: Long = 250L
 ) extends EmbeddingProvider {
 
+  // the same shape gate Settings applies (reference `settings.py:123-133`):
+  // a malformed key must fail at construction, not as a 401 on the first
+  // batch deep inside a mapPartitions task
+  apiKey.foreach { k =>
+    require(k.startsWith("sk-") && k.length >= 20,
+      "API key must start with 'sk-' and be at least 20 characters")
+  }
+
   @transient private lazy val client: HttpClient =
     HttpClient.newBuilder().connectTimeout(Duration.ofMillis(timeoutMs)).build()
 

@@ -132,12 +132,35 @@ object Multimodal {
       } catch { case _: Exception => None }
     }
 
-    /** Auto decode: real image → real audio → byte-stub fallback. Returns
-      * the features plus which decoder fired.
+    /** Magic-byte sniff for video containers. The JDK ships no video codec
+      * (ImageIO/javax.sound cover stills and PCM audio only), so these can
+      * be RECOGNIZED but not decoded — callers get a typed status instead
+      * of stub features that could be mistaken for signal downstream.
+      */
+    def videoContainer(bytes: Array[Byte]): Option[String] = {
+      if (bytes == null || bytes.length < 12) return None
+      def at(i: Int) = bytes(i) & 0xff
+      if (bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')
+        Some("mp4") // ISO BMFF: size + 'ftyp' + major brand
+      else if (at(0) == 0x1a && at(1) == 0x45 && at(2) == 0xdf && at(3) == 0xa3)
+        Some("matroska") // EBML header (mkv/webm)
+      else if (bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'A' && bytes(9) == 'V' && bytes(10) == 'I')
+        Some("avi")
+      else None
+    }
+
+    /** Auto decode: real image → real audio → video recognized-but-
+      * unsupported (null features, typed kind) → byte-stub fallback for
+      * everything else. Returns the features plus which decoder fired;
+      * `unsupported:<container>` carries NULL features by design — a
+      * video blob must never flow downstream wearing stub "signal".
       */
     def decodeAuto(bytes: Array[Byte], dims: Int): (Array[Float], String) =
       decodeImage(bytes, dims).map { case (_, _, f) => (f, "image") }
         .orElse(decodeWav(bytes, dims).map { case (_, f) => (f, "audio") })
+        .orElse(videoContainer(bytes).map(c =>
+          (null: Array[Float], s"unsupported:$c")))
         .getOrElse((decode(bytes, dims), "stub"))
 
     /** "Resize": deterministic downsample of the feature vector. */
@@ -208,7 +231,7 @@ object Multimodal {
         val (feats, kind) =
           try {
             val (f, k) = MediaDecoder.decodeAuto(blob, dims)
-            (f.toSeq, k)
+            (if (f == null) null else f.toSeq, k) // unsupported → typed kind, null features
           } catch { case _: Exception => (null, "error") }
         Row.fromSeq(row.toSeq :+ feats :+ kind)
       }

@@ -66,4 +66,23 @@ class SettingsSpec extends AnyFunSuite {
     assert(s.tokenCounter.countTokens("abc") == 2) // ab + c
     assert(s.chunker().tokens.countTokens("ab") == 1)
   }
+
+  test("API key shape is validated at config load (reference settings.py:123-133)") {
+    // no key: fine — the offline deterministic provider needs none
+    assert(Settings().apiKey.isEmpty)
+    // well-formed key: accepted via case class, env, and flag
+    val good = "sk-" + "a" * 20
+    assert(Settings(apiKey = Some(good)).apiKey.contains(good))
+    assert(Settings.fromEnv(Map("GRAFT_API_KEY" -> good)).apiKey.contains(good))
+    assert(Settings.fromArgs(Seq(s"--api-key=$good"))._1.apiKey.contains(good))
+    // malformed keys fail fast, not on the first remote batch
+    assertThrows[IllegalArgumentException](Settings(apiKey = Some("not-a-key-but-long-enough")))
+    assertThrows[IllegalArgumentException](Settings(apiKey = Some("sk-short")))
+    assertThrows[IllegalArgumentException](
+      Settings.fromEnv(Map("GRAFT_API_KEY" -> "bogus-value-with-length")))
+    // the HTTP provider applies the same gate at construction
+    assertThrows[IllegalArgumentException](
+      new graft.embed.HttpEmbeddingProvider(
+        "http://localhost:9/v1/embeddings", "m", 8, apiKey = Some("wrong")))
+  }
 }

@@ -48,7 +48,7 @@ class HttpEmbeddingProviderSpec extends AnyFunSuite {
 
   test("batches requests, re-orders by index, strict length check") {
     withServer() { (url, calls) =>
-      val p = new HttpEmbeddingProvider(url, "test-model", dim, apiKey = Some("sk-test"), maxBatch = 100)
+      val p = new HttpEmbeddingProvider(url, "test-model", dim, apiKey = Some("sk-test-0123456789abcdef"), maxBatch = 100)
       val texts = (1 to 250).map(i => s"t$i")
       val vecs = p.embedBatch(texts)
       assert(calls.get() == 3, "250 texts at maxBatch=100 must be 3 requests")

@@ -83,4 +83,31 @@ class MediaDecodeSpec extends SparkSpec {
       .filter("features IS NULL").count()
     assert(nulls == 0)
   }
+
+  /** A minimal-but-valid container prefix for each video format. */
+  private def mp4Bytes: Array[Byte] =
+    Array[Byte](0, 0, 0, 24) ++ "ftypisom".getBytes("ISO-8859-1") ++ Array.fill[Byte](12)(0)
+  private def mkvBytes: Array[Byte] =
+    Array(0x1a, 0x45, 0xdf, 0xa3).map(_.toByte) ++ Array.fill[Byte](16)(0)
+  private def aviBytes: Array[Byte] =
+    "RIFF".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 0, 0) ++
+      "AVI ".getBytes("ISO-8859-1") ++ Array.fill[Byte](8)(0)
+
+  test("video containers are recognized but yield a typed unsupported status, never stub signal") {
+    assert(Multimodal.MediaDecoder.videoContainer(mp4Bytes).contains("mp4"))
+    assert(Multimodal.MediaDecoder.videoContainer(mkvBytes).contains("matroska"))
+    assert(Multimodal.MediaDecoder.videoContainer(aviBytes).contains("avi"))
+    assert(Multimodal.MediaDecoder.videoContainer(Array[Byte](1, 2, 3, 4)).isEmpty)
+    val df = Seq((1L, mp4Bytes), (2L, mkvBytes), (3L, aviBytes),
+      (4L, Array[Byte](9, 9, 9, 9))).toDF("id", "blob")
+    val rows = Multimodal.extractMediaFeatures(df, "blob", dims = 16)
+      .selectExpr("id", "decode_kind", "features IS NULL AS no_feats")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (id, k, n) => id -> ((k, n)) }.toMap
+    assert(rows(1L) == (("unsupported:mp4", true)))
+    assert(rows(2L) == (("unsupported:matroska", true)))
+    assert(rows(3L) == (("unsupported:avi", true)))
+    // non-video junk still gets the declared stub WITH features
+    assert(rows(4L)._1 == "stub" && !rows(4L)._2)
+  }
 }
