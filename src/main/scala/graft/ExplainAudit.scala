@@ -35,7 +35,7 @@ object ExplainAudit {
       "ts_bm25", "dd_incremental", "ta_perplexity", "e2_ann_ivf_kmeans",
       "dd_fuzzy_contamination", "ts_hybrid_rrf",
       "ta_bpe_pairs", "vec_kmeans_sizes", "w_rolling_1h", "a_corr_stats",
-      "ta_quantile_filter"
+      "ta_quantile_filter", "ts_bm25_incremental", "e2_ann_ivf_append"
     )
 
     var bad = 0
@@ -66,7 +66,9 @@ object ExplainAudit {
       finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
 
-    // IVF probe over a persisted cid-partitioned index prunes partitions
+    // IVF probe over a persisted cid-partitioned index prunes partitions —
+    // including after an appendToIvf (segments land inside the same cid
+    // partition dirs, so the probe's pruning is untouched by ingest)
     val ivfPrunes = {
       import spark.implicits._
       val dir = java.nio.file.Files.createTempDirectory("audit-ivf").toString + "/index"
@@ -74,13 +76,36 @@ object ExplainAudit {
         val a = i / 60.0 * 2 * math.Pi
         (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f))
       }.toDF("vec_id", "embedding")
-      val idx = graft.operators.Similarity.buildIvf(vecs, "embedding", "vec_id", 6)
+      val idx = graft.operators.Similarity.buildIvf(
+        vecs.filter($"vec_id" < 50), "embedding", "vec_id", 6)
       graft.operators.Similarity.writeIvf(spark, idx, dir)
+      graft.operators.Similarity.appendToIvf(
+        spark, vecs.filter($"vec_id" >= 50), "embedding", "vec_id", dir)
       val res = graft.operators.Similarity.topKIvf(
         graft.operators.Similarity.readIvf(spark, dir), "embedding", "vec_id",
         Array(1f, 0f, 0f, 0f), 3, 2)
       val scan = res.queryExecution.executedPlan.collectLeaves().head.toString
       scan.contains("PartitionFilters") && scan.contains("cid")
+    }
+
+    // BM25 through an APPENDED index: term-bucket pruning must survive the
+    // extra segment files, and the merge-on-read df derivation must join
+    // back as a |query|-row broadcast, never a shuffle
+    val bm25AppendPrunes = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("audit-bm25").toString + "/index"
+      val docs = Seq(
+        (1L, "alpha beta gamma"), (2L, "beta delta"), (3L, "alpha epsilon zeta")
+      ).toDF("doc_id", "text")
+      graft.operators.TextSearch.writeIndex(
+        spark, docs.filter($"doc_id" <= 2), "text", "doc_id", dir, nBuckets = 8)
+      graft.operators.TextSearch.appendToIndex(
+        spark, docs.filter($"doc_id" === 3L), "text", "doc_id", dir)
+      val q = graft.operators.TextSearch.searchIndex(spark, dir, Seq("alpha", "beta"), 5)
+      val p = q.queryExecution.executedPlan.toString
+      val leaves = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      leaves.exists(l => l.contains("PartitionFilters") && l.contains("bucket#")) &&
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
     }
 
     // K3 delete anti-join mirrors J1: broadcast for small tombstone sets,
@@ -106,7 +131,9 @@ object ExplainAudit {
       ("j1 anti-join shuffles when broadcast is unavailable (no forced hint)", j1ShuffleLedger),
       ("k3 delete anti-join broadcasts a small tombstone set (no hint)", k3SmallTombstones),
       ("k3 delete anti-join shuffles when broadcast is unavailable (no forced hint)", k3ShuffleTombstones),
-      ("ivf probe prunes cid partitions on a persisted index", ivfPrunes),
+      ("ivf probe prunes cid partitions on a persisted index (incl. after append)", ivfPrunes),
+      ("bm25 appended-index search prunes term buckets and broadcasts merge-on-read df",
+        bm25AppendPrunes),
       ("star join uses broadcast joins only",
         !plan("q_star_join").contains("SortMergeJoin")),
       ("f6 filter is pushed to the parquet scan",

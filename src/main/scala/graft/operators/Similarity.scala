@@ -242,6 +242,47 @@ object Similarity {
     IvfIndex(cents, spark.read.parquet(path))
   }
 
+  /** Register NEW vectors in a persisted IVF index without touching the
+    * stored corpus: assignment runs against the FROZEN stored centroids —
+    * bit-identical to what a full re-assignment under those centroids would
+    * produce, so an appended index answers queries exactly like a rebuild
+    * with the same centroid table — and the batch appends into the same
+    * `cid` partition layout (probes keep pruning). The 100 TB ingest shape,
+    * same as the MinHash signature and BM25 postings appends. Frozen
+    * centroids drift as the corpus grows; run [[retrainIvf]] periodically.
+    * Single-writer, like the store's upsert.
+    */
+  def appendToIvf(
+      spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val cents = spark.read.parquet(path + "/_centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
+    assignCells(df, vecCol, cents)
+      .repartition(col("cid"))
+      .write.partitionBy("cid").mode(SaveMode.Append).parquet(path)
+  }
+
+  /** Re-train a persisted IVF index in place: k-means over the STORED
+    * vectors (never re-reading the source corpus), fresh assignment,
+    * staged to a sibling dir and swapped by rename — the periodic
+    * counterweight to [[appendToIvf]]'s centroid drift, with the same
+    * deterministic fixed-point training as [[buildIvfKmeans]].
+    */
+  def retrainIvf(
+      spark: SparkSession, path: String, vecCol: String, idCol: String,
+      k: Int, iters: Int = 2): Unit = {
+    val vecs = spark.read.parquet(path).drop("cid")
+    val index = buildIvfKmeans(vecs, vecCol, idCol, k, iters)
+    val tmp = path + ".retrain-tmp"
+    // the tmp write materializes the new assignment while the old tree is
+    // still intact; only then is the old layout dropped and swapped
+    writeIvf(spark, index, tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
+
   /** Search an IVF index: score the query against the (driver-side, tiny)
     * centroid table, keep the `nProbes` best cells, brute-force only those.
     */

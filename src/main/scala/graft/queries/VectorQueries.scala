@@ -153,6 +153,31 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // Incremental IVF maintenance — the vector twin of ts_bm25_incremental
+    // and dd_incremental: build + persist on two thirds of the corpus,
+    // APPEND the remaining third (assignment against the FROZEN stored
+    // centroids, straight into the cid partition layout), then search the
+    // reloaded index. The oracle replays the build with seeds/Lloyd
+    // restricted to the training slice but assignment over every vector —
+    // exactly the appended state, because appends and rebuilds assign
+    // identically under the same centroids.
+    "e2_ann_ivf_append" -> Q(
+      (s, d) => {
+        val all = embeddings(s, d).filter(col("vec_id") =!= 0)
+        val path = scratchDir(d, "ivf_index")
+        val subsetIdx = Similarity.buildIvf(
+          all.filter(col("vec_id") % 3 =!= 0), "embedding", "vec_id", k = 16)
+        Similarity.writeIvf(s, subsetIdx, path)
+        Similarity.appendToIvf(
+          s, all.filter(col("vec_id") % 3 === 0), "embedding", "vec_id", path)
+        val index = Similarity.readIvf(s, path)
+        Similarity.topKIvf(index, "embedding", "vec_id", queryVec(s, d), k = 10, nProbes = 2)
+      },
+      Some(ivfOracleSql(kCentroids = 16, nProbes = 2, k = 10,
+        trainPred = "vec_id % 3 <> 0")),
+      Seq("E2", "F6")
+    ),
+
     // IVF trained by real k-means (2 Lloyd iterations) with fixed-point
     // integer accumulation: per-cell sums are exact int64 adds, so the
     // build is bit-identical under any partitioning — which is exactly what
@@ -610,26 +635,35 @@ object VectorQueries {
     * full-precision and SQ8 oracles: everything through `probes` (the
     * `nProbes` best cells for the query).
     */
-  private def ivfBuildPrefix(kCentroids: Int, nProbes: Int): String =
+  private def ivfBuildPrefix(
+      kCentroids: Int, nProbes: Int,
+      /** SQL predicate over vec_id selecting the TRAINING slice: seeds and
+        * the Lloyd refinement read only these rows, while assignment (and
+        * search) covers every vector — which is exactly the state an
+        * [[graft.operators.Similarity.appendToIvf]] of the complement
+        * produces, since appends assign against the frozen centroids.
+        */
+      trainPred: String = "TRUE"): String =
     s"""WITH unn AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |         CAST(unnest(embedding) AS DOUBLE) AS x
        |  FROM embeddings WHERE vec_id <> 0),
+       |train AS (SELECT * FROM unn WHERE $trainPred),
        |seeds AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-       |  FROM (SELECT DISTINCT vec_id FROM unn ORDER BY vec_id LIMIT $kCentroids)),
-       |seedvec AS (SELECT s.cid, u.i, u.x FROM seeds s JOIN unn u ON u.vec_id = s.vec_id),
+       |  FROM (SELECT DISTINCT vec_id FROM train ORDER BY vec_id LIMIT $kCentroids)),
+       |seedvec AS (SELECT s.cid, u.i, u.x FROM seeds s JOIN train u ON u.vec_id = s.vec_id),
        |cos1 AS (
        |  SELECT u.vec_id, sv.cid, sum(u.x * sv.x) AS dot,
        |         sqrt(sum(u.x * u.x)) AS na, sqrt(sum(sv.x * sv.x)) AS nb
-       |  FROM unn u JOIN seedvec sv ON u.i = sv.i GROUP BY u.vec_id, sv.cid),
+       |  FROM train u JOIN seedvec sv ON u.i = sv.i GROUP BY u.vec_id, sv.cid),
        |assign1 AS (
        |  SELECT vec_id,
        |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
        |  FROM cos1 GROUP BY vec_id),
        |cents AS (
        |  SELECT a.cid, u.i, CAST(CAST(avg(u.x) AS FLOAT) AS DOUBLE) AS c
-       |  FROM assign1 a JOIN unn u USING (vec_id) GROUP BY a.cid, u.i),
+       |  FROM assign1 a JOIN train u USING (vec_id) GROUP BY a.cid, u.i),
        |cos2 AS (
        |  SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot,
        |         sqrt(sum(u.x * u.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
@@ -718,8 +752,9 @@ object VectorQueries {
     s"""${ivfKmeansBuildCtes(kCentroids)}
        |SELECT cid, count(*) AS n_vecs FROM assign3 GROUP BY cid""".stripMargin
 
-  private def ivfOracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
-    s"""${ivfBuildPrefix(kCentroids, nProbes)},
+  private def ivfOracleSql(
+      kCentroids: Int, nProbes: Int, k: Int, trainPred: String = "TRUE"): String =
+    s"""${ivfBuildPrefix(kCentroids, nProbes, trainPred)},
        |v2 AS (SELECT u.vec_id, u.i, u.x FROM unn u JOIN assign2 a USING (vec_id)
        |       WHERE a.cid IN (SELECT cid FROM probes)),
        |sims AS (SELECT v2.vec_id, sum(v2.x * q.x) AS dot, sqrt(sum(v2.x * v2.x)) AS na

@@ -65,4 +65,47 @@ class KmeansSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(viaIvf == brute)
   }
+
+  test("appendToIvf equals a full re-assignment under the same centroids") {
+    val dir = tmpDir("ivfapp") + "/index"
+    val old = clustered.filter(col("vec_id") < 60)
+    val fresh = clustered.filter(col("vec_id") >= 60)
+    val subsetIdx = Similarity.buildIvf(old, "embedding", "vec_id", k = 3)
+    Similarity.writeIvf(spark, subsetIdx, dir)
+    Similarity.appendToIvf(spark, fresh, "embedding", "vec_id", dir)
+    val appended = Similarity.readIvf(spark, dir)
+    // same centroid table as the subset build (readIvf sorts by cid)
+    assert(appended.centroids.map { case (c, v) => (c, v.toSeq) }.sortBy(_._1) ==
+      subsetIdx.centroids.map { case (c, v) => (c, v.toSeq) }.sortBy(_._1))
+    // assignment of the whole corpus under those centroids, row for row
+    val expected = Similarity.assignCells(clustered, "embedding", subsetIdx.centroids)
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    val got = appended.assigned
+      .select("vec_id", "cid").as[(Long, Int)].collect().toMap
+    assert(got == expected)
+    // and a search through the appended index sees the appended vectors
+    val q = Array(0.9f, 0.1f, 0f, 0f)
+    val hits = Similarity.topKIvf(appended, "embedding", "vec_id", q, k = 5, nProbes = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.topK(clustered, "embedding", "vec_id", q, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits == brute, "full probe over the appended index must equal brute force")
+  }
+
+  test("retrainIvf preserves the row set and retrains from stored vectors only") {
+    val dir = tmpDir("ivfret") + "/index"
+    Similarity.writeIvf(spark,
+      Similarity.buildIvf(clustered.filter(col("vec_id") < 30), "embedding", "vec_id", k = 3), dir)
+    Similarity.appendToIvf(spark,
+      clustered.filter(col("vec_id") >= 30), "embedding", "vec_id", dir)
+    Similarity.retrainIvf(spark, dir, "embedding", "vec_id", k = 3, iters = 2)
+    val retrained = Similarity.readIvf(spark, dir)
+    // no rows lost or duplicated across append + retrain
+    assert(retrained.assigned.select("vec_id").as[Long].collect().sorted.toSeq ==
+      (0L until 90L))
+    // retraining from the full stored set equals building from the corpus
+    val direct = Similarity.buildIvfKmeans(clustered, "embedding", "vec_id", k = 3, iters = 2)
+    assert(retrained.centroids.map { case (c, v) => (c, v.toSeq) }.sortBy(_._1) ==
+      direct.centroids.map { case (c, v) => (c, v.toSeq) }.sortBy(_._1))
+  }
 }
