@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.{BpeTrainer, Dedup, LanguageModel, QualityFilters, Sampling, Similarity, TextSearch}
+import graft.operators.{BpeTrainer, Dedup, Graph, LanguageModel, QualityFilters, Sampling, Similarity, TextSearch}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -573,6 +573,71 @@ object TextQueries {
              |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM blocked) THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked
              |FROM urls GROUP BY lang""".stripMargin),
       Seq("C6", "F8")
+    ),
+
+    // Domain-authority PageRank over the doc→domain citation graph (the
+    // same salted URL corpus as ta_urls, so every doc cites 2 of 25
+    // domains plus whatever the raw text carries). The power iteration is
+    // pure integer micro-unit arithmetic — division before summation,
+    // damping as the exact rational 85/100 — so integer-sum associativity
+    // makes the result partition-invariant and the oracle replays both
+    // iterations verbatim. The CommonCrawl-style crawl-prioritization
+    // weight, as one equi-join + one keyed agg per iteration.
+    "g_pagerank" -> Q(
+      (s, d) => {
+        val salted = documents(s, d).withColumn("text2",
+          concat(col("text"),
+            lit(" see https://s"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com/page?q=1 ref http://ads.tracker"),
+            (col("doc_id") % 5).cast("string"), lit(".net/x")))
+        val edges = salted
+          .select(concat(lit("d"), col("doc_id")).as("src"),
+            explode(extractUrls(col("text2"))).as("u"))
+          .select(col("src"), urlDomain(col("u")).as("dst"))
+          .filter(length(col("dst")) > 0)
+          .distinct()
+        Graph.pageRank(edges, "src", "dst", iters = 2)
+          .orderBy(col("rank").desc, col("node"))
+          .limit(15)
+      },
+      Some("""WITH salted AS (
+             |  SELECT doc_id,
+             |         text || ' see https://s' || CAST(doc_id % 20 AS VARCHAR) ||
+             |         '.example.com/page?q=1 ref http://ads.tracker' ||
+             |         CAST(doc_id % 5 AS VARCHAR) || '.net/x' AS t
+             |  FROM documents),
+             |edges AS (
+             |  SELECT DISTINCT 'd' || CAST(doc_id AS VARCHAR) AS src,
+             |         lower(regexp_extract(u, '^https?://([^/:?#]+)', 1)) AS dst
+             |  FROM (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://[^\s]+')) AS u
+             |        FROM salted)
+             |  WHERE length(lower(regexp_extract(u, '^https?://([^/:?#]+)', 1))) > 0),
+             |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+             |params AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |                  1000000 // CAST(count(*) AS BIGINT) AS r0,
+             |                  ((100 - 85) * (1000000 // CAST(count(*) AS BIGINT))) // 100 AS base
+             |           FROM nodes),
+             |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+             |rank0 AS (SELECT node, (SELECT r0 FROM params) AS rank FROM nodes),
+             |contrib1 AS (
+             |  SELECT e.dst AS node, sum(r.rank // o.deg) AS s
+             |  FROM edges e JOIN rank0 r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+             |  GROUP BY e.dst),
+             |rank1 AS (
+             |  SELECT n.node,
+             |         (SELECT base FROM params) + (85 * coalesce(c.s, 0)) // 100 AS rank
+             |  FROM nodes n LEFT JOIN contrib1 c ON c.node = n.node),
+             |contrib2 AS (
+             |  SELECT e.dst AS node, sum(r.rank // o.deg) AS s
+             |  FROM edges e JOIN rank1 r ON r.node = e.src JOIN outdeg o ON o.src = e.src
+             |  GROUP BY e.dst),
+             |rank2 AS (
+             |  SELECT n.node,
+             |         (SELECT base FROM params) + (85 * coalesce(c.s, 0)) // 100 AS rank
+             |  FROM nodes n LEFT JOIN contrib2 c ON c.node = n.node)
+             |SELECT node, CAST(rank AS BIGINT) AS rank FROM rank2
+             |ORDER BY rank DESC, node LIMIT 15""".stripMargin),
+      Seq("A1", "J1", "L2")
     ),
 
     // The full Gopher document-level rule set (word count, mean word
