@@ -196,6 +196,27 @@ object ScaleProbe {
     val (nCents, tKmeans) = timed {
       graft.operators.Similarity.kmeans(bigVecs, "embedding", "vec_id", k = 65, iters = 2).size
     }
+
+    // Incremental IVF maintenance at scale: persist the index for 99% of
+    // the vectors, append the 1% ingest batch (assignment against frozen
+    // centroids + a cid-partitioned append — per-ingest cost is the batch,
+    // never the corpus), then probe through the appended layout.
+    val ivfPath = "/tmp/graft/scaleprobe_ivf"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ivfPath))
+    val ivfOld = bigVecs.filter(pmod(xxhash64(col("vec_id")), lit(100)) =!= 0)
+    val ivfBatch = bigVecs.filter(pmod(xxhash64(col("vec_id")), lit(100)) === 0)
+    val (_, tIvfBuild) = timed {
+      graft.operators.Similarity.writeIvf(spark,
+        graft.operators.Similarity.buildIvf(ivfOld, "embedding", "vec_id", k = 16), ivfPath)
+    }
+    val (_, tIvfAppend) = timed {
+      graft.operators.Similarity.appendToIvf(spark, ivfBatch, "embedding", "vec_id", ivfPath)
+    }
+    val (nIvfHits, tIvfQuery) = timed {
+      graft.operators.Similarity.topKIvf(
+        graft.operators.Similarity.readIvf(spark, ivfPath),
+        "embedding", "vec_id", qv, 10, nProbes = 2).count()
+    }
     bigVecs.unpersist()
 
     // Gopher rule throughput: the full seven-rule signal pass over every
@@ -224,6 +245,23 @@ object ScaleProbe {
     }
     val (_, tBm25Brute) = timed {
       graft.operators.TextSearch.bm25TopK(dedupInput, "text", "doc_id", bm25Query, 10).count()
+    }
+
+    // Incremental BM25 maintenance: register a 1% ingest batch in the
+    // existing index (tokenizes ONLY the batch) — the per-ingest cost must
+    // sit far under the full rebuild above; then query through the
+    // appended segments (merge-on-read df) and compact back to one file
+    // per bucket without re-tokenizing anything.
+    val bm25Batch = dedupInput.filter(pmod(xxhash64(col("doc_id")), lit(100)) === 42)
+      .withColumn("doc_id", col("doc_id") + 900_000_000L) // new ids: append semantics
+    val (_, tBm25Append) = timed {
+      graft.operators.TextSearch.appendToIndex(spark, bm25Batch, "text", "doc_id", bm25Path)
+    }
+    val (_, tBm25QueryAppended) = timed {
+      graft.operators.TextSearch.searchIndex(spark, bm25Path, bm25Query, 10).count()
+    }
+    val (_, tBm25Compact) = timed {
+      graft.operators.TextSearch.compactIndex(spark, bm25Path)
     }
 
     // Incremental dedup at scale: index 99% of the corpus once, then dedup
@@ -277,6 +315,8 @@ object ScaleProbe {
         s""""gopher_keep":$nGopherKeep,"gopher_sec":${f"$tGopher%.1f"},""" +
         s""""kmeans_cents":$nCents,"kmeans_sec":${f"$tKmeans%.1f"},""" +
         s""""bm25_build_sec":${f"$tBm25Build%.1f"},"bm25_query_sec":${f"$tBm25Query%.1f"},"bm25_brute_sec":${f"$tBm25Brute%.1f"},"bm25_hits":$nBm25,""" +
+        s""""bm25_append_sec":${f"$tBm25Append%.1f"},"bm25_query_appended_sec":${f"$tBm25QueryAppended%.1f"},"bm25_compact_sec":${f"$tBm25Compact%.1f"},""" +
+        s""""ivf_build_sec":${f"$tIvfBuild%.1f"},"ivf_append_sec":${f"$tIvfAppend%.1f"},"ivf_query_sec":${f"$tIvfQuery%.1f"},"ivf_hits":$nIvfHits,""" +
         s""""sig_build_sec":${f"$tSigBuild%.1f"},"incremental_pairs":$nIncPairs,"incremental_sec":${f"$tIncremental%.1f"},"full_pairs_sec":${f"$tFullPairs%.1f"},""" +
         s""""span_docs":${spanSlice.count()},"dup_spans":$nSpans,"span_sec":${f"$tSpans%.1f"},""" +
         s""""ppl_keep":$nPplKeep,"ppl_sec":${f"$tPerplexity%.1f"},""" +

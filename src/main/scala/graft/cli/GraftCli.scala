@@ -333,7 +333,7 @@ object GraftCli {
             |    flags (override GRAFT_* env vars): --force --progress --limit=N
             |      --target-tokens=N --max-tokens=N --min-tokens=N --overlap-ratio=R
             |      --dataset=GLOB --storage-type=parquet|json --prefix-len=N
-            |      --embedding-model=NAME --embedding-dim=N
+            |      --embedding-model=NAME --embedding-dim=N --api-key=sk-...
             |      --tokenizer=word|bpe:<rank-file>
             |  search <storePath> <query> [--limit=K --embedding-dim=N]
             |  text-index <storePath> <indexPath>

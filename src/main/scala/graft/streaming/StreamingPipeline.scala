@@ -181,6 +181,74 @@ object StreamingPipeline {
         } finally { pairs.unpersist(); () }
       }
 
+  /** Streaming BM25 index maintenance — the streaming face of
+    * [[graft.operators.TextSearch.appendToIndex]]: the first microbatch
+    * builds the index, every later one appends its posting rows (tokenizing
+    * only the batch; `_stats` merged by exact integer sums). Queries through
+    * [[graft.operators.TextSearch.searchIndex]] stay correct at every point
+    * because df derives merge-on-read while appended segments exist; run
+    * `compactIndex` out of band on whatever cadence file-count hygiene
+    * needs. Exactly-once caveat: an append that lands without its
+    * checkpoint commit is re-applied on replay — BM25 then counts those
+    * documents twice until a compaction with a dedup pass or a rebuild;
+    * keep batches idempotent upstream (e.g. route through [[dedupingWriter]]
+    * first, which drops the replayed ids as self-duplicates).
+    */
+  def indexingWriter(
+      source: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      nBuckets: Int = 64
+  ): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val exists = {
+          val hp = new org.apache.hadoop.fs.Path(indexPath + "/_stats")
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+        }
+        if (exists)
+          graft.operators.TextSearch.appendToIndex(s, batch, textCol, idCol, indexPath)
+        else
+          graft.operators.TextSearch.writeIndex(s, batch, textCol, idCol, indexPath, nBuckets)
+      }
+
+  /** Streaming IVF index maintenance — [[indexingWriter]]'s vector twin
+    * over [[graft.operators.Similarity.appendToIvf]]: the first microbatch
+    * trains and persists the index, later ones assign against the frozen
+    * centroids and append into the cid layout. Re-train out of band
+    * ([[graft.operators.Similarity.retrainIvf]]) when drift accumulates.
+    */
+  def vectorIndexingWriter(
+      source: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      kCells: Int = 16
+  ): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val exists = {
+          val hp = new org.apache.hadoop.fs.Path(indexPath + "/_centroids")
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+        }
+        if (exists)
+          graft.operators.Similarity.appendToIvf(s, batch, vecCol, idCol, indexPath)
+        else if (!batch.isEmpty)
+          graft.operators.Similarity.writeIvf(s,
+            graft.operators.Similarity.buildIvf(batch, vecCol, idCol, kCells), indexPath)
+      }
+
   /** Watermarked sliding-window counts over an event stream — the streaming
     * twin of [[graft.operators.EventWindows.sliding]].
     */

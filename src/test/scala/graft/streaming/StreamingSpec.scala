@@ -173,6 +173,68 @@ class StreamingSpec extends SparkSpec {
       "doc 11 must be dropped against the signatures registered by run 1")
   }
 
+  test("indexing writer keeps the BM25 index fresh across runs; search sees new docs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmpDir("sbm25") + "/index"
+    val ckpt = tmpDir("sbm25_ckpt")
+    def run(mem: MemoryStream[(Long, String)]): Unit = {
+      val q = StreamingPipeline.indexingWriter(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt, nBuckets = 8).start()
+      q.awaitTermination()
+    }
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "apple banana apple"), (2L, "banana cherry"))
+    run(mem) // first run builds
+    val hits1 = graft.operators.TextSearch.searchIndex(spark, idx, Seq("apple"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits1 == Set(1L))
+    mem.addData((3L, "apple date elderberry"))
+    run(mem) // second run appends doc 3's postings only
+    val hits2 = graft.operators.TextSearch.searchIndex(spark, idx, Seq("apple"), 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits2 == Set(1L, 3L), "the appended document must be searchable")
+    // appended index equals a from-scratch build over all three docs
+    val scratch = tmpDir("sbm25_scratch") + "/index"
+    graft.operators.TextSearch.writeIndex(spark,
+      Seq((1L, "apple banana apple"), (2L, "banana cherry"), (3L, "apple date elderberry"))
+        .toDF("doc_id", "text"), "text", "doc_id", scratch, nBuckets = 8)
+    val a = graft.operators.TextSearch.searchIndex(spark, idx, Seq("apple", "banana"), 10)
+      .as[(Long, Double)].collect().toMap
+    val b = graft.operators.TextSearch.searchIndex(spark, scratch, Seq("apple", "banana"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, s) => assert(math.abs(s - b(id)) < 1e-12) }
+  }
+
+  test("vector indexing writer builds then appends the IVF index across runs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmpDir("sivf") + "/index"
+    val ckpt = tmpDir("sivf_ckpt")
+    def vec(a: Float, b: Float) = Array(a, b, 0f, 0f)
+    def run(mem: MemoryStream[(Long, Array[Float])]): Unit = {
+      val q = StreamingPipeline.vectorIndexingWriter(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", idx, ckpt,
+        kCells = 2).start()
+      q.awaitTermination()
+    }
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData((1L, vec(1f, 0f)), (2L, vec(0.9f, 0.1f)), (3L, vec(0f, 1f)))
+    run(mem) // builds with 2 cells
+    val cents1 = graft.operators.Similarity.readIvf(spark, idx).centroids
+    mem.addData((4L, vec(0.95f, 0.05f)))
+    run(mem) // appends against the frozen centroids
+    val after = graft.operators.Similarity.readIvf(spark, idx)
+    assert(after.centroids.map(_._2.toSeq) == cents1.map(_._2.toSeq),
+      "append must not move centroids")
+    assert(after.assigned.select("vec_id").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+    val hits = graft.operators.Similarity.topKIvf(
+      after, "embedding", "vec_id", vec(1f, 0f), k = 2, nProbes = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits.contains(4L), "the appended vector must be searchable")
+  }
+
   test("flatMapGroupsWithState emits closed sessions only, keeps open tail in state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
