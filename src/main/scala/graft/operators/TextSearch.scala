@@ -141,10 +141,29 @@ object TextSearch {
 
   private final case class IndexStats(n: Long, sumDl: Long, nBuckets: Int, appends: Int)
 
-  /** `_stats` with `sum_dl` kept as an exact long so stats MERGE under
-    * append without float drift, and `appends` counting segments added
-    * since the last build/compaction (pre-append-era stats carried neither
-    * — reconstructed as rounded avgdl·n and "assume appended").
+  private def segmentsDir(path: String) = path + "/_segments"
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Registered append segments: one subdir per segment id holding that
+    * segment's (n, sum_dl). Underscore-prefixed, so the postings scan never
+    * sees it.
+    */
+  private def segmentPaths(spark: SparkSession, path: String): Seq[String] = {
+    val fs = hadoopFs(spark, path)
+    val dir = new org.apache.hadoop.fs.Path(segmentsDir(path))
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).filter(_.isDirectory).map(_.getPath.toString).toSeq
+  }
+
+  /** `_stats` (base build) plus the per-segment stats of every registered
+    * append, summed as exact longs — so stats never drift under float
+    * accumulation AND a replayed append can never double-count (its
+    * segment's stats are OVERWRITTEN, not merged; see [[appendToIndex]]).
+    * `appends` = registered segment count (plus a legacy counter from
+    * pre-segment indexes).
     */
   private def readStats(spark: SparkSession, path: String): IndexStats = {
     val df = spark.read.parquet(path + "/_stats")
@@ -153,9 +172,20 @@ object TextSearch {
     val sumDl =
       if (df.columns.contains("sum_dl")) row.getAs[Long]("sum_dl")
       else math.round(row.getAs[Double]("avgdl") * n)
-    val appends =
+    val legacyAppends =
       if (df.columns.contains("appends")) row.getAs[Int]("appends") else 1
-    IndexStats(n, sumDl, row.getAs[Int]("n_buckets"), appends)
+    val segs = segmentPaths(spark, path)
+    val (nSeg, sumDlSeg) =
+      if (segs.isEmpty) (0L, 0L)
+      else {
+        // explicit schema: a crashed half-written segment dir must not
+        // break schema inference for the healthy ones
+        val r = spark.read.schema("n LONG, sum_dl LONG").parquet(segs: _*)
+          .agg(coalesce(sum(col("n")), lit(0L)), coalesce(sum(col("sum_dl")), lit(0L))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+    IndexStats(n + nSeg, sumDl + sumDlSeg, row.getAs[Int]("n_buckets"),
+      legacyAppends + segs.size)
   }
 
   /** Build and persist the inverted index: one posting row per (term, doc)
@@ -178,18 +208,36 @@ object TextSearch {
 
   /** Register NEW documents in an existing index without touching the
     * corpus: tokenize ONLY the batch, append its posting rows into the same
-    * bucket layout, and merge `_stats` by exact integer sums — the
+    * bucket layout, and register the batch as a SEGMENT — a subdir under
+    * `_segments/<segmentId>` holding the batch's exact (n, sum_dl) — the
     * 100 TB shape (a daily ingest re-tokenizes the day, not the archive).
     * Queries stay correct immediately because [[searchIndex]] derives df
     * merge-on-read; run [[compactIndex]] periodically to fold accumulated
-    * segment files back to one per bucket. For UPDATED documents rebuild or
-    * compact after a delete — append-only semantics, like Lucene segments
-    * without delete markers. Single-writer, like the store's upsert.
+    * segment files back to one per bucket.
+    *
+    * EXACTLY-ONCE under replay: a stable `segmentId` (a streaming batch id,
+    * an ingest date) makes the call idempotent. A fully-registered segment
+    * (its `_SUCCESS` present) is skipped outright — the
+    * append-succeeded-but-checkpoint-commit-didn't case. A crash mid-append
+    * leaves postings without segment stats; the replay re-appends (the
+    * duplicate rows are healed by the distinct in merge-on-read and
+    * compaction) and OVERWRITES the segment stats — counted once, always.
+    * Without an explicit id a random one is used (no replay protection).
+    *
+    * For UPDATED documents rebuild or compact after a delete — append-only
+    * semantics, like Lucene segments without delete markers. Single-writer,
+    * like the store's upsert.
     */
   def appendToIndex(
       spark: SparkSession, docs: DataFrame, textCol: String, idCol: String,
-      path: String): Unit = {
+      path: String, segmentId: String = null): Unit = {
+    import spark.implicits._
     val st = readStats(spark, path)
+    val segId = Option(segmentId).getOrElse(java.util.UUID.randomUUID().toString)
+    require(!segId.contains("/"), s"segmentId must not contain '/': $segId")
+    val segPath = s"${segmentsDir(path)}/$segId"
+    val fs = hadoopFs(spark, path)
+    if (fs.exists(new org.apache.hadoop.fs.Path(segPath, "_SUCCESS"))) return
     val lens = docs.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"))
     postingRows(docs, textCol, idCol)
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(st.nBuckets.toLong)))
@@ -197,8 +245,11 @@ object TextSearch {
       .write.partitionBy("bucket").mode(SaveMode.Append).parquet(path)
     val row = lens.agg(count(lit(1)), sum(col("dl"))).head()
     val nB = row.getLong(0)
-    writeStats(spark, path, st.n + nB, st.sumDl + (if (nB == 0) 0L else row.getLong(1)),
-      st.nBuckets, st.appends + 1)
+    // segment stats LAST and by overwrite: the segment either counts fully
+    // (stats landed) or not at all (replay rewrites them) — never twice
+    Seq((nB, if (nB == 0) 0L else row.getLong(1))).toDF("n", "sum_dl")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(segPath)
   }
 
   /** Fold appended segments back to the one-sorted-file-per-bucket layout
@@ -208,18 +259,21 @@ object TextSearch {
     * swapped by rename (single-writer, like the store).
     */
   def compactIndex(spark: SparkSession, path: String): Unit = {
-    val st = readStats(spark, path)
+    val st = readStats(spark, path) // base + all registered segments
     val tmp = path + ".compact-tmp"
-    val postings = spark.read.parquet(path).drop("df")
+    // distinct: heal duplicate posting rows a crashed-and-replayed append
+    // left behind (identical (doc_id, dl, term, tf) tuples)
+    val postings = spark.read.parquet(path).drop("df").distinct()
     val dfreq = postings.groupBy(col("term")).agg(count(lit(1)).as("df"))
     postings.join(dfreq, "term")
       .withColumn("bucket", pmod(xxhash64(col("term")), lit(st.nBuckets.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("term"), col("doc_id"))
       .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmp)
+    // segment stats fold into the base; the segment ledger resets with the
+    // swap (tmp has no _segments dir)
     writeStats(spark, tmp, st.n, st.sumDl, st.nBuckets, appends = 0)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = hadoopFs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
@@ -249,12 +303,15 @@ object TextSearch {
       .filter(col("bucket").isin(termBuckets: _*) && col("term").isin(terms: _*))
     // a built/compacted index (appends == 0) carries globally-correct
     // denormalized df — score straight off the scan; appended segments'
-    // stored df is segment-local, so derive the true df merge-on-read
+    // stored df is segment-local, so derive the true df merge-on-read.
+    // The distinct (before counting df!) heals duplicate rows a crashed-
+    // and-replayed append left in the postings.
     val scored =
       if (st.appends == 0) pruned
       else {
-        val dfreq = pruned.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        pruned.drop("df").join(broadcast(dfreq), "term")
+        val rows = pruned.drop("df").distinct()
+        val dfreq = rows.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        rows.join(broadcast(dfreq), "term")
       }
     scored
       .withColumn("w", bm25W(st.n, avgdl, params))

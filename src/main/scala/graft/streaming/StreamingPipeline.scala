@@ -184,15 +184,14 @@ object StreamingPipeline {
   /** Streaming BM25 index maintenance — the streaming face of
     * [[graft.operators.TextSearch.appendToIndex]]: the first microbatch
     * builds the index, every later one appends its posting rows (tokenizing
-    * only the batch; `_stats` merged by exact integer sums). Queries through
-    * [[graft.operators.TextSearch.searchIndex]] stay correct at every point
-    * because df derives merge-on-read while appended segments exist; run
-    * `compactIndex` out of band on whatever cadence file-count hygiene
-    * needs. Exactly-once caveat: an append that lands without its
-    * checkpoint commit is re-applied on replay — BM25 then counts those
-    * documents twice until a compaction with a dedup pass or a rebuild;
-    * keep batches idempotent upstream (e.g. route through [[dedupingWriter]]
-    * first, which drops the replayed ids as self-duplicates).
+    * only the batch) registered as a segment keyed by the STREAMING BATCH
+    * ID — batch ids are stable across at-least-once replays, so a replayed
+    * microbatch whose append already landed is skipped and one whose append
+    * half-landed is healed (appendToIndex's exactly-once contract). Queries
+    * through [[graft.operators.TextSearch.searchIndex]] stay correct at
+    * every point because df derives merge-on-read while appended segments
+    * exist; run `compactIndex` out of band on whatever cadence file-count
+    * hygiene needs.
     */
   def indexingWriter(
       source: DataFrame,
@@ -206,14 +205,15 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         val exists = {
           val hp = new org.apache.hadoop.fs.Path(indexPath + "/_stats")
           hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
         }
         if (exists)
-          graft.operators.TextSearch.appendToIndex(s, batch, textCol, idCol, indexPath)
+          graft.operators.TextSearch.appendToIndex(s, batch, textCol, idCol, indexPath,
+            segmentId = s"batch-$batchId")
         else
           graft.operators.TextSearch.writeIndex(s, batch, textCol, idCol, indexPath, nBuckets)
       }

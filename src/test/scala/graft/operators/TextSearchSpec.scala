@@ -110,6 +110,52 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("a replayed append (same segmentId) is skipped: scores and stats count once") {
+    val dir = tmpDir("bm25replay") + "/index"
+    TextSearch.writeIndex(spark, corpus.filter(col("doc_id") <= 3),
+      "text", "doc_id", dir, nBuckets = 8)
+    val batch = corpus.filter(col("doc_id") > 3)
+    TextSearch.appendToIndex(spark, batch, "text", "doc_id", dir, segmentId = "day-1")
+    val once = TextSearch.searchIndex(spark, dir, Seq("apple", "date"), 10)
+      .as[(Long, Double)].collect().toMap
+    // the at-least-once case: append landed, checkpoint commit didn't,
+    // the exact same batch replays under the same segment id
+    TextSearch.appendToIndex(spark, batch, "text", "doc_id", dir, segmentId = "day-1")
+    val twice = TextSearch.searchIndex(spark, dir, Seq("apple", "date"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(twice == once, "a replayed segment must not change scores")
+    // and both equal the from-scratch build (n/avgdl counted once)
+    val scratch = tmpDir("bm25replay2") + "/index"
+    TextSearch.writeIndex(spark, corpus, "text", "doc_id", scratch, nBuckets = 8)
+    val clean = TextSearch.searchIndex(spark, scratch, Seq("apple", "date"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(once.keySet == clean.keySet)
+    once.foreach { case (id, s) => assert(math.abs(s - clean(id)) < 1e-12) }
+  }
+
+  test("duplicate posting rows from a half-landed append are healed by distinct") {
+    val dir = tmpDir("bm25heal") + "/index"
+    TextSearch.writeIndex(spark, corpus.filter(col("doc_id") <= 3),
+      "text", "doc_id", dir, nBuckets = 8)
+    TextSearch.appendToIndex(spark, corpus.filter(col("doc_id") > 3),
+      "text", "doc_id", dir, segmentId = "day-1")
+    val healthy = TextSearch.searchIndex(spark, dir, Seq("apple", "cherry", "date"), 10)
+      .as[(Long, Double)].collect().toMap
+    // simulate the crash artifact: postings duplicated RAW (no segment
+    // stats) — exactly what a replay-after-mid-append crash leaves behind
+    val rows = spark.read.parquet(dir).localCheckpoint(true)
+    rows.write.partitionBy("bucket").mode("append").parquet(dir)
+    val healed = TextSearch.searchIndex(spark, dir, Seq("apple", "cherry", "date"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(healed == healthy, "duplicated posting rows must not change scores")
+    // compaction heals permanently: one file per bucket, same scores
+    TextSearch.compactIndex(spark, dir)
+    val compacted = TextSearch.searchIndex(spark, dir, Seq("apple", "cherry", "date"), 10)
+      .as[(Long, Double)].collect().toMap
+    assert(compacted.keySet == healthy.keySet)
+    compacted.foreach { case (id, s) => assert(math.abs(s - healthy(id)) < 1e-12) }
+  }
+
   test("appending an empty batch changes nothing") {
     val dir = tmpDir("bm25empty") + "/index"
     TextSearch.writeIndex(spark, corpus, "text", "doc_id", dir, nBuckets = 8)
