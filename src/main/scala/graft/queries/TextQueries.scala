@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.{BpeTrainer, Dedup, Graph, LanguageModel, QualityFilters, Sampling, Similarity, TextSearch}
+import graft.operators.{BpeTrainer, Dedup, Graph, LanguageModel, NaiveBayes, QualityFilters, Sampling, Similarity, TextSearch}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -808,6 +808,62 @@ object TextQueries {
           .groupBy(col("pred_stopword"), col("pred_ngram")).agg(count(lit(1)).as("n")),
       Some(langIdOracleSql),
       Seq("C1")
+    ),
+
+    // Trained text classifier (multinomial NB, add-one smoothing): the
+    // relational stand-in for the fasttext quality/language models the
+    // published pipelines gate on. Train on even doc_ids (label = lang),
+    // predict the odd half, output the confusion matrix. The oracle
+    // replays training counts, smoothed log-posteriors, and the
+    // struct-max argmax; scores round to 6dp before the argmax on both
+    // sides so summation order cannot flip a prediction.
+    "ta_nb_langid" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val model = NaiveBayes.train(
+          docs.filter(col("doc_id") % 2 === 0), "text", "lang")
+        val test = docs.filter(col("doc_id") % 2 === 1)
+        NaiveBayes.predict(model, test, "text", "doc_id")
+          .join(test.select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"), col("label").as("pred"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH train AS (
+             |  SELECT lang AS label, doc_id,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS tk
+             |  FROM documents WHERE doc_id % 2 = 0),
+             |tc AS (
+             |  SELECT label, term, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM (SELECT label, unnest(tk) AS term FROM train) GROUP BY label, term),
+             |totals AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS total FROM tc GROUP BY label),
+             |priors AS (SELECT label, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY label),
+             |vocab AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tc),
+             |ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM train),
+             |test AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> len(t) > 0) AS tk
+             |  FROM documents WHERE doc_id % 2 = 1),
+             |dtf AS (
+             |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(tk) AS term FROM test) GROUP BY doc_id, term),
+             |classes AS (SELECT p.label, p.nd, t.total FROM priors p JOIN totals t USING (label)),
+             |perterm AS (
+             |  SELECT d.doc_id, c.label, c.nd,
+             |         d.tf * ln((coalesce(tc.cnt, 0) + 1.0) /
+             |                   (c.total + (SELECT v FROM vocab))) AS w
+             |  FROM dtf d CROSS JOIN classes c
+             |  LEFT JOIN tc ON tc.label = c.label AND tc.term = d.term),
+             |scores AS (
+             |  SELECT doc_id, label,
+             |         ln(CAST(nd AS DOUBLE) / (SELECT n FROM ndocs)) + sum(w) AS s
+             |  FROM perterm GROUP BY doc_id, label, nd),
+             |pred AS (
+             |  SELECT doc_id, (max({'s': round(s, 6), 'l': label})).l AS pred
+             |  FROM scores GROUP BY doc_id)
+             |SELECT t.lang, p.pred, count(*) AS n
+             |FROM pred p JOIN test t USING (doc_id)
+             |GROUP BY t.lang, p.pred""".stripMargin),
+      Seq("A1", "C1", "J1")
     ),
 
     // Deterministic hash-bucket train/val/test split: membership from the id
