@@ -171,4 +171,59 @@ object Sampling {
       .partitionBy(groupCols.map(col): _*).orderBy(h.asc, col(idCol).asc)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
   }
+
+  /** Token-budget cut per source — the "give me N tokens of source X"
+    * primitive of training-mixture construction: documents are ordered by a
+    * salted hash (a reproducible, selection-bias-free shuffle order) and
+    * the prefix whose cumulative `tokensCol` fits `budgetTokens` is kept,
+    * independently per source.
+    *
+    * Semantically this is ONE running-sum window per source — but a
+    * per-source window is a single sequential task, the thing a 10 TB
+    * source cannot afford. The implementation decomposes it: rows land in
+    * 4096 ORDER-PRESERVING hash-range buckets, bucket token totals get the
+    * running sum (a 4096-row window per source), full buckets below the
+    * boundary pass wholesale, buckets beyond it drop wholesale, and the
+    * row-level window runs only INSIDE the one boundary bucket (~1/4096 of
+    * the source). Result is row-identical to the naive global window —
+    * bucketing is monotone in the hash, so the global prefix IS the bucket
+    * prefix plus the boundary-bucket prefix (SamplingSpec pins equality;
+    * the `ta_token_budget_take` oracle replays the naive form).
+    *
+    * @param hashFn non-negative ordering hash; bucket = hash div 2⁴⁸ —
+    *        4096 buckets for the 60-bit oracle hash ([[Dedup.md5Lower60]]),
+    *        32768 for the default 63-bit [[Dedup.xxBaseHash]] (either way a
+    *        small, order-preserving decomposition)
+    */
+  def takeTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      sourceCol: String,
+      budgetTokens: Long,
+      salt: String = "",
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    val w = org.apache.spark.sql.expressions.Window
+    val h = hashFn(concat(col(idCol).cast("string"), lit(":" + salt)))
+    val rows = df.withColumn("_h", h)
+      .withColumn("_b", expr("_h div 281474976710656")) // 2^48 → 4096 ordered buckets
+    val bucketCum = rows.groupBy(col(sourceCol), col("_b"))
+      .agg(sum(col(tokensCol)).as("_bt"))
+      .withColumn("_before", coalesce(
+        sum(col("_bt")).over(w.partitionBy(col(sourceCol)).orderBy(col("_b"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+    val joined = rows.join(bucketCum, Seq(sourceCol, "_b"))
+    val fullKeep = joined.filter(col("_before") + col("_bt") <= budgetTokens)
+    // the boundary bucket: its running sum crosses the budget — row-level
+    // prefix within it only
+    val boundary = joined
+      .filter(col("_before") < budgetTokens && col("_before") + col("_bt") > budgetTokens)
+      .withColumn("_run", sum(col(tokensCol)).over(
+        w.partitionBy(col(sourceCol), col("_b")).orderBy(col("_h").asc, col(idCol).asc)))
+      .filter(col("_before") + col("_run") <= budgetTokens)
+      .drop("_run")
+    fullKeep.unionByName(boundary).drop("_h", "_b", "_bt", "_before")
+  }
 }

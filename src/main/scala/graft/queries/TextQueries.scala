@@ -810,6 +810,42 @@ object TextQueries {
       Seq("C1")
     ),
 
+    // Token-budget corpus cut: 20k tokens per source along the salted-hash
+    // order — the mixture-construction primitive ("N tokens of source X").
+    // The engine runs the scalable bucket-decomposed form (row window only
+    // inside the one boundary bucket); the oracle replays the naive global
+    // running-sum window it must equal row-for-row, through the shared
+    // md5Lower60 ordering hash.
+    "ta_token_budget_take" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("toks", tokenCount(col("text")))
+        Sampling.takeTokenBudget(docs, "doc_id", "toks", "source",
+            budgetTokens = 20000L, salt = "mix1",
+            hashFn = c => Dedup.md5Lower60(c))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("sum_toks"),
+            sum(col("doc_id")).as("sum_ids"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source,
+             |         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS toks,
+             |         CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix1') >> 4) AS BIGINT) AS h
+             |  FROM documents),
+             |run AS (
+             |  SELECT doc_id, source, toks,
+             |         sum(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+             |                         ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM docs)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(toks) AS BIGINT) AS sum_toks,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM run WHERE cum <= 20000 GROUP BY source""".stripMargin),
+      Seq("L1", "A4", "F8")
+    ),
+
     // Trained text classifier (multinomial NB, add-one smoothing): the
     // relational stand-in for the fasttext quality/language models the
     // published pipelines gate on. Train on even doc_ids (label = lang),

@@ -140,4 +140,43 @@ class OperatorsPropertySpec extends SparkSpec {
       } && got.groupBy(_.getLong(0)).values.forall(_.length <= 2)
     })
   }
+
+  test("takeTokenBudget equals the naive global running-sum window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val budgetGen = Gen.chooseNum(0L, 400L)
+    val rowsGen = Gen.chooseNum(1, 60).flatMap { n =>
+      Gen.listOfN(n, for {
+        src <- Gen.oneOf("a", "b", "c")
+        toks <- Gen.chooseNum(1L, 50L)
+      } yield (src, toks))
+    }
+    holds(forAll(rowsGen, budgetGen) { (rows, budget) =>
+      val df = rows.zipWithIndex
+        .map { case ((src, t), i) => (i.toLong, src, t) }
+        .toDF("doc_id", "source", "toks")
+      val got = Sampling.takeTokenBudget(df, "doc_id", "toks", "source", budget)
+        .select("doc_id").as[Long].collect().toSet
+      // naive form: one global running-sum window per source, same hash
+      val h = Dedup.xxBaseHash(concat(col("doc_id").cast("string"), lit(":")))
+      val naive = df
+        .withColumn("_cum", sum(col("toks")).over(
+          Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("_cum") <= budget)
+        .select("doc_id").as[Long].collect().toSet
+      got == naive
+    })
+  }
+
+  test("takeTokenBudget degenerate budgets: zero keeps nothing, huge keeps all") {
+    val df = (1L to 30L).map(i => (i, if (i % 2 == 0) "x" else "y", 10L))
+      .toDF("doc_id", "source", "toks")
+    assert(Sampling.takeTokenBudget(df, "doc_id", "toks", "source", 0L).count() == 0)
+    assert(Sampling.takeTokenBudget(df, "doc_id", "toks", "source", 1000000L).count() == 30)
+    // exact boundary: budget of 50 per source keeps exactly 5 docs of 10
+    val cut = Sampling.takeTokenBudget(df, "doc_id", "toks", "source", 50L)
+    assert(cut.groupBy("source").count().as[(String, Long)].collect().toMap
+      == Map("x" -> 5L, "y" -> 5L))
+  }
 }
