@@ -35,7 +35,8 @@ object ExplainAudit {
       "ts_bm25", "dd_incremental", "ta_perplexity", "e2_ann_ivf_kmeans",
       "dd_fuzzy_contamination", "ts_hybrid_rrf",
       "ta_bpe_pairs", "vec_kmeans_sizes", "w_rolling_1h", "a_corr_stats",
-      "ta_quantile_filter", "ts_bm25_incremental", "e2_ann_ivf_append"
+      "ta_quantile_filter", "ts_bm25_incremental", "e2_ann_ivf_append",
+      "g_pagerank", "ta_nb_langid", "ta_token_budget_take"
     )
 
     var bad = 0
@@ -202,6 +203,27 @@ object ExplainAudit {
         val p = plan("dd_fuzzy_contamination")
         p.contains("BroadcastHashJoin") && p.contains("LeftSemi") &&
           !p.contains("CartesianProduct")
+      }),
+      // pagerank: contribution joins are equi-key on node/src — never a
+      // cartesian against the edge table
+      ("pagerank iterations join ranks onto edges equi-key, no cartesian",
+        !plan("g_pagerank").contains("CartesianProduct")),
+      // NB scoring: the ONLY non-equi join is docTf × the broadcast class
+      // list (bounded by construction); the vocabulary-sized term-count
+      // join must be equi-key
+      ("nb scoring crosses only the bounded class list; term counts join equi-key", {
+        val p = plan("ta_nb_langid")
+        !p.contains("CartesianProduct") &&
+          "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1
+      }),
+      // token-budget cut: the row-level running sum must be windowed by
+      // (source, bucket) — a window keyed on the source alone is the
+      // single-task-per-source shape the decomposition exists to avoid
+      ("token-budget row window is bucket-scoped, not whole-source", {
+        val p = plan("ta_token_budget_take")
+        val rowWindows = p.linesIterator.filter(l =>
+          l.contains("windowspecdefinition") && l.contains("toks")).toSeq
+        rowWindows.nonEmpty && rowWindows.forall(_.contains("_b"))
       })
     )
     println("\n===== invariants =====")
