@@ -470,6 +470,28 @@ object Similarity {
     perQueryTopK(cands, queryIdCol, k)
   }
 
+  /** Element-wise mean of `vecCol` per group — the chunk→document (or
+    * cluster→centroid-of-members) embedding aggregation every RAG/dedup
+    * pipeline needs once chunks carry vectors. Relational: positions
+    * explode to (group, pos, x) rows whose partial averages combine
+    * MAP-SIDE, so the exchange carries |groups|·dim rows, never
+    * |rows|·dim; the pooled array reassembles by position sort. Empty and
+    * null vectors drop out of their positions' counts (the conventional
+    * pooling semantics); groups with only null/empty vectors are absent.
+    */
+  def meanPool(
+      df: DataFrame, groupCols: Seq[String], vecCol: String,
+      outCol: String = "pooled"): DataFrame = {
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    df.select(groupCols.map(col) :+ posexplode(col(vecCol)).as(Seq("_pos", "_x")): _*)
+      .groupBy((groupCols :+ "_pos").map(col): _*)
+      .agg(avg(col("_x")).as("_m"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("_pos"), col("_m")))).as("_s"))
+      .select(groupCols.map(col) :+
+        transform(col("_s"), s => s.getField("_m").cast("float")).as(outCol): _*)
+  }
+
   /** Mean recall@k of an approximate k-NN result against the exact one —
     * the ANN tuning metric (index parameters trade scan width for recall;
     * this is the number they buy). Both inputs are [[nnJoin]]-shaped

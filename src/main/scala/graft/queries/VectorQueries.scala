@@ -101,6 +101,46 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // Mean-pooled embeddings per label (the chunk→document pooling op):
+    // per-position partial averages combine map-side, pooled vector
+    // reassembled by position sort. Checked via per-label scalars of the
+    // pooled array — first/last components, norm, and the all-dims sum —
+    // rounded at 6dp (partial-avg reassociation noise is ~1e-13 here).
+    "vec_meanpool" -> Q(
+      (s, d) => {
+        val pooled = Similarity.meanPool(
+          embeddings(s, d).filter(col("vec_id") =!= 0), Seq("label"), "embedding")
+        val members = embeddings(s, d).filter(col("vec_id") =!= 0)
+          .groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+        pooled.join(members, "label")
+          .select(
+            col("label"), col("n_vecs"),
+            round(element_at(col("pooled"), 1).cast("double"), 6).as("p_first"),
+            round(element_at(col("pooled"), 64).cast("double"), 6).as("p_last"),
+            round(graft.functions.VectorFunctions.norm(col("pooled")), 6).as("p_norm"),
+            round(aggregate(col("pooled"), lit(0.0),
+              (acc, x) => acc + x.cast("double")), 6).as("p_sum"))
+      },
+      Some("""WITH unn AS (
+             |  SELECT label, vec_id, generate_subscripts(embedding, 1) AS i,
+             |         CAST(unnest(embedding) AS DOUBLE) AS x
+             |  FROM embeddings WHERE vec_id <> 0),
+             |dims AS (
+             |  SELECT label, i, CAST(CAST(avg(x) AS FLOAT) AS DOUBLE) AS m
+             |  FROM unn GROUP BY label, i),
+             |members AS (
+             |  SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n_vecs
+             |  FROM unn GROUP BY label)
+             |SELECT d.label, m.n_vecs,
+             |       round(max(CASE WHEN i = 1 THEN m END), 6) AS p_first,
+             |       round(max(CASE WHEN i = 64 THEN m END), 6) AS p_last,
+             |       round(sqrt(sum(m * m)), 6) AS p_norm,
+             |       round(sum(m), 6) AS p_sum
+             |FROM dims d JOIN members m USING (label)
+             |GROUP BY d.label, m.n_vecs""".stripMargin),
+      Seq("E2", "A1")
+    ),
+
     // Label centroid distance: per label, how close each member is to the
     // label's mean vector — an IVF-style partition statistic.
     "vec_centroid_sim" -> Q(

@@ -818,4 +818,28 @@ class OperatorsSpec extends SparkSpec {
       .select("id", "v").as[(String, String)].collect().toMap
     assert(out == Map("k1" -> "new", "k2" -> "old"))
   }
+
+  test("meanPool: hand-computed element-wise group means, order and dims preserved") {
+    val df = Seq(
+      ("a", Array(1f, 2f, 3f)),
+      ("a", Array(3f, 4f, 5f)),
+      ("b", Array(10f, 0f, -2f))
+    ).toDF("grp", "vec")
+    val pooled = Similarity.meanPool(df, Seq("grp"), "vec")
+      .as[(String, Array[Float])].collect().toMap
+    assert(pooled("a").toSeq == Seq(2f, 3f, 4f))
+    assert(pooled("b").toSeq == Seq(10f, 0f, -2f))
+    // repartition-stable at the checked precision
+    val re = Similarity.meanPool(df.repartition(5), Seq("grp"), "vec")
+      .as[(String, Array[Float])].collect().toMap
+    assert(re.view.mapValues(_.toSeq).toMap == pooled.view.mapValues(_.toSeq).toMap)
+    // null/empty vectors drop out; all-null groups are absent
+    val withNulls = Seq(
+      ("a", Array(2f, 2f)), ("a", null.asInstanceOf[Array[Float]]),
+      ("c", null.asInstanceOf[Array[Float]])
+    ).toDF("grp", "vec")
+    val p2 = Similarity.meanPool(withNulls, Seq("grp"), "vec")
+      .as[(String, Array[Float])].collect().toMap
+    assert(p2.keySet == Set("a") && p2("a").toSeq == Seq(2f, 2f))
+  }
 }
