@@ -238,4 +238,44 @@ object QualityFilters {
             6).as("top_ngram_char_frac")
         ) ++ carry.map(col): _*)
   }
+
+  /** Cross-document boilerplate removal (the CCNet/web-curation line rule):
+    * a line whose TRIMMED form appears in more than `maxDocs` distinct
+    * documents — headers, footers, cookie banners, nav chrome — is
+    * stripped from every document; everything else rejoins in original
+    * order, byte-identical (trimming keys the count, never rewrites the
+    * kept line). Run per domain/shard slice: pass the slice, not the
+    * corpus, when "common" should mean common-within-site.
+    *
+    * Scale shape: lines explode once, the distinct-doc count is one
+    * map-side-combined aggregation keyed by the line text, and the
+    * boilerplate set (tiny by definition — lines repeated across MANY
+    * docs) joins back as an equi-key semi-join AQE will broadcast.
+    * Documents reassemble with a per-doc sort over their OWN lines.
+    * Empty-trim lines (blank spacing) are never counted as boilerplate.
+    */
+  def stripBoilerplateLines(
+      df: DataFrame, idCol: String, textCol: String, maxDocs: Long
+  ): DataFrame = {
+    require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
+    val lines = df
+      .select(col(idCol).as("_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_key", trim(col("_line")))
+    val boiler = lines
+      .filter(length(col("_key")) > 0)
+      .groupBy(col("_key"))
+      .agg(countDistinct(col("_id")).as("_docs"))
+      .filter(col("_docs") > maxDocs)
+      .select(col("_key"))
+    val kept = lines
+      .join(boiler, Seq("_key"), "left_anti")
+      .groupBy(col("_id"))
+      .agg(concat_ws("\n",
+        transform(sort_array(collect_list(struct(col("_pos"), col("_line")))),
+          x => x.getField("_line"))).as("_clean"))
+    df.join(kept, df(idCol) === kept("_id"), "left")
+      .withColumn(textCol, coalesce(col("_clean"), lit(""))) // all-boilerplate → empty
+      .drop("_id", "_clean")
+  }
 }

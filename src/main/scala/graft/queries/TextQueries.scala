@@ -810,6 +810,55 @@ object TextQueries {
       Seq("C1")
     ),
 
+    // Cross-document boilerplate stripping (CCNet line rule): every doc is
+    // salted with two site-chrome lines (hit all docs → stripped) plus a
+    // per-doc unique line (survives); originals rejoin byte-identically.
+    // Exact string/count algebra end to end — the oracle replays the
+    // distinct-doc line counts and the order-preserving reassembly.
+    "ta_boilerplate_strip" -> Q(
+      (s, d) => {
+        val salted = documents(s, d).withColumn("text2",
+          concat(col("text"),
+            lit("\nCopyright Lovdata AS\nAll rights reserved"),
+            lit("\nref note "), col("doc_id").cast("string")))
+        QualityFilters.stripBoilerplateLines(
+            salted.select(col("doc_id"), col("lang"), col("text2")),
+            "doc_id", "text2", maxDocs = 100)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(length(col("text2"))).as("sum_chars"),
+            sum(size(split(col("text2"), "\n"))).as("sum_lines"))
+      },
+      Some("""WITH salted AS (
+             |  SELECT doc_id, lang,
+             |         text || chr(10) || 'Copyright Lovdata AS' ||
+             |         chr(10) || 'All rights reserved' ||
+             |         chr(10) || 'ref note ' || CAST(doc_id AS VARCHAR) AS t
+             |  FROM documents),
+             |lines AS (
+             |  SELECT doc_id, lang,
+             |         generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+             |         unnest(string_split(t, chr(10))) AS line
+             |  FROM salted),
+             |boiler AS (
+             |  SELECT trim(line) AS k FROM lines WHERE len(trim(line)) > 0
+             |  GROUP BY trim(line) HAVING count(DISTINCT doc_id) > 100),
+             |kept AS (
+             |  SELECT doc_id, lang, pos, line FROM lines
+             |  WHERE trim(line) NOT IN (SELECT k FROM boiler)),
+             |docs2 AS (
+             |  SELECT doc_id, lang,
+             |         array_to_string(list(line ORDER BY pos), chr(10)) AS t2,
+             |         count(*) AS n_lines
+             |  FROM kept GROUP BY doc_id, lang)
+             |SELECT lang, count(*) AS n,
+             |       CAST(sum(len(t2)) AS BIGINT) AS sum_chars,
+             |       CAST(sum(n_lines) AS BIGINT) AS sum_lines
+             |FROM docs2 GROUP BY lang""".stripMargin),
+      Seq("A6", "C3", "F9")
+    ),
+
     // Token-budget corpus cut: 20k tokens per source along the salted-hash
     // order — the mixture-construction primitive ("N tokens of source X").
     // The engine runs the scalable bucket-decomposed form (row window only

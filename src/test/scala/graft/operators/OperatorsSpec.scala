@@ -819,6 +819,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map("k1" -> "new", "k2" -> "old"))
   }
 
+  test("stripBoilerplateLines: shared chrome goes, unique content stays byte-identical") {
+    val df = Seq(
+      (1L, "unique article one\nSITE FOOTER\n  SITE FOOTER  \nsecond line 1"),
+      (2L, "unique article two\nSITE FOOTER\nsecond line 2"),
+      (3L, "unique article three\nSITE FOOTER"),
+      (4L, "no chrome at all\n\nwith a blank line")
+    ).toDF("doc_id", "text")
+    val out = QualityFilters.stripBoilerplateLines(df, "doc_id", "text", maxDocs = 2)
+      .as[(Long, String)].collect().toMap
+    // the footer hits 3 > 2 docs under TRIMMED matching (doc 1's padded
+    // copy counts and strips too); everything else keeps exact bytes+order
+    assert(out(1L) == "unique article one\nsecond line 1")
+    assert(out(2L) == "unique article two\nsecond line 2")
+    assert(out(3L) == "unique article three")
+    assert(out(4L) == "no chrome at all\n\nwith a blank line",
+      "untouched documents must come back byte-identical, blank lines intact")
+    // blank lines never count as boilerplate even though every doc could
+    // share them; a doc that is ALL boilerplate collapses to empty
+    val all = Seq((1L, "F"), (2L, "F"), (3L, "F")).toDF("doc_id", "text")
+    val stripped = QualityFilters.stripBoilerplateLines(all, "doc_id", "text", maxDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(stripped.values.toSet == Set(""))
+    // threshold boundary: exactly maxDocs occurrences is NOT boilerplate
+    val atBar = QualityFilters.stripBoilerplateLines(
+      Seq((1L, "F"), (2L, "F")).toDF("doc_id", "text"), "doc_id", "text", maxDocs = 2)
+      .as[(Long, String)].collect().toMap
+    assert(atBar.values.toSet == Set("F"))
+  }
+
   test("meanPool: hand-computed element-wise group means, order and dims preserved") {
     val df = Seq(
       ("a", Array(1f, 2f, 3f)),
