@@ -36,7 +36,8 @@ object ExplainAudit {
       "dd_fuzzy_contamination", "ts_hybrid_rrf",
       "ta_bpe_pairs", "vec_kmeans_sizes", "w_rolling_1h", "a_corr_stats",
       "ta_quantile_filter", "ts_bm25_incremental", "e2_ann_ivf_append",
-      "g_pagerank", "ta_nb_langid", "ta_token_budget_take"
+      "g_pagerank", "ta_nb_langid", "ta_token_budget_take",
+      "ta_boilerplate_strip", "vec_meanpool"
     )
 
     var bad = 0
@@ -224,7 +225,16 @@ object ExplainAudit {
         val rowWindows = p.linesIterator.filter(l =>
           l.contains("windowspecdefinition") && l.contains("toks")).toSeq
         rowWindows.nonEmpty && rowWindows.forall(_.contains("_b"))
-      })
+      }),
+      // boilerplate strip: line removal joins equi-key on the trimmed line
+      // (the boilerplate side is broadcast-small by definition)
+      ("boilerplate strip joins the line key equi-key, no cartesian", {
+        val p = plan("ta_boilerplate_strip")
+        !p.contains("CartesianProduct") && p.contains("LeftAnti")
+      }),
+      // mean-pooling: pure aggregate pipeline, no join at all
+      ("mean-pooling never crosses or cartesians",
+        !plan("vec_meanpool").contains("CartesianProduct"))
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>
