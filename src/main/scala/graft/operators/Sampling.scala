@@ -224,6 +224,7 @@ object Sampling {
         w.partitionBy(col(sourceCol), col("_b")).orderBy(col("_h").asc, col(idCol).asc)))
       .filter(col("_before") + col("_run") <= budgetTokens)
       .drop("_run")
-    fullKeep.unionByName(boundary).drop("_h", "_b", "_bt", "_before")
+    fullKeep.unionByName(boundary)
+      .select(df.columns.map(col): _*) // joins moved key columns first; restore caller order
   }
 }
