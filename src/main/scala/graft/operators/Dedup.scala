@@ -967,17 +967,28 @@ object Dedup {
       maxBucketSize: Int = 10000
   ): DataFrame = {
     import graft.functions.VectorFunctions._
-    // one norm per VECTOR, not per pair: a bucket of n vectors forms
-    // O(n²) pairs, so recomputing both norms inside the pair cosine triples
-    // the dominant per-pair cost for nothing
-    val bucketed = capBuckets(
+    cosinePairsWithin(
       df.select(
         col(idCol).as("id"),
         col(vecCol).as("vec"),
         lshBucket(col(vecCol), dim, nPlanes).as("bucket")
       ),
-      Seq("bucket"), maxBucketSize
-    ).withColumn("nrm", norm(col("vec")))
+      threshold, maxBucketSize)
+  }
+
+  /** Shared pair-join tail of [[cosineCandidates]] and
+    * [[semanticCandidates]]: self-join `(id, vec, bucket)` rows within a
+    * bucket (after the [[capBuckets]] skew guard), score each `id_a < id_b`
+    * pair by cosine, keep pairs at or above `threshold`.
+    */
+  private def cosinePairsWithin(
+      rows: DataFrame, threshold: Double, maxBucketSize: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    // one norm per VECTOR, not per pair: a bucket of n vectors forms
+    // O(n²) pairs, so recomputing both norms inside the pair cosine triples
+    // the dominant per-pair cost for nothing
+    val bucketed = capBuckets(rows, Seq("bucket"), maxBucketSize)
+      .withColumn("nrm", norm(col("vec")))
     val a = bucketed.select(
       col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"), col("nrm").as("nrm_a"))
     val b = bucketed.select(
@@ -990,6 +1001,65 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .distinct()
+  }
+
+  /** Semantic near-dup candidate pairs — SemDeDup (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication",
+    * arXiv:2303.09540): cluster document embeddings with deterministic
+    * k-means ([[Similarity.kmeans]] — fixed-point update, bit-identical
+    * under any partitioning), then form cosine pairs only WITHIN a cluster
+    * cell. Where [[cosineCandidates]] buckets by data-independent random
+    * hyperplanes, SemDeDup's cells adapt to the corpus — semantically
+    * paraphrased near-dups that land on opposite sides of a hyperplane
+    * still share a centroid.
+    *
+    * Scale shape: the k-means build collects only k×dim floats per
+    * iteration; assignment is one codegen/mapPartitions pass; the pair join
+    * is cell-equi-key (never corpus×corpus) with the same [[capBuckets]]
+    * guard as every other candidate generator — a degenerate cell (all-equal
+    * embeddings) is dropped, not exploded. At 100 TB the assigned corpus
+    * persists `cid`-partitioned (the [[Similarity.writeIvf]] layout), so the
+    * per-cell joins read co-located partitions.
+    *
+    * @return `(id_a, id_b, cos)` pairs with `cos >= threshold`, ids ordered
+    *         `id_a < id_b`
+    */
+  def semanticCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      threshold: Double = 0.95,
+      maxCellSize: Int = 10000
+  ): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val cents = Similarity.kmeans(vecs, "vec", "id", k, iters)
+    val assigned = Similarity.assignCells(vecs, "vec", cents)
+    cosinePairsWithin(
+      assigned.select(col("id"), col("vec"), col("cid").as("bucket")),
+      threshold, maxCellSize)
+  }
+
+  /** One-call semantic dedup: [[semanticCandidates]] → connected components
+    * → keep the canonical (minimum-id) document per semantic cluster. The
+    * SemDeDup keep rule (the paper keeps the member FURTHEST from the
+    * centroid; min-id is our deterministic, oracle-replayable stand-in —
+    * [[duplicateIdsByPreference]] gives the quality-aware variant when a
+    * preference column exists).
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 2,
+      threshold: Double = 0.95,
+      maxCellSize: Int = 10000
+  ): DataFrame = {
+    val pairs = semanticCandidates(df, idCol, vecCol, k, iters, threshold, maxCellSize)
+    val drops = duplicateIds(pairs).withColumnRenamed("id", idCol)
+    df.join(drops, Seq(idCol), "left_anti")
   }
 
   /** Exact-substring duplicate spans — the ExactSubstr rule of Lee et al.,

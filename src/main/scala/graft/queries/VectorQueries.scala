@@ -247,6 +247,36 @@ object VectorQueries {
       Seq("E2", "A2")
     ),
 
+    // SemDeDup (Abbas et al., arXiv:2303.09540): deterministic k-means
+    // cells over the embedding corpus, cosine pairs WITHIN a cell only —
+    // the data-adaptive sibling of dd_cosine_lsh (whose buckets are random
+    // hyperplanes). The oracle replays the full 2-iteration fixed-point
+    // k-means build (CTEs shared with e2_ann_ivf_kmeans), the final
+    // assignment, and every within-cell pair cosine. Threshold 0.42 is
+    // calibrated to the near-uniform synthetic embeddings (margin to the
+    // nearest pair > 1e-5 at every SF, so double-fold reassociation noise
+    // cannot flip membership).
+    "dd_semantic_pairs" -> Q(
+      (s, d) => Dedup.semanticCandidates(
+        embeddings(s, d).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        k = 16, iters = 2, threshold = 0.42),
+      Some(semanticPairsOracleSql(kCentroids = 16, threshold = "0.42")),
+      Seq("E2", "A6")
+    ),
+
+    // One-call semantic dedup: pairs → connected components → keep the
+    // canonical (min-id) member per semantic cluster. Output is kept-count
+    // plus the id-sum evidence (the dd_corpus_dedup convention); the oracle
+    // extends the pair replay with the recursive-CTE closure.
+    "dd_semantic" -> Q(
+      (s, d) => Dedup.semanticDedup(
+        embeddings(s, d).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        k = 16, iters = 2, threshold = 0.42)
+        .agg(count(lit(1)).as("n_kept"), sum(col("vec_id")).as("sum_kept_ids")),
+      Some(semanticDedupOracleSql(kCentroids = 16, threshold = "0.42")),
+      Seq("E2", "A6")
+    ),
+
     // IVF-SQ8: the same deterministic index and probe-cell selection as
     // e2_ann_ivf_topk, with int8 scoring inside the probed cells — the
     // composed scale path (partition pruning chooses WHICH rows, the int8
@@ -791,6 +821,52 @@ object VectorQueries {
   private def kmeansSizesOracleSql(kCentroids: Int): String =
     s"""${ivfKmeansBuildCtes(kCentroids)}
        |SELECT cid, count(*) AS n_vecs FROM assign3 GROUP BY cid""".stripMargin
+
+  /** Within-cell cosine pairs of the k-means build — the SemDeDup replay:
+    * the same build CTEs as [[ivfKmeansBuildCtes]], a self-join on the
+    * final assignment (`id_a < id_b`, same cell), pair cosine over the
+    * unnested components, threshold filter on the UNROUNDED value (matching
+    * [[graft.operators.Dedup.cosinePairsWithin]]).
+    */
+  private def semanticPairsCtes(kCentroids: Int, threshold: String): String =
+    s"""${ivfKmeansBuildCtes(kCentroids)},
+       |p0 AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM assign3 a JOIN assign3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT p.id_a, p.id_b, sum(ua.x * ub.x) AS dot,
+       |         sqrt(sum(ua.x * ua.x)) AS na, sqrt(sum(ub.x * ub.x)) AS nb
+       |  FROM p0 p
+       |  JOIN unn ua ON ua.vec_id = p.id_a
+       |  JOIN unn ub ON ub.vec_id = p.id_b AND ub.i = ua.i
+       |  GROUP BY p.id_a, p.id_b),
+       |pairs AS (
+       |  SELECT id_a, id_b,
+       |         CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END AS cos
+       |  FROM dots
+       |  WHERE (CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END) >= $threshold)""".stripMargin
+
+  private def semanticPairsOracleSql(kCentroids: Int, threshold: String): String =
+    s"""${semanticPairsCtes(kCentroids, threshold)}
+       |SELECT id_a, id_b, round(cos, 6) AS cos FROM pairs""".stripMargin
+
+  /** [[semanticPairsCtes]] + the recursive-CTE transitive closure and the
+    * canonical min-id keep rule (the dd_corpus_dedup oracle convention).
+    */
+  private def semanticDedupOracleSql(kCentroids: Int, threshold: String): String =
+    s"""${semanticPairsCtes(kCentroids, threshold).replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+       |drops AS (SELECT id FROM comps WHERE id <> comp)
+       |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id <> 0) -
+       |         (SELECT CAST(count(*) AS BIGINT) FROM drops) AS n_kept,
+       |       (SELECT CAST(sum(vec_id) AS BIGINT) FROM embeddings WHERE vec_id <> 0) -
+       |         (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM drops) AS sum_kept_ids""".stripMargin
 
   private def ivfOracleSql(
       kCentroids: Int, nProbes: Int, k: Int, trainPred: String = "TRUE"): String =

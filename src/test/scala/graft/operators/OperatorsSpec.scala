@@ -51,6 +51,55 @@ class OperatorsSpec extends SparkSpec {
     assert(cosPairs.contains((901L, 902L)))
   }
 
+  test("semantic candidates pair near-identical embeddings within a k-means cell") {
+    // two tight clusters on orthogonal axes + a lone outlier: k-means with
+    // k=2 separates the clusters; within each cell only the near-identical
+    // pair clears the threshold
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)), (2L, Array(0.99f, 0.05f, 0f, 0f)), // near-dups
+      (3L, Array(0.6f, 0.8f, 0f, 0f)), // same half-space, not a dup
+      (10L, Array(0f, 0f, 1f, 0f)), (11L, Array(0f, 0.05f, 0.99f, 0f)), // near-dups
+      (12L, Array(0f, 0.8f, 0.6f, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticCandidates(vecs, "vec_id", "embedding", k = 2, iters = 2,
+      threshold = 0.95)
+    assert(!pairs.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "cell-equi-join, never all-pairs")
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L), (10L, 11L)))
+
+    // one-call dedup keeps the canonical (min-id) member of each pair
+    val kept = Dedup.semanticDedup(vecs, "vec_id", "embedding", k = 2, iters = 2,
+      threshold = 0.95).select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 10L, 12L))
+  }
+
+  test("semantic candidates are partitioning-invariant and cap degenerate cells") {
+    // deterministic k-means ⇒ identical pairs under any input partitioning
+    val rnd = new scala.util.Random(7)
+    def v(): Array[Float] = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val base = (1L to 200L).map(i => (i, v()))
+    val df = base.toDF("vec_id", "embedding")
+    val p1 = Dedup.semanticCandidates(df, "vec_id", "embedding", k = 4, iters = 2,
+      threshold = 0.5).collect().map(_.toString).toSet
+    val p2 = Dedup.semanticCandidates(df.repartition(7), "vec_id", "embedding", k = 4,
+      iters = 2, threshold = 0.5).collect().map(_.toString).toSet
+    assert(p1 == p2, "pairs must not depend on partitioning")
+
+    // a degenerate cell (300 identical embeddings) is dropped by the cap,
+    // while a genuine near-dup pair in another cell survives
+    val clones = (1001L to 1300L).map(i => (i, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val pair = Seq(
+      (1L, Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (2L, Array(0f, 0.99f, 0.05f, 0f, 0f, 0f, 0f, 0f)))
+    val df2 = (clones ++ pair).toDF("vec_id", "embedding")
+    val capped = Dedup.semanticCandidates(df2, "vec_id", "embedding", k = 2, iters = 2,
+      threshold = 0.95, maxCellSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L)),
+      "the 300-clone cell (~45k trivial pairs) is dropped, the true pair kept")
+  }
+
   test("connected components collapse transitive near-dup chains to one keeper") {
     // a 10-link chain (needs multiple propagation rounds) + a separate pair
     val chain = (1L to 9L).map(i => (i, i + 1))
