@@ -147,6 +147,47 @@ object VectorFunctions {
     when(nn > 0.0, d / nn).otherwise(lit(0.0))
   }
 
+  /** Signed random projection (Johnson–Lindenstrauss; the Achlioptas ±1
+    * family): `out[j] = Σ_i vec[i]·sign(i, seed+j) / √outDim`, signs drawn
+    * from the SAME deterministic [[planeSignString]] generator as the LSH
+    * hyperplanes — so a SQL oracle can inline the sign matrix as literals.
+    *
+    * JL guarantee: pairwise distances survive within (1±ε) for
+    * outDim = O(log n / ε²), so a 64-dim corpus projected to 16 dims keeps
+    * neighbor structure while every downstream scan reads 4× less — and it
+    * composes with int8 quantization ([[quantizeInt8]]) for a 16× smaller
+    * at-rest representation. The projection is per-row codegen arithmetic:
+    * no shuffle, no UDF, no driver state beyond the seed.
+    */
+  def randomProject(vec: Column, dim: Int, outDim: Int, seed: Int = 42): Column = {
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    array((0 until outDim).map { p =>
+      val signs = planeSignString(dim, seed + p)
+      val terms = (0 until dim).map { i =>
+        element_at(vec, i + 1).cast("double") * lit(if (signs(i) == '+') 1.0 else -1.0)
+      }
+      (terms.reduce(_ + _) * lit(inv)).cast("float")
+    }: _*)
+  }
+
+  /** Driver-side twin of [[randomProject]] for a literal query vector:
+    * identical sign strings, identical left-to-right double accumulation,
+    * identical `double → float32` narrowing per output component.
+    */
+  def randomProjectLocal(v: Array[Float], outDim: Int, seed: Int = 42): Array[Float] = {
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    Array.tabulate(outDim) { p =>
+      val signs = planeSignString(v.length, seed + p)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) {
+        s += v(i).toDouble * (if (signs(i) == '+') 1.0 else -1.0)
+        i += 1
+      }
+      (s * inv).toFloat
+    }
+  }
+
   /** Driver-side twin of [[quantizeInt8]] for a literal query vector.
     * Spark's `round` on a double is `BigDecimal.valueOf(x).setScale(0,
     * HALF_UP)` (half away from zero on the shortest decimal form) — this

@@ -277,6 +277,82 @@ object VectorQueries {
       Seq("E2", "A6")
     ),
 
+    // Johnson–Lindenstrauss signed random projection: 64-dim embeddings
+    // compressed to 16 dims with the deterministic ±1 plane generator the
+    // LSH buckets already share with their oracles. Per-row codegen
+    // arithmetic — no shuffle, no UDF; at 100 TB the projected corpus is
+    // the 4×-smaller candidate-scan representation (16× composed with
+    // int8). Output is the exploded (vec_id, pos, component) table; the
+    // oracle replays the sign matrix as literals. outDim=16 keeps
+    // 1/sqrt(outDim) an exact power of two, so `* inv` (Spark) and
+    // `/ sqrt(16)` (SQL) are bit-equal before the float32 narrowing.
+    "vec_random_project" -> Q(
+      (s, d) => embeddings(s, d).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          posexplode(randomProject(col("embedding"), 64, 16)).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos"), round(col("x").cast("double"), 6).as("x")),
+      Some(s"""WITH planes(p, s) AS (VALUES ${planesValues(16)}),
+              |unn AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              |               CAST(unnest(embedding) AS DOUBLE) AS x
+              |        FROM embeddings WHERE vec_id <> 0),
+              |proj AS (
+              |  SELECT u.vec_id, pl.p,
+              |         CAST(CAST(sum(u.x * CASE WHEN substr(pl.s, u.i, 1) = '+' THEN 1.0 ELSE -1.0 END)
+              |                   / sqrt(16.0) AS FLOAT) AS DOUBLE) AS x
+              |  FROM unn u CROSS JOIN planes pl GROUP BY u.vec_id, pl.p)
+              |SELECT vec_id, CAST(p AS INT) AS pos, round(x, 6) AS x FROM proj""".stripMargin),
+      Seq("E2")
+    ),
+
+    // Two-stage retrieval through the projection: stage 1 scans the
+    // 16-dim projected corpus for the top-50 candidates (4× less data per
+    // row — the 100 TB candidate pass), stage 2 re-ranks ONLY those 50
+    // with exact 64-dim cosine. The oracle replays projection, candidate
+    // selection, and the re-rank.
+    "e2_rp_rerank" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d).filter(col("vec_id") =!= 0)
+        val q = queryVec(s, d)
+        val qp = randomProjectLocal(q, 16)
+        val projected = emb.withColumn("proj", randomProject(col("embedding"), 64, 16))
+        val cand = Similarity.topK(projected, "proj", "vec_id", qp, 50)
+        Similarity.topK(cand.select(col("vec_id")).join(emb, Seq("vec_id")),
+          "embedding", "vec_id", q, 10)
+      },
+      Some(s"""WITH planes(p, s) AS (VALUES ${planesValues(16)}),
+              |unn AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+              |               CAST(unnest(embedding) AS DOUBLE) AS x
+              |        FROM embeddings),
+              |proj AS (
+              |  SELECT u.vec_id, pl.p,
+              |         CAST(CAST(sum(u.x * CASE WHEN substr(pl.s, u.i, 1) = '+' THEN 1.0 ELSE -1.0 END)
+              |                   / sqrt(16.0) AS FLOAT) AS DOUBLE) AS x
+              |  FROM unn u CROSS JOIN planes pl GROUP BY u.vec_id, pl.p),
+              |qp AS (SELECT p, x FROM proj WHERE vec_id = 0),
+              |qpn AS (SELECT sqrt(sum(x * x)) AS n FROM qp),
+              |psims AS (
+              |  SELECT pr.vec_id, sum(pr.x * qp.x) AS dot, sqrt(sum(pr.x * pr.x)) AS na
+              |  FROM proj pr JOIN qp ON pr.p = qp.p WHERE pr.vec_id <> 0
+              |  GROUP BY pr.vec_id),
+              |cand AS (
+              |  SELECT vec_id,
+              |         CASE WHEN na * (SELECT n FROM qpn) > 0
+              |              THEN dot / (na * (SELECT n FROM qpn)) ELSE 0 END AS psim
+              |  FROM psims ORDER BY psim DESC, vec_id LIMIT 50),
+              |qv AS (SELECT i, x FROM unn WHERE vec_id = 0),
+              |qn AS (SELECT sqrt(sum(x * x)) AS n FROM qv),
+              |sims AS (
+              |  SELECT u.vec_id, sum(u.x * q.x) AS dot, sqrt(sum(u.x * u.x)) AS na
+              |  FROM unn u JOIN qv q ON u.i = q.i
+              |  WHERE u.vec_id IN (SELECT vec_id FROM cand)
+              |  GROUP BY u.vec_id)
+              |SELECT vec_id, round(dot / (na * (SELECT n FROM qn)), 6) AS sim
+              |FROM sims
+              |ORDER BY dot / (na * (SELECT n FROM qn)) DESC, vec_id
+              |LIMIT 10""".stripMargin),
+      Seq("E2")
+    ),
+
     // IVF-SQ8: the same deterministic index and probe-cell selection as
     // e2_ann_ivf_topk, with int8 scoring inside the probed cells — the
     // composed scale path (partition pruning chooses WHICH rows, the int8

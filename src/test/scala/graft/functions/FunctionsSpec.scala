@@ -155,4 +155,40 @@ class FunctionsSpec extends SparkSpec {
       .head().getAs[scala.collection.Seq[Double]]("d")
     assert(z == Seq(0.0, 0.0))
   }
+
+  test("random projection: column/local twins bit-identical, plan shuffle-free") {
+    val rng = new scala.util.Random(13)
+    val vecs = Seq.fill(30)(Array.fill(64)(rng.nextFloat() * 2 - 1)) :+ Array.fill(64)(0f)
+    vecs.zipWithIndex.foreach { case (v, i) =>
+      val fromCol = spark.range(1)
+        .select(randomProject(vecLit(v), 64, 16).as("p"))
+        .head().getAs[scala.collection.Seq[Float]]("p").toSeq
+      assert(fromCol == randomProjectLocal(v, 16).toSeq, s"vector $i")
+    }
+    // per-row arithmetic only: no Exchange in the projection plan
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      .select(col("id"), randomProject(col("v"), 64, 16).as("p"))
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("random projection: JL distance preservation on random pairs") {
+    // 64 → 16 dims, ε ≈ sqrt(log n / outDim): squared distances should be
+    // preserved within a loose (1±0.8) envelope for EVERY sampled pair and
+    // within ±15% on AVERAGE — a statistical gate on the projection being a
+    // genuine near-isometry, not on the RNG's luck
+    val rng = new scala.util.Random(17)
+    def v(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    def d2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => (x.toDouble - y) * (x.toDouble - y) }.sum
+    val pairs = Seq.fill(60)((v(), v()))
+    val ratios = pairs.map { case (a, b) =>
+      val pa = randomProjectLocal(a, 16)
+      val pb = randomProjectLocal(b, 16)
+      d2(pa, pb) / d2(a, b)
+    }
+    assert(ratios.forall(r => r > 0.2 && r < 1.8),
+      s"pairwise envelope violated: min=${ratios.min} max=${ratios.max}")
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.15, s"mean ratio $mean drifts from isometry")
+  }
 }
