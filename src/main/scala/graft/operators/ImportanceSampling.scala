@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023, arXiv:2302.03169): select raw-corpus documents whose hashed-n-gram
+  * feature distribution resembles a small TARGET corpus — the "looks like
+  * Wikipedia/books" pre-training selector published LLM pipelines run ahead
+  * of quality filtering. The importance weight of a document is
+  *
+  *   logw(d) = Σ_{g ∈ grams(d)} [ ln p̂_target(bucket(g)) − ln p̂_raw(bucket(g)) ]
+  *
+  * over `buckets` hash buckets with add-one smoothing, and selection is
+  * GUMBEL TOP-K over `logw + gumbel(id)` — sampling without replacement
+  * proportional to exp(logw), made deterministic (reproducible across runs,
+  * partitionings, and engines) by deriving the Gumbel noise from the id
+  * hash instead of an RNG stream — the same philosophy as
+  * [[Sampling.sampleByHash]].
+  *
+  * Scale shape (the [[LanguageModel]]/[[NaiveBayes]] discipline): both
+  * distributions live as `buckets`-row DataFrames — DSIR's published config
+  * hashes into 10⁴ buckets, so the ratio table broadcasts by construction.
+  * Scoring a batch is one explode + per-doc groupBy and one equi-join
+  * against that table; nothing corpus-sized reaches the driver, and the
+  * final selection is a TakeOrdered (top-k heap), never a global sort.
+  */
+object ImportanceSampling {
+
+  /** Hashed-n-gram bucket counts — the bag-of-hashed-ngrams distribution of
+    * one corpus side: `(bucket, cnt)` with `bucket = pmod(hash(gram),
+    * buckets)`. Occurrences count (no distinct): DSIR models token
+    * frequencies, not document frequencies.
+    */
+  def bucketCounts(
+      df: DataFrame,
+      textCol: String,
+      buckets: Int,
+      n: Int = 2,
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame =
+    df.select(explode(Dedup.wordNgrams(col(textCol), n)).as("_g"))
+      .select(pmod(hashFn(col("_g")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** The per-bucket log-ratio table `(bucket, lr)` plus the smoothing floor
+    * for buckets absent from BOTH sides:
+    *
+    *   lr(b) = ln(cnt_t(b)+1) − ln(T_t+B) − ln(cnt_r(b)+1) + ln(T_r+B)
+    *
+    * where T is each side's total gram count and B the bucket count. The
+    * two count aggregates are the only driver-side scalars.
+    */
+  private def logRatio(
+      target: DataFrame, raw: DataFrame, buckets: Int): (DataFrame, Double) = {
+    def total(c: DataFrame): Double =
+      c.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0).toDouble
+    val tTot = total(target) + buckets
+    val rTot = total(raw) + buckets
+    val floor = -math.log(tTot) + math.log(rTot)
+    val ratio = target.select(col("bucket"), col("cnt").as("_ct"))
+      .join(raw.select(col("bucket"), col("cnt").as("_cr")), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        (log(coalesce(col("_ct"), lit(0L)) + lit(1.0)) - lit(math.log(tTot)) -
+          log(coalesce(col("_cr"), lit(0L)) + lit(1.0)) + lit(math.log(rTot))).as("lr"))
+    (ratio, floor)
+  }
+
+  /** Per-document importance log-weights `(idCol, logw)` of `docs` against
+    * precomputed [[bucketCounts]] tables. Documents with no n-gram (short
+    * text) score a neutral 0. Every document appears exactly once.
+    */
+  def logWeights(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCounts: DataFrame,
+      rawCounts: DataFrame,
+      buckets: Int,
+      n: Int = 2,
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame = {
+    val (ratio, floor) = logRatio(targetCounts, rawCounts, buckets)
+    val tf = docs
+      .select(col(idCol).as("_id"), explode(Dedup.wordNgrams(col(textCol), n)).as("_g"))
+      .select(col("_id"), pmod(hashFn(col("_g")), lit(buckets.toLong)).as("bucket"))
+      .groupBy(col("_id"), col("bucket")).agg(count(lit(1)).as("_tf"))
+    val scored = tf
+      .join(ratio, Seq("bucket"), "left")
+      .groupBy(col("_id"))
+      .agg(sum(col("_tf") * coalesce(col("lr"), lit(floor))).as("logw"))
+    docs.select(col(idCol).as("_id")).distinct()
+      .join(scored, Seq("_id"), "left")
+      .select(col("_id").as(idCol), coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
+  /** Deterministic standard-Gumbel noise from the id hash:
+    * `g = −ln(−ln(u))` with `u = (pmod(hash(id·salt), 2²⁰)+0.5)/2²⁰` — u is
+    * strictly inside (0,1), so g is finite; same id + salt ⇒ same noise on
+    * any engine that shares the hash.
+    */
+  private val UniformBuckets = 1 << 20
+  def gumbelNoise(
+      id: Column, salt: String, hashFn: Column => Column = Dedup.xxBaseHash): Column = {
+    val u = (pmod(hashFn(concat(id.cast("string"), lit(salt))), lit(UniformBuckets.toLong))
+      .cast("double") + lit(0.5)) / lit(UniformBuckets.toDouble)
+    -log(-log(u))
+  }
+
+  /** Gumbel top-k importance resampling: the `nKeep` documents with the
+    * largest `logw + gumbel(id)` — a without-replacement sample ∝ exp(logw)
+    * (Gumbel-max trick), deterministic given (corpus, salt). Returns
+    * `(idCol, logw, key)` rows of the selected documents; semi-join back on
+    * `idCol` for the full rows.
+    */
+  def resample(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCounts: DataFrame,
+      rawCounts: DataFrame,
+      nKeep: Int,
+      buckets: Int,
+      n: Int = 2,
+      salt: String = "dsir",
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame =
+    logWeights(docs, idCol, textCol, targetCounts, rawCounts, buckets, n, hashFn)
+      .withColumn("key", col("logw") + gumbelNoise(col(idCol), salt, hashFn))
+      .orderBy(col("key").desc, col(idCol))
+      .limit(nKeep)
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.{BpeTrainer, Dedup, Graph, LanguageModel, NaiveBayes, QualityFilters, Sampling, Similarity, TextSearch}
+import graft.operators.{BpeTrainer, Dedup, Graph, ImportanceSampling, LanguageModel, NaiveBayes, QualityFilters, Sampling, Similarity, TextSearch}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -951,6 +951,61 @@ object TextQueries {
       Seq("A1", "C1", "J1")
     ),
 
+    // DSIR importance scores (Xie et al., "Data Selection via Importance
+    // Resampling", arXiv:2302.03169): hashed-bigram bucket distributions of
+    // a 5% target slice vs the raw rest, add-one smoothed per-bucket
+    // log-ratios, per-document importance log-weight. The model is two
+    // 1024-row bucket tables (broadcastable by construction — DSIR's
+    // published config is 10^4 buckets); the oracle replays hashing,
+    // smoothing, and the weighted sum through the shared md5 hash.
+    "ta_dsir_scores" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val target = docs.filter(col("doc_id") % 20 === 0)
+        val raw = docs.filter(col("doc_id") % 20 =!= 0)
+        val tc = ImportanceSampling.bucketCounts(target, "text", buckets = 1024,
+          n = 2, hashFn = Dedup.md5Lower60)
+        val rc = ImportanceSampling.bucketCounts(raw, "text", buckets = 1024,
+          n = 2, hashFn = Dedup.md5Lower60)
+        ImportanceSampling.logWeights(raw, "doc_id", "text", tc, rc,
+          buckets = 1024, n = 2, hashFn = Dedup.md5Lower60)
+          .select(col("doc_id"), round(col("logw"), 6).as("logw"))
+      },
+      Some(s"""WITH ${dsirCtes(buckets = 1024)}
+              |SELECT doc_id, round(logw, 6) AS logw FROM weights""".stripMargin),
+      Seq("A1", "C1", "A2")
+    ),
+
+    // DSIR Gumbel top-k resampling: the 200 raw documents with the largest
+    // logw + gumbel(id) — a without-replacement sample proportional to
+    // exp(logw), deterministic because the Gumbel noise derives from the
+    // shared md5 id hash, not an RNG stream.
+    "ta_dsir_resample" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val target = docs.filter(col("doc_id") % 20 === 0)
+        val raw = docs.filter(col("doc_id") % 20 =!= 0)
+        val tc = ImportanceSampling.bucketCounts(target, "text", buckets = 1024,
+          n = 2, hashFn = Dedup.md5Lower60)
+        val rc = ImportanceSampling.bucketCounts(raw, "text", buckets = 1024,
+          n = 2, hashFn = Dedup.md5Lower60)
+        ImportanceSampling.resample(raw, "doc_id", "text", tc, rc, nKeep = 200,
+          buckets = 1024, n = 2, hashFn = Dedup.md5Lower60)
+          .select(col("doc_id"), round(col("logw"), 6).as("logw"),
+            round(col("key"), 6).as("key"))
+      },
+      Some(s"""WITH ${dsirCtes(buckets = 1024)},
+              |sel AS (
+              |  SELECT doc_id, logw,
+              |         logw + (-ln(-ln(
+              |           (CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || 'dsir') >> 4) AS BIGINT)
+              |              % 1048576 + 0.5) / 1048576.0))) AS key
+              |  FROM weights)
+              |SELECT doc_id, round(logw, 6) AS logw, round(key, 6) AS key
+              |FROM sel ORDER BY key DESC, doc_id LIMIT 200""".stripMargin),
+      Seq("A1", "C1", "L1")
+    ),
+
     // Deterministic hash-bucket train/val/test split: membership from the id
     // hash alone (reproducible across runs/engines/topology), oracle-checked
     // with the shared md5-derived hash.
@@ -1631,4 +1686,45 @@ object TextQueries {
       |  CAST(sum(stop_types) AS BIGINT) AS s_stop
       |FROM sig GROUP BY lang""".stripMargin
 
+  /** DuckDB twin of the DSIR pipeline (`ImportanceSampling`): bigrams over
+    * the whitespace split, md5-hash buckets mod `buckets`, add-one smoothed
+    * log-ratio of the 5%-target vs raw distributions, per-doc weighted sum;
+    * gram-less raw documents score a neutral 0 (the `weights` CTE's left
+    * join). Terminates at `weights(doc_id, logw)`.
+    */
+  private def dsirCtes(buckets: Int): String =
+    s"""corpus AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |grams AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(toks) - 1 <= 0 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+       |      i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END) AS g
+       |  FROM corpus),
+       |gb AS (
+       |  SELECT doc_id,
+       |         (CAST((md5_number_lower(g) >> 4) AS BIGINT) % $buckets) AS bucket
+       |  FROM grams),
+       |tcnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 20 = 0 GROUP BY bucket),
+       |rcnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 20 <> 0 GROUP BY bucket),
+       |tot AS (SELECT
+       |  CAST((SELECT coalesce(sum(cnt), 0) FROM tcnt) + $buckets AS DOUBLE) AS tt,
+       |  CAST((SELECT coalesce(sum(cnt), 0) FROM rcnt) + $buckets AS DOUBLE) AS tr),
+       |ratio AS (
+       |  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+       |         ln(coalesce(t.cnt, 0) + 1.0) - ln((SELECT tt FROM tot))
+       |         - ln(coalesce(r.cnt, 0) + 1.0) + ln((SELECT tr FROM tot)) AS lr
+       |  FROM tcnt t FULL OUTER JOIN rcnt r ON t.bucket = r.bucket),
+       |dtf AS (
+       |  SELECT doc_id, bucket, count(*) AS tf FROM gb
+       |  WHERE doc_id % 20 <> 0 GROUP BY doc_id, bucket),
+       |scored AS (
+       |  SELECT d.doc_id,
+       |         sum(d.tf * coalesce(rt.lr,
+       |           -ln((SELECT tt FROM tot)) + ln((SELECT tr FROM tot)))) AS logw
+       |  FROM dtf d LEFT JOIN ratio rt USING (bucket) GROUP BY d.doc_id),
+       |weights AS (
+       |  SELECT a.doc_id, coalesce(s.logw, 0.0) AS logw
+       |  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) a
+       |  LEFT JOIN scored s USING (doc_id))""".stripMargin
 }
