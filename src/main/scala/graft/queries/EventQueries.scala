@@ -313,6 +313,50 @@ object EventQueries {
       Seq("W2", "A2")
     ),
 
+    // W-series completion: the analytic-function family — percent_rank /
+    // cume_dist (rationals, rounded at 6dp) and first_value / last_value /
+    // nth_value over an explicit full frame (ANSI default frame for
+    // last_value stops at CURRENT ROW — pinned UNBOUNDED on both sides so
+    // the value is the partition's, not the row's).
+    "w_analytic_funcs" -> Q(
+      (s, d) => {
+        val byType = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        val full = byType.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        events(s, d)
+          .withColumn("pr", percent_rank().over(byType))
+          .withColumn("cd", cume_dist().over(byType))
+          .withColumn("fv", first_value(col("user_id")).over(byType))
+          .withColumn("lv", last_value(col("user_id")).over(full))
+          .withColumn("nv", nth_value(col("user_id"), 3).over(full))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("pr")), 6).as("sum_pct_rank"),
+            round(sum(col("cd")), 6).as("sum_cume_dist"),
+            max(col("fv")).as("first_user"),
+            max(col("lv")).as("last_user"),
+            max(col("nv")).as("third_user"))
+      },
+      Some("""SELECT event_type, count(*) AS n,
+             |       round(sum(pr), 6) AS sum_pct_rank,
+             |       round(sum(cd), 6) AS sum_cume_dist,
+             |       CAST(max(fv) AS BIGINT) AS first_user,
+             |       CAST(max(lv) AS BIGINT) AS last_user,
+             |       CAST(max(nv) AS BIGINT) AS third_user FROM (
+             |  SELECT event_type,
+             |         percent_rank() OVER w AS pr,
+             |         cume_dist() OVER w AS cd,
+             |         first_value(user_id) OVER w AS fv,
+             |         last_value(user_id) OVER wf AS lv,
+             |         nth_value(user_id, 3) OVER wf AS nv
+             |  FROM events
+             |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id),
+             |         wf AS (PARTITION BY event_type ORDER BY event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+             |GROUP BY event_type""".stripMargin),
+      Seq("W2", "A2")
+    ),
+
     // C14-series breadth: the datetime extraction family — date_trunc to
     // the hour, day-of-week, hour-of-day — as grouping keys. Integer
     // outputs; ISO dow (Monday=1) is computed the same way on both sides.

@@ -239,6 +239,75 @@ object RelationalQueries {
       Seq("A2")
     ),
 
+    // PIVOT with an explicit value list (the deterministic form — Spark
+    // requires literal pivot values for a stable schema): order totals by
+    // priority, one column per order status. The oracle is the relational
+    // identity: FILTERed conditional aggregates.
+    "q_pivot" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .groupBy(col("o_orderpriority"))
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(sum(col("o_totalprice")), 2))
+          .select(col("o_orderpriority"),
+            col("F").as("f_total"), col("O").as("o_total"), col("P").as("p_total")),
+      Some("""SELECT o_orderpriority,
+             |       round(sum(o_totalprice) FILTER (o_orderstatus = 'F'), 2) AS f_total,
+             |       round(sum(o_totalprice) FILTER (o_orderstatus = 'O'), 2) AS o_total,
+             |       round(sum(o_totalprice) FILTER (o_orderstatus = 'P'), 2) AS p_total
+             |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      Seq("A2")
+    ),
+
+    // EXCEPT ALL — bag semantics: every order's custkey minus ONE occurrence
+    // per customer key (multiplicity arithmetic, where EXCEPT would collapse
+    // to the set). SO-series breadth.
+    "so_except_all" -> Q(
+      (s, d) =>
+        orders(s, d).select(col("o_custkey").cast("long").as("custkey"))
+          .exceptAll(customer(s, d).select(col("c_custkey").cast("long").as("custkey")))
+          .agg(count(lit(1)).as("n"), sum(col("custkey")).as("sum_keys")),
+      Some("""SELECT count(*) AS n, CAST(sum(custkey) AS BIGINT) AS sum_keys FROM (
+             |  SELECT CAST(o_custkey AS BIGINT) AS custkey FROM orders
+             |  EXCEPT ALL
+             |  SELECT CAST(c_custkey AS BIGINT) FROM customer)""".stripMargin),
+      Seq("SO1", "SO2")
+    ),
+
+    // Equal-width histogram with fixed literal bounds: integer floor-div
+    // bucketing is identical IEEE arithmetic in both engines (no
+    // data-dependent min/max round trip — the fixed bounds are the
+    // deterministic, one-pass production shape).
+    "a_histogram" -> Q(
+      (s, d) =>
+        orders(s, d)
+          .groupBy(least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n")),
+      Some("""SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bin,
+             |       count(*) AS n
+             |FROM orders GROUP BY 1""".stripMargin),
+      Seq("A2")
+    ),
+
+    // GROUPING SETS — the general grouping-set form behind rollup/cube,
+    // through the SQL surface (spark.sql), mixing a two-column set, a
+    // one-column set, and the grand total.
+    "q_grouping_sets" -> Q(
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n,
+            |       round(sum(l_quantity), 2) AS sum_qty
+            |FROM lineitem_gs
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |       round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin),
+      Seq("A2")
+    ),
+
     // CUBE: all grouping-set combinations (rollup's sibling — §2.5 breadth).
     "q_cube" -> Q(
       (s, d) =>
