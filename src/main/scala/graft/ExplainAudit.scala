@@ -37,7 +37,10 @@ object ExplainAudit {
       "ta_bpe_pairs", "vec_kmeans_sizes", "w_rolling_1h", "a_corr_stats",
       "ta_quantile_filter", "ts_bm25_incremental", "e2_ann_ivf_append",
       "g_pagerank", "ta_nb_langid", "ta_token_budget_take",
-      "ta_boilerplate_strip", "vec_meanpool"
+      "ta_boilerplate_strip", "vec_meanpool",
+      "dd_semantic_pairs", "dd_semantic", "e2_rp_rerank",
+      "ta_dsir_scores", "ta_dsir_resample",
+      "q_pivot", "q_grouping_sets", "a_histogram", "so_except_all"
     )
 
     var bad = 0
@@ -234,7 +237,44 @@ object ExplainAudit {
       }),
       // mean-pooling: pure aggregate pipeline, no join at all
       ("mean-pooling never crosses or cartesians",
-        !plan("vec_meanpool").contains("CartesianProduct"))
+        !plan("vec_meanpool").contains("CartesianProduct")),
+      // SemDeDup: pairs exist only WITHIN a k-means cell — the pair join
+      // must be equi-key on the cell id, never all-pairs. The only
+      // permissible nested-loop is the bounded k-row centroid broadcast.
+      ("semantic dedup pairs join equi-key within cells, no cartesian", {
+        val p = plan("dd_semantic_pairs"); val d = plan("dd_semantic")
+        Seq(p, d).forall(x => !x.contains("CartesianProduct")) &&
+          "BroadcastNestedLoopJoin".r.findAllMatchIn(p).size <= 1
+      }),
+      // JL two-stage retrieval: the 16-dim candidate pass must plan as a
+      // TakeOrdered (no global sort), and the 50-row candidate list must
+      // broadcast back onto the full-dim corpus for the re-rank
+      ("rp rerank takes candidates via TakeOrdered and broadcasts the rerank join", {
+        val p = plan("e2_rp_rerank")
+        p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct")
+      }),
+      // DSIR: both distributions are `buckets`-row tables, so the log-ratio
+      // lookup must broadcast onto the per-doc tf table — a shuffle here
+      // would re-partition the whole corpus against a 1024-row side
+      ("dsir log-ratio lookup broadcasts the bucket table, no cartesian", {
+        val p = plan("ta_dsir_scores")
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct")
+      }),
+      // DSIR selection: Gumbel top-k is orderBy+limit — must plan as
+      // TakeOrdered (per-partition heaps + driver merge), never a global sort
+      ("dsir resample plans as TakeOrdered, not a global sort",
+        plan("ta_dsir_resample").contains("TakeOrderedAndProject")),
+      // pivot: one aggregate pass, no join introduced by the column pivot
+      ("pivot is a single aggregate pass, no join", {
+        val p = plan("q_pivot")
+        !p.contains("Join") && !p.contains("CartesianProduct")
+      }),
+      // grouping sets: one Expand + aggregate — N sets must not become N scans
+      ("grouping sets expand in one pass over one scan", {
+        val p = plan("q_grouping_sets")
+        p.contains("Expand") && p.linesIterator.count(_.contains("Scan parquet")) <= 1
+      })
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>

@@ -217,6 +217,23 @@ object ScaleProbe {
         graft.operators.Similarity.readIvf(spark, ivfPath),
         "embedding", "vec_id", qv, 10, nProbes = 2).count()
     }
+    // SemDeDup at scale: a bounded replica slice (every base keeps its
+    // first max(mult/10, 2) replicas — replicas share the base's direction,
+    // so they are exact cosine dups, while distinct bases stay far apart on
+    // this corpus) through the one-call semantic dedup: k-means cells →
+    // within-cell pairs → components → canonical keep. The survivor count
+    // must equal the replica-family count EXACTLY — a correctness gate at
+    // scale, not just a timing.
+    val nBases = baseVecs.count()
+    val semReplicas = math.max(mult / 10, 2)
+    val semVecs = bigVecs.filter((col("vec_id") / lit(10_000_000L)) < lit(semReplicas.toLong))
+    val nSemVecs = semVecs.count()
+    val (nSemKept, tSemantic) = timed {
+      graft.operators.Dedup.semanticDedup(semVecs, "vec_id", "embedding",
+        k = 128, iters = 2, threshold = 0.95, maxCellSize = 20000).count()
+    }
+    require(nSemKept == nBases,
+      s"semantic dedup kept $nSemKept, expected $nBases replica families")
     bigVecs.unpersist()
 
     // Gopher rule throughput: the full seven-rule signal pass over every
@@ -302,6 +319,20 @@ object ScaleProbe {
         lm, dedupInput, "text", "doc_id", maxLogPpl = 3.45).count()
     }
 
+    // DSIR at scale: hashed-bigram bucket tables for a 1% target slice vs
+    // the full raw corpus, importance scores for EVERY document, Gumbel
+    // top-k of the best 1% — the published pre-training data-selection
+    // shape. Both distributions stay 4096-row tables (broadcast by
+    // construction); scoring is one explode + equi-join pass over the
+    // corpus, selection a TakeOrdered.
+    val (nDsir, tDsir) = timed {
+      val target = dedupInput.filter(pmod(xxhash64(col("doc_id")), lit(100)) === 7)
+      val tc = graft.operators.ImportanceSampling.bucketCounts(target, "text", buckets = 4096)
+      val rc = graft.operators.ImportanceSampling.bucketCounts(dedupInput, "text", buckets = 4096)
+      graft.operators.ImportanceSampling.resample(dedupInput, "doc_id", "text", tc, rc,
+        nKeep = (nDocs / 100).toInt, buckets = 4096).count()
+    }
+
     println(
       s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
         s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
@@ -320,6 +351,8 @@ object ScaleProbe {
         s""""sig_build_sec":${f"$tSigBuild%.1f"},"incremental_pairs":$nIncPairs,"incremental_sec":${f"$tIncremental%.1f"},"full_pairs_sec":${f"$tFullPairs%.1f"},""" +
         s""""span_docs":${spanSlice.count()},"dup_spans":$nSpans,"span_sec":${f"$tSpans%.1f"},""" +
         s""""ppl_keep":$nPplKeep,"ppl_sec":${f"$tPerplexity%.1f"},""" +
+        s""""semantic_vecs":$nSemVecs,"semantic_kept":$nSemKept,"semantic_sec":${f"$tSemantic%.1f"},""" +
+        s""""dsir_kept":$nDsir,"dsir_sec":${f"$tDsir%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
     spark.stop()

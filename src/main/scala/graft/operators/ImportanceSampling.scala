@@ -18,6 +18,13 @@ import org.apache.spark.sql.functions._
   * hash instead of an RNG stream — the same philosophy as
   * [[Sampling.sampleByHash]].
   *
+  * Gram hashing rides the engine's [[Dedup.GramHash]] family: the
+  * [[Dedup.PolyGram]] default hashes each token once and combines windows
+  * arithmetically (no per-gram string building — the same ~n× saving the
+  * decontamination path measured), while [[Dedup.Md5Gram]] keeps the
+  * SQL-replayable oracle family. Both sides of a score MUST use one family;
+  * the count tables carry no tag here because both are built per call.
+  *
   * Scale shape (the [[LanguageModel]]/[[NaiveBayes]] discipline): both
   * distributions live as `buckets`-row DataFrames — DSIR's published config
   * hashes into 10⁴ buckets, so the ratio table broadcasts by construction.
@@ -27,20 +34,34 @@ import org.apache.spark.sql.functions._
   */
 object ImportanceSampling {
 
+  /** `(…keep, _g)` rows: one NON-distinct hashed n-gram per occurrence —
+    * DSIR models token frequencies, not document frequencies.
+    */
+  private def gramRows(
+      df: DataFrame, keep: Seq[Column], textCol: String, n: Int,
+      gramHash: Dedup.GramHash): DataFrame =
+    gramHash match {
+      case Dedup.PolyGram =>
+        df.withColumn("_th", Dedup.tokenHashes(col(textCol)))
+          .select(keep :+ explode(Dedup.polyWindowHashes(col("_th"), n)).as("_g"): _*)
+      case sg: Dedup.StringGram =>
+        df.select(keep :+ explode(Dedup.wordNgrams(col(textCol), n)).as("_gs"): _*)
+          .withColumn("_g", sg.fn(col("_gs"))).drop("_gs")
+    }
+
   /** Hashed-n-gram bucket counts — the bag-of-hashed-ngrams distribution of
     * one corpus side: `(bucket, cnt)` with `bucket = pmod(hash(gram),
-    * buckets)`. Occurrences count (no distinct): DSIR models token
-    * frequencies, not document frequencies.
+    * buckets)`.
     */
   def bucketCounts(
       df: DataFrame,
       textCol: String,
       buckets: Int,
       n: Int = 2,
-      hashFn: Column => Column = Dedup.xxBaseHash
+      gramHash: Dedup.GramHash = Dedup.PolyGram
   ): DataFrame =
-    df.select(explode(Dedup.wordNgrams(col(textCol), n)).as("_g"))
-      .select(pmod(hashFn(col("_g")), lit(buckets.toLong)).as("bucket"))
+    gramRows(df, Seq.empty, textCol, n, gramHash)
+      .select(pmod(col("_g"), lit(buckets.toLong)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
 
   /** The per-bucket log-ratio table `(bucket, lr)` plus the smoothing floor
@@ -67,8 +88,9 @@ object ImportanceSampling {
   }
 
   /** Per-document importance log-weights `(idCol, logw)` of `docs` against
-    * precomputed [[bucketCounts]] tables. Documents with no n-gram (short
-    * text) score a neutral 0. Every document appears exactly once.
+    * precomputed [[bucketCounts]] tables (SAME gram family). Documents with
+    * no n-gram (short text) score a neutral 0. Every document appears
+    * exactly once.
     */
   def logWeights(
       docs: DataFrame,
@@ -78,15 +100,19 @@ object ImportanceSampling {
       rawCounts: DataFrame,
       buckets: Int,
       n: Int = 2,
-      hashFn: Column => Column = Dedup.xxBaseHash
+      gramHash: Dedup.GramHash = Dedup.PolyGram
   ): DataFrame = {
     val (ratio, floor) = logRatio(targetCounts, rawCounts, buckets)
-    val tf = docs
-      .select(col(idCol).as("_id"), explode(Dedup.wordNgrams(col(textCol), n)).as("_g"))
-      .select(col("_id"), pmod(hashFn(col("_g")), lit(buckets.toLong)).as("bucket"))
+    val tf = gramRows(docs, Seq(col(idCol).as("_id")), textCol, n, gramHash)
+      .select(col("_id"), pmod(col("_g"), lit(buckets.toLong)).as("bucket"))
       .groupBy(col("_id"), col("bucket")).agg(count(lit(1)).as("_tf"))
+    // The ratio table is ≤ `buckets` rows BY CONSTRUCTION (pmod bound) —
+    // the one case where a broadcast hint is principled rather than a
+    // scale hazard: without it Catalyst's post-aggregate size estimate can
+    // pick a corpus-wide shuffle against a table that cannot exceed a few
+    // hundred KB at any corpus size (the NB class-list precedent).
     val scored = tf
-      .join(ratio, Seq("bucket"), "left")
+      .join(broadcast(ratio), Seq("bucket"), "left")
       .groupBy(col("_id"))
       .agg(sum(col("_tf") * coalesce(col("lr"), lit(floor))).as("logw"))
     docs.select(col(idCol).as("_id")).distinct()
@@ -123,10 +149,11 @@ object ImportanceSampling {
       buckets: Int,
       n: Int = 2,
       salt: String = "dsir",
-      hashFn: Column => Column = Dedup.xxBaseHash
+      gramHash: Dedup.GramHash = Dedup.PolyGram,
+      idHashFn: Column => Column = Dedup.xxBaseHash
   ): DataFrame =
-    logWeights(docs, idCol, textCol, targetCounts, rawCounts, buckets, n, hashFn)
-      .withColumn("key", col("logw") + gumbelNoise(col(idCol), salt, hashFn))
+    logWeights(docs, idCol, textCol, targetCounts, rawCounts, buckets, n, gramHash)
+      .withColumn("key", col("logw") + gumbelNoise(col(idCol), salt, idHashFn))
       .orderBy(col("key").desc, col(idCol))
       .limit(nKeep)
 }

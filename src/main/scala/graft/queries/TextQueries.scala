@@ -964,11 +964,11 @@ object TextQueries {
         val target = docs.filter(col("doc_id") % 20 === 0)
         val raw = docs.filter(col("doc_id") % 20 =!= 0)
         val tc = ImportanceSampling.bucketCounts(target, "text", buckets = 1024,
-          n = 2, hashFn = Dedup.md5Lower60)
+          n = 2, gramHash = Dedup.Md5Gram)
         val rc = ImportanceSampling.bucketCounts(raw, "text", buckets = 1024,
-          n = 2, hashFn = Dedup.md5Lower60)
+          n = 2, gramHash = Dedup.Md5Gram)
         ImportanceSampling.logWeights(raw, "doc_id", "text", tc, rc,
-          buckets = 1024, n = 2, hashFn = Dedup.md5Lower60)
+          buckets = 1024, n = 2, gramHash = Dedup.Md5Gram)
           .select(col("doc_id"), round(col("logw"), 6).as("logw"))
       },
       Some(s"""WITH ${dsirCtes(buckets = 1024)}
@@ -986,11 +986,12 @@ object TextQueries {
         val target = docs.filter(col("doc_id") % 20 === 0)
         val raw = docs.filter(col("doc_id") % 20 =!= 0)
         val tc = ImportanceSampling.bucketCounts(target, "text", buckets = 1024,
-          n = 2, hashFn = Dedup.md5Lower60)
+          n = 2, gramHash = Dedup.Md5Gram)
         val rc = ImportanceSampling.bucketCounts(raw, "text", buckets = 1024,
-          n = 2, hashFn = Dedup.md5Lower60)
+          n = 2, gramHash = Dedup.Md5Gram)
         ImportanceSampling.resample(raw, "doc_id", "text", tc, rc, nKeep = 200,
-          buckets = 1024, n = 2, hashFn = Dedup.md5Lower60)
+          buckets = 1024, n = 2, gramHash = Dedup.Md5Gram,
+          idHashFn = Dedup.md5Lower60)
           .select(col("doc_id"), round(col("logw"), 6).as("logw"),
             round(col("key"), 6).as("key"))
       },
