@@ -391,6 +391,103 @@ object EventQueries {
              |       quantile_cont(user_id, 0.75) AS p75_user
              |FROM events GROUP BY event_type""".stripMargin),
       Seq("A2")
+    ),
+
+    // A-series: HLL sketches built PER SHARD and merged — the at-scale
+    // distinct-count discipline: at 100 TB each ingest shard aggregates its
+    // own fixed-size sketch and only sketches travel to the final union
+    // (report-time merge), never re-reading rows. merge_agrees pins the
+    // mergeability law: the shard-union estimate tracks the single-pass
+    // sketch within 2% (exact equality holds only while both stay in
+    // sparse mode — the union promotes to dense HLL_8 at higher
+    // cardinality, measured at sf0.1: 1488 vs 1499 on 1500 exact).
+    // est_in_bound is the HLL accuracy envelope vs the exact count (the
+    // ta_approx_stats convention: DuckDB asserts the booleans).
+    "a_hll_shard_merge" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+        val shards = ev.withColumn("shard", pmod(col("event_id"), lit(16)))
+          .groupBy(col("shard"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = shards.agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        val direct = ev.agg(
+          hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("dest"),
+          countDistinct(col("user_id")).as("n_exact"))
+        merged.crossJoin(direct).select(
+          col("n_exact"),
+          (abs(col("est") - col("dest"))
+            <= greatest(lit(1.0), col("dest") * 0.02)).as("merge_agrees"),
+          (abs(col("est") - col("n_exact"))
+            <= greatest(lit(1.0), col("n_exact") * 0.05)).as("est_in_bound"))
+      },
+      Some("""SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |       TRUE AS merge_agrees, TRUE AS est_in_bound
+             |FROM events""".stripMargin),
+      Seq("A3", "A2")
+    ),
+
+    // §2.11: watermarked stream-stream interval join — view → purchase
+    // attribution within 6 hours per user, both sides ARRIVING AS STREAMS
+    // (file drops), joined with the bounded-state interval condition and a
+    // shared 12-hour watermark. Timestamps travel through the JSON hop as
+    // epoch micros (longs) so serialization cannot truncate precision; the
+    // oracle replays the same interval join over the events table in SQL.
+    // sum_pair_ids pins WHICH pairs matched, not just how many.
+    "s7_stream_stream_join" -> Q(
+      (s, d) => {
+        val viewDir = tmpDir(d, "ss_views"); val purDir = tmpDir(d, "ss_purchases")
+        val outDir = tmpDir(d, "ss_joined"); val ckpt = tmpDir(d, "ss_ckpt")
+        Seq(viewDir, purDir, outDir, ckpt).foreach(cleanDir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(viewDir))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(purDir))
+        val ev = events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+          .coalesce(1).write.mode("overwrite").json(viewDir)
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+          .coalesce(1).write.mode("overwrite").json(purDir)
+        def src(dir: String, schema: String) =
+          s.readStream.schema(schema).json(dir)
+            .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+        val views = src(viewDir, "event_id BIGINT, user_id BIGINT, ts_us BIGINT")
+        val purchases =
+          src(purDir, "event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE")
+        val q = graft.streaming.StreamingPipeline
+          .intervalJoin(views, purchases, "user_id", "ts", "6 hours", "12 hours")
+          .select(col("event_id"), col("user_id"), col("r_event_id"), col("r_value"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", outDir).start()
+        q.awaitTermination()
+        s.read.parquet(outDir).agg(
+          count(lit(1)).as("n_pairs"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id") + col("r_event_id")).as("sum_pair_ids"),
+          round(sum(col("r_value")), 2).as("sum_value"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             |       CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_users,
+             |       CAST(sum(v.event_id + p.event_id) AS BIGINT) AS sum_pair_ids,
+             |       round(sum(p.value), 2) AS sum_value
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON p.user_id = v.user_id
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin),
+      Seq("S6", "J1")
     )
   )
+
+  private def tmpDir(d: String, name: String): String =
+    s"/tmp/graft/${java.nio.file.Paths.get(d).getFileName.toString}/$name"
+
+  private def cleanDir(p: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(p))
+  }
 }

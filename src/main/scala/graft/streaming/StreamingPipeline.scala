@@ -258,6 +258,35 @@ object StreamingPipeline {
       .groupBy(window(col("ts"), size, slide).getField("start").as("wstart"), col("event_type"))
       .agg(count(lit(1)).as("n"))
 
+  /** Watermarked stream-stream interval join — the streaming face of
+    * [[graft.operators.RangeJoin.pointInInterval]]: rows of `right` attach
+    * to the `left` row of the same key whose event time they trail within
+    * `within` (view → purchase attribution, impression → click, doc-version
+    * → annotation). Both sides carry the SAME watermark and the join
+    * condition bounds `right`'s event time on BOTH sides of `left`'s, which
+    * is exactly what lets Structured Streaming evict buffered state — an
+    * unbounded-interval stream-stream join would hold every row forever, the
+    * non-starter at 100 TB/day ingest. Right-side columns come out prefixed
+    * `r_` (the stream-stream twin of the batch join's alias discipline).
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      within: String,
+      watermark: String
+  ): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark)
+    val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
+      .withWatermark(s"r_$tsCol", watermark)
+    l.join(
+      r,
+      col(keyCol) === col(s"r_$keyCol") &&
+        col(s"r_$tsCol") >= col(tsCol) &&
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $within"))
+  }
+
   /** Closed-session emission via flatMapGroupsWithState: a batch of events
     * per key may close any number of sessions (gap exceeded) — each closed
     * session is emitted as its own row, and the open tail stays in state.

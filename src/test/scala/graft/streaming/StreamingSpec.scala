@@ -74,6 +74,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream interval join pairs within the bound, inclusive edges, per key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val joined = StreamingPipeline.intervalJoin(
+      views.toDF().toDF("user_id", "ts", "view_id"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_id", "value"),
+      "user_id", "ts", "30 minutes", "1 hour")
+    val q = joined.select($"view_id", $"r_purchase_id")
+      .writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    views.addData(
+      (1L, ts("2024-01-01 10:00:00"), 10L),
+      (1L, ts("2024-01-01 12:00:00"), 11L),
+      (2L, ts("2024-01-01 10:00:00"), 12L))
+    purchases.addData(
+      (1L, ts("2024-01-01 10:20:00"), 20L, 5.0),  // inside v10's window
+      (1L, ts("2024-01-01 12:30:00"), 21L, 6.0),  // exactly +30min of v11 (inclusive)
+      (1L, ts("2024-01-01 09:50:00"), 22L, 7.0),  // before any view
+      (2L, ts("2024-01-01 10:00:00"), 23L, 8.0),  // equal timestamps (inclusive)
+      (2L, ts("2024-01-01 10:31:00"), 24L, 9.0),  // one minute past the bound
+      (3L, ts("2024-01-01 10:00:00"), 25L, 1.0))  // no view for this user
+    q.processAllAvailable()
+    val pairs = spark.sql("SELECT * FROM ssj").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 20L), (11L, 21L), (12L, 23L)))
+    q.stop()
+  }
+
   test("streaming failure quarantine: bad XML lands in _failures, batch succeeds") {
     val inDir = tmpDir("streamf_in")
     val storeDir = tmpDir("streamf_store")
