@@ -159,16 +159,10 @@ object VectorFunctions {
     * at-rest representation. The projection is per-row codegen arithmetic:
     * no shuffle, no UDF, no driver state beyond the seed.
     */
-  def randomProject(vec: Column, dim: Int, outDim: Int, seed: Int = 42): Column = {
-    val inv = 1.0 / math.sqrt(outDim.toDouble)
-    array((0 until outDim).map { p =>
-      val signs = planeSignString(dim, seed + p)
-      val terms = (0 until dim).map { i =>
-        element_at(vec, i + 1).cast("double") * lit(if (signs(i) == '+') 1.0 else -1.0)
-      }
-      (terms.reduce(_ + _) * lit(inv)).cast("float")
-    }: _*)
-  }
+  def randomProject(vec: Column, dim: Int, outDim: Int, seed: Int = 42): Column =
+    org.apache.spark.sql.graft.ColumnBridge.toColumn(
+      graft.expressions.RandomProject(
+        org.apache.spark.sql.graft.ColumnBridge.toExpression(vec), dim, outDim, seed))
 
   /** Driver-side twin of [[randomProject]] for a literal query vector:
     * identical sign strings, identical left-to-right double accumulation,

@@ -754,6 +754,42 @@ object TextQueries {
       Seq("A2", "C10")
     ),
 
+    // Mergeable frequent-items sketches: approx_top_k built PER SHARD
+    // (accumulate), combined, and estimated — the distributed-top-k
+    // discipline when the vocabulary is too large for an exact groupBy to
+    // be worth a full shuffle at report time: fixed-size sketches travel,
+    // not term counts. The envelope oracle (ta_approx_stats convention):
+    // the estimated items carry their EXACT corpus counts (capacity ≥
+    // vocabulary here, so the sketch is in its exact regime), the true
+    // most-frequent word is present, and exactly k rows come back. Item
+    // ORDER among count ties is sketch-internal, which is why the pin is
+    // set+count equality, not positional.
+    "ta_approx_topk_shards" -> Q(
+      (s, d) => {
+        val words = documents(s, d)
+          .select(pmod(col("doc_id"), lit(8)).as("shard"),
+            explode(split(trim(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+        val exact = words.groupBy(col("word")).agg(count(lit(1)).as("n_exact"))
+        val top1 = exact.orderBy(col("n_exact").desc, col("word")).limit(1)
+          .select(col("word").as("w1"))
+        val sketches = words.groupBy(col("shard"))
+          .agg(expr("approx_top_k_accumulate(word, 100000)").as("sk"))
+        val est = sketches
+          .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk), 10)").as("tk"))
+          .select(explode(col("tk")).as("e"))
+          .select(col("e.item").as("word"), col("e.count").as("n_est"))
+        est.join(exact, Seq("word"), "left").crossJoin(top1).agg(
+          count(lit(1)).as("n_returned"),
+          (sum(when(col("n_est") === col("n_exact"), 1).otherwise(0))
+            === count(lit(1))).as("counts_exact"),
+          (sum(when(col("word") === col("w1"), 1).otherwise(0)) === 1).as("top1_present"))
+      },
+      Some("""SELECT CAST(10 AS BIGINT) AS n_returned,
+             |       TRUE AS counts_exact, TRUE AS top1_present""".stripMargin),
+      Seq("A2", "L2")
+    ),
+
     // Bigram frequencies: adjacent-word pairs via sequence+transform.
     "ta_bigrams_top10" -> Q(
       (s, d) =>
