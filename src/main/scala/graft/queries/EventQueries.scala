@@ -393,6 +393,51 @@ object EventQueries {
       Seq("A2")
     ),
 
+    // C-series: VARIANT shredding (Spark 4 semi-structured path) —
+    // parse_json once into the binary VARIANT encoding, typed field
+    // extraction via variant_get, then a plain relational aggregate. At
+    // 100 TB this is the schema-on-read discipline for ragged metadata
+    // columns: the VARIANT decode is per-row codegen work, no UDF, and the
+    // aggregate behind it shuffles longs, never JSON text.
+    "c_variant_shred" -> Q(
+      (s, d) =>
+        events(s, d)
+          .select(col("event_type"),
+            expr("variant_get(parse_json(props), '$.k', 'bigint')").as("k"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+            max(col("k")).as("max_k")),
+      Some("""SELECT event_type, count(*) AS n,
+             |       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+             |       CAST(max(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS max_k
+             |FROM events GROUP BY event_type""".stripMargin),
+      Seq("C15")
+    ),
+
+    // A-series: deterministic MODE per group — most frequent event type per
+    // user, ties broken toward the smallest value (mode(expr, true)); the
+    // oracle replays the argmax with the same tie order through a window.
+    "a_mode_per_user" -> Q(
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("user_id"))
+          .agg(expr("mode(event_type, true)").as("mode_et"),
+            count(lit(1)).as("n")),
+      Some("""WITH c AS (
+             |  SELECT user_id, event_type, count(*) AS cnt
+             |  FROM events GROUP BY user_id, event_type),
+             |r AS (
+             |  SELECT user_id, event_type,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY cnt DESC, event_type) AS rn
+             |  FROM c)
+             |SELECT r.user_id, r.event_type AS mode_et, t.n
+             |FROM r JOIN (SELECT user_id, count(*) AS n FROM events GROUP BY user_id) t
+             |  USING (user_id)
+             |WHERE r.rn = 1""".stripMargin),
+      Seq("A2", "L2")
+    ),
+
     // A-series: HLL sketches built PER SHARD and merged — the at-scale
     // distinct-count discipline: at 100 TB each ingest shard aggregates its
     // own fixed-size sketch and only sketches travel to the final union

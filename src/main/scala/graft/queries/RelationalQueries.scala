@@ -319,6 +319,26 @@ object RelationalQueries {
       Seq("A2")
     ),
 
+    // ROLLUP with GROUPING() markers: the hierarchy prefix of CUBE plus the
+    // marker function that disambiguates "NULL because subtotal" from "NULL
+    // in the data" — the piece q_cube doesn't exercise.
+    "q_rollup_grouping" -> Q(
+      (s, d) =>
+        lineitem(s, d)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            grouping(col("l_returnflag")).as("g_rf"),
+            grouping(col("l_linestatus")).as("g_ls"),
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity")), 2).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_rf,
+             |       CAST(GROUPING(l_linestatus) AS TINYINT) AS g_ls,
+             |       count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+             |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin),
+      Seq("A2")
+    ),
+
     // INTERSECT (SO-series breadth next to except/union): customer nations
     // that also appear among supplier nations.
     "so_intersect" -> Q(
