@@ -300,6 +300,10 @@ object GraftCli {
         graft.operators.TextSearch.compactIndex(spark, indexPath)
         println(s"compacted=$indexPath")
         0
+      case "dedup-index-compact" :: indexPath :: Nil =>
+        graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
+        println(s"compacted=$indexPath")
+        0
       case "text-search" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
@@ -339,6 +343,7 @@ object GraftCli {
             |  text-index <storePath> <indexPath>
             |  text-index-append <storePath> <indexPath> [docId ...]
             |  text-index-compact <indexPath>
+            |  dedup-index-compact <indexPath>
             |  text-search <storePath|indexPath> <"terms"> [--limit=K]
             |  decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy]
             |    benchmarkPath: .txt (one doc per line), .json/.jsonl (objects with a

@@ -200,9 +200,10 @@ object Dedup {
       .repartition(col("band"))
       .write.partitionBy("band").mode(SaveMode.Overwrite).parquet(path)
 
-  /** Register a processed batch's signatures in the index (append-only; the
-    * parquet layout needs no compaction — band partitioning keeps files
-    * grouped).
+  /** Register a processed batch's signatures in the index (append-only;
+    * band partitioning keeps new files inside the right partition dirs, so
+    * queries stay pruned — run [[compactSignatureIndex]] occasionally to
+    * fold accumulated small files and heal replay duplicates on disk).
     */
   def appendToSignatureIndex(
       df: DataFrame, idCol: String, textCol: String, path: String,
@@ -212,6 +213,29 @@ object Dedup {
     bandRows(df, idCol, textCol, numHashes, bands, baseHash, bucketHash)
       .repartition(col("band"))
       .write.partitionBy("band").mode(SaveMode.Append).parquet(path)
+
+  /** Fold an append-accumulated signature index back to one sorted file per
+    * band partition, healing replay-duplicated rows on disk. Appends never
+    * make the index WRONG ([[incrementalCandidates]] distincts the stored
+    * scan), but a year of daily appends leaves 365 small files per band and
+    * makes every query re-pay that distinct — compaction moves the cost to
+    * a once-in-a-while rewrite of SIGNATURE ROWS (never re-shingles text;
+    * cost scales with index size, not corpus size). Staged into a sibling
+    * dir and swapped by rename, the [[TextSearch.compactIndex]] discipline.
+    */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val tmp = path + ".compact-tmp"
+    spark.read.parquet(path)
+      .select(col("id"), col("band"), col("bucket"))
+      .distinct()
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .write.partitionBy("band").mode(SaveMode.Overwrite).parquet(tmp)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), hp): Unit
+  }
 
   /** Candidate near-dup pairs INVOLVING the new batch: new-vs-corpus and
     * new-vs-new, exactly the pairs a full [[minhashCandidates]] run over

@@ -108,6 +108,62 @@ object TextSearch {
       .limit(k)
   }
 
+  /** Ranking-quality metrics — nDCG@k, MRR@k, recall@k per query — the eval
+    * harness for any retrieval stack in the engine (BM25, ANN, hybrid RRF).
+    * Pure relational algebra over ALREADY-TRUNCATED ranked lists: `results`
+    * carries queries×candidates rows (each retrieval produced at most its
+    * own top-N), so the per-query rank windows here run over a handful of
+    * rows — never the corpus. The relevance side can be any judgment table
+    * (graded or binary); missing judgments score 0, the IR convention.
+    *
+    *  - nDCG@k: Σ (2^rel−1)/log₂(rank+1) over the top k, normalized by the
+    *    same sum over the k best-possible judgments (ties in both rankings
+    *    break toward the smaller doc id, so both engines rank identically);
+    *  - MRR@k: 1/rank of the first relevant hit, 0 when none;
+    *  - recall@k: relevant retrieved / relevant total.
+    *
+    * @param results   (queryCol, docCol, scoreCol) candidate lists
+    * @param relevance (queryCol, docCol, relCol) judgments, rel > 0 = relevant
+    */
+  def evalRanking(
+      results: DataFrame, relevance: DataFrame,
+      queryCol: String, docCol: String, scoreCol: String, relCol: String,
+      k: Int): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ranked = results
+      .select(col(queryCol).as("_q"), col(docCol).as("_d"), col(scoreCol).as("_s"))
+      .withColumn("rank",
+        row_number().over(W.partitionBy(col("_q")).orderBy(col("_s").desc, col("_d"))))
+      .filter(col("rank") <= k)
+    val rel = relevance
+      .select(col(queryCol).as("_q"), col(docCol).as("_d"), col(relCol).as("_rel"))
+      .filter(col("_rel") > 0)
+    val retrieved = ranked.join(rel, Seq("_q", "_d"), "left")
+      .na.fill(0, Seq("_rel"))
+      .groupBy(col("_q")).agg(
+        sum((pow(lit(2.0), col("_rel")) - lit(1.0)) / log2(col("rank") + 1)).as("dcg"),
+        min(when(col("_rel") > 0, col("rank"))).as("_firstRel"),
+        sum(when(col("_rel") > 0, 1L).otherwise(0L)).as("_relRetrieved"))
+    val ideal = rel
+      .withColumn("irank",
+        row_number().over(W.partitionBy(col("_q")).orderBy(col("_rel").desc, col("_d"))))
+      .groupBy(col("_q")).agg(
+        sum(when(col("irank") <= k,
+          (pow(lit(2.0), col("_rel")) - lit(1.0)) / log2(col("irank") + 1))
+          .otherwise(lit(0.0))).as("idcg"),
+        count(lit(1)).as("_relTotal"))
+    retrieved.join(ideal, Seq("_q"), "full_outer")
+      .select(
+        col("_q").as(queryCol),
+        when(col("idcg") > 0, coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .otherwise(lit(0.0)).as("ndcg"),
+        when(col("_firstRel").isNotNull, lit(1.0) / col("_firstRel"))
+          .otherwise(lit(0.0)).as("mrr"),
+        when(col("_relTotal") > 0,
+          coalesce(col("_relRetrieved"), lit(0L)).cast("double") / col("_relTotal"))
+          .otherwise(lit(0.0)).as("recall"))
+  }
+
   // ---------------------------------------------------------------- index
 
   /** The batch's posting rows: (doc_id, dl, term, tf) + the batch-LOCAL df.

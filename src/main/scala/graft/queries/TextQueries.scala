@@ -1297,6 +1297,33 @@ object TextQueries {
       Seq("A1", "L2", "C1")
     ),
 
+    // Retrieval-quality eval: nDCG@10 / MRR@10 / recall@10 of three
+    // single-term BM25 rankings against a relevance table derived from the
+    // corpus itself (rel=1 ⟺ the term appears ≥2× — so relevance is a
+    // strict subset of the retrieved-candidate set and the metrics are
+    // non-trivial). The oracle replays the BM25 scoring CTE per query term,
+    // the rank windows with the shared smallest-doc tie-break, and the
+    // metric arithmetic.
+    "ts_eval_metrics" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val results = bm25Terms.map { t =>
+          TextSearch.bm25Scores(docs, "text", "doc_id", Seq(t))
+            .select(lit(t).as("query"), col("doc_id"), col("score"))
+        }.reduce(_.unionByName(_))
+        val rel = bm25Terms.map { t =>
+          docs.select(lit(t).as("query"), col("doc_id"),
+            when(size(filter(split(trim(col("text")), " "), x => x === lit(t))) >= 2, 1)
+              .otherwise(0).as("rel"))
+        }.reduce(_.unionByName(_))
+        TextSearch.evalRanking(results, rel, "query", "doc_id", "score", "rel", k = 10)
+          .select(col("query"), round(col("ndcg"), 6).as("ndcg"),
+            round(col("mrr"), 6).as("mrr"), round(col("recall"), 6).as("recall"))
+      },
+      Some(evalMetricsOracleSql),
+      Seq("A1", "L2", "W2")
+    ),
+
     // The same search through the persisted inverted index: postings are
     // partitioned by xxhash64(term) bucket, so the query's scan prunes to
     // its terms' buckets (PLANS.md pins the PartitionFilters invariant).
@@ -1520,6 +1547,59 @@ object TextQueries {
        |SELECT doc_id, round(sum(w), 6) AS score
        |FROM scored GROUP BY doc_id
        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
+
+  /** DuckDB twin of [[graft.operators.TextSearch.evalRanking]] over the
+    * three single-term BM25 rankings: per-term scoring through the shared
+    * bm25 CTE shape, rank windows with the smallest-doc tie-break, rel=1 ⟺
+    * tf ≥ 2 (read straight off the tf CTE), then the nDCG/MRR/recall math.
+    */
+  private def evalMetricsOracleSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(trim(text), ' '), t -> length(t) > 0) AS toks
+       |  FROM documents),
+       |lens AS (SELECT doc_id, len(toks) AS dl, toks FROM toks),
+       |stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+       |tf AS (
+       |  SELECT doc_id, dl, term, count(*) AS tf
+       |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM lens)
+       |  WHERE term IN (${bm25Terms.map(t => s"'$t'").mkString(", ")})
+       |  GROUP BY doc_id, dl, term),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT term AS query, doc_id,
+       |         ln(1.0 + (n - df + 0.5) / (df + 0.5))
+       |           * (tf * (1.2 + 1.0))
+       |           / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)) AS score
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+       |ranked AS (
+       |  SELECT query, doc_id, score,
+       |         row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id) AS rank
+       |  FROM scored),
+       |topk AS (SELECT * FROM ranked WHERE rank <= 10),
+       |rel AS (SELECT term AS query, doc_id, 1 AS rel FROM tf WHERE tf >= 2),
+       |joined AS (
+       |  SELECT t.query, t.rank, COALESCE(r.rel, 0) AS rel
+       |  FROM topk t LEFT JOIN rel r ON t.query = r.query AND t.doc_id = r.doc_id),
+       |dcg AS (
+       |  SELECT query,
+       |         sum((power(2.0, rel) - 1.0) / log2(rank + 1)) AS dcg,
+       |         min(CASE WHEN rel > 0 THEN rank END) AS firstrel,
+       |         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS relret
+       |  FROM joined GROUP BY query),
+       |ideal AS (
+       |  SELECT query,
+       |         sum(CASE WHEN irank <= 10
+       |             THEN (power(2.0, rel) - 1.0) / log2(irank + 1) ELSE 0.0 END) AS idcg,
+       |         count(*) AS reltotal
+       |  FROM (SELECT query, doc_id, rel,
+       |               row_number() OVER (PARTITION BY query ORDER BY rel DESC, doc_id) AS irank
+       |        FROM rel)
+       |  GROUP BY query)
+       |SELECT d.query,
+       |       round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg ELSE 0.0 END, 6) AS ndcg,
+       |       round(CASE WHEN d.firstrel IS NOT NULL THEN 1.0 / d.firstrel ELSE 0.0 END, 6) AS mrr,
+       |       round(CAST(d.relret AS DOUBLE) / i.reltotal, 6) AS recall
+       |FROM dcg d JOIN ideal i USING (query)""".stripMargin
 
   /** DuckDB twin of the polynomial gram-hash contamination sweep: token
     * hashes via `md5_number_lower >> 4 mod p`, window hashes as the modular

@@ -193,6 +193,23 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // Metadata-filtered ANN: the IVF probe with a candidate predicate
+    // composed onto the index scan — probe selection (WHICH cells) is
+    // untouched, the label filter just narrows the rows scored within
+    // them. On the persisted layout this is partition pruning (cid) AND a
+    // pushed data filter (label) on the same parquet scan — the filtered-
+    // search shape every vector store exposes, with no special operator.
+    "e2_ann_ivf_filtered" -> Q(
+      (s, d) => {
+        val index = Similarity.buildIvf(
+          embeddings(s, d).filter(col("vec_id") =!= 0), "embedding", "vec_id", k = 16)
+        val filtered = index.copy(assigned = index.assigned.filter(col("label") === 1))
+        Similarity.topKIvf(filtered, "embedding", "vec_id", queryVec(s, d), k = 10, nProbes = 2)
+      },
+      Some(ivfOracleSql(kCentroids = 16, nProbes = 2, k = 10, candPred = "label = 1")),
+      Seq("E2", "F6")
+    ),
+
     // Incremental IVF maintenance — the vector twin of ts_bm25_incremental
     // and dd_incremental: build + persist on two thirds of the corpus,
     // APPEND the remaining third (assignment against the FROZEN stored
@@ -945,10 +962,15 @@ object VectorQueries {
        |         (SELECT CAST(coalesce(sum(id), 0) AS BIGINT) FROM drops) AS sum_kept_ids""".stripMargin
 
   private def ivfOracleSql(
-      kCentroids: Int, nProbes: Int, k: Int, trainPred: String = "TRUE"): String =
+      kCentroids: Int, nProbes: Int, k: Int, trainPred: String = "TRUE",
+      /** SQL predicate over the embeddings row selecting which CANDIDATES
+        * may score (metadata-filtered search); probing is unchanged.
+        */
+      candPred: String = "TRUE"): String =
     s"""${ivfBuildPrefix(kCentroids, nProbes, trainPred)},
        |v2 AS (SELECT u.vec_id, u.i, u.x FROM unn u JOIN assign2 a USING (vec_id)
-       |       WHERE a.cid IN (SELECT cid FROM probes)),
+       |       WHERE a.cid IN (SELECT cid FROM probes)
+       |         AND u.vec_id IN (SELECT vec_id FROM embeddings WHERE $candPred)),
        |sims AS (SELECT v2.vec_id, sum(v2.x * q.x) AS dot, sqrt(sum(v2.x * v2.x)) AS na
        |         FROM v2 JOIN qv q ON v2.i = q.i GROUP BY v2.vec_id),
        |nb2 AS (SELECT sqrt(sum(x * x)) AS nb FROM qv)

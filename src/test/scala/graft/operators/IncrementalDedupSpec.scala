@@ -72,6 +72,29 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(replay.nonEmpty) // 6 ≤ cap: the pairs must survive
   }
 
+  test("compaction folds appends to one file per band, heals replays, preserves results") {
+    val dir = tmpDir("sigidx5") + "/index"
+    Dedup.writeSignatureIndex(oldDocs, "doc_id", "text", dir)
+    val batch = docs.filter(col("doc_id") === 11L)
+    Dedup.appendToSignatureIndex(batch, "doc_id", "text", dir)
+    Dedup.appendToSignatureIndex(batch, "doc_id", "text", dir) // crashed-and-replayed append
+    val before = pairsOf(Dedup.incrementalCandidates(spark, newDocs, "doc_id", "text", dir))
+    val rowsBefore = spark.read.parquet(dir).count()
+    Dedup.compactSignatureIndex(spark, dir)
+    val after = pairsOf(Dedup.incrementalCandidates(spark, newDocs, "doc_id", "text", dir))
+    assert(after == before)
+    // replay duplicates healed on disk
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() < rowsBefore)
+    assert(rows.count() == rows.distinct().count())
+    // one data file per band partition
+    val bandDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("band="))
+    assert(bandDirs.nonEmpty)
+    bandDirs.foreach { bd =>
+      assert(bd.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    }
+  }
+
   test("gram-set hash families are stamped, survive parquet, and mismatches fail fast") {
     val bench = Seq((0L, "some benchmark text with enough words to form grams")).toDF("doc_id", "text")
     val grams = Dedup.benchmarkGrams(bench, "text", n = 3)

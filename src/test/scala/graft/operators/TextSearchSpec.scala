@@ -218,4 +218,35 @@ class TextSearchSpec extends SparkSpec {
       .as[(Long, Double)].collect().toMap
     assert(once == twice)
   }
+
+  test("evalRanking matches hand-computed nDCG/MRR/recall") {
+    // q1: ranked docs 1,2,3 (scores 3>2>1); relevant: 2 (rel 1), 9 (rel 2, unretrieved)
+    //   DCG  = (2^0-1)/log2(2) + (2^1-1)/log2(3) + (2^0-1)/log2(4) = 1/log2(3)
+    //   IDCG = (2^2-1)/log2(2) + (2^1-1)/log2(3) = 3 + 1/log2(3)
+    //   MRR = 1/2 (first relevant at rank 2); recall = 1/2
+    // q2: no relevant docs at all -> all zeros
+    val results = Seq(
+      ("q1", 1L, 3.0), ("q1", 2L, 2.0), ("q1", 3L, 1.0),
+      ("q2", 1L, 1.0)).toDF("query", "doc_id", "score")
+    val rel = Seq(("q1", 2L, 1), ("q1", 9L, 2)).toDF("query", "doc_id", "rel")
+    val m = TextSearch.evalRanking(results, rel, "query", "doc_id", "score", "rel", k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val l3 = math.log(3.0) / math.log(2.0)
+    val (ndcg, mrr, rec) = m("q1")
+    assert(math.abs(ndcg - (1.0 / l3) / (3.0 + 1.0 / l3)) < 1e-12)
+    assert(mrr == 0.5 && rec == 0.5)
+    assert(m("q2") == ((0.0, 0.0, 0.0)))
+  }
+
+  test("evalRanking truncates at k before scoring") {
+    // relevant doc sits at rank 3; with k=2 it is outside the cut:
+    // dcg=0, mrr=0, recall=0 — but idcg still counts the judgment
+    val results = Seq(
+      ("q", 1L, 3.0), ("q", 2L, 2.0), ("q", 3L, 1.0)).toDF("query", "doc_id", "score")
+    val rel = Seq(("q", 3L, 1)).toDF("query", "doc_id", "rel")
+    val r = TextSearch.evalRanking(results, rel, "query", "doc_id", "score", "rel", k = 2)
+      .collect().head
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+  }
 }
