@@ -333,6 +333,58 @@ object ScaleProbe {
         nKeep = (nDocs / 100).toInt, buckets = 4096).count()
     }
 
+    // Stream-stream interval join at scale: events replicated with
+    // PER-REPLICA user-id shifts (join density per user stays constant —
+    // replicating the same users would square the pair count), view →
+    // purchase attribution within 6 hours through two JSON file streams
+    // with a shared 12-hour watermark. The streamed pair count must equal
+    // the batch interval join over the same rows EXACTLY — a correctness
+    // gate on the streaming state machinery, not just a timing.
+    val bigEv = (0 until mult).map(i => Tables.events(spark, sfDir)
+        .withColumn("user_id", col("user_id") + lit(i.toLong * 10_000_000L))
+        .withColumn("event_id", col("event_id") + lit(i.toLong * 1_000_000_000L)))
+      .reduce(_.unionByName(_))
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .cache()
+    val nEvents = bigEv.count()
+    val ssjBase = "/tmp/graft/scaleprobe_ssj"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ssjBase))
+    val views = bigEv.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = bigEv.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+    views.write.json(s"$ssjBase/views")
+    purchases.write.json(s"$ssjBase/purchases")
+    val (nSsjPairs, tSsj) = timed {
+      def src(dir: String, schema: String) =
+        spark.readStream.schema(schema).json(dir)
+          .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      val q = graft.streaming.StreamingPipeline.intervalJoin(
+        src(s"$ssjBase/views", "event_id BIGINT, user_id BIGINT, ts_us BIGINT"),
+        src(s"$ssjBase/purchases",
+          "event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE"),
+        "user_id", "ts", "6 hours", "12 hours")
+        .select(col("event_id"), col("r_event_id"))
+        .writeStream.option("checkpointLocation", s"$ssjBase/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$ssjBase/out").start()
+      q.awaitTermination()
+      spark.read.parquet(s"$ssjBase/out").count()
+    }
+    val nBatchPairs = {
+      val v = views.withColumn("ts", timestamp_micros(col("ts_us")))
+      val p = purchases.withColumn("ts", timestamp_micros(col("ts_us")))
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      v.join(p, col("user_id") === col("p_user") &&
+        col("p_ts") >= col("ts") &&
+        col("p_ts") <= col("ts") + expr("INTERVAL 6 hours")).count()
+    }
+    require(nSsjPairs == nBatchPairs,
+      s"stream-stream join emitted $nSsjPairs pairs, batch join $nBatchPairs")
+    bigEv.unpersist()
+
     println(
       s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
         s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
@@ -353,6 +405,7 @@ object ScaleProbe {
         s""""ppl_keep":$nPplKeep,"ppl_sec":${f"$tPerplexity%.1f"},""" +
         s""""semantic_vecs":$nSemVecs,"semantic_kept":$nSemKept,"semantic_sec":${f"$tSemantic%.1f"},""" +
         s""""dsir_kept":$nDsir,"dsir_sec":${f"$tDsir%.1f"},""" +
+        s""""ssj_events":$nEvents,"ssj_pairs":$nSsjPairs,"ssj_sec":${f"$tSsj%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
     spark.stop()
