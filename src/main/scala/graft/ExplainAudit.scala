@@ -40,7 +40,9 @@ object ExplainAudit {
       "ta_boilerplate_strip", "vec_meanpool",
       "dd_semantic_pairs", "dd_semantic", "e2_rp_rerank",
       "ta_dsir_scores", "ta_dsir_resample",
-      "q_pivot", "q_grouping_sets", "a_histogram", "so_except_all"
+      "q_pivot", "q_grouping_sets", "a_histogram", "so_except_all",
+      "ts_eval_metrics", "e2_ann_ivf_filtered", "a_mode_per_user",
+      "c_variant_shred", "q_rollup_grouping", "s_schema_evolution"
     )
 
     var bad = 0
@@ -274,6 +276,39 @@ object ExplainAudit {
       ("grouping sets expand in one pass over one scan", {
         val p = plan("q_grouping_sets")
         p.contains("Expand") && p.linesIterator.count(_.contains("Scan parquet")) <= 1
+      }),
+      // eval metrics: every rank window is partitioned by the query id —
+      // an un-partitioned window over retrieval results is the one-task
+      // shape that cannot scale past a single executor
+      ("eval-metric rank windows are query-partitioned, never global", {
+        val p = plan("ts_eval_metrics")
+        val ws = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+        ws.nonEmpty && ws.forall(_.contains("_q"))
+      }),
+      // filtered ANN: the label predicate composes onto the probed scan
+      // without introducing any join beyond the probe's cell filter
+      ("filtered ivf search stays join-free beyond the probe, no cartesian",
+        !plan("e2_ann_ivf_filtered").contains("CartesianProduct")),
+      // mode: a declarative aggregate with map-side partials — never a
+      // per-group collect
+      ("mode aggregates with map-side partials",
+        plan("a_mode_per_user").contains("partial_mode")),
+      // variant shred: the aggregate behind the decode shuffles longs, not
+      // JSON text — the exchange must not carry the props column
+      ("variant shred exchanges carry extracted longs, not JSON text", {
+        val p = plan("c_variant_shred")
+        !p.linesIterator.exists(l => l.contains("Exchange") && l.contains("props"))
+      }),
+      // rollup: one Expand over one scan, like grouping sets
+      ("rollup expands in one pass over one scan", {
+        val p = plan("q_rollup_grouping")
+        p.contains("Expand") && p.linesIterator.count(_.contains("Scan parquet")) <= 1
+      }),
+      // schema evolution: the merged read is still ONE scan node over both
+      // batch dirs (mergeSchema widens the schema, not the plan)
+      ("merged-schema read plans one scan over heterogeneous batches", {
+        val p = plan("s_schema_evolution")
+        p.linesIterator.count(_.contains("Scan parquet")) <= 1
       })
     )
     println("\n===== invariants =====")

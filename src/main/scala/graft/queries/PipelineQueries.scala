@@ -406,6 +406,34 @@ object PipelineQueries {
       Seq("S4", "K5")
     ),
 
+    // Schema evolution on read: two parquet batches written months apart
+    // with different schemas (the later one grew n_chars), merged by
+    // mergeSchema — the long-lived-lake reality at 100 TB, where a sweep
+    // reads years of heterogeneous layouts and old rows surface the new
+    // column as NULL. The oracle reproduces the null semantics from the
+    // unified table.
+    "s_schema_evolution" -> Q(
+      (s, d) => {
+        val out = tmpDir(d, "schema_evo")
+        cleanDir(out)
+        val docs = documents(s, d)
+        docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+          .write.mode("overwrite").parquet(s"$out/batch0")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/batch1")
+        s.read.option("mergeSchema", "true").parquet(s"$out/batch0", s"$out/batch1")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), count(col("n_chars")).as("n_with_chars"),
+            sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |       CAST(count(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS n_with_chars,
+             |       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("S4", "K5")
+    ),
+
     "s6_streaming_ingest" -> Q(
       (s, d) => {
         val inDir = tmpDir(d, "stream_in")
