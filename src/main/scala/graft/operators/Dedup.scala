@@ -502,6 +502,61 @@ object Dedup {
       corpus, idCol, textCol,
       benchmarkGrams(benchmark, benchTextCol, n, hashFn), n, minCollisions, hashFn)
 
+  /** Per-benchmark-ITEM leakage report — the flip side of
+    * [[contaminatedIds]]: instead of flagging corpus documents, rank which
+    * eval items leaked into the corpus and how badly. One row per benchmark
+    * item that has at least one n-gram:
+    *
+    *  - `n_grams`: distinct n-grams in the item;
+    *  - `n_leaked`: of those, how many appear anywhere in the corpus;
+    *  - `n_corpus_docs`: distinct corpus documents sharing ≥1 gram;
+    *  - `leak_frac`: n_leaked / n_grams — 1.0 means the item is fully
+    *    reconstructible from corpus text, the "drop this eval item, not the
+    *    training docs" signal published decontamination reports use.
+    *
+    * All joins are gram-hash equi-joins (the [[contaminatedIds]] shuffle
+    * shape); per-item aggregates are count-combinable, and the doc-count
+    * join's fan-out is bounded by the corpus df of LEAKED grams — long
+    * n-gram df is near-1 in practice, and a skewed gram inflates only its
+    * own item's count, never a cross product.
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchmark: DataFrame,
+      benchIdCol: String,
+      benchTextCol: String,
+      n: Int = 13,
+      hashFn: GramHash = PolyGram
+  ): DataFrame = {
+    def grams(df: DataFrame, id: String, text: String): DataFrame = hashFn match {
+      case PolyGram => explodedPolyGrams(df, Seq(col(id)), text, n)
+      case sg: StringGram =>
+        df.select(col(id), explode(ngramHashes(col(text), n, sg.fn)).as("_gram"))
+    }
+    val benchGrams = grams(benchmark, benchIdCol, benchTextCol)
+    val corpusGrams = grams(corpus, idCol, textCol).select(col(idCol), col("_gram"))
+    val totals = benchGrams.groupBy(col(benchIdCol))
+      .agg(count(lit(1)).as("n_grams"))
+    val leaked = benchGrams
+      .join(corpusGrams.select(col("_gram")), Seq("_gram"), "left_semi")
+      .groupBy(col(benchIdCol)).agg(count(lit(1)).as("n_leaked"))
+    val docHits = benchGrams.join(corpusGrams, Seq("_gram"))
+      .select(col(benchIdCol), col(idCol)).distinct()
+      .groupBy(col(benchIdCol)).agg(count(lit(1)).as("n_corpus_docs"))
+    totals
+      .join(leaked, Seq(benchIdCol), "left")
+      .join(docHits, Seq(benchIdCol), "left")
+      .select(
+        col(benchIdCol),
+        col("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        coalesce(col("n_corpus_docs"), lit(0L)).as("n_corpus_docs"),
+        (coalesce(col("n_leaked"), lit(0L)).cast("double") / col("n_grams"))
+          .as("leak_frac"))
+  }
+
   /** The benchmark side of [[contaminatedIds]] precomputed as a distinct
     * gram-hash set (`_gram` column) — compute once, persist, and reuse
     * across many corpora/microbatches. The hash family's tag rides in the

@@ -1188,6 +1188,51 @@ object TextQueries {
       Seq("A6", "C13")
     ),
 
+    // Per-eval-item contamination report — the flip side of
+    // dd_contamination: rank WHICH benchmark items leaked and how badly
+    // (leak_frac 1.0 = fully reconstructible from corpus text — the "drop
+    // the eval item" signal). Same 37-split and n=5 as dd_contamination,
+    // but corpus EXCLUDES the bench docs so the fractions are non-trivial.
+    "dd_contamination_report" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+          docs.filter(col("doc_id") % 37 === 0)
+            .select(col("doc_id").as("bench_id"), col("text")),
+          "bench_id", "text", n = 5, hashFn = Dedup.Md5Gram)
+          .select(col("bench_id"), col("n_grams"), col("n_leaked"),
+            col("n_corpus_docs"), round(col("leak_frac"), 6).as("leak_frac"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    CASE WHEN len(toks) - 4 <= 0 THEN CAST([] AS BIGINT[])
+             |    ELSE list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+             |      i -> CAST((md5_number_lower(array_to_string(list_slice(toks, i, i + 4), ' ')) >> 4) AS BIGINT))
+             |    END)) AS h
+             |  FROM corpus),
+             |benchg AS (SELECT doc_id AS bench_id, h FROM grams WHERE doc_id % 37 = 0),
+             |corpg AS (SELECT doc_id, h FROM grams WHERE doc_id % 37 <> 0),
+             |totals AS (SELECT bench_id, count(*) AS n_grams FROM benchg GROUP BY bench_id),
+             |leaked AS (
+             |  SELECT bench_id, count(*) AS n_leaked FROM benchg
+             |  WHERE h IN (SELECT DISTINCT h FROM corpg) GROUP BY bench_id),
+             |hits AS (
+             |  SELECT bench_id, count(*) AS n_corpus_docs FROM (
+             |    SELECT DISTINCT b.bench_id, c.doc_id FROM benchg b JOIN corpg c USING (h))
+             |  GROUP BY bench_id)
+             |SELECT t.bench_id, t.n_grams,
+             |       CAST(COALESCE(l.n_leaked, 0) AS BIGINT) AS n_leaked,
+             |       CAST(COALESCE(ht.n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs,
+             |       round(CAST(COALESCE(l.n_leaked, 0) AS DOUBLE) / t.n_grams, 6) AS leak_frac
+             |FROM totals t
+             |LEFT JOIN leaked l USING (bench_id)
+             |LEFT JOIN hits ht USING (bench_id)""".stripMargin),
+      Seq("A6", "C13", "A2")
+    ),
+
     // Blocked n-gram-Jaccard near-dup: candidates share (source, n_chars).
     "dd_jaccard_blocked" -> Q(
       (s, d) =>

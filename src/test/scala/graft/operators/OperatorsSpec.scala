@@ -662,6 +662,26 @@ class OperatorsSpec extends SparkSpec {
     assert(atBar.as[Long].collect().toSet == Set(1L))
   }
 
+  test("contamination report ranks eval items by leak fraction, hand-computed") {
+    // bench item A: tokens a1..a6, n=3 → 4 distinct grams; corpus doc 1
+    // contains a1..a4 (grams a1a2a3, a2a3a4 → 2 leaked), corpus doc 2
+    // contains a2..a4 (gram a2a3a4 — already counted once for A, second
+    // leaking DOC). Item B is untouched (0 leaked, but still reported).
+    val bench = Seq(
+      (100L, "a1 a2 a3 a4 a5 a6"),
+      (200L, "b1 b2 b3 b4")).toDF("bench_id", "text")
+    val corpus = Seq(
+      (1L, "x a1 a2 a3 a4 y"),
+      (2L, "z a2 a3 a4 w"),
+      (3L, "clean text entirely unrelated")).toDF("doc_id", "text")
+    val r = Dedup.contaminationReport(
+      corpus, "doc_id", "text", bench, "bench_id", "text", n = 3)
+      .collect().map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getLong(3), row.getDouble(4))).toMap
+    assert(r(100L) == ((4L, 2L, 2L, 0.5)))
+    assert(r(200L) == ((2L, 0L, 0L, 0.0)))
+  }
+
   test("nnJoin returns per-query brute-force top-k at full probe radius, no cartesian") {
     val corpus = (0 until 48).map { i =>
       val a = i / 48.0 * 2 * math.Pi
