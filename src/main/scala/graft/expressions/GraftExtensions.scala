@@ -84,5 +84,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) =>
         toExpression(graft.functions.VectorFunctions.quantizeInt8(toColumn(children.head)))
     ))
+    ext.injectFunction((
+      FunctionIdentifier("random_project"),
+      info("random_project", classOf[RandomProject],
+        "random_project(vec, dim, outDim[, seed]) - Johnson-Lindenstrauss signed " +
+          "random projection with deterministic seeded planes (native loop)"),
+      (children: Seq[Expression]) => {
+        def intLit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"random_project: $what must be an integer literal, got $other")
+        }
+        RandomProject(children(0),
+          intLit(children(1), "dim"),
+          intLit(children(2), "outDim"),
+          if (children.length > 3) intLit(children(3), "seed") else 42)
+      }
+    ))
   }
 }

@@ -16,9 +16,29 @@ class SqlRegistrySpec extends SparkSpec {
 
   test("all registered functions resolve from SQL text") {
     Seq("token_count", "nfc_normalize", "top_k", "normalize_text",
-      "quality_score", "lang_id", "cosine_sim", "quantize_int8").foreach { f =>
+      "quality_score", "lang_id", "cosine_sim", "quantize_int8",
+      "random_project").foreach { f =>
       assert(spark.catalog.functionExists(f), s"$f must be registered")
     }
+  }
+
+  test("registered random_project agrees with the DataFrame API and the local twin") {
+    val v = Array(1.0f, -2.0f, 0.5f, 3.0f)
+    val viaSql = spark.sql(
+      "SELECT random_project(array(1.0F, -2.0F, 0.5F, 3.0F), 4, 4) AS p")
+      .head().getAs[scala.collection.Seq[Float]]("p").toSeq
+    val viaDf = spark.range(1)
+      .select(VectorFunctions.randomProject(
+        lit(v).cast("array<float>"), 4, 4).as("p"))
+      .head().getAs[scala.collection.Seq[Float]]("p").toSeq
+    assert(viaSql == viaDf)
+    assert(viaSql == VectorFunctions.randomProjectLocal(v, 4).toSeq)
+    // a non-literal dim is rejected, not silently mis-planned
+    val e = intercept[Exception] {
+      spark.sql("SELECT random_project(array(1.0F), CAST(rand()*2 AS INT), 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getCause != null && e.getCause.getMessage.contains("integer literal"))
   }
 
   test("SQL bindings agree with the DataFrame-API definitions") {
