@@ -255,20 +255,40 @@ object GraftCli {
         }
       case "decontaminate" :: rest =>
         val fuzzy = rest.contains("--fuzzy")
-        val (settings, positional) = Settings.fromArgs(rest.filterNot(_ == "--fuzzy"))
+        val report = rest.contains("--report")
+        val (settings, positional) =
+          Settings.fromArgs(rest.filterNot(a => a == "--fuzzy" || a == "--report"))
         positional match {
           case storePath :: benchPath :: tail
               if tail.lengthIs <= 1 &&
                 tail.forall(t => t.nonEmpty && t.length <= 4 && t.forall(_.isDigit)) =>
             val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
             val n = tail.headOption.map(_.toInt).getOrElse(13)
-            val (docs, chunksDeleted) =
-              decontaminate(spark, store, readBenchmark(spark, benchPath), "text", n, fuzzy)
-            println(s"contaminated_docs=$docs deleted_chunks=$chunksDeleted")
-            0
+            if (report) {
+              // read-only leakage ranking: which eval items leaked, worst
+              // first — nothing is deleted in report mode
+              val bench = readBenchmark(spark, benchPath)
+                .withColumn("item_id", xxhash64(col("text")))
+              val chunks = store.read(spark).select(col("documentId"), col("content"))
+              graft.operators.Dedup.contaminationReport(
+                chunks, "documentId", "content", bench, "item_id", "text", n)
+                .orderBy(col("leak_frac").desc, col("item_id"))
+                .limit(settings.limit.getOrElse(10))
+                .collect().foreach { r =>
+                  println(s"item=${r.get(0)} grams=${r.get(1)} leaked=${r.get(2)} " +
+                    s"docs=${r.get(3)} leak_frac=${f"${r.getDouble(4)}%.4f"}")
+                }
+              0
+            } else {
+              val (docs, chunksDeleted) =
+                decontaminate(spark, store, readBenchmark(spark, benchPath), "text", n, fuzzy)
+              println(s"contaminated_docs=$docs deleted_chunks=$chunksDeleted")
+              0
+            }
           case _ =>
             System.err.println(
-              "usage: decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy] [flags]")
+              "usage: decontaminate <storePath> <benchmarkPath> [ngramSize] " +
+                "[--fuzzy|--report] [flags]")
             2
         }
       case "text-index" :: rest =>
@@ -348,6 +368,7 @@ object GraftCli {
             |  decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy]
             |    benchmarkPath: .txt (one doc per line), .json/.jsonl (objects with a
             |    "text" field), or parquet with a text column
+            |    --report: read-only per-eval-item leakage ranking, deletes nothing
             |  status <ledgerPath> <storePath>
             |  validate <ledgerPath> <storePath>
             |  migrate <srcPath> <srcFormat> <dstPath> <dstFormat>""".stripMargin)

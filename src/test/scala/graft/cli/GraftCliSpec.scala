@@ -189,6 +189,42 @@ class GraftCliSpec extends SparkSpec {
     assert(store.distinctDocumentIds(spark).as[String].collect().toSeq == Seq("doc_clean"))
   }
 
+  test("decontaminate --report ranks the leaking eval item and deletes nothing") {
+    val root = tmpDir("clireport")
+    val store = new ChunkStore(s"$root/store", prefixLen = 1)
+    val leakRun = (1 to 8).map(i => s"bench$i").mkString(" ")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    store.upsert(spark, Seq(
+      ("c1", "doc_leak", s"prefix $leakRun suffix words"),
+      ("c2", "doc_clean", "completely unrelated content with many words")
+    ).toDF("chunkId", "documentId", "content")
+      .select(
+        col("chunkId"), col("documentId"), lit("ds").as("datasetName"), col("content"),
+        lit(5).as("tokenCount"), lit("h").as("sectionHeading"), lit("").as("absoluteAddress"),
+        lit("none").as("splitReason"), lit(null).cast("string").as("parentChunkId"),
+        sha2(col("content"), 256).as("sourceHash"),
+        array().cast("array<string>").as("crossRefs"),
+        lit(0).as("chunkIndex"), lit(null).cast("array<float>").as("embedding"),
+        lit("m").as("embeddingModel"), lit("t0").as("embeddedAt")))
+    val benchPath = s"$root/bench.txt"
+    Files.write(Paths.get(benchPath),
+      ((1 to 20).map(i => s"bench$i").mkString(" ") + "\nclean eval line with nothing shared")
+        .getBytes("UTF-8"))
+    val bench = GraftCli.readBenchmark(spark, benchPath)
+      .withColumn("item_id", xxhash64(col("text")))
+    val rep = graft.operators.Dedup.contaminationReport(
+      store.read(spark).select(col("documentId"), col("content")),
+      "documentId", "content", bench, "item_id", "text", n = 5)
+      .orderBy(col("leak_frac").desc).collect()
+    assert(rep.length == 2)
+    assert(rep.head.getDouble(4) > 0 && rep.head.getLong(3) == 1L,
+      "the leaked item reports one sharing doc")
+    assert(rep.last.getDouble(4) == 0.0, "the clean item reports zero leakage")
+    // report mode is read-only
+    assert(store.distinctDocumentIds(spark).count() == 2)
+  }
+
   test("settings drive chunk params, store bucketing, and dataset pattern end-to-end") {
     val root = tmpDir("clicfg")
     val extracted = s"$root/extracted"
