@@ -42,7 +42,8 @@ object ExplainAudit {
       "ta_dsir_scores", "ta_dsir_resample",
       "q_pivot", "q_grouping_sets", "a_histogram", "so_except_all",
       "ts_eval_metrics", "e2_ann_ivf_filtered", "a_mode_per_user",
-      "c_variant_shred", "q_rollup_grouping", "s_schema_evolution"
+      "c_variant_shred", "q_rollup_grouping", "s_schema_evolution",
+      "dd_semantic_incremental", "dd_contamination_report"
     )
 
     var bad = 0
@@ -309,7 +310,17 @@ object ExplainAudit {
       ("merged-schema read plans one scan over heterogeneous batches", {
         val p = plan("s_schema_evolution")
         p.linesIterator.count(_.contains("Scan parquet")) <= 1
-      })
+      }),
+      // incremental semantic dedup: the pair join is cell-equi-key over the
+      // checkpoint-materialized combined population (computed once for both
+      // sides), never all-pairs
+      ("incremental semantic pairs join cells equi-key over one materialized table", {
+        val p = plan("dd_semantic_incremental")
+        p.contains("ExistingRDD") && !p.contains("CartesianProduct")
+      }),
+      // contamination report: every join is a gram-hash or item-id equi-join
+      ("contamination report joins gram hashes equi-key, no cartesian",
+        !plan("dd_contamination_report").contains("CartesianProduct"))
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>

@@ -1141,6 +1141,63 @@ object Dedup {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Incremental SemDeDup — the embedding twin of [[incrementalCandidates]],
+    * completing the incremental story across BM25 postings, IVF vectors and
+    * MinHash signatures: a new batch semantic-dedups against the corpus
+    * WITHOUT re-clustering it. The batch is assigned to the persisted IVF
+    * index's FROZEN centroids ([[Similarity.appendToIvf]] semantics — bit-
+    * identical to what a full re-assignment under those centroids gives),
+    * and cosine pairs form only within cells and only INVOLVING the batch:
+    * exactly the pairs a from-scratch within-cell sweep over (corpus ∪
+    * batch) under the same centroid table would emit, minus corpus-internal
+    * ones. The stored side is a cid-partitioned parquet scan of vectors
+    * already assigned — no distance to any centroid is recomputed for the
+    * corpus. The skew cap applies over the combined (stored ∪ fresh) cell
+    * population, and a replayed batch (at-least-once ingest) is anti-joined
+    * out of the stored scan so its rows never double-count toward the cap.
+    */
+  def incrementalSemanticCandidates(
+      spark: org.apache.spark.sql.SparkSession,
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      ivfPath: String,
+      threshold: Double = 0.95,
+      maxCellSize: Int = 10000
+  ): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val stored = Similarity.readIvf(spark, ivfPath)
+    val fresh = Similarity
+      .assignCells(newVecs.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec",
+        stored.centroids)
+      .withColumn("_new", lit(true))
+      .localCheckpoint(false) // feeds both the union and the replay anti-join
+    val storedRows = stored.assigned
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cid"))
+      .join(fresh.select(col("id")).distinct(), Seq("id"), "left_anti")
+      .withColumn("_new", lit(false))
+    val capped = capBuckets(
+      storedRows.unionByName(fresh).withColumnRenamed("cid", "bucket"),
+      Seq("bucket"), maxCellSize)
+      .withColumn("nrm", norm(col("vec")))
+      .localCheckpoint(false) // shared by both pair-join sides
+    val a = capped.filter(col("_new")).select(
+      col("bucket"), col("id").as("id_x"), col("vec").as("vec_x"), col("nrm").as("nrm_x"))
+    val b = capped.select(
+      col("bucket"), col("id").as("id_y"), col("vec").as("vec_y"), col("nrm").as("nrm_y"))
+    val nn = col("nrm_x") * col("nrm_y")
+    a.join(b, Seq("bucket"))
+      .filter(col("id_x") =!= col("id_y"))
+      .withColumn("cos",
+        when(nn > 0.0, dot(col("vec_x"), col("vec_y")) / nn).otherwise(lit(0.0)))
+      .filter(col("cos") >= threshold)
+      .select(
+        least(col("id_x"), col("id_y")).as("id_a"),
+        greatest(col("id_x"), col("id_y")).as("id_b"),
+        round(col("cos"), 6).as("cos"))
+      .distinct()
+  }
+
   /** Exact-substring duplicate spans — the ExactSubstr rule of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"
     * (arXiv:2107.06499), re-expressed as a corpus-wide n-gram occurrence

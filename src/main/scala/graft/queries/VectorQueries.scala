@@ -235,6 +235,42 @@ object VectorQueries {
       Seq("E2", "F6")
     ),
 
+    // Incremental SemDeDup — the embedding twin of dd_incremental: the
+    // corpus' IVF index is built and persisted once (train ≈ ⅔), the new
+    // batch (⅓) assigns against the FROZEN stored centroids and pairs form
+    // only within cells and only involving the batch. The oracle replays
+    // the one-Lloyd build with the train-slice predicate (the exact state
+    // build-then-append leaves on disk), the full assignment, and the
+    // batch-involving within-cell cosines.
+    "dd_semantic_incremental" -> Q(
+      (s, d) => {
+        val all = embeddings(s, d).filter(col("vec_id") =!= 0)
+        val path = scratchDir(d, "ivf_sem_index")
+        Similarity.writeIvf(s, Similarity.buildIvf(
+          all.filter(col("vec_id") % 3 =!= 1), "embedding", "vec_id", k = 16), path)
+        Dedup.incrementalSemanticCandidates(
+          s, all.filter(col("vec_id") % 3 === 1), "vec_id", "embedding", path,
+          threshold = 0.42)
+      },
+      Some(s"""${ivfAssignCtes(kCentroids = 16, trainPred = "vec_id % 3 <> 1")},
+              |p0 AS (
+              |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              |  FROM assign2 a JOIN assign2 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+              |  WHERE a.vec_id % 3 = 1 OR b.vec_id % 3 = 1),
+              |dots AS (
+              |  SELECT p.id_a, p.id_b, sum(ua.x * ub.x) AS dot,
+              |         sqrt(sum(ua.x * ua.x)) AS na, sqrt(sum(ub.x * ub.x)) AS nb
+              |  FROM p0 p
+              |  JOIN unn ua ON ua.vec_id = p.id_a
+              |  JOIN unn ub ON ub.vec_id = p.id_b AND ub.i = ua.i
+              |  GROUP BY p.id_a, p.id_b)
+              |SELECT id_a, id_b,
+              |       round(CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 6) AS cos
+              |FROM dots
+              |WHERE (CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END) >= 0.42""".stripMargin),
+      Seq("E2", "A6")
+    ),
+
     // IVF trained by real k-means (2 Lloyd iterations) with fixed-point
     // integer accumulation: per-cell sums are exact int64 adds, so the
     // build is bit-identical under any partitioning — which is exactly what
@@ -807,6 +843,24 @@ object VectorQueries {
         * produces, since appends assign against the frozen centroids.
         */
       trainPred: String = "TRUE"): String =
+    s"""${ivfAssignCtes(kCentroids, trainPred)},
+       |qv AS (SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+       |       FROM embeddings WHERE vec_id = 0),
+       |qcos AS (
+       |  SELECT c.cid, sum(q.x * c.c) AS dot,
+       |         sqrt(sum(q.x * q.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
+       |  FROM qv q JOIN cents c ON q.i = c.i GROUP BY c.cid),
+       |probes AS (
+       |  SELECT cid FROM qcos
+       |  ORDER BY (CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END) DESC
+       |  LIMIT $nProbes)""".stripMargin
+
+  /** The deterministic one-Lloyd IVF build through the final assignment
+    * (`assign2` over every vector against the frozen `cents`) — the exact
+    * state a [[graft.operators.Similarity.buildIvf]]-then-[[graft.operators
+    * .Similarity.appendToIvf]] sequence leaves on disk.
+    */
+  private def ivfAssignCtes(kCentroids: Int, trainPred: String = "TRUE"): String =
     s"""WITH unn AS (
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |         CAST(unnest(embedding) AS DOUBLE) AS x
@@ -834,17 +888,7 @@ object VectorQueries {
        |assign2 AS (
        |  SELECT vec_id,
        |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
-       |  FROM cos2 GROUP BY vec_id),
-       |qv AS (SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
-       |       FROM embeddings WHERE vec_id = 0),
-       |qcos AS (
-       |  SELECT c.cid, sum(q.x * c.c) AS dot,
-       |         sqrt(sum(q.x * q.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
-       |  FROM qv q JOIN cents c ON q.i = c.i GROUP BY c.cid),
-       |probes AS (
-       |  SELECT cid FROM qcos
-       |  ORDER BY (CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END) DESC
-       |  LIMIT $nProbes)""".stripMargin
+       |  FROM cos2 GROUP BY vec_id)""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Similarity.buildIvfKmeans]] (2 Lloyd
     * iterations) + [[graft.operators.Similarity.topKIvf]]. The update step

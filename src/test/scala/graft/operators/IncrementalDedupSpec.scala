@@ -72,6 +72,52 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(replay.nonEmpty) // 6 ≤ cap: the pairs must survive
   }
 
+  test("incremental semantic pairs == frozen-centroid full sweep restricted to the batch") {
+    import graft.operators.Similarity
+    // two well-separated directions; near-dups within each
+    def v(a: Double, eps: Double) =
+      Array((math.cos(a) + eps).toFloat, math.sin(a).toFloat, 0f, 0f)
+    val old = Seq(
+      (1L, v(0, 0)), (2L, v(0, 1e-4)),          // cluster A pair (old-old)
+      (10L, v(2, 0)), (11L, v(2, 1e-4))          // cluster B pair (old-old)
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (3L, v(0, 2e-4)),                          // near-dup of 1 and 2 (old-new)
+      (12L, v(2, 2e-4)), (13L, v(2, 3e-4)),      // B: old-new and new-new
+      (20L, v(1, 0))                             // lonely direction, no pair
+    ).toDF("vec_id", "embedding")
+    val dir = tmpDir("semidx") + "/index"
+    Similarity.writeIvf(spark,
+      Similarity.buildIvf(old, "embedding", "vec_id", k = 3), dir)
+    val inc = Dedup.incrementalSemanticCandidates(
+      spark, batch, "vec_id", "embedding", dir, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // ground truth: everything assigned under the SAME frozen centroids,
+    // within-cell pairs, restricted to pairs involving the batch
+    val cents = Similarity.readIvf(spark, dir).centroids
+    val allRows = Similarity.assignCells(
+      old.unionByName(batch), "embedding", cents)
+    val full = allRows.select(col("cid"), col("vec_id").as("id_a"))
+      .join(allRows.select(col("cid"), col("vec_id").as("id_b")), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      .filter { p: (Long, Long) =>
+        val isNew = (x: Long) => x == 3L || x == 12L || x == 13L || x == 20L
+        isNew(p._1) || isNew(p._2)
+      }
+    // pairs must be exactly the batch-involving same-cell near-dups
+    assert(inc == Set((1L, 3L), (2L, 3L), (10L, 12L), (11L, 12L), (10L, 13L),
+      (11L, 13L), (12L, 13L)))
+    assert(inc.subsetOf(full), "every incremental pair shares a cell under the frozen centroids")
+    // replay safety: the same batch already appended to the index must not
+    // change the pair set (stored copies are anti-joined out)
+    Similarity.appendToIvf(spark, batch, "embedding", "vec_id", dir)
+    val replay = Dedup.incrementalSemanticCandidates(
+      spark, batch, "vec_id", "embedding", dir, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(replay == inc)
+  }
+
   test("compaction folds appends to one file per band, heals replays, preserves results") {
     val dir = tmpDir("sigidx5") + "/index"
     Dedup.writeSignatureIndex(oldDocs, "doc_id", "text", dir)
