@@ -181,6 +181,73 @@ object StreamingPipeline {
         } finally { pairs.unpersist(); () }
       }
 
+  /** Streaming SEMANTIC dedup — the embedding twin of [[dedupingWriter]]:
+    * each microbatch of (id, embedding) rows dedups against the corpus'
+    * persisted IVF index via
+    * [[graft.operators.Dedup.incrementalSemanticCandidates]] (frozen-
+    * centroid assignment, within-cell pairs involving the batch only),
+    * survivors flow to `sink` and register in the index
+    * ([[graft.operators.Similarity.appendToIvf]]) so later batches dedup
+    * against them. The first microbatch builds the index. Drop policy
+    * matches [[dedupingWriter]]: stored documents always win; within a
+    * batch the smaller id wins. Centroids stay frozen across the stream —
+    * run [[graft.operators.Similarity.retrainIvf]] out of band when the
+    * corpus has drifted.
+    */
+  def semanticDedupingWriter(
+      source: DataFrame,
+      idCol: String,
+      vecCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      kCells: Int = 64,
+      threshold: Double = 0.95,
+      maxCellSize: Int = 10000
+  )(sink: DataFrame => Unit): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val indexed = {
+          val hp = new org.apache.hadoop.fs.Path(indexPath + "/_centroids")
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+        }
+        if (!indexed) {
+          if (!batch.isEmpty) {
+            val deduped = graft.operators.Dedup.semanticDedup(
+              batch, idCol, vecCol, k = kCells, iters = 1,
+              threshold = threshold, maxCellSize = maxCellSize)
+            sink(deduped)
+            graft.operators.Similarity.writeIvf(s,
+              graft.operators.Similarity.buildIvf(deduped, vecCol, idCol, kCells),
+              indexPath)
+          }
+        } else {
+          val pairs = graft.operators.Dedup.incrementalSemanticCandidates(
+            s, batch, idCol, vecCol, indexPath, threshold, maxCellSize).cache()
+          try {
+            val newIds = batch.select(col(idCol).as("_nid")).distinct().cache()
+            val dropB = pairs
+              .join(newIds, pairs("id_b") === newIds("_nid"), "left_semi")
+              .select(col("id_b").as("_drop"))
+            val dropA = pairs
+              .join(newIds, pairs("id_a") === newIds("_nid"), "left_semi")
+              .join(newIds.withColumnRenamed("_nid", "_nid2"),
+                pairs("id_b") === col("_nid2"), "left_anti")
+              .select(col("id_a").as("_drop"))
+            val drops = dropB.unionByName(dropA).distinct()
+            val kept = batch.join(drops, batch(idCol) === drops("_drop"), "left_anti").cache()
+            try {
+              sink(kept)
+              if (!kept.isEmpty)
+                graft.operators.Similarity.appendToIvf(s, kept, vecCol, idCol, indexPath)
+            } finally { kept.unpersist(); newIds.unpersist(); () }
+          } finally { pairs.unpersist(); () }
+        }
+      }
+
   /** Streaming BM25 index maintenance — the streaming face of
     * [[graft.operators.TextSearch.appendToIndex]]: the first microbatch
     * builds the index, every later one appends its posting rows (tokenizing

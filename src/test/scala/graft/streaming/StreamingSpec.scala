@@ -203,6 +203,37 @@ class StreamingSpec extends SparkSpec {
       "doc 11 must be dropped against the signatures registered by run 1")
   }
 
+  test("semantic deduping writer drops embedding near-dups across runs via the IVF index") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmpDir("semdedup") + "/index"
+    val ckpt = tmpDir("semdedup_ckpt")
+    def v(a: Double, eps: Double) =
+      Array((math.cos(a) + eps).toFloat, math.sin(a).toFloat, 0f, 0f)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def run(mem: MemoryStream[(Long, Array[Float])]): Unit = {
+      val q = StreamingPipeline.semanticDedupingWriter(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", idx, ckpt,
+        kCells = 2, threshold = 0.999
+      ) { kept =>
+        collected ++= kept.select("vec_id").as[Long].collect()
+      }.start()
+      q.awaitTermination()
+    }
+    // run 1: 1≈2 in one direction (drop 2), 10 alone in another — builds the index
+    val mem = MemoryStream[(Long, Array[Float])]
+    mem.addData((1L, v(0, 0)), (2L, v(0, 1e-4)), (10L, v(2, 0)))
+    run(mem)
+    assert(collected.toSet == Set(1L, 10L))
+    // run 2: 11 near-dups the ACCEPTED 10 through the persisted index; 20 is
+    // a genuinely new direction and survives
+    collected.clear()
+    mem.addData((11L, v(2, 1e-4)), (20L, v(1, 0)))
+    run(mem)
+    assert(collected.toSet == Set(20L),
+      "vec 11 must be dropped against the vectors registered by run 1")
+  }
+
   test("indexing writer keeps the BM25 index fresh across runs; search sees new docs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
