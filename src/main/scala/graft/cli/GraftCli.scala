@@ -160,6 +160,35 @@ object GraftCli {
       graft.operators.TextSearch.bm25TopK(store.read(spark), "content", "chunkId", terms, k)
     }
 
+  /** `lg dedup` — retire near-duplicate DOCUMENTS from the chunk store:
+    * each document's text is the chunkIndex-ordered join of its chunks
+    * (deterministic — `collect_list` order varies, `array_sort` on the
+    * (index, content) structs fixes it), deduped with the one-call corpus
+    * path (exact sha2 keep-min → MinHash-LSH candidates → connected
+    * components → canonical keep), dropped documents retired through the
+    * bucketed delete path.
+    *
+    * @return (dropped document count, deleted chunk count)
+    */
+  def dedupStore(spark: SparkSession, store: ChunkStore): (Long, Long) = {
+    val docsText = store.read(spark)
+      .groupBy(col("documentId"))
+      .agg(concat_ws("\n\n",
+        transform(
+          array_sort(collect_list(struct(col("chunkIndex"), col("content")))),
+          s => s.getField("content"))).as("docText"))
+    val kept = graft.operators.Dedup.dedupCorpus(docsText, "documentId", "docText")
+    val dropped = docsText
+      .join(kept.select(col("documentId")), Seq("documentId"), "left_anti")
+      .select(col("documentId").as("docId"))
+      .cache()
+    try {
+      val nDocs = dropped.count()
+      val deleted = if (nDocs == 0) 0L else store.deleteByDocuments(spark, dropped)
+      (nDocs, deleted)
+    } finally { dropped.unpersist(); () }
+  }
+
   /** `lg decontaminate` — remove every document whose chunk text shares a
     * word n-gram with a benchmark/eval set (the published eval-overlap
     * rule), applied to the chunk store: flag via
@@ -251,6 +280,18 @@ object GraftCli {
             0
           case _ =>
             System.err.println("usage: search <storePath> <query> [--limit=K flags]")
+            2
+        }
+      case "dedup" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: Nil =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val (docs, chunksDeleted) = dedupStore(spark, store)
+            println(s"duplicate_docs=$docs deleted_chunks=$chunksDeleted")
+            0
+          case _ =>
+            System.err.println("usage: dedup <storePath> [flags]")
             2
         }
       case "decontaminate" :: rest =>
@@ -365,7 +406,8 @@ object GraftCli {
             |  text-index-compact <indexPath>
             |  dedup-index-compact <indexPath>
             |  text-search <storePath|indexPath> <"terms"> [--limit=K]
-            |  decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy]
+            |  dedup <storePath>
+            |  decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy|--report]
             |    benchmarkPath: .txt (one doc per line), .json/.jsonl (objects with a
             |    "text" field), or parquet with a text column
             |    --report: read-only per-eval-item leakage ranking, deletes nothing

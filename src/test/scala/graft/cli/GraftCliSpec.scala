@@ -189,6 +189,35 @@ class GraftCliSpec extends SparkSpec {
     assert(store.distinctDocumentIds(spark).as[String].collect().toSeq == Seq("doc_clean"))
   }
 
+  test("dedup retires the near-duplicate document, keeping the canonical one") {
+    val root = tmpDir("clidedup")
+    val store = new ChunkStore(s"$root/store", prefixLen = 1)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // doc_b near-dups doc_a ACROSS its two chunks (the doc-level concat is
+    // what collides); doc_c is unrelated
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    store.upsert(spark, Seq(
+      ("a1", "doc_a", s"$base part one here", 0),
+      ("a2", "doc_a", s"$base part two here", 1),
+      ("b1", "doc_b", s"$base part one here", 0),
+      ("b2", "doc_b", s"$base part two also", 1),
+      ("c1", "doc_c", "completely unrelated content about cooking pasta with tomatoes", 0)
+    ).toDF("chunkId", "documentId", "content", "chunkIndex")
+      .select(
+        col("chunkId"), col("documentId"), lit("ds").as("datasetName"), col("content"),
+        lit(5).as("tokenCount"), lit("h").as("sectionHeading"), lit("").as("absoluteAddress"),
+        lit("none").as("splitReason"), lit(null).cast("string").as("parentChunkId"),
+        sha2(col("content"), 256).as("sourceHash"),
+        array().cast("array<string>").as("crossRefs"),
+        col("chunkIndex"), lit(null).cast("array<float>").as("embedding"),
+        lit("m").as("embeddingModel"), lit("t0").as("embeddedAt")))
+    val (docs, deleted) = GraftCli.dedupStore(spark, store)
+    assert(docs == 1 && deleted == 2, "doc_b (larger id) is retired whole")
+    assert(store.distinctDocumentIds(spark).as[String].collect().toSet ==
+      Set("doc_a", "doc_c"))
+  }
+
   test("decontaminate --report ranks the leaking eval item and deletes nothing") {
     val root = tmpDir("clireport")
     val store = new ChunkStore(s"$root/store", prefixLen = 1)
