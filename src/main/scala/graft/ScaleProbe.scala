@@ -234,6 +234,29 @@ object ScaleProbe {
     }
     require(nSemKept == nBases,
       s"semantic dedup kept $nSemKept, expected $nBases replica families")
+
+    // Incremental semantic dedup at scale: the same replica slice through
+    // the FROZEN-centroid batch path — index persisted over replica 0 (the
+    // bases), each later replica an ingest batch whose vectors must ALL
+    // pair with their stored base (exact cosine dups). Per-batch cost is
+    // the batch against a cid-partitioned scan, never a re-cluster.
+    val semIdxPath = "/tmp/graft/scaleprobe_semidx"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(semIdxPath))
+    graft.operators.Similarity.writeIvf(spark,
+      graft.operators.Similarity.buildIvf(
+        semVecs.filter(col("vec_id") < lit(10_000_000L)), "embedding", "vec_id", k = 64),
+      semIdxPath)
+    val semBatch = semVecs.filter(
+      col("vec_id") >= lit(10_000_000L) && col("vec_id") < lit(20_000_000L))
+    val nSemBatch = semBatch.count()
+    val (nIncSemPairs, tIncSemantic) = timed {
+      graft.operators.Dedup.incrementalSemanticCandidates(
+        spark, semBatch, "vec_id", "embedding", semIdxPath,
+        threshold = 0.95, maxCellSize = 20000).count()
+    }
+    require(nIncSemPairs >= nSemBatch,
+      s"incremental semantic found $nIncSemPairs pairs for a $nSemBatch-vector batch " +
+        "of exact replicas — every batch vector must pair with its stored base")
     bigVecs.unpersist()
 
     // Gopher rule throughput: the full seven-rule signal pass over every
@@ -404,6 +427,7 @@ object ScaleProbe {
         s""""span_docs":${spanSlice.count()},"dup_spans":$nSpans,"span_sec":${f"$tSpans%.1f"},""" +
         s""""ppl_keep":$nPplKeep,"ppl_sec":${f"$tPerplexity%.1f"},""" +
         s""""semantic_vecs":$nSemVecs,"semantic_kept":$nSemKept,"semantic_sec":${f"$tSemantic%.1f"},""" +
+        s""""inc_semantic_pairs":$nIncSemPairs,"inc_semantic_sec":${f"$tIncSemantic%.1f"},""" +
         s""""dsir_kept":$nDsir,"dsir_sec":${f"$tDsir%.1f"},""" +
         s""""ssj_events":$nEvents,"ssj_pairs":$nSsjPairs,"ssj_sec":${f"$tSsj%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
