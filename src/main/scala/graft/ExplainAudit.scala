@@ -43,7 +43,8 @@ object ExplainAudit {
       "q_pivot", "q_grouping_sets", "a_histogram", "so_except_all",
       "ts_eval_metrics", "e2_ann_ivf_filtered", "a_mode_per_user",
       "c_variant_shred", "q_rollup_grouping", "s_schema_evolution",
-      "dd_semantic_incremental", "dd_contamination_report"
+      "dd_semantic_incremental", "dd_contamination_report",
+      "q_correlated_subquery"
     )
 
     var bad = 0
@@ -320,7 +321,15 @@ object ExplainAudit {
       }),
       // contamination report: every join is a gram-hash or item-id equi-join
       ("contamination report joins gram hashes equi-key, no cartesian",
-        !plan("dd_contamination_report").contains("CartesianProduct"))
+        !plan("dd_contamination_report").contains("CartesianProduct")),
+      // correlated scalar subquery: Catalyst must decorrelate to an
+      // aggregate + equi-join — a surviving per-row subquery or nested loop
+      // is the 100 TB non-starter the rewrite exists for
+      ("correlated subquery decorrelates to an aggregate equi-join", {
+        val p = plan("q_correlated_subquery")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+          p.contains("partial_avg")
+      })
     )
     println("\n===== invariants =====")
     checks.foreach { case (label, ok) =>

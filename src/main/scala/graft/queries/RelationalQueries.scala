@@ -319,6 +319,34 @@ object RelationalQueries {
       Seq("A2")
     ),
 
+    // Correlated scalar subquery: line items priced above their part's own
+    // average. Catalyst must DECORRELATE this into an aggregate + equi-join
+    // (the plan invariant pins it) — the naive per-row re-execution of the
+    // inner query is the 100 TB non-starter this optimizer rewrite exists
+    // for. float-sum association order differs between engines, so the
+    // aggregate rounds at 2dp (cents-exact in both).
+    "q_correlated_subquery" -> Q(
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem_corr")
+        s.sql(
+          """SELECT l_returnflag, count(*) AS n,
+            |       round(sum(l_extendedprice), 2) AS sum_price
+            |FROM lineitem_corr l1
+            |WHERE l_extendedprice > (SELECT avg(l_extendedprice)
+            |                         FROM lineitem_corr l2
+            |                         WHERE l2.l_partkey = l1.l_partkey)
+            |GROUP BY l_returnflag""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |       round(sum(l_extendedprice), 2) AS sum_price
+             |FROM lineitem l1
+             |WHERE l_extendedprice > (SELECT avg(l_extendedprice)
+             |                         FROM lineitem l2
+             |                         WHERE l2.l_partkey = l1.l_partkey)
+             |GROUP BY l_returnflag""".stripMargin),
+      Seq("A2", "J1")
+    ),
+
     // ROLLUP with GROUPING() markers: the hierarchy prefix of CUBE plus the
     // marker function that disambiguates "NULL because subtotal" from "NULL
     // in the data" — the piece q_cube doesn't exercise.
