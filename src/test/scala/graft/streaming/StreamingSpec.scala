@@ -104,6 +104,36 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stream-stream join state is watermark-bounded: too-late rows cannot pair") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val joined = StreamingPipeline.intervalJoin(
+      views.toDF().toDF("user_id", "ts", "view_id"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_id", "value"),
+      "user_id", "ts", "30 minutes", "1 hour")
+    val q = joined.select($"view_id", $"r_purchase_id")
+      .writeStream.format("memory").queryName("ssjw").outputMode("append").start()
+    // batch 1: both streams reach 22:00 (the GLOBAL watermark is the min
+    // across streams, so both must advance) — no pair; watermark → 21:00,
+    // far past the 10:00 view's joinable horizon of 10:30
+    views.addData((1L, ts("2024-01-01 10:00:00"), 10L),
+      (2L, ts("2024-01-01 22:00:00"), 11L))
+    purchases.addData((1L, ts("2024-01-01 22:00:00"), 20L, 5.0))
+    q.processAllAvailable()
+    q.processAllAvailable() // second cycle lets the advanced watermark evict
+    // batch 2: an in-interval purchase arrives 11 hours late — behind the
+    // watermark, so the view's buffered state is already evicted and no
+    // pair may emerge (this eviction is WHY the join's memory is bounded)
+    purchases.addData((1L, ts("2024-01-01 10:20:00"), 21L, 6.0))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT * FROM ssjw").collect().isEmpty,
+      "a row behind the watermark must not resurrect evicted join state")
+    q.stop()
+  }
+
   test("streaming failure quarantine: bad XML lands in _failures, batch succeeds") {
     val inDir = tmpDir("streamf_in")
     val storeDir = tmpDir("streamf_store")
