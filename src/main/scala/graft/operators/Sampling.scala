@@ -227,4 +227,31 @@ object Sampling {
     fullKeep.unionByName(boundary)
       .select(df.columns.map(col): _*) // joins moved key columns first; restore caller order
   }
+
+  /** Weighted sample WITHOUT replacement: the `n` rows with the largest
+    * `ln(weight) + Gumbel(id)` key — selection probability ∝ weight (the
+    * Gumbel-top-k identity), deterministic because the noise derives from
+    * the id hash, not an RNG stream ([[ImportanceSampling.gumbelNoise]],
+    * exposed corpus-generically — DSIR's `resample` is this with learned
+    * importance weights). Plans as a TakeOrdered: per-partition heaps, a
+    * driver merge of n rows, no global sort. Monotone in the weights under
+    * a fixed salt: raising one row's weight can only keep it selected.
+    * Rows with weight ≤ 0 can never be selected (their key is NaN/−∞-free
+    * by the filter, not by chance).
+    */
+  def takeWeighted(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      n: Int,
+      salt: String = "wtake",
+      idHashFn: Column => Column = graft.operators.Dedup.xxBaseHash
+  ): DataFrame =
+    df.filter(col(weightCol) > 0)
+      .withColumn("_key",
+        log(col(weightCol)) +
+          ImportanceSampling.gumbelNoise(col(idCol), salt, idHashFn))
+      .orderBy(col("_key").desc, col(idCol))
+      .limit(n)
+      .drop("_key")
 }

@@ -1043,6 +1043,27 @@ object TextQueries {
       Seq("A1", "C1", "L1")
     ),
 
+    // Weighted sampling without replacement (Gumbel top-k, corpus-generic):
+    // 100 documents selected with probability ∝ n_chars — the deterministic
+    // weighted-sample primitive DSIR's resample specializes with learned
+    // weights. Plans as TakeOrdered; the oracle replays ln(weight) + the
+    // hash-derived Gumbel key.
+    "ta_weighted_take" -> Q(
+      (s, d) =>
+        Sampling.takeWeighted(
+          documents(s, d).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", n = 100, idHashFn = Dedup.md5Lower60)
+          .select(col("doc_id"), col("n_chars")),
+      Some("""WITH sel AS (
+             |  SELECT doc_id, n_chars,
+             |         ln(CAST(n_chars AS DOUBLE)) +
+             |         (-ln(-ln((CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || 'wtake') >> 4) AS BIGINT)
+             |            % 1048576 + 0.5) / 1048576.0))) AS key
+             |  FROM documents WHERE n_chars > 0)
+             |SELECT doc_id, n_chars FROM sel ORDER BY key DESC, doc_id LIMIT 100""".stripMargin),
+      Seq("A2", "L1")
+    ),
+
     // Deterministic hash-bucket train/val/test split: membership from the id
     // hash alone (reproducible across runs/engines/topology), oracle-checked
     // with the shared md5-derived hash.

@@ -540,6 +540,32 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3L) == "completely unrelated words here", "untouched docs pass through byte-identical")
   }
 
+  test("takeWeighted: size, determinism, weight-monotonicity, zero-weight exclusion") {
+    val df = (1 to 200).map(i => (i.toLong, i.toDouble)).toDF("id", "w")
+    val a = Sampling.takeWeighted(df, "id", "w", n = 30).as[(Long, Double)].collect().toSet
+    assert(a.size == 30)
+    val again = Sampling.takeWeighted(df, "id", "w", n = 30).as[(Long, Double)].collect().toSet
+    assert(a == again, "same salt draws the same sample")
+    // heavier rows are favored: the heavy half carries 75% of the weight
+    // mass, so it should clearly exceed its 50% population share (uniform
+    // sampling would center on 15 of 30; proportional on ~22)
+    assert(a.count(_._1 > 100) >= 18, "selection probability must grow with weight")
+    // monotone under a fixed salt: raising one selected row's weight keeps it
+    val boosted = df.withColumn("w",
+      when(col("id") === a.head._1, col("w") * 1000).otherwise(col("w")))
+    val b = Sampling.takeWeighted(boosted, "id", "w", n = 30).as[(Long, Double)].collect().toSet
+    assert(b.exists(_._1 == a.head._1), "raising a selected row's weight cannot evict it")
+    // zero/negative weights can never be selected
+    val withZero = df.withColumn("w",
+      when(col("id") <= 100, lit(0.0)).otherwise(col("w")))
+    val c = Sampling.takeWeighted(withZero, "id", "w", n = 150).as[(Long, Double)].collect()
+    assert(c.length == 100 && c.forall(_._1 > 100))
+    // TakeOrdered, not a global sort
+    val plan = Sampling.takeWeighted(df, "id", "w", n = 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$plan")
+  }
+
   test("sampleKPerGroup: exactly k per group, deterministic, salt-sensitive") {
     val df = (0 until 200).map(i => (i.toLong, s"g${i % 5}")).toDF("id", "grp")
     val a = Sampling.sampleKPerGroup(df, "id", Seq("grp"), k = 7, salt = "s1")
