@@ -160,6 +160,44 @@ object GraftCli {
       graft.operators.TextSearch.bm25TopK(store.read(spark), "content", "chunkId", terms, k)
     }
 
+  /** Build the persisted IVF index over the store's embeddings — the
+    * vector complement of [[textIndex]]: probes become cid partition
+    * pruning, and [[vectorIndexAppend]] keeps ingest incremental.
+    */
+  def vectorIndex(
+      spark: SparkSession, store: ChunkStore, indexPath: String, kCells: Int = 64): Unit =
+    Similarity.writeIvf(spark,
+      Similarity.buildIvf(
+        store.read(spark).filter(col("embedding").isNotNull), "embedding", "chunkId", kCells),
+      indexPath)
+
+  /** Register newly-stored chunks' embeddings in an existing IVF index
+    * (frozen-centroid assignment — [[graft.operators.Similarity.appendToIvf]]);
+    * `docIds` limits the batch to those documents' chunks.
+    */
+  def vectorIndexAppend(
+      spark: SparkSession, store: ChunkStore, indexPath: String, docIds: Seq[String]): Unit = {
+    val chunks = store.read(spark).filter(col("embedding").isNotNull)
+    val batch =
+      if (docIds.isEmpty) chunks
+      else chunks.filter(col("documentId").isin(docIds: _*))
+    Similarity.appendToIvf(spark, batch, "embedding", "chunkId", indexPath)
+  }
+
+  /** ANN search through a persisted IVF index: embed the query with the
+    * same provider the store was built with, probe the best cells
+    * (partition pruning on the cid layout); returns (chunkId, sim).
+    */
+  def vectorSearch(
+      spark: SparkSession, indexPath: String, query: String, k: Int = 10,
+      nProbes: Int = 4,
+      provider: EmbeddingProvider = new DeterministicProvider(64)
+  ): DataFrame = {
+    val qv = provider.embedBatch(Seq(query)).head
+    Similarity.topKIvf(
+      Similarity.readIvf(spark, indexPath), "embedding", "chunkId", qv, k, nProbes)
+  }
+
   /** `lg dedup` — retire near-duplicate DOCUMENTS from the chunk store:
     * each document's text is the chunkIndex-ordered join of its chunks
     * (deterministic — `collect_list` order varies, `array_sort` on the
@@ -332,6 +370,46 @@ object GraftCli {
                 "[--fuzzy|--report] [flags]")
             2
         }
+      case "vector-index" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: indexPath :: Nil =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            vectorIndex(spark, store, indexPath)
+            println(s"indexed=$indexPath")
+            0
+          case _ =>
+            System.err.println("usage: vector-index <storePath> <indexPath> [flags]")
+            2
+        }
+      case "vector-index-append" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: indexPath :: docIds =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            vectorIndexAppend(spark, store, indexPath, docIds)
+            println(s"appended=$indexPath")
+            0
+          case _ =>
+            System.err.println(
+              "usage: vector-index-append <storePath> <indexPath> [docId ...] [flags]")
+            2
+        }
+      case "vector-search" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case indexPath :: query :: Nil =>
+            val provider = new DeterministicProvider(settings.embeddingDimensions)
+            vectorSearch(spark, indexPath, query, settings.limit.getOrElse(10),
+              provider = provider)
+              .collect().foreach { r =>
+                println(s"${r.get(0)}	${r.getAs[Double]("sim")}")
+              }
+            0
+          case _ =>
+            System.err.println("usage: vector-search <indexPath> <query> [--limit=K flags]")
+            2
+        }
       case "text-index" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
@@ -401,6 +479,9 @@ object GraftCli {
             |      --embedding-model=NAME --embedding-dim=N --api-key=sk-...
             |      --tokenizer=word|bpe:<rank-file>
             |  search <storePath> <query> [--limit=K --embedding-dim=N]
+            |  vector-index <storePath> <indexPath>
+            |  vector-index-append <storePath> <indexPath> [docId ...]
+            |  vector-search <indexPath> <query> [--limit=K]
             |  text-index <storePath> <indexPath>
             |  text-index-append <storePath> <indexPath> [docId ...]
             |  text-index-compact <indexPath>
