@@ -395,6 +395,19 @@ object GraftCli {
               "usage: vector-index-append <storePath> <indexPath> [docId ...] [flags]")
             2
         }
+      case "vector-index-retrain" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case indexPath :: Nil =>
+            Similarity.retrainIvf(spark, indexPath, "embedding", "chunkId",
+              k = settings.limit.getOrElse(64))
+            println(s"retrained=$indexPath")
+            0
+          case _ =>
+            System.err.println(
+              "usage: vector-index-retrain <indexPath> [--limit=kCells flags]")
+            2
+        }
       case "vector-search" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
@@ -481,6 +494,7 @@ object GraftCli {
             |  search <storePath> <query> [--limit=K --embedding-dim=N]
             |  vector-index <storePath> <indexPath>
             |  vector-index-append <storePath> <indexPath> [docId ...]
+            |  vector-index-retrain <indexPath> [--limit=kCells]
             |  vector-search <indexPath> <query> [--limit=K]
             |  text-index <storePath> <indexPath>
             |  text-index-append <storePath> <indexPath> [docId ...]

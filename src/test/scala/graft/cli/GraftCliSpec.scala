@@ -222,6 +222,11 @@ class GraftCliSpec extends SparkSpec {
     val hit3 = GraftCli.vectorSearch(spark, idx, "totally new eta theta content three",
       k = 1, provider = provider).collect().head
     assert(hit3.getString(0) == "c3" && hit3.getAs[Double]("sim") > 0.999)
+    // retrain re-clusters the stored vectors in place; everything stays findable
+    graft.operators.Similarity.retrainIvf(spark, idx, "embedding", "chunkId", k = 2)
+    val hitR = GraftCli.vectorSearch(spark, idx, "alpha beta gamma content one",
+      k = 1, provider = provider).collect().head
+    assert(hitR.getString(0) == "c1" && hitR.getAs[Double]("sim") > 0.999)
   }
 
   test("dedup retires the near-duplicate document, keeping the canonical one") {
