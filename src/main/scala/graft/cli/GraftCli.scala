@@ -168,7 +168,13 @@ object GraftCli {
       spark: SparkSession, store: ChunkStore, indexPath: String, kCells: Int = 64): Unit =
     Similarity.writeIvf(spark,
       Similarity.buildIvf(
-        store.read(spark).filter(col("embedding").isNotNull), "embedding", "chunkId", kCells),
+        // project BEFORE indexing: buildIvf keeps every input column under
+        // the cid layout, and an unprojected store.read would make the
+        // vector index a second full copy of the store (content, refs, …)
+        // rewritten on every retrain — search only ever reads these two
+        store.read(spark).filter(col("embedding").isNotNull)
+          .select(col("chunkId"), col("embedding")),
+        "embedding", "chunkId", kCells),
       indexPath)
 
   /** Register newly-stored chunks' embeddings in an existing IVF index
@@ -181,7 +187,9 @@ object GraftCli {
     val batch =
       if (docIds.isEmpty) chunks
       else chunks.filter(col("documentId").isin(docIds: _*))
-    Similarity.appendToIvf(spark, batch, "embedding", "chunkId", indexPath)
+    Similarity.appendToIvf(spark,
+      batch.select(col("chunkId"), col("embedding")), // same projection as the build
+      "embedding", "chunkId", indexPath)
   }
 
   /** ANN search through a persisted IVF index: embed the query with the

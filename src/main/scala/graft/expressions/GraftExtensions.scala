@@ -90,6 +90,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "random_project(vec, dim, outDim[, seed]) - Johnson-Lindenstrauss signed " +
           "random projection with deterministic seeded planes (native loop)"),
       (children: Seq[Expression]) => {
+        if (children.length < 3 || children.length > 4)
+          throw new IllegalArgumentException(
+            s"random_project expects (vec, dim, outDim[, seed]) — got ${children.length} arguments")
         def intLit(e: Expression, what: String): Int = e match {
           case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
           case other => throw new IllegalArgumentException(

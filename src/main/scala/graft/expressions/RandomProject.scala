@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType}
   * accumulation order (left-to-right, double, ×inv, narrow to float32) is
   * bit-identical to [[graft.functions.VectorFunctions.randomProjectLocal]].
   *
-  * A vector shorter than `dim` projects to null (the composition's
-  * out-of-bounds `element_at` null-propagation, made whole-row).
+  * A vector shorter than `dim`, or one containing a null element, projects
+  * to null (the composition's `element_at` null-propagation, made
+  * whole-row — silently substituting 0.0 for a null component would
+  * produce a plausible-looking but wrong projection).
   */
 final case class RandomProject(child: Expression, dim: Int, outDim: Int, seed: Int)
     extends UnaryExpression {
@@ -67,6 +69,11 @@ object RandomProject {
 
   def project(arr: ArrayData, dim: Int, outDim: Int, seed: Int): ArrayData = {
     if (arr == null || arr.numElements() < dim) return null
+    var j = 0
+    while (j < dim) { // null component ⇒ null projection, never a silent 0.0
+      if (arr.isNullAt(j)) return null
+      j += 1
+    }
     val sg = signs(dim, outDim, seed)
     val inv = 1.0 / math.sqrt(outDim.toDouble)
     val out = new Array[Float](outDim)

@@ -234,7 +234,11 @@ object Dedup {
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(hp, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), hp): Unit
+    // rename reports failure by RETURNING false, not throwing — and the old
+    // layout is already gone, so an unchecked false is silent index loss
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
+      s"rename $tmp -> $path failed after the old index was deleted; " +
+        s"the compacted index is intact at $tmp — move it into place manually")
   }
 
   /** Candidate near-dup pairs INVOLVING the new batch: new-vs-corpus and

@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * arithmetically (no per-gram string building — the same ~n× saving the
   * decontamination path measured), while [[Dedup.Md5Gram]] keeps the
   * SQL-replayable oracle family. Both sides of a score MUST use one family;
-  * the count tables carry no tag here because both are built per call.
+  * [[bucketCounts]] stamps its family tag on the `bucket` column (parquet
+  * preserves it) and [[logWeights]] fails fast on a mismatch — the
+  * [[Dedup.benchmarkGrams]] discipline, because a persisted count table
+  * scored under the wrong family is meaningless noise with no error.
   *
   * Scale shape (the [[LanguageModel]]/[[NaiveBayes]] discipline): both
   * distributions live as `buckets`-row DataFrames — DSIR's published config
@@ -59,10 +62,34 @@ object ImportanceSampling {
       buckets: Int,
       n: Int = 2,
       gramHash: Dedup.GramHash = Dedup.PolyGram
-  ): DataFrame =
+  ): DataFrame = {
+    // the family tag rides the bucket column's metadata (parquet preserves
+    // it), so a persisted count table replays only under the same family —
+    // the Dedup.benchmarkGrams discipline; logWeights fails fast on mismatch
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(FamilyKey, gramHash.tag).build()
     gramRows(df, Seq.empty, textCol, n, gramHash)
       .select(pmod(col("_g"), lit(buckets.toLong)).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+      .select(col("bucket").as("bucket", meta), col("cnt"))
+  }
+
+  private val FamilyKey = "gramFamily"
+
+  /** The family tag stamped on a count table's `bucket` column, if present. */
+  def familyOf(counts: DataFrame): Option[String] =
+    counts.schema.fields.find(_.name == "bucket")
+      .filter(_.metadata.contains(FamilyKey))
+      .map(_.metadata.getString(FamilyKey))
+
+  private def requireFamily(counts: DataFrame, hashFn: Dedup.GramHash, side: String): Unit =
+    familyOf(counts).foreach { stored =>
+      require(stored == hashFn.tag,
+        s"$side count table was built under gram-hash family '$stored' but this " +
+          s"scoring pass uses '${hashFn.tag}' — families never collide, so every " +
+          "log-ratio would be meaningless noise. Rebuild the counts or pass the " +
+          "matching GramHash.")
+    }
 
   /** The per-bucket log-ratio table `(bucket, lr)` plus the smoothing floor
     * for buckets absent from BOTH sides:
@@ -102,6 +129,8 @@ object ImportanceSampling {
       n: Int = 2,
       gramHash: Dedup.GramHash = Dedup.PolyGram
   ): DataFrame = {
+    requireFamily(targetCounts, gramHash, "target")
+    requireFamily(rawCounts, gramHash, "raw")
     val (ratio, floor) = logRatio(targetCounts, rawCounts, buckets)
     val tf = gramRows(docs, Seq(col(idCol).as("_id")), textCol, n, gramHash)
       .select(col("_id"), pmod(col("_g"), lit(buckets.toLong)).as("bucket"))

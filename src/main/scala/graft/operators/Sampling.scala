@@ -236,8 +236,9 @@ object Sampling {
     * importance weights). Plans as a TakeOrdered: per-partition heaps, a
     * driver merge of n rows, no global sort. Monotone in the weights under
     * a fixed salt: raising one row's weight can only keep it selected.
-    * Rows with weight ≤ 0 can never be selected (their key is NaN/−∞-free
-    * by the filter, not by chance).
+    * Rows with weight ≤ 0 or NaN can never be selected — NaN needs its own
+    * guard because `NaN > 0` is true under Spark's NaN-greatest ordering,
+    * and `log(NaN)+g = NaN` would sort AHEAD of every legitimate key.
     */
   def takeWeighted(
       df: DataFrame,
@@ -247,7 +248,7 @@ object Sampling {
       salt: String = "wtake",
       idHashFn: Column => Column = graft.operators.Dedup.xxBaseHash
   ): DataFrame =
-    df.filter(col(weightCol) > 0)
+    df.filter(col(weightCol) > 0 && !isnan(col(weightCol)))
       .withColumn("_key",
         log(col(weightCol)) +
           ImportanceSampling.gumbelNoise(col(idCol), salt, idHashFn))

@@ -280,7 +280,11 @@ object Similarity {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    // rename reports failure by RETURNING false; the old layout is already
+    // deleted, so an unchecked false is silent index loss
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)),
+      s"rename $tmp -> $path failed after the old index was deleted; " +
+        s"the retrained index is intact at $tmp — move it into place manually")
   }
 
   /** Search an IVF index: score the query against the (driver-side, tiny)

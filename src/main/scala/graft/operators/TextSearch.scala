@@ -331,7 +331,11 @@ object TextSearch {
     writeStats(spark, tmp, st.n, st.sumDl, st.nBuckets, appends = 0)
     val fs = hadoopFs(spark, path)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    // rename reports failure by RETURNING false; the old layout is already
+    // deleted, so an unchecked false is silent index loss
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)),
+      s"rename $tmp -> $path failed after the old index was deleted; " +
+        s"the compacted index is intact at $tmp — move it into place manually")
   }
 
   /** Query the persisted index: prune the postings scan to the query terms'

@@ -525,14 +525,6 @@ object EventQueries {
     )
   )
 
-  private def tmpDir(d: String, name: String): String =
-    s"/tmp/graft/${java.nio.file.Paths.get(d).getFileName.toString}/$name"
-
-  private def cleanDir(p: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    rm(new java.io.File(p))
-  }
+  private def tmpDir(d: String, name: String): String = QueryScratch.dir(d, name)
+  private def cleanDir(p: String): Unit = QueryScratch.clean(p)
 }

@@ -32,21 +32,8 @@ object PipelineQueries {
 
   private def statusCol = expr(statusSql)
 
-  private def tmpDir(d: String, name: String): String = {
-    val sf = Paths.get(d).getFileName.toString
-    val p = s"/tmp/graft/$sf/$name"
-    p
-  }
-
-  private def cleanDir(p: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
-    val f = new java.io.File(p)
-    if (f.exists()) rm(f)
-    Files.createDirectories(Paths.get(p).getParent): Unit
-  }
+  private def tmpDir(d: String, name: String): String = QueryScratch.dir(d, name)
+  private def cleanDir(p: String): Unit = QueryScratch.clean(p)
 
   /** Build a lovlig `state.json` on local disk from the documents table:
     * one dataset per source (`<source>.tar.bz2`), one file per doc

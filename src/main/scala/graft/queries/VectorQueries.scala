@@ -20,17 +20,7 @@ object VectorQueries {
   /** Fresh scratch dir under /tmp/graft/<sf>/ (same convention as the
     * pipeline battery's stores).
     */
-  private def scratchDir(d: String, name: String): String = {
-    val sf = java.nio.file.Paths.get(d).getFileName.toString
-    val p = s"/tmp/graft/$sf/$name"
-    def rm(x: java.io.File): Unit = {
-      if (x.isDirectory) x.listFiles().foreach(rm)
-      x.delete(): Unit
-    }
-    val f = new java.io.File(p)
-    if (f.exists()) rm(f)
-    p
-  }
+  private def scratchDir(d: String, name: String): String = QueryScratch.fresh(d, name)
 
   val all: Map[String, Q] = Map(
 

@@ -169,6 +169,12 @@ class FunctionsSpec extends SparkSpec {
     val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
       .select(col("id"), randomProject(col("v"), 64, 16).as("p"))
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
+    // a short vector or a null component projects to NULL — never a silent
+    // plausible-looking projection with 0.0 substituted
+    val degenerate = spark.sql(
+      """SELECT random_project(array(CAST(NULL AS FLOAT), 1.0F), 2, 4) AS withNull,
+        |       random_project(array(1.0F), 2, 4) AS tooShort""".stripMargin).head()
+    assert(degenerate.isNullAt(0) && degenerate.isNullAt(1))
   }
 
   test("random projection: JL distance preservation on random pairs") {

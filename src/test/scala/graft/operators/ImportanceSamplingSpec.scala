@@ -63,4 +63,25 @@ class ImportanceSamplingSpec extends SparkSpec {
       nKeep = 1000, buckets = B).count()
     assert(all == 101L)
   }
+
+  test("dsir: count tables carry their gram family and a mismatch fails fast") {
+    val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val md5Counts = ImportanceSampling.bucketCounts(docs, "text", buckets = 64,
+      gramHash = Dedup.Md5Gram)
+    assert(ImportanceSampling.familyOf(md5Counts).contains(Dedup.Md5Gram.tag))
+    // the tag survives a parquet round-trip (the persist-and-reuse workflow)
+    val dir = tmpDir("dsirfam") + "/counts"
+    md5Counts.write.parquet(dir)
+    val reloaded = spark.read.parquet(dir)
+    assert(ImportanceSampling.familyOf(reloaded).contains(Dedup.Md5Gram.tag))
+    // scoring persisted md5 counts under the PolyGram default must fail
+    // fast, not silently produce noise
+    val e = intercept[IllegalArgumentException] {
+      ImportanceSampling.logWeights(docs, "doc_id", "text", reloaded, reloaded, buckets = 64)
+    }
+    assert(e.getMessage.contains("gram-hash family"))
+    // matching families stay green
+    ImportanceSampling.logWeights(docs, "doc_id", "text", reloaded, reloaded,
+      buckets = 64, gramHash = Dedup.Md5Gram).count()
+  }
 }

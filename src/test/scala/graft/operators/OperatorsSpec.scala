@@ -560,6 +560,13 @@ class OperatorsSpec extends SparkSpec {
       when(col("id") <= 100, lit(0.0)).otherwise(col("w")))
     val c = Sampling.takeWeighted(withZero, "id", "w", n = 150).as[(Long, Double)].collect()
     assert(c.length == 100 && c.forall(_._1 > 100))
+    // NaN weights can never be selected either — NaN > 0 is TRUE under
+    // Spark's NaN-greatest ordering and log(NaN)+g sorts first, so without
+    // its own guard a 0.0/0.0 upstream ratio would always win the sample
+    val withNaN = df.withColumn("w",
+      when(col("id") === 7, lit(Double.NaN)).otherwise(col("w")))
+    val nn = Sampling.takeWeighted(withNaN, "id", "w", n = 30).as[(Long, Double)].collect()
+    assert(!nn.exists(_._1 == 7L), "a NaN-weight row must never be selected")
     // TakeOrdered, not a global sort
     val plan = Sampling.takeWeighted(df, "id", "w", n = 30)
       .queryExecution.executedPlan.toString
