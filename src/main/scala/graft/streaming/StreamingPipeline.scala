@@ -181,6 +181,42 @@ object StreamingPipeline {
         } finally { pairs.unpersist(); () }
       }
 
+  /** Streaming DSIR importance filter — the selection family's streaming
+    * face: each microbatch scores against PRECOMPUTED target/raw bucket
+    * tables ([[graft.operators.ImportanceSampling.bucketCounts]] — compute
+    * once, persist, reuse; the family tag on the tables fails fast on a
+    * gram-hash mismatch) and only documents with `logw >= minLogw` flow to
+    * `sink`. A log-weight THRESHOLD rather than Gumbel top-k because
+    * "the best n of the stream" is not well-defined on unbounded input —
+    * calibrate `minLogw` offline from a batch
+    * [[graft.operators.ImportanceSampling.logWeights]] histogram.
+    */
+  def importanceFilteringWriter(
+      source: DataFrame,
+      idCol: String,
+      textCol: String,
+      targetCounts: DataFrame,
+      rawCounts: DataFrame,
+      buckets: Int,
+      minLogw: Double,
+      checkpointDir: String,
+      n: Int = 2,
+      gramHash: graft.operators.Dedup.GramHash = graft.operators.Dedup.PolyGram
+  )(sink: DataFrame => Unit): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val keep = graft.operators.ImportanceSampling
+            .logWeights(batch, idCol, textCol, targetCounts, rawCounts, buckets, n, gramHash)
+            .filter(col("logw") >= minLogw)
+            .select(col(idCol))
+          sink(batch.join(keep, Seq(idCol), "left_semi"))
+        }
+      }
+
   /** Streaming SEMANTIC dedup — the embedding twin of [[dedupingWriter]]:
     * each microbatch of (id, embedding) rows dedups against the corpus'
     * persisted IVF index via

@@ -233,6 +233,34 @@ class StreamingSpec extends SparkSpec {
       "doc 11 must be dropped against the signatures registered by run 1")
   }
 
+  test("importance filtering writer keeps target-like documents, drops dissimilar ones") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.ImportanceSampling
+    implicit val sqlCtx = spark.sqlContext
+    // target distribution: legal-ish bigrams; raw: everything else
+    val target = Seq.tabulate(20)(i => (i.toLong, "lov om arbeidsmiljø og sikkerhet"))
+      .toDF("doc_id", "text")
+    val raw = Seq.tabulate(20)(i => (100L + i, "pasta recipe with fresh tomatoes basil"))
+      .toDF("doc_id", "text")
+    val tc = ImportanceSampling.bucketCounts(target, "text", buckets = 256)
+    val rc = ImportanceSampling.bucketCounts(raw, "text", buckets = 256)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingPipeline.importanceFilteringWriter(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", tc, rc,
+      buckets = 256, minLogw = 0.0, checkpointDir = tmpDir("impf_ckpt")
+    ) { kept =>
+      collected ++= kept.select("doc_id").as[Long].collect()
+    }.start()
+    mem.addData(
+      (1000L, "lov om arbeidsmiljø og sikkerhet"),     // target-like: logw > 0
+      (2000L, "pasta recipe with fresh tomatoes basil") // raw-like: logw < 0
+    )
+    q.awaitTermination()
+    assert(collected.toSet == Set(1000L),
+      "only the target-distribution document clears the importance threshold")
+  }
+
   test("semantic deduping writer drops embedding near-dups across runs via the IVF index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
