@@ -408,6 +408,46 @@ object ScaleProbe {
       s"stream-stream join emitted $nSsjPairs pairs, batch join $nBatchPairs")
     bigEv.unpersist()
 
+    // Sessionization at scale: per-key session state must EVICT once a key
+    // goes quiet past its gap horizon — state is O(keys active inside the
+    // watermark + gap), not O(keys ever seen). Many keys each burst two
+    // events and go quiet; one far-future sentinel then advances the
+    // watermark past every horizon, so every real key's open tail must
+    // close via event-time timeout and its state row drop. The gate is
+    // exact: closed tails == keys, and exactly ONE state row (the
+    // sentinel's own) survives the run.
+    val nSessKeys = 5_000L * mult
+    val sessBase = "/tmp/graft/scaleprobe_sess"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sessBase))
+    val sessAnchor = 1_700_000_000_000_000L // epoch micros
+    spark.range(nSessKeys).select(col("id").as("user_id"),
+        (lit(sessAnchor) + col("id") * 1_000_000L).as("ts_us"))
+      .unionByName(spark.range(nSessKeys).select(col("id").as("user_id"),
+        (lit(sessAnchor) + col("id") * 1_000_000L + lit(60_000_000L)).as("ts_us")))
+      .unionByName(spark.range(1).select(lit(-1L).as("user_id"),
+        lit(sessAnchor + (nSessKeys + 365L * 86_400L) * 1_000_000L).as("ts_us")))
+      .write.json(s"$sessBase/events")
+    val ((nSessClosed, sessStateRows), tSession) = timed {
+      val src = spark.readStream.schema("user_id BIGINT, ts_us BIGINT")
+        .json(s"$sessBase/events")
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      val q = graft.streaming.StreamingPipeline
+        .sessionizeClosed(spark, src, gapMs = 1_800_000L, watermark = "1 hour")
+        .toDF()
+        .writeStream.option("checkpointLocation", s"$sessBase/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$sessBase/out").start()
+      q.awaitTermination()
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      val closed = spark.read.parquet(s"$sessBase/out")
+        .filter(col("userId") >= 0 && col("nEvents") === 2 && col("closed")).count()
+      (closed, stateRows)
+    }
+    require(nSessClosed == nSessKeys,
+      s"expected every quiet key's tail closed via timeout: $nSessClosed of $nSessKeys")
+    require(sessStateRows == 1,
+      s"expected only the sentinel's state row to survive, got $sessStateRows")
+
     println(
       s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
         s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
@@ -430,6 +470,7 @@ object ScaleProbe {
         s""""inc_semantic_pairs":$nIncSemPairs,"inc_semantic_sec":${f"$tIncSemantic%.1f"},""" +
         s""""dsir_kept":$nDsir,"dsir_sec":${f"$tDsir%.1f"},""" +
         s""""ssj_events":$nEvents,"ssj_pairs":$nSsjPairs,"ssj_sec":${f"$tSsj%.1f"},""" +
+        s""""sess_keys":$nSessKeys,"sess_closed":$nSessClosed,"sess_state_rows":$sessStateRows,"sess_sec":${f"$tSession%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
     spark.stop()

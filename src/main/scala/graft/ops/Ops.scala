@@ -52,19 +52,60 @@ object Ops {
   def migrate(spark: SparkSession, source: ChunkStore, target: ChunkStore): Long =
     ChunkStore.migrate(spark, source, target)
 
+  /** Hadoop-Configuration holder that survives task serialization: the
+    * stock `Configuration` is not `Serializable`, but it is `Writable` —
+    * the round-trip below is the standard workaround.
+    */
+  private final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** F5: the file-exists guard — rows whose `path` does not resolve become
     * failure records instead of aborting the run (reference
-    * `file_processing_service.py:63-69`). Executed distributed: the existence
-    * check runs inside the scan task, not on the driver.
+    * `file_processing_service.py:63-69`). Executed distributed AND
+    * cluster-correct: the probe goes through `org.apache.hadoop.fs.FileSystem`
+    * under the session's Hadoop configuration (`file:`, `hdfs:`, `s3a:`, …),
+    * not `java.io.File` — at cluster scale paths live on shared storage, and
+    * an executor-local POSIX check would flag every remote path missing.
+    * One mapPartitions pass over the rows; filesystem handles come from
+    * Hadoop's per-JVM (scheme, authority) cache, so a partition pays at most
+    * one handle per distinct filesystem it touches. A null path keeps
+    * `error` null — the original `concat('file not found: ', NULL) = NULL`
+    * behavior the guard's callers and oracle pin.
     */
   def withExistsGuard(df: DataFrame, pathCol: String): DataFrame = {
-    val exists = udf((p: String) => p != null && new java.io.File(p).exists())
-    df.withColumn("_exists", exists(col(pathCol)))
-      .withColumn(
-        "error",
-        when(!col("_exists"), concat(lit("file not found: "), col(pathCol)))
-          .otherwise(lit(null).cast("string"))
-      )
-      .drop("_exists")
+    val base = if (df.columns.contains("error")) df.drop("error") else df
+    val conf = new SerializableHadoopConf(base.sparkSession.sparkContext.hadoopConfiguration)
+    val idx = base.schema.fieldIndex(pathCol)
+    val schema = org.apache.spark.sql.types.StructType(
+      base.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "error", org.apache.spark.sql.types.StringType, nullable = true))
+    val guarded = base.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getString(idx)
+        val err =
+          if (p == null) null
+          else
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              if (hp.getFileSystem(conf.value).exists(hp)) null
+              else s"file not found: $p"
+            } catch {
+              // empty or malformed path strings are unresolvable, not fatal
+              case _: IllegalArgumentException => s"file not found: $p"
+            }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ err)
+      }
+    }
+    base.sparkSession.createDataFrame(guarded, schema)
   }
 }

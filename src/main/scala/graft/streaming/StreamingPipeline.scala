@@ -392,36 +392,62 @@ object StreamingPipeline {
 
   /** Closed-session emission via flatMapGroupsWithState: a batch of events
     * per key may close any number of sessions (gap exceeded) — each closed
-    * session is emitted as its own row, and the open tail stays in state.
-    * This is the shape a training-data pipeline wants for sessionized
-    * behavioral logs: only finished sessions flow downstream.
+    * session is emitted as its own row, and the open tail stays in state
+    * ONLY until the key goes quiet: every state row carries an event-time
+    * timeout at `lastTs + gapMs`, so when the watermark passes the gap
+    * horizon the open tail is emitted as a closed session and the key's
+    * state row is REMOVED. The timeout is what makes this viable on an
+    * unbounded keyspace (per-user sessions at 100 TB/day): without it,
+    * every user ever seen keeps a state row forever, and a departed user's
+    * final session never closes. Steady-state state size is therefore
+    * `O(keys active within watermark + gap)`, not `O(keys ever seen)`.
     */
   def sessionizeClosed(
       spark: SparkSession,
       events: DataFrame,
-      gapMs: Long
+      gapMs: Long,
+      watermark: String = "1 hour"
   ): org.apache.spark.sql.Dataset[SessionUpdate] = {
     import spark.implicits._
     val typed = events
-      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("tsMs"))
-      .as[(Long, Long)]
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
     typed
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Long), SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[(Long, Long)]) =>
-          var (lastTs, n) = state.getOption.getOrElse((Long.MinValue, 0L))
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
-          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
-            if (lastTs != Long.MinValue && ts - lastTs > gapMs) {
-              closed += SessionUpdate(userId, n, closed = true)
-              n = 0
+          if (state.hasTimedOut) {
+            // quiet past the gap: the open tail IS a finished session —
+            // emit it and evict the key's state row
+            val (_, n) = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(userId, n, closed = true))
+          } else {
+            var (lastTs, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            // a primitive long array, not a tuple Seq: the sort holds one
+            // key's microbatch slice, keep its footprint minimal
+            val ts = rows.map(_._2.getTime).toArray
+            java.util.Arrays.sort(ts)
+            ts.foreach { t =>
+              if (lastTs != Long.MinValue && t - lastTs > gapMs) {
+                closed += SessionUpdate(userId, n, closed = true)
+                n = 0
+              }
+              n += 1
+              lastTs = t
             }
-            n += 1
-            lastTs = ts
+            state.update((lastTs, n))
+            // the max() guard: a straggler key whose gap horizon is already
+            // behind the watermark must still get a FUTURE timeout (Spark
+            // rejects a timestamp at or below the current watermark); it
+            // then fires on the next watermark advance
+            state.setTimeoutTimestamp(
+              math.max(lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            closed.iterator
           }
-          state.update((lastTs, n))
-          closed.iterator
       }
   }
 
@@ -431,30 +457,45 @@ object StreamingPipeline {
     */
   final case class SessionUpdate(userId: Long, nEvents: Long, closed: Boolean)
 
+  /** Update-mode twin of [[sessionizeClosed]]: emits the running size of the
+    * key's current session on every batch, and — same eviction contract —
+    * a final `closed = true` update when the key goes quiet past the gap,
+    * after which the state row is removed.
+    */
   def sessionize(
       spark: SparkSession,
       events: DataFrame,
-      gapMs: Long
+      gapMs: Long,
+      watermark: String = "1 hour"
   ): org.apache.spark.sql.Dataset[SessionUpdate] = {
     import spark.implicits._
-    final case class Ev(user_id: Long, tsMs: Long)
     val typed = events
-      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("tsMs"))
-      .as[(Long, Long)]
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
     typed
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Long), SessionUpdate](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[(Long, Long), SessionUpdate](GroupStateTimeout.EventTimeTimeout) {
         case (userId, rows, state: GroupState[(Long, Long)]) =>
-          // state = (lastTs, eventsInSession)
-          var (lastTs, n) = state.getOption.getOrElse((Long.MinValue, 0L))
-          var sessions = 0L
-          rows.toSeq.sortBy(_._2).foreach { case (_, ts) =>
-            if (lastTs == Long.MinValue || ts - lastTs > gapMs) { sessions += 1; n = 0 }
-            n += 1
-            lastTs = ts
+          if (state.hasTimedOut) {
+            val (_, n) = state.get
+            state.remove()
+            SessionUpdate(userId, n, closed = true)
+          } else {
+            // state = (lastTs, eventsInSession)
+            var (lastTs, n) = state.getOption.getOrElse((Long.MinValue, 0L))
+            val ts = rows.map(_._2.getTime).toArray
+            java.util.Arrays.sort(ts)
+            ts.foreach { t =>
+              if (lastTs == Long.MinValue || t - lastTs > gapMs) n = 0
+              n += 1
+              lastTs = t
+            }
+            state.update((lastTs, n))
+            state.setTimeoutTimestamp(
+              math.max(lastTs + gapMs, state.getCurrentWatermarkMs() + 1))
+            SessionUpdate(userId, n, closed = false)
           }
-          state.update((lastTs, n))
-          SessionUpdate(userId, n, closed = false)
       }
   }
 }

@@ -70,6 +70,27 @@ class OpsSpec extends SparkSpec {
     assert(out("d2").exists(_.contains("file not found")))
   }
 
+  test("F5 exists guard resolves file: URIs and absolute paths through Hadoop FS") {
+    val real = java.nio.file.Files.createTempFile("exists_hfs", ".xml")
+    // absolute paths and explicit file: URIs must both resolve regardless of
+    // the process working directory (the Hadoop-FS contract java.io.File
+    // only met for paths on the executor's local disk)
+    val df = Seq(
+      ("u1", "file://" + real.toString),
+      ("u2", real.toString),
+      ("u3", "file:///definitely/not/here/" + System.nanoTime() + ".xml"),
+      ("u4", null.asInstanceOf[String]),
+      ("u5", "")
+    ).toDF("docId", "path")
+    val out = Ops.withExistsGuard(df, "path")
+      .select("docId", "error").as[(String, Option[String])].collect().toMap
+    assert(out("u1").isEmpty, "file: URI of an existing file must pass the guard")
+    assert(out("u2").isEmpty, "bare absolute path must pass the guard")
+    assert(out("u3").exists(_.contains("file not found")))
+    assert(out("u4").isEmpty, "null path keeps error null (the concat-with-NULL law)")
+    assert(out("u5").exists(_.contains("file not found")))
+  }
+
   test("progress reporter emits forward-only percentage steps and a summary") {
     val lines = new scala.collection.mutable.ArrayBuffer[String]
     val sink: String => Unit = s => lines.synchronized { lines += s; () }

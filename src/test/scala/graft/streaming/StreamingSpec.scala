@@ -378,6 +378,43 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("a quiet key's session closes via event-time timeout and its state row evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = mem.toDF().toDF("user_id", "ts")
+    val out = StreamingPipeline.sessionizeClosed(
+      spark, events, gapMs = 30 * 60000, watermark = "1 hour")
+    val q = out.toDF().writeStream.format("memory").queryName("evict")
+      .outputMode("append").start()
+    // user 1 has an open two-event session, then goes quiet forever
+    mem.addData(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM evict").head().getLong(0) == 0,
+      "nothing closed while the session is open and the watermark is behind")
+    // a DIFFERENT key's event advances the watermark to 05:00, far past
+    // user 1's gap horizon (00:40) — the timeout fires in the no-data
+    // batch, emits the open tail as closed, and removes user 1's state
+    mem.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 06:00:00")))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT userId, nEvents, closed FROM evict").collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 1L &&
+      rows.head.getLong(1) == 2L && rows.head.getBoolean(2),
+      s"expected user 1's tail closed via timeout, got ${rows.mkString(",")}")
+    // only user 2's state row survives — eviction, not accumulation
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(stateRows == 1, s"expected 1 surviving state row, got $stateRows")
+    // a third quiet-key cycle: user 2 evicts the same way
+    mem.addData((3L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00")))
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM evict WHERE userId = 2").head().getLong(0) == 1)
+    assert(q.lastProgress.stateOperators.head.numRowsTotal == 1,
+      "state stays bounded as keys come and go")
+    q.stop()
+  }
+
   test("mapGroupsWithState sessionization emits per-key updates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
