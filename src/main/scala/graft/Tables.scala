@@ -24,14 +24,20 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` carries nanosecond timestamps, which Spark's parquet
-    * reader rejects. We read them as raw longs and truncate to microseconds
-    * (exactly what DuckDB's µs-precision TIMESTAMP does on the oracle side),
-    * yielding a `timestamp_ntz` column named `ts`.
+  /** `events.parquet`'s `ts` encoding has varied across testdata generations:
+    * nanosecond INT64 (which Spark's parquet reader rejects without
+    * `nanosAsLong`) and native TIMESTAMP_MICROS. Normalize either to a
+    * `timestamp_ntz` column named `ts`, truncated to microseconds (exactly
+    * what DuckDB's µs-precision TIMESTAMP does on the oracle side).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
   }
 }
