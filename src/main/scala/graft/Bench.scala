@@ -69,7 +69,16 @@ object Bench {
     val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + f"$sp%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"sf":"$sfDir","failed":${failures.length}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"sf":"$sfDir","failed":${failures.length}}"""
+    println(line)
+    // The driver captures only the tail of stdout, which truncates the first
+    // ~70 query timings; persist the full line so the committed artifact is
+    // always complete.
+    try {
+      val out = java.nio.file.Paths.get("target/bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] artifact write failed: $e") }
     spark.stop()
   }
 }

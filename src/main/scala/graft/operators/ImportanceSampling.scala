@@ -114,10 +114,62 @@ object ImportanceSampling {
     (ratio, floor)
   }
 
+  /** A materialized DSIR scoring model: the per-bucket log-ratio table
+    * (persisted and eagerly computed, ≤ `buckets` rows by construction)
+    * plus the smoothing floor. [[logWeights]] rebuilds the ratio — two
+    * count-total aggregate jobs and a full-outer join — on every call,
+    * which is fine for one-shot batch scoring but wasteful in a streaming
+    * loop where every microbatch would re-pay those jobs against count
+    * tables that never change. Build the model once outside the stream,
+    * score each batch with [[scoreWith]], `unpersist()` when the stream
+    * stops.
+    */
+  final case class RatioModel private[operators] (
+      ratio: DataFrame, floor: Double, buckets: Int, familyTag: Option[String]) {
+    def unpersist(): Unit = { ratio.unpersist(); () }
+  }
+
+  /** Compute and materialize the log-ratio model from a pair of
+    * [[bucketCounts]] tables (SAME gram family — fails fast on a tag
+    * mismatch between the two).
+    */
+  def ratioModel(
+      targetCounts: DataFrame, rawCounts: DataFrame, buckets: Int): RatioModel = {
+    for (t <- familyOf(targetCounts); r <- familyOf(rawCounts))
+      require(t == r,
+        s"target counts were built under gram-hash family '$t' but raw counts " +
+          s"under '$r' — the log-ratio of mismatched families is meaningless.")
+    val (ratio, floor) = logRatio(targetCounts, rawCounts, buckets)
+    val persisted = ratio.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    persisted.count() // eager: the two total jobs + the full-outer join run exactly once
+    RatioModel(persisted, floor, buckets, familyOf(targetCounts).orElse(familyOf(rawCounts)))
+  }
+
+  /** Per-document log-weights against a prebuilt [[RatioModel]] — the
+    * per-microbatch scoring path: one explode + per-doc groupBy + one
+    * broadcast join, no model-side jobs.
+    */
+  def scoreWith(
+      model: RatioModel,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 2,
+      gramHash: Dedup.GramHash = Dedup.PolyGram
+  ): DataFrame = {
+    model.familyTag.foreach { stored =>
+      require(stored == gramHash.tag,
+        s"ratio model was built under gram-hash family '$stored' but this scoring " +
+          s"pass uses '${gramHash.tag}' — rebuild the model or pass the matching GramHash.")
+    }
+    scoreAgainst(docs, idCol, textCol, model.ratio, model.floor, model.buckets, n, gramHash)
+  }
+
   /** Per-document importance log-weights `(idCol, logw)` of `docs` against
     * precomputed [[bucketCounts]] tables (SAME gram family). Documents with
     * no n-gram (short text) score a neutral 0. Every document appears
-    * exactly once.
+    * exactly once. For repeated scoring against fixed count tables
+    * (streaming), build a [[ratioModel]] once and use [[scoreWith]].
     */
   def logWeights(
       docs: DataFrame,
@@ -132,6 +184,13 @@ object ImportanceSampling {
     requireFamily(targetCounts, gramHash, "target")
     requireFamily(rawCounts, gramHash, "raw")
     val (ratio, floor) = logRatio(targetCounts, rawCounts, buckets)
+    scoreAgainst(docs, idCol, textCol, ratio, floor, buckets, n, gramHash)
+  }
+
+  private def scoreAgainst(
+      docs: DataFrame, idCol: String, textCol: String,
+      ratio: DataFrame, floor: Double, buckets: Int,
+      n: Int, gramHash: Dedup.GramHash): DataFrame = {
     val tf = gramRows(docs, Seq(col(idCol).as("_id")), textCol, n, gramHash)
       .select(col("_id"), pmod(col("_g"), lit(buckets.toLong)).as("bucket"))
       .groupBy(col("_id"), col("bucket")).agg(count(lit(1)).as("_tf"))

@@ -205,24 +205,65 @@ object Sampling {
       hashFn: Column => Column = Dedup.xxBaseHash
   ): DataFrame = {
     require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    takeBudgetImpl(df, idCol, tokensCol, sourceCol, _ => lit(budgetTokens), salt, hashFn)
+  }
+
+  /** [[takeTokenBudget]] with a PER-SOURCE budget map — the real mixture
+    * primitive: "N_s tokens of source s" with differing N_s (e.g. 3×
+    * Wikipedia epochs vs 0.5 of CommonCrawl in published mixtures). Sources
+    * absent from the map get `defaultBudget` (0 = drop them — the safe
+    * default for an explicit mixture spec). The map rides the plan as a
+    * literal (mixtures have tens of sources, never corpus-sized), so no
+    * join is added over the single-budget form.
+    */
+  def takeTokenBudgets(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      sourceCol: String,
+      budgets: Map[String, Long],
+      defaultBudget: Long = 0L,
+      salt: String = "",
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame = {
+    budgets.foreach { case (s, b) => require(b >= 0, s"budget for '$s' must be >= 0, got $b") }
+    require(defaultBudget >= 0, s"defaultBudget must be >= 0, got $defaultBudget")
+    val budgetOf: Column => Column =
+      if (budgets.isEmpty) _ => lit(defaultBudget)
+      else s => coalesce(element_at(typedLit(budgets), s), lit(defaultBudget))
+    takeBudgetImpl(df, idCol, tokensCol, sourceCol, budgetOf, salt, hashFn)
+  }
+
+  private def takeBudgetImpl(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      sourceCol: String,
+      budgetOf: Column => Column,
+      salt: String,
+      hashFn: Column => Column
+  ): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val h = hashFn(concat(col(idCol).cast("string"), lit(":" + salt)))
+    // _budget is a pure function of sourceCol, so it is constant within
+    // every window/group below
     val rows = df.withColumn("_h", h)
       .withColumn("_b", expr("_h div 281474976710656")) // 2^48 → 4096 ordered buckets
+      .withColumn("_budget", budgetOf(col(sourceCol)))
     val bucketCum = rows.groupBy(col(sourceCol), col("_b"))
       .agg(sum(col(tokensCol)).as("_bt"))
       .withColumn("_before", coalesce(
         sum(col("_bt")).over(w.partitionBy(col(sourceCol)).orderBy(col("_b"))
           .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
     val joined = rows.join(bucketCum, Seq(sourceCol, "_b"))
-    val fullKeep = joined.filter(col("_before") + col("_bt") <= budgetTokens)
+    val fullKeep = joined.filter(col("_before") + col("_bt") <= col("_budget"))
     // the boundary bucket: its running sum crosses the budget — row-level
     // prefix within it only
     val boundary = joined
-      .filter(col("_before") < budgetTokens && col("_before") + col("_bt") > budgetTokens)
+      .filter(col("_before") < col("_budget") && col("_before") + col("_bt") > col("_budget"))
       .withColumn("_run", sum(col(tokensCol)).over(
         w.partitionBy(col(sourceCol), col("_b")).orderBy(col("_h").asc, col(idCol).asc)))
-      .filter(col("_before") + col("_run") <= budgetTokens)
+      .filter(col("_before") + col("_run") <= col("_budget"))
       .drop("_run")
     fullKeep.unionByName(boundary)
       .select(df.columns.map(col): _*) // joins moved key columns first; restore caller order

@@ -522,6 +522,139 @@ object EventQueries {
              |  ON p.user_id = v.user_id
              | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin),
       Seq("S6", "J1")
+    ),
+
+    // §2.11: LEFT-OUTER stream-stream interval join — the unattributed-view
+    // analysis: every view emits, unconverted ones with NULL purchase
+    // columns. Outer results are watermark-DELAYED (a null row may only
+    // emit once no partner can still arrive), so each side also carries a
+    // far-future sentinel row (user_id = −1, filtered from the result):
+    // the sentinel batch pushes the global watermark past every real
+    // interval's end and the trailing no-data batch flushes the remaining
+    // unmatched state. maxFilesPerTrigger=1 sequences the files into
+    // separate microbatches so the watermark actually advances between
+    // data and sentinel. The oracle replays the whole thing as a plain
+    // LEFT JOIN over the events table.
+    "s7_stream_stream_outer" -> Q(
+      (s, d) => {
+        val viewDir = tmpDir(d, "sso_views"); val purDir = tmpDir(d, "sso_purchases")
+        val outDir = tmpDir(d, "sso_joined"); val ckpt = tmpDir(d, "sso_ckpt")
+        Seq(viewDir, purDir, outDir, ckpt).foreach(cleanDir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(viewDir))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(purDir))
+        val ev = events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+          .coalesce(1).write.mode("overwrite").json(viewDir)
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+          .coalesce(1).write.mode("overwrite").json(purDir)
+        // sentinel: 10 years past the corpus max on BOTH sides (the global
+        // watermark is the min across inputs)
+        val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+        val sentinelUs = maxUs + 10L * 365 * 24 * 3600 * 1000000L
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(viewDir, "zz_sentinel.json"),
+          s"""{"event_id":-1,"user_id":-1,"ts_us":$sentinelUs}""".getBytes("UTF-8"))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(purDir, "zz_sentinel.json"),
+          s"""{"event_id":-1,"user_id":-1,"ts_us":$sentinelUs,"value":0.0}""".getBytes("UTF-8"))
+        def src(dir: String, schema: String) =
+          s.readStream.option("maxFilesPerTrigger", 1).schema(schema).json(dir)
+            .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+        val views = src(viewDir, "event_id BIGINT, user_id BIGINT, ts_us BIGINT")
+        val purchases =
+          src(purDir, "event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE")
+        val q = graft.streaming.StreamingPipeline
+          .intervalJoinLeftOuter(views, purchases, "user_id", "ts", "6 hours", "12 hours")
+          .select(col("event_id"), col("user_id"), col("r_event_id"), col("r_value"))
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", outDir).start()
+        q.awaitTermination()
+        s.read.parquet(outDir).filter(col("user_id") >= 0).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("r_event_id")).as("n_matched"),
+          sum(when(col("r_event_id").isNull, 1L).otherwise(0L)).as("n_unmatched"),
+          countDistinct(col("event_id")).as("n_views"),
+          sum(col("event_id") + col("r_event_id")).as("sum_pair_ids"),
+          round(sum(col("r_value")), 2).as("sum_value"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(count(p.event_id) AS BIGINT) AS n_matched,
+             |       CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+             |       CAST(count(DISTINCT v.event_id) AS BIGINT) AS n_views,
+             |       CAST(sum(v.event_id + p.event_id) AS BIGINT) AS sum_pair_ids,
+             |       round(sum(p.value), 2) AS sum_value
+             |FROM (SELECT * FROM events WHERE event_type = 'view') v
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |  ON p.user_id = v.user_id
+             | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR""".stripMargin),
+      Seq("S6", "J1")
+    ),
+
+    // §2.11: STREAMING gap sessionization — the stateful
+    // flatMapGroupsWithState path (event-time timeout, state evicted per
+    // closed session) pinned by a relational oracle, not just a spec: the
+    // whole events table streams through sessionizeClosed with a 3-hour
+    // gap, a far-future sentinel (user −1) advances the watermark so every
+    // open tail times out and closes, and the emitted closed sessions must
+    // equal DuckDB's gaps-and-islands replay. Session arithmetic runs on
+    // epoch MILLIS on both sides (the stateful op compares
+    // Timestamp.getTime) so µs-edge gaps can't diverge.
+    "s8_streaming_sessions" -> Q(
+      (s, d) => {
+        val evDir = tmpDir(d, "sess_events"); val outDir = tmpDir(d, "sess_out")
+        val ckpt = tmpDir(d, "sess_ckpt")
+        Seq(evDir, outDir, ckpt).foreach(cleanDir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(evDir))
+        val ev = events(s, d)
+          .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+        ev.select(col("user_id"), col("ts_us"))
+          .coalesce(1).write.mode("overwrite").json(evDir)
+        val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+        val sentinelUs = maxUs + 10L * 365 * 24 * 3600 * 1000000L
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(evDir, "zz_sentinel.json"),
+          s"""{"user_id":-1,"ts_us":$sentinelUs}""".getBytes("UTF-8"))
+        val src = s.readStream.option("maxFilesPerTrigger", 1)
+          .schema("user_id BIGINT, ts_us BIGINT").json(evDir)
+          .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+        val sessions = graft.streaming.StreamingPipeline
+          .sessionizeClosed(s, src, gapMs = 3L * 3600 * 1000, watermark = "1 minute")
+        val q = sessions.toDF()
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", outDir).start()
+        q.awaitTermination()
+        s.read.parquet(outDir).filter(col("userId") >= 0).agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("nEvents")).as("sum_events"),
+          max(col("nEvents")).as("max_session"),
+          countDistinct(col("userId")).as("n_users"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, CAST(floor(epoch_us(ts) / 1000) AS BIGINT) AS ms FROM events),
+             |lagged AS (
+             |  SELECT user_id, ms, lag(ms) OVER (PARTITION BY user_id ORDER BY ms) AS prev
+             |  FROM ev),
+             |flags AS (
+             |  SELECT user_id, ms,
+             |         CASE WHEN prev IS NULL OR ms - prev > 10800000 THEN 1 ELSE 0 END AS new_s
+             |  FROM lagged),
+             |sess AS (
+             |  SELECT user_id,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ms
+             |                          ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM flags),
+             |sizes AS (SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid)
+             |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             |       CAST(sum(n) AS BIGINT) AS sum_events,
+             |       CAST(max(n) AS BIGINT) AS max_session,
+             |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM sizes""".stripMargin),
+      Seq("S6", "W1")
     )
   )
 

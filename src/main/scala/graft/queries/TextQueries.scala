@@ -931,6 +931,46 @@ object TextQueries {
       Seq("L1", "A4", "F8")
     ),
 
+    // Per-source budget MAP — the real mixture primitive ("N_s tokens of
+    // source s" with differing N_s): src0..src17 get 500·(s mod 7 + 1)
+    // tokens, src18/src19 are absent from the map and drop under the
+    // default budget of 0. Same bucket-decomposed engine path as
+    // ta_token_budget_take; the oracle replays the naive per-source window
+    // with a CASE budget.
+    "ta_token_budget_map" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("toks", tokenCount(col("text")))
+        val budgets = (0 to 17).map(i => s"src$i" -> (500L * (i % 7 + 1))).toMap
+        Sampling.takeTokenBudgets(docs, "doc_id", "toks", "source",
+            budgets, defaultBudget = 0L, salt = "mixmap",
+            hashFn = c => Dedup.md5Lower60(c))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("sum_toks"),
+            sum(col("doc_id")).as("sum_ids"))
+      },
+      Some("""WITH docs AS (
+             |  SELECT doc_id, source,
+             |         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS toks,
+             |         CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':mixmap') >> 4) AS BIGINT) AS h,
+             |         CASE WHEN CAST(substr(source, 4, 10) AS INT) <= 17
+             |              THEN 500 * (CAST(substr(source, 4, 10) AS INT) % 7 + 1)
+             |              ELSE 0 END AS budget
+             |  FROM documents),
+             |run AS (
+             |  SELECT doc_id, source, toks, budget,
+             |         sum(toks) OVER (PARTITION BY source ORDER BY h, doc_id
+             |                         ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM docs)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(toks) AS BIGINT) AS sum_toks,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM run WHERE cum <= budget GROUP BY source""".stripMargin),
+      Seq("L1", "A4", "F8")
+    ),
+
     // Trained text classifier (multinomial NB, add-one smoothing): the
     // relational stand-in for the fasttext quality/language models the
     // published pipelines gate on. Train on even doc_ids (label = lang),

@@ -633,6 +633,41 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // ANN quality gate at the corpus' REAL dimensionality (64): recall@10
+    // of the IVF k-NN join vs the exact brute-force top-10, floor-gated —
+    // probe-selection or assignment changes that silently degrade retrieval
+    // now fail the battery, not just a toy-dim spec (the AnnRecallSpec
+    // sweep's production twin; graft.RecallProbe prints the whole curve).
+    // Measured 12-probe recall: 0.936 (sf0.01) / 0.927 (sf0.1) on the
+    // weakly-clustered synthetic corpus — the 0.85 floor passes with
+    // margin yet fails fast on a mis-ranked probe order (6-probe reads
+    // ~0.65). Envelope oracle, ta_approx_stats convention: DuckDB asserts
+    // the boolean; n_queries pins the cohort.
+    "e2_ann_recall_gate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val vecs = embeddings(s, d)
+        val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
+        val queries = vecs.filter(col("vec_id") % 20 === 0)
+        val index = Similarity.buildIvf(corpus, "embedding", "vec_id", k = 16)
+        val approx = Similarity.nnJoinIvf(index, "vec_id",
+          queries, "vec_id", "embedding", k = 10, nProbes = 12)
+        val exact = queries.select(col("vec_id").as("_qid"), col("embedding").as("_qv"))
+          .crossJoin(corpus.select(col("vec_id").as("_cid"), col("embedding").as("_cv")))
+          .withColumn("_sim", cosine(col("_qv"), col("_cv")))
+          .groupBy(col("_qid"))
+          .agg(expr("top_k(struct(_sim, _cid), 10)").as("_top"))
+          .select(col("_qid"), explode(col("_top")).as("_t"))
+          .select(col("_qid").as("vec_id"), col("_t._cid").as("neighbor_id"))
+        val recall = Similarity.recallAtK(approx, exact, "vec_id")
+        val nq = queries.count()
+        Seq((nq, recall >= 0.85)).toDF("n_queries", "recall_ok")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
+             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
+      Seq("E2")
+    ),
+
     // Embedding-cosine near-dup, hyperplane-bucketed. Oracle-matched via the
     // same inlined plane-sign literals as e2_ann_lsh_topk.
     "dd_cosine_lsh" -> Q(

@@ -190,6 +190,11 @@ object StreamingPipeline {
     * "the best n of the stream" is not well-defined on unbounded input —
     * calibrate `minLogw` offline from a batch
     * [[graft.operators.ImportanceSampling.logWeights]] histogram.
+    *
+    * The log-ratio model is materialized ONCE
+    * ([[graft.operators.ImportanceSampling.ratioModel]]) before the stream
+    * starts — per microbatch only the batch-side explode/groupBy/broadcast-
+    * join run; the count-table total aggregations are never replayed.
     */
   def importanceFilteringWriter(
       source: DataFrame,
@@ -202,7 +207,16 @@ object StreamingPipeline {
       checkpointDir: String,
       n: Int = 2,
       gramHash: graft.operators.Dedup.GramHash = graft.operators.Dedup.PolyGram
-  )(sink: DataFrame => Unit): DataStreamWriter[Row] =
+  )(sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    // fail fast on a family mismatch before any stream state exists
+    Seq("target" -> targetCounts, "raw" -> rawCounts).foreach { case (side, c) =>
+      graft.operators.ImportanceSampling.familyOf(c).foreach { stored =>
+        require(stored == gramHash.tag,
+          s"$side count table was built under gram-hash family '$stored' but this " +
+            s"stream scores under '${gramHash.tag}'.")
+      }
+    }
+    val model = graft.operators.ImportanceSampling.ratioModel(targetCounts, rawCounts, buckets)
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
@@ -210,12 +224,13 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val keep = graft.operators.ImportanceSampling
-            .logWeights(batch, idCol, textCol, targetCounts, rawCounts, buckets, n, gramHash)
+            .scoreWith(model, batch, idCol, textCol, n, gramHash)
             .filter(col("logw") >= minLogw)
             .select(col(idCol))
           sink(batch.join(keep, Seq(idCol), "left_semi"))
         }
       }
+  }
 
   /** Streaming SEMANTIC dedup — the embedding twin of [[dedupingWriter]]:
     * each microbatch of (id, embedding) rows dedups against the corpus'
@@ -379,6 +394,35 @@ object StreamingPipeline {
       tsCol: String,
       within: String,
       watermark: String
+  ): DataFrame =
+    intervalJoinImpl(left, right, keyCol, tsCol, within, watermark, "inner")
+
+  /** Left-outer flavor of [[intervalJoin]] — the unattributed-view analysis
+    * ("which impressions never converted?"): every `left` row comes out, and
+    * a row with no in-interval `right` partner emits with NULL `r_*` columns
+    * once the watermark passes the end of its interval (only then can Spark
+    * PROVE no partner can still arrive — outer results are therefore
+    * watermark-delayed, not instant). Same two-sided time bound, same
+    * bounded state as the inner form.
+    */
+  def intervalJoinLeftOuter(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      within: String,
+      watermark: String
+  ): DataFrame =
+    intervalJoinImpl(left, right, keyCol, tsCol, within, watermark, "left_outer")
+
+  private def intervalJoinImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      within: String,
+      watermark: String,
+      joinType: String
   ): DataFrame = {
     val l = left.withWatermark(tsCol, watermark)
     val r = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, s"r_$c"))
@@ -387,7 +431,8 @@ object StreamingPipeline {
       r,
       col(keyCol) === col(s"r_$keyCol") &&
         col(s"r_$tsCol") >= col(tsCol) &&
-        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $within"))
+        col(s"r_$tsCol") <= col(tsCol) + expr(s"INTERVAL $within"),
+      joinType)
   }
 
   /** Closed-session emission via flatMapGroupsWithState: a batch of events

@@ -84,4 +84,32 @@ class ImportanceSamplingSpec extends SparkSpec {
     ImportanceSampling.logWeights(docs, "doc_id", "text", reloaded, reloaded,
       buckets = 64, gramHash = Dedup.Md5Gram).count()
   }
+
+  test("dsir: prebuilt ratio model scores identically to logWeights and is persisted") {
+    val rnd = new scala.util.Random(7)
+    val words = Array("a", "b", "c", "d", "e", "f")
+    def doc(): String = Seq.fill(15)(words(rnd.nextInt(words.length))).mkString(" ")
+    val docs = (1L to 200L).map(i => (i, doc())).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") % 5 === 0)
+    val tc = ImportanceSampling.bucketCounts(target, "text", B)
+    val rc = ImportanceSampling.bucketCounts(docs, "text", B)
+    val model = ImportanceSampling.ratioModel(tc, rc, B)
+    try {
+      // the model's ratio table is materialized once (streaming microbatches
+      // must not re-pay the count-total jobs)
+      assert(model.ratio.storageLevel.useMemory || model.ratio.storageLevel.useDisk,
+        "ratio table must be persisted")
+      assert(model.familyTag.contains(Dedup.PolyGram.tag))
+      def m(d: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+        d.select(col("doc_id"), round(col("logw"), 9).as("w")).as[(Long, Double)].collect().toMap
+      val viaModel = m(ImportanceSampling.scoreWith(model, docs, "doc_id", "text"))
+      val viaTables = m(ImportanceSampling.logWeights(docs, "doc_id", "text", tc, rc, B))
+      assert(viaModel == viaTables, "model scoring must equal table scoring exactly")
+      // family mismatch fails fast at the model layer too
+      val e = intercept[IllegalArgumentException] {
+        ImportanceSampling.scoreWith(model, docs, "doc_id", "text", gramHash = Dedup.Md5Gram)
+      }
+      assert(e.getMessage.contains("gram-hash family"))
+    } finally model.unpersist()
+  }
 }

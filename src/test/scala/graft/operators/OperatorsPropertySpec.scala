@@ -179,4 +179,47 @@ class OperatorsPropertySpec extends SparkSpec {
     assert(cut.groupBy("source").count().as[(String, Long)].collect().toMap
       == Map("x" -> 5L, "y" -> 5L))
   }
+
+  test("takeTokenBudgets (per-source map) equals the naive per-source window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val budgetsGen = for {
+      ba <- Gen.chooseNum(0L, 400L)
+      bb <- Gen.chooseNum(0L, 400L)
+      dflt <- Gen.oneOf(0L, 150L)
+    } yield (Map("a" -> ba, "b" -> bb), dflt) // "c" always falls to the default
+    val rowsGen = Gen.chooseNum(1, 60).flatMap { n =>
+      Gen.listOfN(n, for {
+        src <- Gen.oneOf("a", "b", "c")
+        toks <- Gen.chooseNum(1L, 50L)
+      } yield (src, toks))
+    }
+    holds(forAll(rowsGen, budgetsGen) { case (rows, (budgets, dflt)) =>
+      val df = rows.zipWithIndex
+        .map { case ((src, t), i) => (i.toLong, src, t) }
+        .toDF("doc_id", "source", "toks")
+      val got = Sampling.takeTokenBudgets(df, "doc_id", "toks", "source", budgets, dflt)
+        .select("doc_id").as[Long].collect().toSet
+      val h = Dedup.xxBaseHash(concat(col("doc_id").cast("string"), lit(":")))
+      val budgetExpr = coalesce(element_at(typedLit(budgets), col("source")), lit(dflt))
+      val naive = df
+        .withColumn("_cum", sum(col("toks")).over(
+          Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .filter(col("_cum") <= budgetExpr)
+        .select("doc_id").as[Long].collect().toSet
+      got == naive
+    })
+  }
+
+  test("takeTokenBudgets with a uniform map equals single-budget takeTokenBudget") {
+    val df = (1L to 40L).map(i => (i, s"s${i % 4}", (i % 7) + 1L))
+      .toDF("doc_id", "source", "toks")
+    val uniform = (0 to 3).map(i => s"s$i" -> 30L).toMap
+    val got = Sampling.takeTokenBudgets(df, "doc_id", "toks", "source", uniform)
+      .select("doc_id").as[Long].collect().toSet
+    val want = Sampling.takeTokenBudget(df, "doc_id", "toks", "source", 30L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+  }
 }

@@ -134,6 +134,40 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("left-outer interval join: unmatched views emit with nulls after the watermark passes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val joined = StreamingPipeline.intervalJoinLeftOuter(
+      views.toDF().toDF("user_id", "ts", "view_id"),
+      purchases.toDF().toDF("user_id", "ts", "purchase_id", "value"),
+      "user_id", "ts", "30 minutes", "1 hour")
+    val q = joined.select($"view_id", $"r_purchase_id")
+      .writeStream.format("memory").queryName("ssjo").outputMode("append").start()
+    // view 10 converts; view 11 never does
+    views.addData(
+      (1L, ts("2024-01-01 10:00:00"), 10L),
+      (2L, ts("2024-01-01 10:05:00"), 11L))
+    purchases.addData((1L, ts("2024-01-01 10:20:00"), 20L, 5.0))
+    q.processAllAvailable()
+    // outer rows may not emit yet: a partner for view 11 could still arrive
+    val early = spark.sql("SELECT * FROM ssjo WHERE r_purchase_id IS NULL").collect()
+    assert(early.isEmpty, "null rows must wait for the watermark, not emit eagerly")
+    // both streams advance far past 10:35 + watermark → view 11 provably
+    // unmatched → emits with a NULL right side
+    views.addData((99L, ts("2024-01-02 00:00:00"), 99L))
+    purchases.addData((99L, ts("2024-01-02 00:00:00"), 98L, 0.0))
+    q.processAllAvailable()
+    q.processAllAvailable() // extra cycle: the no-data batch flushes outer state
+    val rows = spark.sql("SELECT * FROM ssjo WHERE view_id IN (10, 11)").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(rows == Set((10L, Some(20L)), (11L, None)),
+      s"matched view pairs, unmatched view nulls: got $rows")
+    q.stop()
+  }
+
   test("streaming failure quarantine: bad XML lands in _failures, batch succeeds") {
     val inDir = tmpDir("streamf_in")
     val storeDir = tmpDir("streamf_store")
