@@ -37,6 +37,7 @@ object ExplainAudit {
       "ta_bpe_pairs", "vec_kmeans_sizes", "w_rolling_1h", "a_corr_stats",
       "ta_quantile_filter", "ts_bm25_incremental", "e2_ann_ivf_append",
       "g_pagerank", "ta_nb_langid", "ta_token_budget_take",
+      "ta_token_budget_map",
       "ta_boilerplate_strip", "vec_meanpool",
       "dd_semantic_pairs", "dd_semantic", "e2_rp_rerank",
       "ta_dsir_scores", "ta_dsir_resample",
@@ -232,6 +233,17 @@ object ExplainAudit {
         val rowWindows = p.linesIterator.filter(l =>
           l.contains("windowspecdefinition") && l.contains("toks")).toSeq
         rowWindows.nonEmpty && rowWindows.forall(_.contains("_b"))
+      }),
+      // per-source budget map: the budget rides the plan as a literal map
+      // lookup — it must not add a join over the single-budget form, and
+      // the row window must stay bucket-scoped exactly like the take
+      ("token-budget map keeps the bucket-scoped window and adds no join", {
+        val p = plan("ta_token_budget_map")
+        val rowWindows = p.linesIterator.filter(l =>
+          l.contains("windowspecdefinition") && l.contains("toks")).toSeq
+        val joins = "(?i)hashjoin".r.findAllMatchIn(p).size
+        val joinsTake = "(?i)hashjoin".r.findAllMatchIn(plan("ta_token_budget_take")).size
+        rowWindows.nonEmpty && rowWindows.forall(_.contains("_b")) && joins == joinsTake
       }),
       // boilerplate strip: line removal joins equi-key on the trimmed line
       // (the boilerplate side is broadcast-small by definition)
