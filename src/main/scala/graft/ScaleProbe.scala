@@ -406,6 +406,49 @@ object ScaleProbe {
     }
     require(nSsjPairs == nBatchPairs,
       s"stream-stream join emitted $nSsjPairs pairs, batch join $nBatchPairs")
+
+    // LEFT OUTER flavor over the same streams: far-future sentinels on both
+    // sides advance the global watermark past every real interval's end, so
+    // the trailing no-data batch must flush every unmatched view. The gates
+    // are exact: every real view emits (matched or NULL-extended) exactly
+    // once, and the matched subset equals the batch inner join EXACTLY —
+    // the outer path must add rows, never duplicate or lose pairs.
+    val nViews = views.count()
+    val maxUs = bigEv.agg(max(col("ts_us"))).head().getLong(0)
+    val sentUs = maxUs + 10L * 365 * 86_400 * 1_000_000L
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ssjBase/views", "zz_sentinel.json"),
+      s"""{"event_id":-1,"user_id":-1,"ts_us":$sentUs}""".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$ssjBase/purchases", "zz_sentinel.json"),
+      s"""{"event_id":-1,"user_id":-1,"ts_us":$sentUs,"value":0.0}""".getBytes("UTF-8"))
+    val ((nOuterViews, nOuterMatched), tSsjOuter) = timed {
+      def src(dir: String, schema: String) =
+        spark.readStream.schema(schema).json(dir)
+          .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      val q = graft.streaming.StreamingPipeline.intervalJoinLeftOuter(
+        src(s"$ssjBase/views", "event_id BIGINT, user_id BIGINT, ts_us BIGINT"),
+        src(s"$ssjBase/purchases",
+          "event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE"),
+        "user_id", "ts", "6 hours", "12 hours")
+        .select(col("event_id"), col("user_id"), col("r_event_id"))
+        .writeStream.option("checkpointLocation", s"$ssjBase/ckpt_outer")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", s"$ssjBase/out_outer").start()
+      q.awaitTermination()
+      val out = spark.read.parquet(s"$ssjBase/out_outer").filter(col("user_id") >= 0)
+      val matched = out.filter(col("r_event_id").isNotNull)
+      val nMatchedViews = matched.select(col("event_id")).distinct().count()
+      // total = pairs + one NULL row per never-matched view; a matched view
+      // emitting a spurious NULL row would break this equality
+      require(out.count() == matched.count() + (nViews - nMatchedViews),
+        "outer join emitted a NULL row for a matched view or dropped one")
+      (out.select(col("event_id")).distinct().count(), matched.count())
+    }
+    require(nOuterViews == nViews,
+      s"outer join must emit every view exactly once: $nOuterViews of $nViews")
+    require(nOuterMatched == nBatchPairs,
+      s"outer join's matched rows must equal the inner join: $nOuterMatched vs $nBatchPairs")
     bigEv.unpersist()
 
     // Sessionization at scale: per-key session state must EVICT once a key
@@ -470,6 +513,7 @@ object ScaleProbe {
         s""""inc_semantic_pairs":$nIncSemPairs,"inc_semantic_sec":${f"$tIncSemantic%.1f"},""" +
         s""""dsir_kept":$nDsir,"dsir_sec":${f"$tDsir%.1f"},""" +
         s""""ssj_events":$nEvents,"ssj_pairs":$nSsjPairs,"ssj_sec":${f"$tSsj%.1f"},""" +
+        s""""ssj_outer_views":$nOuterViews,"ssj_outer_matched":$nOuterMatched,"ssj_outer_sec":${f"$tSsjOuter%.1f"},""" +
         s""""sess_keys":$nSessKeys,"sess_closed":$nSessClosed,"sess_state_rows":$sessStateRows,"sess_sec":${f"$tSession%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
