@@ -530,11 +530,11 @@ object EventQueries {
     // emit once no partner can still arrive), so each side also carries a
     // far-future sentinel row (user_id = −1, filtered from the result):
     // the sentinel batch pushes the global watermark past every real
-    // interval's end and the trailing no-data batch flushes the remaining
-    // unmatched state. maxFilesPerTrigger=1 sequences the files into
-    // separate microbatches so the watermark actually advances between
-    // data and sentinel. The oracle replays the whole thing as a plain
-    // LEFT JOIN over the events table.
+    // interval's end, and the trailing no-data batch (which Structured
+    // Streaming runs after the watermark advances) flushes the remaining
+    // unmatched state — no per-file rate limit needed, which keeps the
+    // microbatch count minimal. The oracle replays the whole thing as a
+    // plain LEFT JOIN over the events table.
     "s7_stream_stream_outer" -> Q(
       (s, d) => {
         val viewDir = tmpDir(d, "sso_views"); val purDir = tmpDir(d, "sso_purchases")
@@ -561,7 +561,7 @@ object EventQueries {
           java.nio.file.Paths.get(purDir, "zz_sentinel.json"),
           s"""{"event_id":-1,"user_id":-1,"ts_us":$sentinelUs,"value":0.0}""".getBytes("UTF-8"))
         def src(dir: String, schema: String) =
-          s.readStream.option("maxFilesPerTrigger", 1).schema(schema).json(dir)
+          s.readStream.schema(schema).json(dir)
             .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
         val views = src(viewDir, "event_id BIGINT, user_id BIGINT, ts_us BIGINT")
         val purchases =
@@ -618,7 +618,7 @@ object EventQueries {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(evDir, "zz_sentinel.json"),
           s"""{"user_id":-1,"ts_us":$sentinelUs}""".getBytes("UTF-8"))
-        val src = s.readStream.option("maxFilesPerTrigger", 1)
+        val src = s.readStream
           .schema("user_id BIGINT, ts_us BIGINT").json(evDir)
           .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
         val sessions = graft.streaming.StreamingPipeline
