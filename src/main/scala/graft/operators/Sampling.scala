@@ -234,6 +234,49 @@ object Sampling {
     takeBudgetImpl(df, idCol, tokensCol, sourceCol, budgetOf, salt, hashFn)
   }
 
+  /** One-call mixture construction — the form published pipelines actually
+    * specify: per-source WEIGHTS plus a TOTAL token budget ("half web, a
+    * quarter code, a quarter books into an N-token mix"). Each source's
+    * budget is `min(available_s, round(w_s/Σw · total))` — the weight
+    * share, capped at what the source can supply — and the cut is the
+    * bucket-decomposed [[takeTokenBudgets]] prefix. Sources absent from
+    * `weights` are dropped. Deliberately NO shortfall redistribution: if a
+    * source cannot fill its share the mix under-fills rather than silently
+    * shifting the requested ratios (redistribute by re-weighting
+    * explicitly — implicit redistribution is how mixture bugs ship).
+    *
+    * Scale shape: one map-side-combined sum per source (k rows to the
+    * driver, k = #sources — the [[temperatureMix]] discipline), then the
+    * budget-map cut; the corpus itself is never collected or re-shuffled
+    * beyond the single boundary-bucket window per source. Normalization
+    * sums the weights in sorted-key order so the derived budgets are
+    * deterministic across Map iteration orders.
+    */
+  def takeMixture(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      sourceCol: String,
+      weights: Map[String, Double],
+      totalTokens: Long,
+      salt: String = "",
+      hashFn: Column => Column = Dedup.xxBaseHash
+  ): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(w => w > 0 && !w.isNaN && !w.isInfinite),
+      s"weights must be positive and finite, got $weights")
+    require(totalTokens >= 0, s"totalTokens must be >= 0, got $totalTokens")
+    val wsum = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val avail = df.filter(col(sourceCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(sourceCol))
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)).as("_t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budgets = weights.map { case (s, w) =>
+      s -> math.min(avail.getOrElse(s, 0L), math.round(w / wsum * totalTokens))
+    }
+    takeTokenBudgets(df, idCol, tokensCol, sourceCol, budgets, 0L, salt, hashFn)
+  }
+
   private def takeBudgetImpl(
       df: DataFrame,
       idCol: String,

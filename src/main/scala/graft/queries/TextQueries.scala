@@ -971,6 +971,52 @@ object TextQueries {
       Seq("L1", "A4", "F8")
     ),
 
+    // One-call mixture construction: weights + a total budget ("half src0,
+    // a quarter src1, an eighth each src2/src3 into 6000 tokens") derive
+    // per-source budgets min(available, round(w·total)) and cut along the
+    // salted-hash order. src0's share (3000) exceeds its supply, so the
+    // cap keeps the whole source — the under-fill-don't-redistribute
+    // contract. Weights are exact binary fractions (0.5/0.25/0.125) so
+    // normalization and round() replay bit-identically in the oracle.
+    "ta_mixture_take" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+          .withColumn("toks", tokenCount(col("text")))
+        Sampling.takeMixture(docs, "doc_id", "toks", "source",
+            Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.125, "src3" -> 0.125),
+            totalTokens = 6000L, salt = "mix2",
+            hashFn = c => Dedup.md5Lower60(c))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("toks")).as("sum_toks"),
+            sum(col("doc_id")).as("sum_ids"))
+      },
+      Some("""WITH w(source, wt) AS (
+             |  VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.125), ('src3', 0.125)),
+             |docs AS (
+             |  SELECT doc_id, source,
+             |         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS toks,
+             |         CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':mix2') >> 4) AS BIGINT) AS h
+             |  FROM documents),
+             |avail AS (
+             |  SELECT source, CAST(sum(toks) AS BIGINT) AS at
+             |  FROM docs GROUP BY source),
+             |budgets AS (
+             |  SELECT w.source, least(a.at, CAST(round(w.wt * 6000) AS BIGINT)) AS budget
+             |  FROM w JOIN avail a USING (source)),
+             |run AS (
+             |  SELECT d.doc_id, d.source, d.toks, b.budget,
+             |         sum(d.toks) OVER (PARTITION BY d.source ORDER BY d.h, d.doc_id
+             |                           ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM docs d JOIN budgets b USING (source))
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(toks) AS BIGINT) AS sum_toks,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM run WHERE cum <= budget GROUP BY source""".stripMargin),
+      Seq("L1", "A4", "F8")
+    ),
+
     // Trained text classifier (multinomial NB, add-one smoothing): the
     // relational stand-in for the fasttext quality/language models the
     // published pipelines gate on. Train on even doc_ids (label = lang),

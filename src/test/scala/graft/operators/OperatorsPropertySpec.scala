@@ -212,6 +212,32 @@ class OperatorsPropertySpec extends SparkSpec {
     })
   }
 
+  test("takeMixture derives min(available, round(share·total)) budgets and never redistributes") {
+    import org.apache.spark.sql.functions._
+    // a: plenty of supply, cut by its share; c: scarce, capped at its
+    // supply (NO redistribution of the shortfall to a/b); d: unweighted,
+    // dropped entirely
+    val rows =
+      (1L to 50L).map(i => (i, "a", 10L)) ++
+        (101L to 150L).map(i => (i, "b", 10L)) ++
+        (201L to 203L).map(i => (i, "c", 10L)) ++
+        (301L to 310L).map(i => (i, "d", 10L))
+    val df = rows.toDF("doc_id", "source", "toks")
+    val weights = Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)
+    val got = Sampling.takeMixture(df, "doc_id", "toks", "source", weights, totalTokens = 800L)
+    val bySource = got.groupBy("source").agg(sum(col("toks")).as("t"))
+      .as[(String, Long)].collect().toMap
+    assert(!bySource.contains("d"), "unweighted sources must be dropped")
+    assert(bySource("a") == 400L, s"a gets round(0.5*800) = 400: $bySource")
+    assert(bySource("b") == 200L, s"b gets round(0.25*800) = 200: $bySource")
+    assert(bySource("c") == 30L, s"c caps at its 30 available tokens: $bySource")
+    // equivalence with the explicit budget map (the one-call form is sugar)
+    val manual = Sampling.takeTokenBudgets(df, "doc_id", "toks", "source",
+      Map("a" -> 400L, "b" -> 200L, "c" -> 30L))
+      .select("doc_id").as[Long].collect().toSet
+    assert(got.select("doc_id").as[Long].collect().toSet == manual)
+  }
+
   test("takeTokenBudgets with a uniform map equals single-budget takeTokenBudget") {
     val df = (1L to 40L).map(i => (i, s"s${i % 4}", (i % 7) + 1L))
       .toDF("doc_id", "source", "toks")
