@@ -22,7 +22,21 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The engine's vector ops assume `array<float>` embeddings (the int8
+    * quantizer, the native RandomProject expression, and the local/column
+    * cosine twins all match on FloatType). Normalize here so a testdata
+    * regeneration that flips the element type to double degrades to a cast,
+    * not a battery-wide analysis failure — the same defensive posture
+    * [[events]] takes for its timestamp encoding.
+    */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "embeddings")
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _) => raw
+      case _ => raw.withColumn("embedding", col("embedding").cast("array<float>"))
+    }
+  }
 
   /** `events.parquet`'s `ts` encoding has varied across testdata generations:
     * nanosecond INT64 (which Spark's parquet reader rejects without

@@ -490,6 +490,28 @@ object GraftCli {
         val n = Ops.migrate(spark, new ChunkStore(src, srcFmt), new ChunkStore(dst, dstFmt))
         println(s"migrated=$n")
         0
+      // mixture <in.parquet> <out.parquet> <totalTokens> src=w [src=w ...]
+      // One-call training-mixture cut over a documents-shaped table
+      // (doc_id, text, source): per-source budgets derive from the weights
+      // (Sampling.takeMixture), the kept rows land at outPath, per-source
+      // token totals print for inspection.
+      case "mixture" :: inPath :: outPath :: total :: wArgs
+          if wArgs.nonEmpty && total.forall(_.isDigit) &&
+            wArgs.forall(_.count(_ == '=') == 1) =>
+        val weights = wArgs.map { a =>
+          val Array(s, w) = a.split("=", 2); s -> w.toDouble
+        }.toMap
+        val docs = spark.read.parquet(inPath)
+          .withColumn("_toks", graft.functions.TextFunctions.tokenCount(col("text")))
+        val kept = graft.operators.Sampling.takeMixture(
+          docs, "doc_id", "_toks", "source", weights, total.toLong)
+        kept.drop("_toks").write.mode("overwrite").parquet(outPath)
+        spark.read.parquet(outPath)
+          .withColumn("_toks", graft.functions.TextFunctions.tokenCount(col("text")))
+          .groupBy(col("source")).agg(count(lit(1)).as("n"), sum(col("_toks")).as("toks"))
+          .orderBy(col("source"))
+          .collect().foreach(r => println(s"source=${r.get(0)} docs=${r.get(1)} tokens=${r.get(2)}"))
+        0
       case _ =>
         System.err.println(
           """usage: graft.cli.GraftCli <command>
@@ -514,6 +536,9 @@ object GraftCli {
             |    benchmarkPath: .txt (one doc per line), .json/.jsonl (objects with a
             |    "text" field), or parquet with a text column
             |    --report: read-only per-eval-item leakage ranking, deletes nothing
+            |  mixture <in.parquet> <out.parquet> <totalTokens> <src=weight> [src=weight ...]
+            |    one-call training-mixture cut over (doc_id, text, source) rows;
+            |    per-source budget = min(available, round(share * total))
             |  status <ledgerPath> <storePath>
             |  validate <ledgerPath> <storePath>
             |  migrate <srcPath> <srcFormat> <dstPath> <dstFormat>""".stripMargin)
