@@ -194,7 +194,11 @@ object StreamingPipeline {
     * The log-ratio model is materialized ONCE
     * ([[graft.operators.ImportanceSampling.ratioModel]]) before the stream
     * starts — per microbatch only the batch-side explode/groupBy/broadcast-
-    * join run; the count-table total aggregations are never replayed.
+    * join run; the count-table total aggregations are never replayed. The
+    * model's cached ratio table (≤ `buckets` rows) lives until the session
+    * ends; a caller cycling MANY writers in one session can reclaim it via
+    * a self-managed [[graft.operators.ImportanceSampling.ratioModel]] +
+    * [[graft.operators.ImportanceSampling.scoreWith]] in `foreachBatch`.
     */
   def importanceFilteringWriter(
       source: DataFrame,
