@@ -37,7 +37,7 @@ object ExplainAudit {
       "ta_bpe_pairs", "vec_kmeans_sizes", "w_rolling_1h", "a_corr_stats",
       "ta_quantile_filter", "ts_bm25_incremental", "e2_ann_ivf_append",
       "g_pagerank", "ta_nb_langid", "ta_token_budget_take",
-      "ta_token_budget_map",
+      "ta_token_budget_map", "ta_mixture_take",
       "ta_boilerplate_strip", "vec_meanpool",
       "dd_semantic_pairs", "dd_semantic", "e2_rp_rerank",
       "ta_dsir_scores", "ta_dsir_resample",
@@ -244,6 +244,16 @@ object ExplainAudit {
         val joins = "(?i)hashjoin".r.findAllMatchIn(p).size
         val joinsTake = "(?i)hashjoin".r.findAllMatchIn(plan("ta_token_budget_take")).size
         rowWindows.nonEmpty && rowWindows.forall(_.contains("_b")) && joins == joinsTake
+      }),
+      // one-call mixture: after the k-row driver-side budget derivation the
+      // cut is the same bucket-decomposed plan as the budget map — window
+      // bucket-scoped, no extra join
+      ("mixture cut keeps the bucket-scoped window, no cartesian", {
+        val p = plan("ta_mixture_take")
+        val rowWindows = p.linesIterator.filter(l =>
+          l.contains("windowspecdefinition") && l.contains("toks")).toSeq
+        rowWindows.nonEmpty && rowWindows.forall(_.contains("_b")) &&
+          !p.contains("CartesianProduct")
       }),
       // boilerplate strip: line removal joins equi-key on the trimmed line
       // (the boilerplate side is broadcast-small by definition)
