@@ -249,6 +249,33 @@ object TextFunctions {
   def urlDomain(u: Column): Column =
     lower(regexp_extract(u, "^https?://([^/:?#]+)", 1))
 
+  /** URL canonicalization — the dedup key for web-crawl corpora: the same
+    * page arrives as `HTTP://Site.COM:80/p?utm_source=x#top` and
+    * `http://site.com/p`, and URL-keyed dedup/blocklists need one spelling.
+    * Steps (every regex RE2-compatible — no lookaround — so a SQL oracle
+    * replays the chain): strip the fragment; drop tracking params
+    * (`utm_*`, `fbclid`, `gclid`, `ref`); repair the query separator a
+    * removed leading param leaves behind (`path&a=1` → `path?a=1`); drop a
+    * dangling `?`/`&`; lowercase scheme+host ONLY (paths are
+    * case-sensitive); strip default ports (`:80` for http, `:443` for
+    * https); strip a trailing slash. Non-URL input passes through the
+    * host-lowering step unchanged (the extract matches nothing).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val noTrack = regexp_replace(noFrag, "[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "")
+    val sepFixed = regexp_replace(noTrack, "^([^?]*)&", "$1?")
+    val noDangle = regexp_replace(sepFixed, "[?&]$", "")
+    val hostLowered = concat(
+      lower(regexp_extract(noDangle, "(?i)^(https?://[^/:?#]+)", 1)),
+      regexp_replace(noDangle, "(?i)^https?://[^/:?#]+", ""))
+    val noHttpPort =
+      regexp_replace(hostLowered, "^(http://[^/:?#]+):80([/?#].*)?$", "$1$2")
+    val noHttpsPort =
+      regexp_replace(noHttpPort, "^(https://[^/:?#]+):443([/?#].*)?$", "$1$2")
+    regexp_replace(noHttpsPort, "/$", "")
+  }
+
   /** Document fingerprint: first 16 hex chars of sha-256 over the
     * whitespace-normalized, lowercased text — stable across formatting noise.
     */

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.Overlay
+import graft.operators.{Overlay, SkewJoin}
 
 /** The relational operator battery: filters, joins, aggregations, windows,
   * limits, set ops (SURVEY §2.3-2.8) exercised over the TPC-H-ish tables.
@@ -50,6 +50,30 @@ object RelationalQueries {
              |JOIN region ON n_regionkey=r_regionkey
              |GROUP BY r_name""".stripMargin),
       Seq("A2")
+    ),
+
+    // Skew-salted equi-join: the explicit lever for hot keys AQE's runtime
+    // skew handling can't reach (a deterministic row-hash salt spreads the
+    // big side 8 ways, the dim side replicates 8×). Salting must be
+    // result-invisible — the oracle is the PLAIN join, so any
+    // duplicate/dropped row from the salt machinery hash-mismatches.
+    "j_salted_skew" -> Q(
+      (s, d) => {
+        val big = lineitem(s, d)
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_extendedprice"), col("l_discount"))
+        val dim = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+        SkewJoin.saltedJoin(big, dim, Seq("o_orderkey"), salts = 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority""".stripMargin),
+      Seq("J1", "A2")
     ),
 
     // J1: the central incremental anti-join — size-adaptive like

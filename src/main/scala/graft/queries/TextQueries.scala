@@ -529,6 +529,55 @@ object TextQueries {
     // equi-join (never an endsWith theta-join). tracker3.net suffix-blocks
     // the ads.tracker3.net citations (doc_id % 5 = 3) and s7.example.com
     // exact-blocks doc_id % 20 = 7.
+    // URL canonicalization — the web-corpus dedup key: tracking params,
+    // fragments, uppercase scheme/host, and default ports all collapse to
+    // one spelling; 210 distinct canonical URLs survive (doc_id mod
+    // 7×3×10). The oracle replays the exact regex chain (RE2-safe, 'g'
+    // flag where Spark replaces globally).
+    "ta_url_canon" -> Q(
+      (s, d) => {
+        val salted = documents(s, d).withColumn("url",
+          concat(lit("HTTP://WWW.Example"), (col("doc_id") % 7).cast("string"),
+            lit(".COM:80/Path"), (col("doc_id") % 3).cast("string"),
+            lit("/?utm_source=x&utm_medium=y&id="), (col("doc_id") % 10).cast("string"),
+            lit("&fbclid=abc#frag")))
+        salted.withColumn("canon", canonicalizeUrl(col("url")))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            countDistinct(col("canon")).as("n_canon"),
+            sum(length(col("canon"))).as("sum_len"))
+      },
+      Some("""WITH salted AS (
+             |  SELECT lang,
+             |         'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+             |         '.COM:80/Path' || CAST(doc_id % 3 AS VARCHAR) ||
+             |         '/?utm_source=x&utm_medium=y&id=' || CAST(doc_id % 10 AS VARCHAR) ||
+             |         '&fbclid=abc#frag' AS url
+             |  FROM documents),
+             |c1 AS (SELECT lang, regexp_replace(url, '#.*$', '') AS u FROM salted),
+             |c2 AS (SELECT lang,
+             |         regexp_replace(u, '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS u
+             |       FROM c1),
+             |c3 AS (SELECT lang, regexp_replace(u, '^([^?]*)&', '\1?') AS u FROM c2),
+             |c4 AS (SELECT lang, regexp_replace(u, '[?&]$', '') AS u FROM c3),
+             |c5 AS (SELECT lang,
+             |         lower(regexp_extract(u, '(?i)^(https?://[^/:?#]+)', 1)) ||
+             |         regexp_replace(u, '(?i)^https?://[^/:?#]+', '') AS u
+             |       FROM c4),
+             |c6 AS (SELECT lang,
+             |         regexp_replace(u, '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2') AS u
+             |       FROM c5),
+             |c7 AS (SELECT lang,
+             |         regexp_replace(u, '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2') AS u
+             |       FROM c6),
+             |canon AS (SELECT lang, regexp_replace(u, '/$', '') AS canon FROM c7)
+             |SELECT lang, count(*) AS n, count(DISTINCT canon) AS n_canon,
+             |       CAST(sum(length(canon)) AS BIGINT) AS sum_len
+             |FROM canon GROUP BY lang""".stripMargin),
+      Seq("C12", "A6")
+    ),
+
     "ta_urls" -> Q(
       (s, d) => {
         import s.implicits._

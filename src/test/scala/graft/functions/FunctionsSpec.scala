@@ -177,6 +177,27 @@ class FunctionsSpec extends SparkSpec {
     assert(degenerate.isNullAt(0) && degenerate.isNullAt(1))
   }
 
+  test("url canonicalization: tracking params, case, ports, fragments collapse") {
+    import graft.functions.TextFunctions.canonicalizeUrl
+    val cases = Seq(
+      // tracking + fragment + host case + default port, leading utm repairs ?
+      ("HTTP://WWW.Example.COM:80/Path/?utm_source=x&id=5&fbclid=a#top",
+        "http://www.example.com/Path/?id=5"),
+      // https default port; gclid mid-query; ref param
+      ("https://A.B.com:443/p?a=1&gclid=z&ref=feed", "https://a.b.com/p?a=1"),
+      // all params are tracking → dangling ? drops, then trailing slash
+      ("http://x.com/?utm_medium=m", "http://x.com"),
+      // non-default port survives; path case survives
+      ("http://X.com:8080/CaseD", "http://x.com:8080/CaseD"),
+      // plain trailing slash strip; no query
+      ("https://site.org/a/", "https://site.org/a"),
+      // non-URL text passes through (minus nothing — no url parts match)
+      ("not a url", "not a url"))
+    val got = cases.map(_._1).toDF("u")
+      .select(canonicalizeUrl(col("u"))).as[String].collect().toSeq
+    cases.map(_._2).zip(got).foreach { case (want, g) => assert(g == want, s"want $want got $g") }
+  }
+
   test("random projection: JL distance preservation on random pairs") {
     // 64 → 16 dims, ε ≈ sqrt(log n / outDim): squared distances should be
     // preserved within a loose (1±0.8) envelope for EVERY sampled pair and
