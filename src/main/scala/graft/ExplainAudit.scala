@@ -45,7 +45,7 @@ object ExplainAudit {
       "ts_eval_metrics", "e2_ann_ivf_filtered", "a_mode_per_user",
       "c_variant_shred", "q_rollup_grouping", "s_schema_evolution",
       "dd_semantic_incremental", "dd_contamination_report",
-      "q_correlated_subquery"
+      "q_correlated_subquery", "j_salted_skew", "k_partitioned_write"
     )
 
     var bad = 0
@@ -344,6 +344,20 @@ object ExplainAudit {
       // contamination report: every join is a gram-hash or item-id equi-join
       ("contamination report joins gram hashes equi-key, no cartesian",
         !plan("dd_contamination_report").contains("CartesianProduct")),
+      // partitioned-write read-back: the source IN-filter must reach the
+      // scan as a PartitionFilter (directory pruning), not a data filter
+      // over every partition's files
+      ("partitioned read prunes source directories at the scan", {
+        val df = SparkEntry.battery("k_partitioned_write").fn(spark, sfDir)
+        val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+        scan.contains("PartitionFilters") && scan.contains("source")
+      }),
+      // salted skew join: the salt must not break the equi-join shape —
+      // hash join on (key, salt), never a cartesian against the replicas
+      ("salted skew join stays an equi hash join, no cartesian", {
+        val p = plan("j_salted_skew")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      }),
       // correlated scalar subquery: Catalyst must decorrelate to an
       // aggregate + equi-join — a surviving per-row subquery or nested loop
       // is the 100 TB non-starter the rewrite exists for

@@ -393,6 +393,54 @@ object PipelineQueries {
       Seq("S4", "K5")
     ),
 
+    // Zstd parquet roundtrip — the codec 100 TB lakes actually standardize
+    // on (better ratio than snappy at similar scan speed): write documents
+    // with compression=zstd, read back, aggregate. DuckDB reads the SAME
+    // zstd part files, so the oracle pins both losslessness and
+    // cross-engine codec compatibility. sf0.01-pinned path like
+    // s_csv_roundtrip (the driver's gate always runs there).
+    "s_zstd_roundtrip" -> Q(
+      (s, d) => {
+        val out = tmpDir(d, "zstd_docs")
+        cleanDir(out)
+        documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+          .write.option("compression", "zstd").mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(length(col("text"))).as("sum_text_len"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+             |FROM read_parquet('/tmp/graft/sf0.01/zstd_docs/*.parquet')
+             |GROUP BY lang""".stripMargin),
+      Seq("S4", "K5")
+    ),
+
+    // Hive-style partitioned write + pruned read: the lake layout for a
+    // source-sharded corpus (source=.../part-*.parquet). The filtered read
+    // must PRUNE to the two selected partition dirs — PLANS.md asserts
+    // PartitionFilters on this entry's scan — and the partition column
+    // round-trips from the directory name. Oracle replays the filter over
+    // the same rows.
+    "k_partitioned_write" -> Q(
+      (s, d) => {
+        val out = tmpDir(d, "part_docs")
+        cleanDir(out)
+        documents(s, d).select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+          .write.partitionBy("source").mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter(col("source").isin("src3", "src7"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE source IN ('src3', 'src7') GROUP BY source""".stripMargin),
+      Seq("K1", "F6")
+    ),
+
     // Schema evolution on read: two parquet batches written months apart
     // with different schemas (the later one grew n_chars), merged by
     // mergeSchema — the long-lived-lake reality at 100 TB, where a sweep
