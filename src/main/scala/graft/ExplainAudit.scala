@@ -45,7 +45,8 @@ object ExplainAudit {
       "ts_eval_metrics", "e2_ann_ivf_filtered", "a_mode_per_user",
       "c_variant_shred", "q_rollup_grouping", "s_schema_evolution",
       "dd_semantic_incremental", "dd_contamination_report",
-      "q_correlated_subquery", "j_salted_skew", "k_partitioned_write"
+      "q_correlated_subquery", "j_salted_skew", "k_partitioned_write",
+      "ta_leakage_split", "a_kll_shard_quantiles"
     )
 
     var bad = 0
@@ -365,6 +366,20 @@ object ExplainAudit {
         val p = plan("q_correlated_subquery")
         !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
           p.contains("partial_avg")
+      }),
+      // leakage-safe split: the component join-back is an equi-join (left
+      // outer on the id) and the split decision itself adds no join or
+      // sort — a cartesian or global sort here would re-shuffle the corpus
+      ("leakage-safe split joins components equi-key, no cartesian or global sort", {
+        val p = plan("ta_leakage_split")
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin")
+      }),
+      // KLL shard sketches: the per-shard aggregate runs with map-side
+      // partial sketches (ObjectHashAggregate partial_kll...) — raw rows
+      // must never shuffle to the report side
+      ("kll shard sketches aggregate map-side, rows never shuffle raw", {
+        val p = plan("a_kll_shard_quantiles")
+        p.contains("ObjectHashAggregate") && p.contains("partial_kll_sketch_agg_double")
       })
     )
     println("\n===== invariants =====")

@@ -77,6 +77,47 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Leakage-safe split assignment: near-duplicate documents must land in
+    * the SAME split — a near-dup of a test document sitting in train is
+    * train/eval contamination that survives ordinary decontamination
+    * (which only guards against the eval BENCHMARK, not the held-out
+    * slice of the corpus itself). Rows are assigned by their near-dup
+    * CLUSTER's canonical id instead of their own: connected components
+    * over the candidate pairs label every clustered id with its
+    * component's minimum id; unclustered rows group as themselves. The
+    * split decision is then the same cumulative hash-bucket rule as
+    * [[assignSplits]] applied to the group id, so every member of a
+    * cluster lands together by construction.
+    *
+    * Scale shape: components runs over candidate PAIRS (already banded and
+    * skew-capped upstream — never all-pairs); the component table holds
+    * only clustered ids (a small fraction of any real corpus), so the
+    * join-back broadcasts under AQE at typical duplication rates; the
+    * split decision itself stays a per-row hash with no corpus shuffle.
+    *
+    * @param pairs near-dup candidate pairs (`id_a`, `id_b`) from any
+    *              generator — MinHash-LSH, SimHash, semantic cells
+    * @param star  cluster via the large-star/small-star variant
+    *              (O(log diameter) rounds) instead of min-label propagation
+    * @return df plus `split_group` (the cluster canonical / own id) and
+    *         `split` columns
+    */
+  def leakageSafeSplits(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      weights: Seq[(String, Double)],
+      hashFn: Column => Column = Dedup.xxBaseHash,
+      star: Boolean = false
+  ): DataFrame = {
+    val comps = (if (star) Dedup.componentsStar(pairs) else Dedup.components(pairs))
+      .withColumnRenamed("id", idCol)
+    val grouped = df.join(comps, Seq(idCol), "left")
+      .withColumn("split_group", coalesce(col("comp"), col(idCol)))
+      .drop("comp")
+    assignSplits(grouped, "split_group", weights, hashFn)
+  }
+
   /** Temperature-based mixture sampling — the standard multilingual /
     * multi-source rebalancing rule (XLM-R-style): resample so the corpus
     * mixture follows `share_s^alpha` instead of the raw share. `alpha < 1`

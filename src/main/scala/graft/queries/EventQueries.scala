@@ -472,6 +472,64 @@ object EventQueries {
       Seq("A3", "A2")
     ),
 
+    // A-series: KLL quantile sketches built PER SHARD and merged — the
+    // third mergeable-sketch discipline (after HLL distinct-count and
+    // frequent-items top-k): percentile telemetry at 100 TB is per-shard
+    // fixed-size sketches + a report-time merge, never a global sort.
+    // n_sketch == count(*) is EXACT (KLL tracks n losslessly — a dropped
+    // or double-merged shard breaks equality). The rank envelope is the
+    // KLL guarantee: the merged estimate at rank p must sit within ±3% of
+    // p in the TRUE empirical CDF (k=200 ⇒ ε≈1.65%, asserted with slack);
+    // merge_agrees pins mergeability — merged-vs-single-pass ranks within
+    // 2% of each other at every probed quantile.
+    "a_kll_shard_quantiles" -> Q(
+      (s, d) => {
+        val x = documents(s, d)
+          .select(col("doc_id"), col("n_chars").cast("double").as("x"))
+        // kll_sketch_merge_double is a BINARY merge (unlike hll_union_agg),
+        // so report time folds the 16 fixed-size shard buffers — one row,
+        // never corpus data
+        val sketches = x.withColumn("shard", pmod(col("doc_id"), lit(16)))
+          .groupBy(col("shard"))
+          .agg(expr("kll_sketch_agg_double(x)").as("sk"))
+          .agg(collect_list(col("sk")).as("sks"))
+          .select(expr(
+            "aggregate(slice(sks, 2, size(sks) - 1), sks[0], (a, b) -> kll_sketch_merge_double(a, b))")
+            .as("msk"))
+          .crossJoin(x.agg(expr("kll_sketch_agg_double(x)").as("dsk")))
+          .select(
+            expr("kll_sketch_get_n_double(msk)").as("n_sketch"),
+            expr("kll_sketch_get_quantile_double(msk, 0.5)").as("q50"),
+            expr("kll_sketch_get_quantile_double(msk, 0.9)").as("q90"),
+            expr("kll_sketch_get_quantile_double(msk, 0.99)").as("q99"),
+            expr("kll_sketch_get_quantile_double(dsk, 0.5)").as("d50"),
+            expr("kll_sketch_get_quantile_double(dsk, 0.9)").as("d90"),
+            expr("kll_sketch_get_quantile_double(dsk, 0.99)").as("d99"))
+        val ranks = sketches.crossJoin(x).agg(
+          first(col("n_sketch")).as("n_sketch"),
+          (sum(when(col("x") <= col("q50"), 1L).otherwise(0L)) / count(lit(1))).as("r50"),
+          (sum(when(col("x") <= col("q90"), 1L).otherwise(0L)) / count(lit(1))).as("r90"),
+          (sum(when(col("x") <= col("q99"), 1L).otherwise(0L)) / count(lit(1))).as("r99"),
+          (sum(when(col("x") <= col("d50"), 1L).otherwise(0L)) / count(lit(1))).as("s50"),
+          (sum(when(col("x") <= col("d90"), 1L).otherwise(0L)) / count(lit(1))).as("s90"),
+          (sum(when(col("x") <= col("d99"), 1L).otherwise(0L)) / count(lit(1))).as("s99"))
+        ranks.select(
+          col("n_sketch"),
+          (abs(col("r50") - 0.5) <= 0.03).as("p50_in_bound"),
+          (abs(col("r90") - 0.9) <= 0.03).as("p90_in_bound"),
+          (abs(col("r99") - 0.99) <= 0.03).as("p99_in_bound"),
+          (greatest(
+            abs(col("r50") - col("s50")),
+            abs(col("r90") - col("s90")),
+            abs(col("r99") - col("s99"))) <= 0.02).as("merge_agrees"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_sketch,
+             |       TRUE AS p50_in_bound, TRUE AS p90_in_bound,
+             |       TRUE AS p99_in_bound, TRUE AS merge_agrees
+             |FROM documents""".stripMargin),
+      Seq("A2")
+    ),
+
     // §2.11: watermarked stream-stream interval join — view → purchase
     // attribution within 6 hours per user, both sides ARRIVING AS STREAMS
     // (file drops), joined with the bounded-state interval condition and a

@@ -531,6 +531,31 @@ object VectorQueries {
       Seq("A6")
     ),
 
+    // Leakage-safe train/val/test split: near-dup clusters (connected
+    // components over the MinHash-LSH pairs) assign as ONE unit — the
+    // cluster's canonical min-id drives the hash bucket, so a near-dup of
+    // a test document can never sit in train. sum_ids pins WHICH documents
+    // landed where (a single straddling pair would shift two sums);
+    // n_groups pins the cluster structure per split.
+    "ta_leakage_split" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          numHashes = 16, bands = 4, maxBucketSize = 100,
+          baseHash = Dedup.md5Lower60, bucketHash = Dedup.md5BucketHash)
+        graft.operators.Sampling.leakageSafeSplits(docs, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          hashFn = c => Dedup.md5Lower60(c.cast("string")))
+          .groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("doc_id")).as("sum_ids"),
+            countDistinct(col("split_group")).as("n_groups"))
+      },
+      Some(leakageSplitOracleSql(numHashes = 16, bands = 4, maxBucketSize = 100)),
+      Seq("A6", "F8")
+    ),
+
     // Flagship corpus dedup: exact (sha2 keep-min) → MinHash-LSH candidates
     // → connected components → one canonical doc per cluster, as one call.
     // Oracle: group-by-text keep-min + the shared pairs CTE + recursive
@@ -788,6 +813,32 @@ object VectorQueries {
        |SELECT CAST(count(*) AS BIGINT) AS n_flagged,
        |       CAST(COALESCE(sum(doc_id), 0) AS BIGINT) AS sum_ids FROM flagged""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.operators.Sampling.leakageSafeSplits]]: the
+    * shared pairs CTE + recursive closure, group = COALESCE(comp, own id),
+    * then the cumulative md5 hash-bucket split rule over the GROUP id.
+    */
+  private def leakageSplitOracleSql(numHashes: Int, bands: Int, maxBucketSize: Int): String =
+    s"""WITH RECURSIVE ${minhashPairsCte(numHashes, bands, maxBucketSize)},
+       |nodes AS (SELECT DISTINCT id FROM (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.id),
+       |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+       |grouped AS (
+       |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS g
+       |  FROM documents d LEFT JOIN comps c ON d.doc_id = c.id),
+       |assigned AS (
+       |  SELECT doc_id, g,
+       |         CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, g,
+       |               (CAST((md5_number_lower(CAST(g AS VARCHAR)) >> 4) AS BIGINT) % 10000) AS b
+       |        FROM grouped))
+       |SELECT split, CAST(count(*) AS BIGINT) AS n, CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       |       CAST(count(DISTINCT g) AS BIGINT) AS n_groups
+       |FROM assigned GROUP BY split""".stripMargin
 
   private def minhashOracleSql(numHashes: Int, bands: Int, maxBucketSize: Int): String =
     s"""WITH ${minhashPairsCte(numHashes, bands, maxBucketSize)}

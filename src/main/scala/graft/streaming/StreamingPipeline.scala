@@ -506,6 +506,105 @@ object StreamingPipeline {
     */
   final case class SessionUpdate(userId: Long, nEvents: Long, closed: Boolean)
 
+  /** Per-key session state for the transformWithState path: the open tail
+    * plus the exact event-time timer registered for it (tracked so a
+    * session extension can DELETE the stale timer instead of letting it
+    * fire early).
+    */
+  final case class SessionState(lastTs: Long, nEvents: Long, timerTs: Long)
+
+  /** [[sessionizeClosed]] on `transformWithState` — Spark 4's successor to
+    * flatMapGroupsWithState for arbitrary stateful processing: typed
+    * `ValueState` plus explicit per-key event-time TIMERS replace the
+    * single implicit timeout slot. The operator is RocksDB-only by design
+    * (the production state backend), so callers must set
+    * `spark.sql.streaming.stateStore.providerClass` to the RocksDB
+    * provider. Semantics are identical to [[sessionizeClosed]]: closed
+    * sessions emit as events arrive; when the watermark passes a quiet
+    * key's gap horizon its timer fires, the open tail emits as closed, and
+    * the state row is removed — `O(active keys)` state either way.
+    */
+  def sessionizeClosedTws(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long,
+      watermark: String = "1 hour"
+  ): org.apache.spark.sql.Dataset[SessionUpdate] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val typed = events
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+    typed
+      .groupByKey(_._1)
+      .transformWithState(
+        new SessionProcessor(gapMs), TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  private final class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), SessionUpdate] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var session: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState](
+        "session", Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(
+        userId: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues
+    ): Iterator[SessionUpdate] = {
+      var lastTs = Long.MinValue
+      var n = 0L
+      if (session.exists()) {
+        val st = session.get()
+        lastTs = st.lastTs
+        n = st.nEvents
+        // the session is live again: the timer registered for the OLD gap
+        // horizon must not fire
+        getHandle.deleteTimer(st.timerTs)
+      }
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+      val ts = rows.map(_._2.getTime).toArray
+      java.util.Arrays.sort(ts)
+      ts.foreach { t =>
+        if (lastTs != Long.MinValue && t - lastTs > gapMs) {
+          closed += SessionUpdate(userId, n, closed = true)
+          n = 0
+        }
+        n += 1
+        lastTs = t
+      }
+      // same straggler guard as sessionizeClosed: a timer at or below the
+      // watermark is invalid — clamp to the next possible advance
+      val timerTs = math.max(lastTs + gapMs, timers.getCurrentWatermarkInMs() + 1)
+      getHandle.registerTimer(timerTs)
+      session.update(SessionState(lastTs, n, timerTs))
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(
+        userId: Long,
+        timers: TimerValues,
+        expired: ExpiredTimerInfo
+    ): Iterator[SessionUpdate] = {
+      if (!session.exists()) Iterator.empty
+      else {
+        val st = session.get()
+        if (st.timerTs != expired.getExpiryTimeInMs) Iterator.empty // stale timer
+        else {
+          session.clear()
+          Iterator.single(SessionUpdate(userId, st.nEvents, closed = true))
+        }
+      }
+    }
+  }
+
   /** Update-mode twin of [[sessionizeClosed]]: emits the running size of the
     * key's current session on every batch, and — same eviction contract —
     * a final `closed = true` update when the key goes quiet past the gap,

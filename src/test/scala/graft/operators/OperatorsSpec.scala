@@ -141,6 +141,45 @@ class OperatorsSpec extends SparkSpec {
     assert(rebalanced("k2") == 2000, "keys without a fraction are untouched")
   }
 
+  test("leakage-safe splits: clusters land whole, singletons match assignSplits") {
+    val docs = (1L to 2000L).toDF("id")
+    // a 5-clique, a chain, and a pair — plus 1988 singletons
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L),  // clique-ish
+      (10L, 11L), (11L, 12L),                             // chain
+      (100L, 101L)
+    ).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplits(docs, "id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // no near-dup pair may straddle splits
+    val bySplit = out.select(col("id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    val edges = pairs.as[(Long, Long)].collect()
+    edges.foreach { case (a, b) =>
+      assert(bySplit(a) == bySplit(b), s"pair ($a,$b) straddles splits")
+    }
+    // clustered rows carry their component's canonical id as the group
+    val groups = out.select(col("id"), col("split_group"))
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(groups(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(groups(_) == 10L))
+    assert(groups(100L) == 100L && groups(101L) == 100L)
+    // unclustered rows are their own group and match plain assignSplits
+    val plain = Sampling.assignSplits(docs, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .as[(Long, String)].collect().toMap
+    val clustered = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    docs.as[Long].collect().filterNot(clustered).foreach { id =>
+      assert(groups(id) == id)
+      assert(bySplit(id) == plain(id), s"singleton $id diverged from assignSplits")
+    }
+    // star variant produces the identical assignment
+    val star = Sampling.leakageSafeSplits(docs, "id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), star = true)
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    assert(star == bySplit, "componentsStar path must agree with components")
+  }
+
   test("url blocklist: domain parse, suffix semantics, exact-only mode") {
     import graft.functions.TextFunctions.{extractUrls, urlDomain}
     val urls = spark.range(1).select(

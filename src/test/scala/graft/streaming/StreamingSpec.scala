@@ -449,6 +449,72 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionization runs identically on the RocksDB state store backend") {
+    // At 100 TB/day the in-memory (HDFS-backed) state store caps state at
+    // executor heap; production streaming state lives in RocksDB, where
+    // per-key state spills to local SSD and snapshots upload incrementally.
+    // The operator contract must be backend-invariant: same closed
+    // sessions, same eviction, only the storage engine changes.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(Long, java.sql.Timestamp)]
+      val events = mem.toDF().toDF("user_id", "ts")
+      val out = StreamingPipeline.sessionizeClosed(
+        spark, events, gapMs = 30 * 60000, watermark = "1 hour")
+      val q = out.toDF().writeStream.format("memory").queryName("rocks")
+        .outputMode("append").start()
+      mem.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 02:10:00")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT userId, nEvents, closed FROM rocks").collect()
+      assert(rows.length == 1 && rows.head.getLong(1) == 2 && rows.head.getBoolean(2),
+        s"same closed-session semantics under RocksDB, got ${rows.mkString(",")}")
+      // timeout eviction works the same way: another key pushes the
+      // watermark past user 1's gap horizon, the tail closes, state evicts
+      mem.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 06:00:00")))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM rocks WHERE userId = 1").head().getLong(0) == 2)
+      val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(stateRows == 1, s"RocksDB state evicts on timeout too, got $stateRows rows")
+      q.stop()
+
+      // transformWithState (Spark 4's successor API, RocksDB-only): same
+      // session laws through typed ValueState + explicit event-time timers
+      val mem2 = MemoryStream[(Long, java.sql.Timestamp)]
+      val out2 = StreamingPipeline.sessionizeClosedTws(
+        spark, mem2.toDF().toDF("user_id", "ts"), gapMs = 30 * 60000, watermark = "1 hour")
+      val q2 = out2.toDF().writeStream.format("memory").queryName("tws")
+        .outputMode("append").start()
+      mem2.addData(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 02:10:00")))
+      q2.processAllAvailable()
+      val tws = spark.sql("SELECT userId, nEvents, closed FROM tws").collect()
+      assert(tws.length == 1 && tws.head.getLong(1) == 2 && tws.head.getBoolean(2),
+        s"tws emits the in-batch closed session, got ${tws.mkString(",")}")
+      // quiet key: another key's event drives the watermark past the gap
+      // horizon; the registered timer fires, the tail closes, state evicts
+      mem2.addData((2L, java.sql.Timestamp.valueOf("2024-01-01 06:00:00")))
+      q2.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM tws WHERE userId = 1").head().getLong(0) == 2,
+        "timer-fired tail close emits through transformWithState")
+      q2.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("mapGroupsWithState sessionization emits per-key updates") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
