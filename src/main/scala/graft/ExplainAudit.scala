@@ -46,7 +46,7 @@ object ExplainAudit {
       "c_variant_shred", "q_rollup_grouping", "s_schema_evolution",
       "dd_semantic_incremental", "dd_contamination_report",
       "q_correlated_subquery", "j_salted_skew", "k_partitioned_write",
-      "ta_leakage_split", "a_kll_shard_quantiles"
+      "ta_leakage_split", "a_kll_shard_quantiles", "j_corpus_diff"
     )
 
     var bad = 0
@@ -380,6 +380,14 @@ object ExplainAudit {
       ("kll shard sketches aggregate map-side, rows never shuffle raw", {
         val p = plan("a_kll_shard_quantiles")
         p.contains("ObjectHashAggregate") && p.contains("partial_kll_sketch_agg_double")
+      }),
+      // corpus diff: content reduces to sha2 BEFORE the full-outer join —
+      // no exchange may carry the text column (at 100 TB the diff join
+      // must move hashes, not documents)
+      ("corpus diff exchanges carry (id, hash), never document text", {
+        val p = plan("j_corpus_diff")
+        !p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")) &&
+          !p.contains("CartesianProduct")
       })
     )
     println("\n===== invariants =====")

@@ -127,6 +127,54 @@ object ScaleProbe {
       graft.operators.Dedup.dedupCorpus(dedupInput, "doc_id", "text", maxBucketSize = 100).count()
     }
 
+    // Corpus diff at scale: snapshot N vs N+1 over the replicated corpus —
+    // old drops id%10==0, new drops id%13==1 and rewrites id%7==0 (an
+    // unconditional append, so "changed" is predicate-exact). The join
+    // carries (id, sha2) only. Every status count is verified EXACTLY
+    // against an independent one-pass predicate aggregation.
+    val oldSnap = dedupInput.filter(col("doc_id") % 10 =!= 0)
+    val newSnap = dedupInput.filter(col("doc_id") % 13 =!= 1)
+      .withColumn("text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit("x"))).otherwise(col("text")))
+    val (diffCounts, tDiff) = timed {
+      graft.operators.CorpusDiff.diff(oldSnap, newSnap, "doc_id", "text")
+        .groupBy(col("status")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val expDiff = dedupInput.agg(
+      sum(when(col("doc_id") % 10 === 0 && col("doc_id") % 13 =!= 1, 1L).otherwise(0L)),
+      sum(when(col("doc_id") % 10 =!= 0 && col("doc_id") % 13 === 1, 1L).otherwise(0L)),
+      sum(when(col("doc_id") % 10 =!= 0 && col("doc_id") % 13 =!= 1 &&
+        col("doc_id") % 7 === 0, 1L).otherwise(0L)),
+      sum(when(col("doc_id") % 10 =!= 0 && col("doc_id") % 13 =!= 1 &&
+        col("doc_id") % 7 =!= 0, 1L).otherwise(0L))).head()
+    require(
+      diffCounts.getOrElse("added", 0L) == expDiff.getLong(0) &&
+        diffCounts.getOrElse("removed", 0L) == expDiff.getLong(1) &&
+        diffCounts.getOrElse("changed", 0L) == expDiff.getLong(2) &&
+        diffCounts.getOrElse("unchanged", 0L) == expDiff.getLong(3),
+      s"corpus diff drifted from the predicate truth: $diffCounts vs $expDiff")
+
+    // Leakage-safe splits at scale: near-dup clusters (the replicated corpus
+    // is mult×-duplicated, so clusters are real and large) must land WHOLE
+    // in one split. The gate is exact: zero candidate pairs straddle splits.
+    val (nStraddle, tLeakSplit) = timed {
+      val pairs = graft.operators.Dedup.minhashCandidates(
+        dedupInput, "doc_id", "text", maxBucketSize = 100)
+      val assigned = graft.operators.Sampling.leakageSafeSplits(
+        dedupInput.select(col("doc_id")), "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+      assigned.cache().count()
+      val a = assigned.withColumnRenamed("doc_id", "id_a").withColumnRenamed("split", "sa")
+      val b = assigned.withColumnRenamed("doc_id", "id_b").withColumnRenamed("split", "sb")
+      val n = pairs.join(a, Seq("id_a")).join(b, Seq("id_b"))
+        .filter(col("sa") =!= col("sb")).count()
+      assigned.unpersist()
+      n
+    }
+    require(nStraddle == 0L, s"$nStraddle near-dup pairs straddle splits")
+
     // Decontamination at scale: a 1%-of-corpus "benchmark" (the realistic
     // eval-suite-to-corpus ratio is far smaller) swept against all docs via
     // the 13-gram hash join; gram set built once, persisted.
@@ -499,6 +547,8 @@ object ScaleProbe {
         s""""identify_sec":${f"$tIdentify%.1f"},"identify_shuffle_sec":${f"$tIdentifyShuffle%.1f"},""" +
         s""""dedup_sec":${f"$tDedup%.1f"},"dedup_kept":$nKept,""" +
         s""""decontam_sec":${f"$tDecontam%.1f"},"contaminated":$nContaminated,""" +
+        s""""diff_sec":${f"$tDiff%.1f"},"diff_changed":${diffCounts.getOrElse("changed", 0L)},""" +
+        s""""leak_split_sec":${f"$tLeakSplit%.1f"},"leak_straddle":$nStraddle,""" +
         s""""anti_plain_sec":${f"$tPlainAnti%.1f"},"anti_bloom_sec":${f"$tBloomAnti%.1f"},""" +
         s""""vecs":$nVecs,"topk_full_sec":${f"$tFullTopK%.1f"},"quantize_once_sec":${f"$tQuantize%.1f"},"topk_int8_sec":${f"$tQuantTopK%.1f"},"recall10":$recall10,""" +
         s""""gopher_keep":$nGopherKeep,"gopher_sec":${f"$tGopher%.1f"},""" +

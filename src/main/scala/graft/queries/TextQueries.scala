@@ -578,6 +578,43 @@ object TextQueries {
       Seq("C12", "A6")
     ),
 
+    // Snapshot-over-snapshot corpus diff (the engine-level CDC primitive
+    // behind dump-over-dump refreshes): two synthetic corpus versions —
+    // old drops doc_id%10==0, new drops doc_id%13==1 and rewrites
+    // doc_id%7==0 — classified added/removed/changed/unchanged. Content
+    // reduces to sha2 BEFORE the full-outer join, so the exchange carries
+    // (id, hash), never text. The oracle classifies on raw text with the
+    // same construction; sum_ids pins membership per status.
+    "j_corpus_diff" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val oldV = docs.filter(col("doc_id") % 10 =!= 0)
+        val newV = docs.filter(col("doc_id") % 13 =!= 1)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, upper(col("text"))).otherwise(col("text")))
+        graft.operators.CorpusDiff.diff(oldV, newV, "doc_id", "text")
+          .groupBy(col("status"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("sum_ids"))
+      },
+      Some("""WITH old_v AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+             |new_v AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 7 = 0 THEN upper(text) ELSE text END AS text
+             |  FROM documents WHERE doc_id % 13 <> 1),
+             |d AS (
+             |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             |         CASE WHEN o.doc_id IS NULL THEN 'added'
+             |              WHEN n.doc_id IS NULL THEN 'removed'
+             |              WHEN o.text <> n.text THEN 'changed'
+             |              ELSE 'unchanged' END AS status
+             |  FROM old_v o FULL OUTER JOIN new_v n ON o.doc_id = n.doc_id)
+             |SELECT status, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(doc_id) AS BIGINT) AS sum_ids
+             |FROM d GROUP BY status""".stripMargin),
+      Seq("S1", "J1")
+    ),
+
     "ta_urls" -> Q(
       (s, d) => {
         import s.implicits._

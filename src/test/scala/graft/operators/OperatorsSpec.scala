@@ -141,6 +141,23 @@ class OperatorsSpec extends SparkSpec {
     assert(rebalanced("k2") == 2000, "keys without a fraction are untouched")
   }
 
+  test("corpus diff: added/removed/changed/unchanged exact; reprocess = added ∪ changed") {
+    val oldV = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("id", "text")
+    val newV = Seq((2L, "beta"), (3L, "GAMMA2"), (4L, "delta")).toDF("id", "text")
+    val st = CorpusDiff.diff(oldV, newV, "id", "text").as[(Long, String)].collect().toMap
+    assert(st == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    val rp = CorpusDiff.toReprocess(oldV, newV, "id", "text").as[Long].collect().toSet
+    assert(rp == Set(3L, 4L), "downstream reprocesses exactly added ∪ changed")
+    // identical snapshots: everything unchanged, reprocess empty
+    assert(CorpusDiff.diff(oldV, oldV, "id", "text")
+      .filter(col("status") =!= "unchanged").isEmpty)
+    // the join must carry hashes, not the content column
+    val plan = CorpusDiff.diff(oldV, newV, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")),
+      "diff exchanges must not ship document text")
+  }
+
   test("leakage-safe splits: clusters land whole, singletons match assignSplits") {
     val docs = (1L to 2000L).toDF("id")
     // a 5-clique, a chain, and a pair — plus 1988 singletons
