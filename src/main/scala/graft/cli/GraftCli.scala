@@ -464,6 +464,24 @@ object GraftCli {
         graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
         println(s"compacted=$indexPath")
         0
+      // lake-compact <dir> [partitionCol,...] — fold a parquet table's
+      // small files to ~one-per-partition (or the record target), rows
+      // preserved exactly; staged swap, see Lake.compact
+      case "lake-compact" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case dir :: partArg =>
+            val parts = partArg.headOption
+              .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+            val st = graft.operators.Lake.compact(
+              spark, dir, parts,
+              targetRecordsPerFile = settings.limit.map(_.toLong).getOrElse(1000000L))
+            println(s"files_before=${st.filesBefore} files_after=${st.filesAfter} rows=${st.rows}")
+            0
+          case _ =>
+            System.err.println("usage: lake-compact <dir> [partitionCol,...] [--limit=recordsPerFile]")
+            2
+        }
       case "text-search" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
@@ -530,6 +548,7 @@ object GraftCli {
             |  text-index-append <storePath> <indexPath> [docId ...]
             |  text-index-compact <indexPath>
             |  dedup-index-compact <indexPath>
+            |  lake-compact <dir> [partitionCol,...] [--limit=recordsPerFile]
             |  text-search <storePath|indexPath> <"terms"> [--limit=K]
             |  dedup <storePath>
             |  decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy|--report]

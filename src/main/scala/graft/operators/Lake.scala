@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Parquet-lake file maintenance. Streaming appends, per-microbatch index
+  * segments, and partitioned upserts all accumulate SMALL FILES — and at
+  * 100 TB the per-file open/footer cost (plus NameNode/object-store
+  * listing) dominates scans long before data volume does. Compaction
+  * rewrites a table's data into ~target-sized files per partition without
+  * changing a single row; it is the lake-side twin of the BM25/signature
+  * index compactions (`TextSearch.compactIndex`,
+  * `Dedup.compactSignatureIndex`) and shares their staged-write +
+  * checked-rename swap discipline.
+  */
+object Lake {
+
+  final case class CompactStats(filesBefore: Long, filesAfter: Long, rows: Long)
+
+  private def hadoopFs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Count data files under `path` (recursively; `_`-prefixed metadata and
+    * hidden files excluded — the same convention Spark's own file index
+    * uses).
+    */
+  def dataFileCount(spark: SparkSession, path: String): Long = {
+    val fs = hadoopFs(spark, path)
+    val it = fs.listFiles(new Path(path), true)
+    var n = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) n += 1
+    }
+    n
+  }
+
+  /** Compact a (possibly Hive-partitioned) parquet directory to
+    * ~`targetRecordsPerFile` rows per file, preserving the partition
+    * layout and every row bit-for-bit.
+    *
+    * Scale shape: one scan + one shuffle keyed by the partition columns
+    * (AQE coalesces many small partition values into few write tasks;
+    * `maxRecordsPerFile` re-splits the oversized ones), then an atomic
+    * staged swap — readers see the old layout until the rename, and a
+    * crash before the swap leaves the table untouched with the compacted
+    * copy intact in the staging dir. Row-group locality within a file
+    * follows `sortCols` when given (e.g. a time column), which is what
+    * makes min/max row-group pruning effective after compaction.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCols: Seq[String] = Nil,
+      targetRecordsPerFile: Long = 1000000L,
+      sortCols: Seq[String] = Nil
+  ): CompactStats = {
+    require(targetRecordsPerFile > 0, "targetRecordsPerFile must be positive")
+    val before = dataFileCount(spark, path)
+    val df = spark.read.parquet(path)
+    val rows = df.count()
+    val tmp = path + ".compact-tmp"
+    val shuffled =
+      if (partitionCols.nonEmpty) df.repartition(partitionCols.map(col): _*)
+      else {
+        val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+        df.repartition(nFiles.toInt)
+      }
+    val sorted =
+      if (sortCols.nonEmpty)
+        shuffled.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else shuffled
+    val writer = sorted.write
+      .option("maxRecordsPerFile", targetRecordsPerFile)
+      .mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*) else writer)
+      .parquet(tmp)
+    // verify the staged copy BEFORE touching the live layout: a lossy
+    // compaction must never swap in
+    val staged = spark.read.parquet(tmp).count()
+    require(staged == rows,
+      s"staged compaction has $staged rows, source has $rows — aborting swap, $path untouched")
+    val fs = hadoopFs(spark, path)
+    fs.delete(new Path(path), true)
+    require(fs.rename(new Path(tmp), new Path(path)),
+      s"rename $tmp -> $path failed after the old layout was deleted; " +
+        s"the compacted table is intact at $tmp — move it into place manually")
+    CompactStats(before, dataFileCount(spark, path), rows)
+  }
+}

@@ -441,6 +441,40 @@ object PipelineQueries {
       Seq("K1", "F6")
     ),
 
+    // Lake compaction: a fragmented partitioned table (24-way shuffle ×
+    // source dirs ≈ hundreds of small files — the layout streaming appends
+    // and partitioned upserts actually leave behind) compacts to exactly
+    // ONE file per partition, row-for-row identical. n_files_after is
+    // pinned by the oracle as count(DISTINCT source) — hash repartition
+    // never splits a key, so one write task owns each source; files_shrunk
+    // pins that compaction actually reduced the file count.
+    "k_lake_compact" -> Q(
+      (s, d) => {
+        val out = tmpDir(d, "compact_docs")
+        cleanDir(out)
+        documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+          .repartition(24)
+          .write.partitionBy("source").mode("overwrite").parquet(out)
+        val stats = graft.operators.Lake.compact(s, out, Seq("source"))
+        s.read.parquet(out)
+          .agg(
+            countDistinct(col("source")).as("n_sources"),
+            count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(
+            col("n_sources"), col("n_rows"), col("sum_chars"),
+            lit(stats.filesAfter).as("n_files_after"),
+            lit(stats.filesAfter < stats.filesBefore).as("files_shrunk"))
+      },
+      Some("""SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |       CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(count(DISTINCT source) AS BIGINT) AS n_files_after,
+             |       TRUE AS files_shrunk
+             |FROM documents""".stripMargin),
+      Seq("K1", "K5")
+    ),
+
     // Schema evolution on read: two parquet batches written months apart
     // with different schemas (the later one grew n_chars), merged by
     // mergeSchema — the long-lived-lake reality at 100 TB, where a sweep

@@ -50,6 +50,41 @@ class LakeLayoutSpec extends SparkSpec {
     assert(res.select("vec_id").as[Long].collect().toSeq == mem)
   }
 
+  test("lake compaction folds small files, preserves rows, keeps pruning alive") {
+    val dir = java.nio.file.Files.createTempDirectory("lake_compact").toString + "/t"
+    val df = spark.range(2000).select(
+      col("id"), (col("id") % 4).cast("string").as("src"),
+      concat(lit("row"), col("id")).as("payload"))
+    df.repartition(25).write.partitionBy("src").parquet(dir)
+    val before = Lake.dataFileCount(spark, dir)
+    assert(before >= 40, s"fixture should be fragmented, got $before files")
+    val stats = Lake.compact(spark, dir, Seq("src"))
+    assert(stats.rows == 2000 && stats.filesBefore == before)
+    assert(stats.filesAfter == 4, s"one file per partition, got ${stats.filesAfter}")
+    // row-identical content after the swap
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2000)
+    val sums = back.groupBy("src").agg(sum("id").as("s"), count(lit(1)).as("n"))
+      .as[(String, Long, Long)].collect().map { case (k, s, n) => k -> ((s, n)) }.toMap
+    (0 to 3).foreach { m =>
+      val ids = (0L until 2000L).filter(_ % 4 == m)
+      assert(sums(m.toString) == ((ids.sum, ids.size.toLong)))
+    }
+    // partition pruning survives compaction
+    val scan = back.filter(col("src") === "1")
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("src"))
+
+    // non-partitioned table: file count follows the record target, and
+    // maxRecordsPerFile re-splits anything oversized
+    val dir2 = java.nio.file.Files.createTempDirectory("lake_compact2").toString + "/t2"
+    spark.range(2000).toDF("id").repartition(30).write.parquet(dir2)
+    val st2 = Lake.compact(spark, dir2, targetRecordsPerFile = 500)
+    assert(st2.rows == 2000 && st2.filesAfter >= 4 && st2.filesAfter <= 8,
+      s"~2000/500 files expected, got ${st2.filesAfter}")
+    assert(spark.read.parquet(dir2).agg(sum("id")).head().getLong(0) == (0L until 2000L).sum)
+  }
+
   test("profiler computes all column stats in one scan") {
     val df = (1 to 100).map(i => (i.toLong, s"v${i % 5}")).toDF("id", "tag")
     val profiled = Profiler.profile(df, Seq("id", "tag"))
