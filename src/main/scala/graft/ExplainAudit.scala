@@ -46,7 +46,8 @@ object ExplainAudit {
       "c_variant_shred", "q_rollup_grouping", "s_schema_evolution",
       "dd_semantic_incremental", "dd_contamination_report",
       "q_correlated_subquery", "j_salted_skew", "k_partitioned_write",
-      "ta_leakage_split", "a_kll_shard_quantiles", "j_corpus_diff"
+      "ta_leakage_split", "a_kll_shard_quantiles", "j_corpus_diff",
+      "q_lateral_topk", "dd_url_dedup"
     )
 
     var bad = 0
@@ -388,6 +389,14 @@ object ExplainAudit {
         val p = plan("j_corpus_diff")
         !p.linesIterator.exists(l => l.contains("Exchange") && l.contains("text#")) &&
           !p.contains("CartesianProduct")
+      }),
+      // lateral correlated ordered-LIMIT: Catalyst must rewrite to a
+      // ranked-window join — a per-outer-row inner execution (nested loop)
+      // is the 100 TB non-starter the decorrelation exists for
+      ("lateral top-k decorrelates to a window join, never a nested loop", {
+        val p = plan("q_lateral_topk")
+        p.contains("Window") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")
       })
     )
     println("\n===== invariants =====")

@@ -175,6 +175,24 @@ object ScaleProbe {
     }
     require(nStraddle == 0L, s"$nStraddle near-dup pairs straddle splits")
 
+    // Lake compaction at scale: the corpus written 64-way-fragmented into
+    // 8 partition dirs (~512 small files — a few hours of streaming
+    // appends), folded back to one file per partition. Gates are exact:
+    // row count preserved, files_after == 8.
+    val lakePath = "/tmp/graft/scaleprobe_lake"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(lakePath))
+    dedupInput
+      .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("string"))
+      .repartition(64)
+      .write.partitionBy("shard").parquet(lakePath)
+    val (lakeStats, tLakeCompact) = timed {
+      graft.operators.Lake.compact(spark, lakePath, Seq("shard"))
+    }
+    require(lakeStats.rows == nDocs,
+      s"compaction must preserve rows: ${lakeStats.rows} vs $nDocs")
+    require(lakeStats.filesAfter == 8,
+      s"one file per partition expected, got ${lakeStats.filesAfter} (before: ${lakeStats.filesBefore})")
+
     // Decontamination at scale: a 1%-of-corpus "benchmark" (the realistic
     // eval-suite-to-corpus ratio is far smaller) swept against all docs via
     // the 13-gram hash join; gram set built once, persisted.
@@ -549,6 +567,7 @@ object ScaleProbe {
         s""""decontam_sec":${f"$tDecontam%.1f"},"contaminated":$nContaminated,""" +
         s""""diff_sec":${f"$tDiff%.1f"},"diff_changed":${diffCounts.getOrElse("changed", 0L)},""" +
         s""""leak_split_sec":${f"$tLeakSplit%.1f"},"leak_straddle":$nStraddle,""" +
+        s""""lake_files_before":${lakeStats.filesBefore},"lake_files_after":${lakeStats.filesAfter},"lake_compact_sec":${f"$tLakeCompact%.1f"},""" +
         s""""anti_plain_sec":${f"$tPlainAnti%.1f"},"anti_bloom_sec":${f"$tBloomAnti%.1f"},""" +
         s""""vecs":$nVecs,"topk_full_sec":${f"$tFullTopK%.1f"},"quantize_once_sec":${f"$tQuantize%.1f"},"topk_int8_sec":${f"$tQuantTopK%.1f"},"recall10":$recall10,""" +
         s""""gopher_keep":$nGopherKeep,"gopher_sec":${f"$tGopher%.1f"},""" +

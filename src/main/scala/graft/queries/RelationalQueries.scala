@@ -371,6 +371,31 @@ object RelationalQueries {
       Seq("A2", "J1")
     ),
 
+    // LATERAL join with a correlated ordered-LIMIT subquery: per-nation
+    // top-2 customers by balance — the "top-k per outer row" idiom SQL
+    // users reach for before they know window functions. Catalyst must
+    // rewrite the lateral into a join (DecorrelateInnerQuery handles the
+    // correlated LIMIT), not re-execute the inner query per outer row.
+    // Balances pass through unmodified (no float arithmetic), so values
+    // compare exactly.
+    "q_lateral_topk" -> Q(
+      (s, d) => {
+        nation(s, d).createOrReplaceTempView("nation_lat")
+        customer(s, d).createOrReplaceTempView("customer_lat")
+        s.sql("""SELECT n.n_name, l.c_name, l.c_acctbal
+                |FROM nation_lat n,
+                |LATERAL (SELECT c_name, c_acctbal FROM customer_lat c
+                |         WHERE c.c_nationkey = n.n_nationkey
+                |         ORDER BY c_acctbal DESC, c_name LIMIT 2) l""".stripMargin)
+      },
+      Some("""SELECT n.n_name, l.c_name, l.c_acctbal
+             |FROM nation n,
+             |LATERAL (SELECT c_name, c_acctbal FROM customer c
+             |         WHERE c.c_nationkey = n.n_nationkey
+             |         ORDER BY c_acctbal DESC, c_name LIMIT 2) l""".stripMargin),
+      Seq("J1", "L2")
+    ),
+
     // ROLLUP with GROUPING() markers: the hierarchy prefix of CUBE plus the
     // marker function that disambiguates "NULL because subtotal" from "NULL
     // in the data" — the piece q_cube doesn't exercise.

@@ -615,6 +615,53 @@ object TextQueries {
       Seq("S1", "J1")
     ),
 
+    // URL-keyed crawl dedup: canonicalize (fragment/tracking-param/port/case
+    // noise stripped), then keep ONE document per canonical URL (min id) —
+    // the crawl-frontier primitive that collapses the 7×3×10 salted
+    // construction to 210 keepers. sum_keep_ids pins WHICH document
+    // survives each URL, not just how many.
+    "dd_url_dedup" -> Q(
+      (s, d) => {
+        val salted = documents(s, d).withColumn("url",
+          concat(lit("HTTP://WWW.Example"), (col("doc_id") % 7).cast("string"),
+            lit(".COM:80/Path"), (col("doc_id") % 3).cast("string"),
+            lit("/?utm_source=x&utm_medium=y&id="), (col("doc_id") % 10).cast("string"),
+            lit("&fbclid=abc#frag")))
+        salted.withColumn("canon", canonicalizeUrl(col("url")))
+          .groupBy(col("canon")).agg(min(col("doc_id")).as("keep_id"))
+          .agg(count(lit(1)).as("n_canon"), sum(col("keep_id")).as("sum_keep_ids"))
+      },
+      Some("""WITH salted AS (
+             |  SELECT doc_id,
+             |         'HTTP://WWW.Example' || CAST(doc_id % 7 AS VARCHAR) ||
+             |         '.COM:80/Path' || CAST(doc_id % 3 AS VARCHAR) ||
+             |         '/?utm_source=x&utm_medium=y&id=' || CAST(doc_id % 10 AS VARCHAR) ||
+             |         '&fbclid=abc#frag' AS url
+             |  FROM documents),
+             |c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM salted),
+             |c2 AS (SELECT doc_id,
+             |         regexp_replace(u, '[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*', '', 'g') AS u
+             |       FROM c1),
+             |c3 AS (SELECT doc_id, regexp_replace(u, '^([^?]*)&', '\1?') AS u FROM c2),
+             |c4 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '') AS u FROM c3),
+             |c5 AS (SELECT doc_id,
+             |         lower(regexp_extract(u, '(?i)^(https?://[^/:?#]+)', 1)) ||
+             |         regexp_replace(u, '(?i)^https?://[^/:?#]+', '') AS u
+             |       FROM c4),
+             |c6 AS (SELECT doc_id,
+             |         regexp_replace(u, '^(http://[^/:?#]+):80([/?#].*)?$', '\1\2') AS u
+             |       FROM c5),
+             |c7 AS (SELECT doc_id,
+             |         regexp_replace(u, '^(https://[^/:?#]+):443([/?#].*)?$', '\1\2') AS u
+             |       FROM c6),
+             |canon AS (SELECT doc_id, regexp_replace(u, '/$', '') AS canon FROM c7),
+             |kept AS (SELECT canon, min(doc_id) AS keep_id FROM canon GROUP BY canon)
+             |SELECT CAST(count(*) AS BIGINT) AS n_canon,
+             |       CAST(sum(keep_id) AS BIGINT) AS sum_keep_ids
+             |FROM kept""".stripMargin),
+      Seq("A6", "C12")
+    ),
+
     "ta_urls" -> Q(
       (s, d) => {
         import s.implicits._
