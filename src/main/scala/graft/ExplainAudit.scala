@@ -47,7 +47,7 @@ object ExplainAudit {
       "dd_semantic_incremental", "dd_contamination_report",
       "q_correlated_subquery", "j_salted_skew", "k_partitioned_write",
       "ta_leakage_split", "a_kll_shard_quantiles", "j_corpus_diff",
-      "q_lateral_topk", "dd_url_dedup"
+      "q_lateral_topk", "dd_url_dedup", "e2_pq_recall_gate"
     )
 
     var bad = 0
@@ -397,6 +397,26 @@ object ExplainAudit {
         val p = plan("q_lateral_topk")
         p.contains("Window") && !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")
+      }),
+      // PQ ADC search: scoring is map-side against the BROADCAST query
+      // tables (the nested-loop here is the intended bounded broadcast of
+      // |queries| table rows) and candidates truncate in partial_top_k
+      // before any exchange — full scored pairs must never shuffle. The
+      // battery entry materializes eagerly into a local relation, so the
+      // invariant inspects the ADC pipeline itself.
+      ("pq adc search broadcasts query tables and truncates top-k map-side", {
+        import org.apache.spark.sql.functions.col
+        val vecs = Tables.embeddings(spark, sfDir)
+        val model = graft.operators.Pq.train(vecs, "embedding", "vec_id",
+          m = 16, k = 16, iters = 1)
+        val codes = graft.operators.Pq.encode(vecs, "embedding", model)
+          .select(col("vec_id"), col("pq_code"))
+        val p = graft.operators.Pq.nnJoinAdc(codes, "pq_code", "vec_id",
+          vecs.filter(col("vec_id") % 100 === 0)
+            .select(col("vec_id").as("qid"), col("embedding")),
+          "qid", "embedding", n = 10, model)
+          .queryExecution.executedPlan.toString
+        p.contains("partial_top_k") && p.contains("BroadcastNestedLoopJoin")
       })
     )
     println("\n===== invariants =====")

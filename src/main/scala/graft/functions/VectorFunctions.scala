@@ -34,6 +34,28 @@ object VectorFunctions {
     */
   def vecLit(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
 
+  /** L2-normalize to unit length (float output; zero vectors pass through
+    * unchanged). Normalizing the corpus once at ingest is what makes inner
+    * product ≡ cosine — the precondition for dot-approximating
+    * representations (PQ/ADC) to rank like the cosine ground truth.
+    */
+  def l2Normalize(v: Column): Column = {
+    // bind the norm fold once per row (the quantizeInt8 single-element-array
+    // trick); referencing it inside the per-element lambda would recompute
+    // the whole fold per element — O(dim²)
+    element_at(
+      transform(array(norm(v)), n =>
+        when(n > 0.0, transform(v, x => (x.cast("double") / n).cast("float")))
+          .otherwise(v)),
+      1)
+  }
+
+  /** Driver twin of [[l2Normalize]] — same fold order. */
+  def l2NormalizeLocal(v: Array[Float]): Array[Float] = {
+    val n = normLocal(v)
+    if (n > 0.0) v.map(x => (x.toDouble / n).toFloat) else v
+  }
+
   /** Driver-side twin of [[norm]] for a literal vector: same left-to-right
     * double accumulation as the `aggregate` fold, so the value is
     * bit-identical to what `norm(vecLit(v))` would compute per row.
