@@ -167,6 +167,41 @@ object Pq {
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k)
 
+  /** Attach PQ codes to an IVF index's assigned rows — the at-rest IVF-PQ
+    * layout (FAISS's IVFPQ): `cid` keeps partition pruning, `pq_code` is
+    * the 32×-smaller scored representation. Encode ONCE at index build;
+    * queries then never touch float vectors until the rerank.
+    */
+  def encodeIvf(
+      index: Similarity.IvfIndex, vecCol: String, model: PqModel): Similarity.IvfIndex =
+    index.copy(assigned = encode(index.assigned, vecCol, model))
+
+  /** IVF-PQ search: probe the best `nProbes` cells (the [[Similarity.topKIvf]]
+    * centroid ranking — identical probe-cell selection, so the candidate
+    * cells match the full-precision variant exactly) and ADC-score the PQ
+    * codes within them. The composed 10⁹-vector path: cid pruning limits
+    * WHICH rows are read, the ~8-byte code makes each row 32× smaller, and
+    * scoring is m lookups — compose with an exact rerank for the final
+    * head. Requires an index through [[encodeIvf]].
+    */
+  def topKIvfPq(
+      index: Similarity.IvfIndex, idCol: String,
+      query: Array[Float], n: Int, nProbes: Int, model: PqModel): DataFrame = {
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+    }
+    val probeCids = index.centroids.sortBy { case (_, c) => -cos(query, c) }
+      .take(nProbes).map(_._1)
+    topKAdc(index.assigned.filter(col("cid").isin(probeCids: _*)),
+      "pq_code", idCol, query, n, model)
+  }
+
   /** Two-sided (query-set) ADC search — the relational form of the
     * per-query table loop: each query's (m × k) weight table materializes
     * as rows and BROADCASTS (|queries|·m·k tiny rows), codes explode once

@@ -118,4 +118,28 @@ class PqSpec extends SparkSpec {
     info(f"PQ(m=16,k=16) ADC top-100 rerank recall@10 = $recall%.3f over 40 queries")
     assert(recall >= 0.55, f"PQ rerank recall collapsed: $recall%.3f")
   }
+
+  test("IVF-PQ: full probe equals flat ADC; narrow probe stays within cells") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val model = Pq.train(vecs, "embedding", "vec_id", m = 8, k = 16, iters = 1)
+    val index = Pq.encodeIvf(
+      Similarity.buildIvf(vecs, "embedding", "vec_id", k = 8), "embedding", model)
+    val q = vecs.filter(col("vec_id") === 7)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    // full probe scans every cell: identical rows to flat ADC over all codes
+    val full = Pq.topKIvfPq(index, "vec_id", q, 10, nProbes = 8, model)
+      .select(col("vec_id"), col("adc_score")).as[(Long, Double)].collect().toSeq
+    val flat = Pq.topKAdc(Pq.encode(vecs, "embedding", model), "pq_code", "vec_id",
+      q, 10, model)
+      .select(col("vec_id"), col("adc_score")).as[(Long, Double)].collect().toSeq
+    assert(full == flat, "full-probe IVF-PQ must equal flat ADC")
+    // narrow probe: every result belongs to the single probed cell
+    val one = Pq.topKIvfPq(index, "vec_id", q, 10, nProbes = 1, model)
+      .select(col("vec_id")).as[Long].collect().toSet
+    val members = index.assigned
+      .join(one.toSeq.toDF("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("cid")).distinct().as[Int].collect().toSet
+    assert(members.size == 1, s"narrow probe leaked across cells: $members")
+  }
 }
