@@ -45,11 +45,21 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    // measured data movement per query (shuffle write MB on the FIRST run):
+    // at scale the shuffle-byte count is the cost model, so the artifact
+    // carries it alongside wall-clock
+    val sc = spark.sparkContext
+    def shuffleWritten(): Long = {
+      org.apache.spark.graft.StatusBridge.quiesce(sc)
+      org.apache.spark.graft.StatusBridge.shuffleTotals(sc)._1
+    }
     val results = selected.map { case (name, fn) =>
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var failed = false
       var i = 0
+      var shuffleMb = 0.0
       while (i < runs && !failed && (i == 0 || times.head <= maxSec)) {
+        val sw0 = if (i == 0) shuffleWritten() else 0L
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() }
         catch {
@@ -59,17 +69,20 @@ object Bench {
             failed = true
         }
         times += (System.nanoTime() - t0) / 1e9
+        if (i == 0 && !failed) shuffleMb = (shuffleWritten() - sw0) / 1e6
         i += 1
       }
       val med = median(times.toSeq)
-      (name, if (failed) -med else med, times.max - times.min)
+      (name, if (failed) -med else med, times.max - times.min, shuffleMb)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, sp) => "\"" + k + "\":" + f"$sp%.3f" }
+    val spreads = results.map { case (k, _, sp, _) => "\"" + k + "\":" + f"$sp%.3f" }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"runs":$runs,"sf":"$sfDir","failed":${failures.length}}"""
+    val shuffles = results.map { case (k, _, _, mb) => "\"" + k + "\":" + f"$mb%.1f" }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"shuffle_mb":$shuffles,"runs":$runs,"sf":"$sfDir","failed":${failures.length}}"""
     println(line)
     // The driver captures only the tail of stdout, which truncates the first
     // ~70 query timings; persist the full line so the committed artifact is
