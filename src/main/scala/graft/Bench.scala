@@ -30,6 +30,10 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the battery runs thousands of stages; default stage retention (1000)
+      // evicts mid-run and makes shuffle-byte deltas go NEGATIVE
+      .config("spark.ui.retainedStages", "100000")
+      .config("spark.ui.retainedJobs", "100000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT + whole-stage-codegen compiler + parquet reader
@@ -69,7 +73,8 @@ object Bench {
             failed = true
         }
         times += (System.nanoTime() - t0) / 1e9
-        if (i == 0 && !failed) shuffleMb = (shuffleWritten() - sw0) / 1e6
+        // clamp: any residual eviction reads as a small negative delta
+        if (i == 0 && !failed) shuffleMb = math.max(0.0, (shuffleWritten() - sw0) / 1e6)
         i += 1
       }
       val med = median(times.toSeq)
