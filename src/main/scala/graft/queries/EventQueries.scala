@@ -251,6 +251,43 @@ object EventQueries {
       Seq("A2")
     ),
 
+    // W-series: Spark's NATIVE session_window aggregation (batch form) —
+    // the built-in the hand-rolled gaps-and-islands twin (w_session_gap)
+    // re-derives. Session semantics: a window extends while the next event
+    // arrives STRICTLY BEFORE last_ts + gap, so the island boundary is
+    // diff >= gap (vs > gap in w_session_gap) — the oracle replays exactly
+    // that. Aggregated per user so timestamps never reach the compare.
+    "w_session_window_native" -> Q(
+      (s, d) =>
+        events(s, d)
+          .groupBy(col("user_id"),
+            expr("session_window(ts, '30 minutes')").as("sw"))
+          .agg(count(lit(1)).as("n_in_session"))
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("n_in_session")).as("n_events"),
+            max(col("n_in_session")).as("max_session_events")),
+      Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+             |       count(*) AS n_events,
+             |       CAST(max(sz) AS BIGINT) AS max_session_events
+             |FROM (
+             |  SELECT user_id, new_session,
+             |         count(*) OVER (PARTITION BY user_id, island) AS sz
+             |  FROM (
+             |    SELECT user_id, new_session,
+             |           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             |                                  ROWS UNBOUNDED PRECEDING) AS island
+             |    FROM (
+             |      SELECT user_id, ts,
+             |        CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+             |               OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800000000
+             |             THEN 1 ELSE 0 END AS new_session
+             |      FROM events)))
+             |GROUP BY user_id""".stripMargin),
+      Seq("A2", "W1")
+    ),
+
     // W-series: trailing 1-hour rolling count/sum per user (RANGE frame on
     // epoch seconds — peers at the same second included, the ANSI frame
     // semantics both engines share). Summed over event_id so the rolling

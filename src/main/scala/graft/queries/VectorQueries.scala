@@ -535,11 +535,10 @@ object VectorQueries {
     // bytes/vector, 32× smaller than float32) searched via the set-based
     // ADC join + an exact rerank of the top-100 candidates must recall the
     // true cosine top-10 above the floor for the %100 query cohort. The
-    // floor sits ~0.15 under the measured ~0.6 on this near-random
-    // synthetic corpus (quantization's worst case — real embedding
-    // corpora cluster and recall far higher; the AnnRecallSpec/PqSpec
-    // measurements document the curve). Envelope oracle: DuckDB asserts
-    // the boolean, n_queries pins the cohort.
+    // floor sits well under the measured ~0.98 (PqSpec prints the number;
+    // the 100-candidate rerank recovers nearly everything ADC misranks).
+    // Envelope oracle: DuckDB asserts the boolean, n_queries pins the
+    // cohort.
     "e2_pq_recall_gate" -> Q(
       (s, d) => {
         import s.implicits._
@@ -570,7 +569,7 @@ object VectorQueries {
           .select(col("qid"), col("_e._cid").as("neighbor_id"))
         val recall = Similarity.recallAtK(approx, exact, "qid")
         val nq = queries.count()
-        Seq((nq, recall >= 0.45)).toDF("n_queries", "recall_ok")
+        Seq((nq, recall >= 0.8)).toDF("n_queries", "recall_ok")
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin),
