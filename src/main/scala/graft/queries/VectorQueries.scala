@@ -531,6 +531,57 @@ object VectorQueries {
       Seq("A6")
     ),
 
+    // Hard-negative mining — the contrastive-training primitive: for each
+    // anchor in the query cohort, the top-5 most-similar documents with a
+    // DIFFERENT language label (near-misses across the boundary are the
+    // negatives that actually teach an embedding model). Exact windowed
+    // form over the cohort (sim rounded to 6dp BEFORE ranking so ties
+    // resolve identically in both engines; tie → larger id, the top_k
+    // struct order). sum over neighbor ids pins WHICH negatives were
+    // mined, not just scores.
+    "e2_hard_negatives" -> Q(
+      (s, d) => {
+        val labels = documents(s, d).select(col("doc_id").as("vec_id"), col("lang"))
+        val lv = embeddings(s, d).join(labels, Seq("vec_id"))
+        val anchors = lv.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("lang").as("qlang"))
+        anchors
+          .crossJoin(lv.select(
+            col("vec_id").as("nid"), col("embedding").as("nv"), col("lang").as("nlang")))
+          .filter(col("nlang") =!= col("qlang"))
+          .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+          .groupBy(col("qid"))
+          .agg(expr("top_k(struct(sim, nid), 5)").as("t"))
+          .select(col("qid"), explode(col("t")).as("e"))
+          .select(col("qid"), col("e.nid").as("neighbor_id"), col("e.sim").as("sim"))
+      },
+      Some("""WITH lv AS (
+             |  SELECT e.vec_id, e.embedding, d.lang
+             |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+             |anchors AS (SELECT vec_id AS qid, embedding AS qv, lang AS qlang
+             |            FROM lv WHERE vec_id % 50 = 0),
+             |qu AS (SELECT qid, qlang, generate_subscripts(qv, 1) AS i,
+             |              CAST(unnest(qv) AS DOUBLE) AS x FROM anchors),
+             |cu AS (SELECT vec_id AS nid, lang AS nlang, generate_subscripts(embedding, 1) AS i,
+             |              CAST(unnest(embedding) AS DOUBLE) AS x FROM lv),
+             |sims AS (
+             |  SELECT q.qid, c.nid,
+             |         sum(q.x * c.x) AS dot,
+             |         sqrt(sum(q.x * q.x)) AS na, sqrt(sum(c.x * c.x)) AS nb
+             |  FROM qu q JOIN cu c ON q.i = c.i AND q.qlang <> c.nlang
+             |  GROUP BY q.qid, c.nid),
+             |scored AS (
+             |  SELECT qid, nid,
+             |         round(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END, 6) AS sim
+             |  FROM sims),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid DESC) AS rn
+             |  FROM scored)
+             |SELECT qid, nid AS neighbor_id, sim FROM ranked WHERE rn <= 5""".stripMargin),
+      Seq("E2", "J1")
+    ),
+
     // Product-quantization recall floor gate: PQ(m=16,k=16) codes (≈8
     // bytes/vector, 32× smaller than float32) searched via the set-based
     // ADC join + an exact rerank of the top-100 candidates must recall the
