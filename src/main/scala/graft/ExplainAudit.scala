@@ -47,7 +47,8 @@ object ExplainAudit {
       "dd_semantic_incremental", "dd_contamination_report",
       "q_correlated_subquery", "j_salted_skew", "k_partitioned_write",
       "ta_leakage_split", "a_kll_shard_quantiles", "j_corpus_diff",
-      "q_lateral_topk", "dd_url_dedup", "e2_pq_recall_gate"
+      "q_lateral_topk", "dd_url_dedup", "e2_pq_recall_gate",
+      "e2_binary_topk", "e2_mih_radius"
     )
 
     var bad = 0
@@ -417,6 +418,23 @@ object ExplainAudit {
           "qid", "embedding", n = 10, model)
           .queryExecution.executedPlan.toString
         p.contains("partial_top_k") && p.contains("BroadcastNestedLoopJoin")
+      }),
+      // binary-quant two-stage search: the Hamming candidate pass must plan
+      // as a TakeOrdered over the packed codes (scan + native popcount, no
+      // global sort), and the 100-row candidate list must broadcast back
+      // onto the float corpus for the exact rerank
+      ("binary topk takes Hamming candidates via TakeOrdered and broadcasts the rerank", {
+        val p = plan("e2_binary_topk")
+        p.contains("TakeOrderedAndProject") && p.contains("BroadcastHashJoin") &&
+          !p.contains("CartesianProduct")
+      }),
+      // MIH radius search: candidate generation is a pure equi-join on
+      // (block_idx, block_val) with the probe side broadcast — codes are
+      // compared only within matching blocks, never all-pairs
+      ("mih radius search joins block keys equi-key with a broadcast probe side", {
+        val p = plan("e2_mih_radius")
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin")
       })
     )
     println("\n===== invariants =====")

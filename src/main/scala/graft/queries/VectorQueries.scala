@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.VectorFunctions._
-import graft.operators.{Dedup, Pq, Similarity}
+import graft.operators.{BinaryQuant, Dedup, Pq, Similarity}
 
 /** Embedding-column battery: cosine top-k similarity search (E2) and the
   * vector-side dedup/ANN extensions over `embeddings.parquet`.
@@ -625,6 +625,71 @@ object VectorQueries {
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok
              |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin),
       Seq("E2")
+    ),
+
+    // Binary (1-bit) quantization two-stage search: sign-bit codes (ONE
+    // long per 64-dim vector, 256× smaller than float32), Hamming top-100
+    // candidates (native xor+popcount, ties → smaller id), exact cosine
+    // rerank to the top-10. The center is zero (the corpus is mean-centered
+    // at generation; the trainable fixed-point center is spec-pinned), so
+    // the oracle replays BOTH stages exactly: sign-disagreement counts are
+    // integers, and the rerank is the battery's usual round(cosine, 6).
+    "e2_binary_topk" -> Q(
+      (s, d) => {
+        val vecs = embeddings(s, d).filter(col("vec_id") =!= 0)
+        val center = new Array[Float](64)
+        val codes = BinaryQuant.encode(vecs, "embedding", center)
+          .select(col("vec_id"), col("bits"))
+        BinaryQuant.topKBinary(codes, "bits", "vec_id",
+          vecs, "embedding", queryVec(s, d), center, k = 10, nCand = 100)
+      },
+      Some("""WITH q AS (SELECT generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+             |           FROM embeddings WHERE vec_id = 0),
+             |v AS (SELECT vec_id, generate_subscripts(embedding,1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
+             |      FROM embeddings WHERE vec_id <> 0),
+             |ham AS (SELECT v.vec_id,
+             |               sum(CASE WHEN (v.x > 0) <> (q.x > 0) THEN 1 ELSE 0 END) AS hamming,
+             |               sum(v.x*q.x) AS dot, sqrt(sum(v.x*v.x)) AS na, sqrt(sum(q.x*q.x)) AS nb
+             |        FROM v JOIN q ON v.i = q.i GROUP BY v.vec_id),
+             |cand AS (SELECT vec_id, hamming, dot/(na*nb) AS sim,
+             |                row_number() OVER (ORDER BY hamming, vec_id) AS rn
+             |         FROM ham)
+             |SELECT vec_id, CAST(hamming AS INT) AS hamming, round(sim, 6) AS sim
+             |FROM cand WHERE rn <= 100
+             |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin),
+      Seq("E2")
+    ),
+
+    // Multi-index hashing radius search: 16-bit blocks + 0/1-bit probe
+    // variants give a pure equi-join on (block_idx, block_val) whose
+    // candidate set PROVABLY contains every pair within Hamming radius
+    // 2·blocks−1 = 7 (Norouzi et al., CVPR 2012); filtering the candidates
+    // to ≤ 7 therefore yields EXACTLY the radius ball — which the oracle
+    // recomputes from scratch as sign-disagreement counts over all pairs.
+    // The join key is what a bucketed at-rest layout co-locates at 10⁹
+    // vectors: candidate generation without ever comparing full codes.
+    "e2_mih_radius" -> Q(
+      (s, d) => {
+        val vecs = embeddings(s, d)
+        val center = new Array[Float](64)
+        val codes = BinaryQuant.encode(vecs, "embedding", center)
+          .select(col("vec_id"), col("bits"))
+        val queries = codes.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("bits").as("qbits"))
+        BinaryQuant.mihCandidates(codes, "bits", "vec_id",
+          queries, "qid", "qbits", dim = 64)
+          .filter(col("hamming") <= 7)
+      },
+      Some("""WITH u AS (SELECT vec_id, generate_subscripts(embedding,1) AS i,
+             |                  CAST(unnest(embedding) AS DOUBLE) > 0 AS s
+             |           FROM embeddings),
+             |q AS (SELECT vec_id AS qid, i, s FROM u WHERE vec_id % 100 = 0),
+             |ham AS (SELECT q.qid, u.vec_id,
+             |               sum(CASE WHEN q.s <> u.s THEN 1 ELSE 0 END) AS hamming
+             |        FROM q JOIN u ON q.i = u.i GROUP BY q.qid, u.vec_id)
+             |SELECT qid, vec_id, CAST(hamming AS INT) AS hamming
+             |FROM ham WHERE hamming <= 7""".stripMargin),
+      Seq("E2", "J1")
     ),
 
     // Leakage-safe train/val/test split: near-dup clusters (connected
