@@ -283,6 +283,45 @@ object ScaleProbe {
         graft.operators.Similarity.readIvf(spark, ivfPath),
         "embedding", "vec_id", qv, 10, nProbes = 2).count()
     }
+    // Binary quantization at scale: sign-bit codes over the replicated
+    // corpus (ONE long per 64-dim vector), the two-stage Hamming+rerank
+    // search, and the multi-index-hashing EXACTNESS gate: MIH candidates
+    // filtered to the guaranteed radius (2·blocks−1 = 7) must equal the
+    // brute-force Hamming ball of the same cohort EXACTLY — count and
+    // membership (keyed checksum), at whatever multiplier the probe runs.
+    val binCenter = new Array[Float](64)
+    val (binCodes, tBinEncode) = timed {
+      val c = graft.operators.BinaryQuant.encode(bigVecs, "embedding", binCenter)
+        .select(col("vec_id"), col("bits")).cache()
+      c.count(); c
+    }
+    val (nBinHits, tBinQuery) = timed {
+      graft.operators.BinaryQuant.topKBinary(binCodes, "bits", "vec_id",
+        bigVecs, "embedding", qv, binCenter, k = 10, nCand = 200).count()
+    }
+    val mihCohort = binCodes.filter(col("vec_id") % 10_000_000L === 50L)
+      .select(col("vec_id").as("qid"), col("bits").as("qbits"))
+    def ballAgg(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("qid") * 1000003L + col("vec_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (bruteBall, tBruteBall) = timed {
+      ballAgg(binCodes.crossJoin(broadcast(mihCohort))
+        .withColumn("hamming",
+          graft.operators.BinaryQuant.hammingCols(col("bits"), col("qbits")))
+        .filter(col("hamming") <= 7)
+        .select(col("qid"), col("vec_id")))
+    }
+    val (mihBall, tMihBall) = timed {
+      ballAgg(graft.operators.BinaryQuant.mihCandidates(binCodes, "bits", "vec_id",
+        mihCohort, "qid", "qbits", dim = 64)
+        .filter(col("hamming") <= 7)
+        .select(col("qid"), col("vec_id")))
+    }
+    require(mihBall == bruteBall,
+      s"MIH radius ball $mihBall must equal the brute-force ball $bruteBall exactly")
+    binCodes.unpersist()
+
     // SemDeDup at scale: a bounded replica slice (every base keeps its
     // first max(mult/10, 2) replicas — replicas share the base's direction,
     // so they are exact cosine dups, while distinct bases stay far apart on
@@ -575,6 +614,8 @@ object ScaleProbe {
         s""""bm25_build_sec":${f"$tBm25Build%.1f"},"bm25_query_sec":${f"$tBm25Query%.1f"},"bm25_brute_sec":${f"$tBm25Brute%.1f"},"bm25_hits":$nBm25,""" +
         s""""bm25_append_sec":${f"$tBm25Append%.1f"},"bm25_query_appended_sec":${f"$tBm25QueryAppended%.1f"},"bm25_compact_sec":${f"$tBm25Compact%.1f"},""" +
         s""""ivf_build_sec":${f"$tIvfBuild%.1f"},"ivf_append_sec":${f"$tIvfAppend%.1f"},"ivf_query_sec":${f"$tIvfQuery%.1f"},"ivf_hits":$nIvfHits,""" +
+        s""""bin_encode_sec":${f"$tBinEncode%.1f"},"bin_query_sec":${f"$tBinQuery%.1f"},"bin_hits":$nBinHits,""" +
+        s""""mih_ball":${mihBall._1},"mih_sec":${f"$tMihBall%.1f"},"brute_ball_sec":${f"$tBruteBall%.1f"},""" +
         s""""sig_build_sec":${f"$tSigBuild%.1f"},"incremental_pairs":$nIncPairs,"incremental_sec":${f"$tIncremental%.1f"},"full_pairs_sec":${f"$tFullPairs%.1f"},""" +
         s""""span_docs":${spanSlice.count()},"dup_spans":$nSpans,"span_sec":${f"$tSpans%.1f"},""" +
         s""""ppl_keep":$nPplKeep,"ppl_sec":${f"$tPerplexity%.1f"},""" +

@@ -1,7 +1,8 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Parquet-lake file maintenance. Streaming appends, per-microbatch index
@@ -89,4 +90,64 @@ object Lake {
         s"the compacted table is intact at $tmp — move it into place manually")
     CompactStats(before, dataFileCount(spark, path), rows)
   }
+
+  /** Z-order (Morton) key: interleave the low `bits` bits of two
+    * bucketized dimensions — bit `i` of `x` lands at position `2i+1`, bit
+    * `i` of `y` at `2i`. Rows close in z-key are close in BOTH dimensions,
+    * so clustering a table by z-key gives every file a tight min/max box
+    * in each dimension and a two-dimensional predicate prunes files the
+    * way a one-dimensional sort only manages for its leading column —
+    * the Delta/Iceberg `OPTIMIZE ZORDER BY` layout discipline. Static
+    * shifts only: the whole key stays inside whole-stage codegen.
+    */
+  def zkey(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+    }
+
+  /** Driver twin of [[zkey]] — same bit placement. */
+  def zkeyLocal(x: Long, y: Long, bits: Int): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < bits) {
+      acc |= ((x >> i) & 1L) << (2 * i + 1)
+      acc |= ((y >> i) & 1L) << (2 * i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Per-file min/max statistics of both dimensions under a deterministic
+    * `nFiles`-file layout ordered by `sortKeys` — the footer-stats model a
+    * scan planner prunes against. The deterministic ntile assignment makes
+    * the skip counts oracle-replayable; the physical production path is
+    * [[writeClustered]] (repartitionByRange on the same key), which
+    * produces the same locality without a global window.
+    */
+  def layoutStats(
+      df: DataFrame, xCol: String, yCol: String,
+      sortKeys: Seq[Column], nFiles: Int): DataFrame =
+    df.withColumn("fid", ntile(nFiles).over(Window.orderBy(sortKeys: _*)))
+      .groupBy(col("fid"))
+      .agg(
+        min(col(xCol)).as("min_x"), max(col(xCol)).as("max_x"),
+        min(col(yCol)).as("min_y"), max(col(yCol)).as("max_y"),
+        count(lit(1)).as("n"))
+
+  /** Physically write `df` clustered by `key`: range-partition into
+    * `nFiles` write tasks and sort within each, so every output file
+    * covers a contiguous key range and parquet footer min/max stats are
+    * tight. With a [[zkey]] key this is the Z-ORDER OPTIMIZE layout; the
+    * shuffle is one range exchange of the rows being laid out — no global
+    * single-task sort.
+    */
+  def writeClustered(
+      df: DataFrame, key: Column, nFiles: Int, path: String): Unit =
+    df.withColumn("_zk", key)
+      .repartitionByRange(nFiles, col("_zk"))
+      .sortWithinPartitions(col("_zk"))
+      .drop("_zk")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product quantization — the at-scale ANN compression step beyond SQ8:
@@ -166,6 +166,51 @@ object Pq {
       .withColumn("adc_score", adcScoreExpr(col(codeCol), query, model))
       .orderBy(col("adc_score").desc, col(idCol))
       .limit(k)
+
+  /** Persist a PQ index: the encoded codes as parquet plus the codebooks
+    * (m·k tiny rows) under `_model` — the at-rest layout where the
+    * 32×-smaller codes ARE the stored corpus representation and encoding
+    * runs once at ingest. Mirrors [[Similarity.writeIvf]].
+    */
+  def writePq(spark: SparkSession, codes: DataFrame, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    codes.write.mode(SaveMode.Overwrite).parquet(path)
+    (for (s <- 0 until model.m; c <- 0 until model.k)
+      yield (s, c, model.codebooks(s)(c).toSeq)).toDF("s", "c", "centroid")
+      .coalesce(1) // m·k codebook rows
+      .write.mode(SaveMode.Overwrite).parquet(path + "/_model")
+  }
+
+  /** Load a persisted PQ model; only the m·k codebook rows reach the driver. */
+  def readPqModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path + "/_model")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray)).toMap
+    val m = rows.keys.map(_._1).max + 1
+    val k = rows.keys.map(_._2).max + 1
+    PqModel(m, k, rows.head._2.length,
+      Vector.tabulate(m)(s => Vector.tabulate(k)(c => rows((s, c)))))
+  }
+
+  /** Load the persisted code table (never the float corpus). */
+  def readPqCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Encode NEW vectors against the FROZEN stored codebooks and append
+    * their codes — because encoding is a deterministic per-row projection,
+    * an appended index is BIT-IDENTICAL to re-encoding the whole corpus
+    * under the same model, so searches against it match a full rebuild
+    * exactly (pinned by the `e2_pq_append` oracle entry). The 100 TB
+    * ingest shape shared with [[Similarity.appendToIvf]] and the BM25 /
+    * MinHash appends; codebooks drift as the corpus grows — retrain
+    * periodically via [[train]] + [[writePq]]. Single-writer.
+    */
+  def appendToPq(
+      spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val model = readPqModel(spark, path)
+    encode(df, vecCol, model).select(col(idCol), col("pq_code"))
+      .write.mode(SaveMode.Append).parquet(path)
+  }
 
   /** Attach PQ codes to an IVF index's assigned rows — the at-rest IVF-PQ
     * layout (FAISS's IVFPQ): `cid` keeps partition pruning, `pq_code` is

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
-import graft.operators.{AsOfJoin, EventWindows, RangeJoin}
+import graft.operators.{AsOfJoin, CountMin, EventWindows, RangeJoin}
 
 /** Event-table battery: CDC-style status filters (F1-F3 semantics), JSON
   * codec (C15), timestamp formatting (C14), and the event-time window
@@ -564,6 +564,44 @@ object EventQueries {
              |       TRUE AS p50_in_bound, TRUE AS p90_in_bound,
              |       TRUE AS p99_in_bound, TRUE AS merge_agrees
              |FROM documents""".stripMargin),
+      Seq("A2")
+    ),
+
+    // A-series: count-min frequency sketches built PER SHARD and merged —
+    // the fourth mergeable-sketch discipline (HLL, frequent-items, KLL,
+    // CMS). CMS is the strictest of the family, and the entry pins both of
+    // its laws: the error is ONE-SIDED (an estimate never undercounts, and
+    // overshoots by at most ε·N), and merging is EXACT integer counter
+    // addition — so re-sharding the same rows 16 ways vs 4 ways merges to
+    // IDENTICAL estimates, asserted as equality, not an envelope. Probe
+    // keys are the distinct event types (bounded); the oracle supplies
+    // their exact counts and asserts the booleans.
+    "a_cms_shard_merge" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val ev = events(s, d).select(col("event_id"), col("event_type"))
+        def sketchOver(nShards: Int) = CountMin.mergedSketch(
+          CountMin.shardSketches(
+            ev.withColumn("shard", pmod(col("event_id"), lit(nShards))),
+            "event_type", "shard", eps = 0.001, confidence = 0.99, seed = 42))
+        val sk16 = sketchOver(16)
+        val sk4 = sketchOver(4)
+        val slack = math.ceil(0.001 * sk16.totalCount()).toLong
+        val types = ev.select(col("event_type")).distinct().as[String].collect().sorted
+        val ests = types.toSeq
+          .map(t => (t, sk16.estimateCount(t), sk4.estimateCount(t)))
+          .toDF("event_type", "est", "est_resharded")
+        ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+          .join(broadcast(ests), Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            (col("est") >= col("n_exact")).as("one_sided_ok"),
+            (col("est") - col("n_exact") <= lit(slack)).as("eps_bound_ok"),
+            (col("est") === col("est_resharded")).as("reshard_exact_equal"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+             |       TRUE AS one_sided_ok, TRUE AS eps_bound_ok,
+             |       TRUE AS reshard_exact_equal
+             |FROM events GROUP BY event_type""".stripMargin),
       Seq("A2")
     ),
 

@@ -475,6 +475,59 @@ object PipelineQueries {
       Seq("K1", "K5")
     ),
 
+    // Z-order lake clustering: interleave the bits of two bucketized
+    // dimensions into a Morton key and lay files out along it, so every
+    // file's footer min/max box is tight in BOTH dimensions and a
+    // two-dimensional predicate prunes files a one-dimensional sort can't
+    // (the Delta/Iceberg OPTIMIZE ZORDER discipline). The entry models the
+    // planner's footer-stats pruning with a deterministic 64-file ntile
+    // layout and counts the files a 16×16 box predicate must scan under
+    // z-order vs a linear (xb, yb) sort — ALL integers, replayed exactly
+    // by the oracle (the bit-interleave is plain shift/mask arithmetic in
+    // SQL). The physical write path is Lake.writeClustered
+    // (repartitionByRange on the same key — one range exchange, no global
+    // sort), pinned by LakeLayoutSpec.
+    "k_lake_zorder" -> Q(
+      (s, d) => {
+        val ev = events(s, d)
+          .select(col("event_id"),
+            (col("user_id") % 256).as("xb"), (col("event_id") % 256).as("yb"))
+        val zStats = graft.operators.Lake.layoutStats(
+          ev.withColumn("_zk", graft.operators.Lake.zkey(col("xb"), col("yb"), 8)),
+          "xb", "yb", Seq(col("_zk"), col("event_id")), nFiles = 64)
+        val lStats = graft.operators.Lake.layoutStats(
+          ev, "xb", "yb", Seq(col("xb"), col("yb"), col("event_id")), nFiles = 64)
+        def scanned(stats: org.apache.spark.sql.DataFrame, as: String) = stats
+          .filter(col("min_x") <= 31 && col("max_x") >= 16 &&
+            col("min_y") <= 31 && col("max_y") >= 16)
+          .agg(count(lit(1)).cast("int").as(as))
+        ev.filter(col("xb").between(16, 31) && col("yb").between(16, 31))
+          .agg(count(lit(1)).as("rows_in_box"))
+          .withColumn("files_total", lit(64))
+          .crossJoin(scanned(zStats, "files_scanned_zorder"))
+          .crossJoin(scanned(lStats, "files_scanned_linear"))
+      },
+      Some {
+        val zexpr = (0 until 8).map(i =>
+          s"(((xb >> $i) & 1) * ${1L << (2 * i + 1)} + ((yb >> $i) & 1) * ${1L << (2 * i)})")
+          .mkString(" + ")
+        s"""WITH b AS (SELECT event_id, user_id % 256 AS xb, event_id % 256 AS yb FROM events),
+           |z AS (SELECT event_id, xb, yb, $zexpr AS zk FROM b),
+           |zf AS (SELECT xb, yb, ntile(64) OVER (ORDER BY zk, event_id) AS fid FROM z),
+           |lf AS (SELECT xb, yb, ntile(64) OVER (ORDER BY xb, yb, event_id) AS fid FROM b),
+           |zs AS (SELECT fid FROM zf GROUP BY fid
+           |       HAVING min(xb) <= 31 AND max(xb) >= 16 AND min(yb) <= 31 AND max(yb) >= 16),
+           |ls AS (SELECT fid FROM lf GROUP BY fid
+           |       HAVING min(xb) <= 31 AND max(xb) >= 16 AND min(yb) <= 31 AND max(yb) >= 16)
+           |SELECT (SELECT CAST(count(*) AS BIGINT) FROM b
+           |        WHERE xb BETWEEN 16 AND 31 AND yb BETWEEN 16 AND 31) AS rows_in_box,
+           |       CAST(64 AS INT) AS files_total,
+           |       (SELECT CAST(count(*) AS INT) FROM zs) AS files_scanned_zorder,
+           |       (SELECT CAST(count(*) AS INT) FROM ls) AS files_scanned_linear""".stripMargin
+      },
+      Seq("K1", "F6")
+    ),
+
     // Schema evolution on read: two parquet batches written months apart
     // with different schemas (the later one grew n_chars), merged by
     // mergeSchema — the long-lived-lake reality at 100 TB, where a sweep

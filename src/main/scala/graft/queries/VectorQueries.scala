@@ -627,6 +627,44 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // PQ index lifecycle: persist codes + codebooks, then ingest a new
+    // batch by encoding against the FROZEN stored codebooks. Encoding is a
+    // deterministic per-row projection, so append == full re-encode
+    // BIT-identically — the entry proves it by running the same ADC top-10
+    // against the appended store and a from-scratch rebuild and comparing
+    // (id, score) pairs EXACTLY (doubles included). n_codes pins that the
+    // store holds base + batch with nothing lost or duplicated.
+    "e2_pq_append" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val vecs = embeddings(s, d)
+        val base = vecs.filter(col("vec_id") % 5 =!= 4)
+        val batch = vecs.filter(col("vec_id") % 5 === 4)
+        val dir = scratchDir(d, "pq_append") + "/index"
+        val model = Pq.train(base, "embedding", "vec_id", m = 8, k = 16, iters = 2)
+        Pq.writePq(s,
+          Pq.encode(base, "embedding", model).select(col("vec_id"), col("pq_code")),
+          model, dir)
+        Pq.appendToPq(s, batch, "embedding", "vec_id", dir)
+        val stored = Pq.readPqCodes(s, dir)
+        val q = queryVec(s, d)
+        val appended = Pq.topKAdc(stored, "pq_code", "vec_id",
+            q, 10, Pq.readPqModel(s, dir))
+          .select(col("vec_id"), col("adc_score"))
+          .as[(Long, Double)].collect().toSeq
+        val rebuilt = Pq.topKAdc(
+            Pq.encode(vecs, "embedding", model).select(col("vec_id"), col("pq_code")),
+            "pq_code", "vec_id", q, 10, model)
+          .select(col("vec_id"), col("adc_score"))
+          .as[(Long, Double)].collect().toSeq
+        stored.agg(count(lit(1)).as("n_codes"))
+          .crossJoin(Seq(appended == rebuilt).toDF("append_matches_rebuild"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_codes, TRUE AS append_matches_rebuild
+             |FROM embeddings""".stripMargin),
+      Seq("E2", "K1")
+    ),
+
     // Binary (1-bit) quantization two-stage search: sign-bit codes (ONE
     // long per 64-dim vector, 256× smaller than float32), Hamming top-100
     // candidates (native xor+popcount, ties → smaller id), exact cosine

@@ -94,4 +94,46 @@ class LakeLayoutSpec extends SparkSpec {
     assert(byCol("tag").getLong(3) == 5)
     assert(byCol("tag").getString(4) == "v0" && byCol("tag").getString(5) == "v4")
   }
+
+  test("zkey column matches the driver twin and maps aligned tiles to contiguous ranges") {
+    val pts = (for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)).toDF("x", "y")
+    val got = pts.withColumn("zk", Lake.zkey(col("x"), col("y"), 8))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, zk) =>
+      assert(zk == Lake.zkeyLocal(x, y, 8), s"zkey twin mismatch at ($x,$y)")
+    }
+    // an aligned 16x16 tile occupies one contiguous z-range of exactly 256
+    // keys — the locality property file pruning relies on
+    val tile = got.filter { case (x, y, _) => x >= 16 && x < 32 && y >= 16 && y < 32 }
+      .map(_._3).sorted
+    assert(tile.length == 256 && tile.last - tile.head == 255,
+      s"tile z-range [${tile.head}, ${tile.last}] must be contiguous")
+  }
+
+  test("writeClustered lays files out along the key with tight per-file ranges") {
+    val dir = tmpDir("zlake") + "/events"
+    val df = (0 until 4096).map { i =>
+      (i.toLong, (i * 37 % 256).toLong, (i * 101 % 256).toLong)
+    }.toDF("id", "xb", "yb")
+    Lake.writeClustered(df, Lake.zkey(col("xb"), col("yb"), 8), nFiles = 16, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 4096, "clustering must preserve every row")
+    assert(!back.columns.contains("_zk"), "the layout key must not leak into the schema")
+    // per physical file: recompute the key range; ranges must not overlap
+    // across files (each file covers a contiguous slice of the z-space)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+    assert(files.length >= 8, s"expected ~16 data files, got ${files.length}")
+    val ranges = files.toSeq.flatMap { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select(Lake.zkey(col("xb"), col("yb"), 8).as("zk"))
+        .agg(min(col("zk")), max(col("zk")), count(lit(1))).head()
+      if (rows.getLong(2) == 0) None else Some((rows.getLong(0), rows.getLong(1)))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) =>
+        assert(hi <= lo2, s"file z-ranges overlap: $ranges")
+      case _ =>
+    }
+  }
 }

@@ -143,4 +143,29 @@ class PqSpec extends SparkSpec {
       .select(col("cid")).distinct().as[Int].collect().toSet
     assert(members.size == 1, s"narrow probe leaked across cells: $members")
   }
+
+  test("persisted index roundtrips the model and append equals a full re-encode") {
+    val vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = vecs.filter(col("vec_id") % 5 =!= 4)
+    val batch = vecs.filter(col("vec_id") % 5 === 4)
+    val dir = java.nio.file.Files.createTempDirectory("pq-append").toString + "/index"
+    val model = Pq.train(base, "embedding", "vec_id", m = 8, k = 16, iters = 2)
+    Pq.writePq(spark,
+      Pq.encode(base, "embedding", model).select(col("vec_id"), col("pq_code")),
+      model, dir)
+    // model roundtrips bit-exactly (floats through parquet)
+    val loaded = Pq.readPqModel(spark, dir)
+    assert(loaded.m == model.m && loaded.k == model.k && loaded.dsub == model.dsub)
+    for (s <- 0 until model.m; c <- 0 until model.k)
+      assert(loaded.codebooks(s)(c).toSeq == model.codebooks(s)(c).toSeq)
+    // appended store == one-shot encode of the whole corpus, every row
+    Pq.appendToPq(spark, batch, "embedding", "vec_id", dir)
+    val stored = Pq.readPqCodes(spark, dir)
+      .as[(Long, Seq[Int])].collect().toMap
+    val rebuilt = Pq.encode(vecs, "embedding", model)
+      .select(col("vec_id"), col("pq_code"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(stored == rebuilt, "frozen-codebook append must be bit-identical to a rebuild")
+  }
 }
