@@ -482,6 +482,46 @@ object GraftCli {
             System.err.println("usage: lake-compact <dir> [partitionCol,...] [--limit=recordsPerFile]")
             2
         }
+      // zorder <dir> <xCol> <yCol> [--limit=nFiles] — re-cluster a parquet
+      // table in place along the Morton interleave of two integer columns
+      // (tight per-file min/max boxes in both dimensions -> 2-D predicates
+      // prune files); staged + verified + renamed like lake-compact.
+      case "zorder" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case dir :: xCol :: yCol :: Nil =>
+            val st = graft.operators.Lake.clusterInPlace(
+              spark, dir, xCol, yCol,
+              nFiles = settings.limit.getOrElse(64))
+            println(s"files_before=${st.filesBefore} files_after=${st.filesAfter} rows=${st.rows}")
+            0
+          case _ =>
+            System.err.println("usage: zorder <dir> <xCol> <yCol> [--limit=nFiles]")
+            2
+        }
+      // sketch-build <dir> <col> <sketchPath> — add one count-min segment
+      // over a parquet column (segment id = next free index, so reruns
+      // append new segments; the streaming writer keys segments by batch id
+      // instead for replay-safety).
+      case "sketch-build" :: dir :: column :: sketchPath :: Nil =>
+        val segId = try {
+          val p = new org.apache.hadoop.fs.Path(sketchPath)
+          val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(p))
+            fs.listStatus(p).count(_.getPath.getName.endsWith(".cms")).toLong
+          else 0L
+        } catch { case _: Exception => 0L }
+        graft.operators.CountMin.writeBatchSegment(
+          spark, spark.read.parquet(dir), column, sketchPath, segId)
+        println(s"segment=$segId path=$sketchPath")
+        0
+      // sketch-query <sketchPath> <value...> — merged point-frequency
+      // estimates (never undercounts; over by at most eps*N).
+      case "sketch-query" :: sketchPath :: values if values.nonEmpty =>
+        val cms = graft.operators.CountMin.readMerged(spark, sketchPath)
+        values.foreach(v => println(s"$v\t${cms.estimateCount(v)}"))
+        println(s"total\t${cms.totalCount()}")
+        0
       case "text-search" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
@@ -549,6 +589,9 @@ object GraftCli {
             |  text-index-compact <indexPath>
             |  dedup-index-compact <indexPath>
             |  lake-compact <dir> [partitionCol,...] [--limit=recordsPerFile]
+            |  zorder <dir> <xCol> <yCol> [--limit=nFiles]
+            |  sketch-build <dir> <col> <sketchPath>
+            |  sketch-query <sketchPath> <value> [value ...]
             |  text-search <storePath|indexPath> <"terms"> [--limit=K]
             |  dedup <storePath>
             |  decontaminate <storePath> <benchmarkPath> [ngramSize] [--fuzzy|--report]

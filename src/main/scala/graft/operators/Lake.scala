@@ -150,4 +150,29 @@ object Lake {
       .sortWithinPartitions(col("_zk"))
       .drop("_zk")
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Re-cluster a parquet table in place by the z-order of two integer
+    * columns — [[compact]]'s layout-optimizing sibling, with the same
+    * staged-write + row-count-verified + checked-rename swap (readers see
+    * the old layout until the rename; a crash before it leaves the table
+    * untouched).
+    */
+  def clusterInPlace(
+      spark: SparkSession, path: String, xCol: String, yCol: String,
+      bits: Int = 16, nFiles: Int = 64): CompactStats = {
+    val before = dataFileCount(spark, path)
+    val src = spark.read.parquet(path)
+    val rows = src.count()
+    val tmp = path.stripSuffix("/") + ".zorder-tmp"
+    writeClustered(src, zkey(col(xCol), col(yCol), bits), nFiles, tmp)
+    val staged = spark.read.parquet(tmp).count()
+    require(staged == rows,
+      s"staged z-order layout has $staged rows, source has $rows — aborting swap, $path untouched")
+    val fs = hadoopFs(spark, path)
+    fs.delete(new Path(path), true)
+    require(fs.rename(new Path(tmp), new Path(path)),
+      s"rename $tmp -> $path failed after the old layout was deleted; " +
+        s"the clustered table is intact at $tmp — move it into place manually")
+    CompactStats(before, dataFileCount(spark, path), rows)
+  }
 }

@@ -605,6 +605,48 @@ object EventQueries {
       Seq("A2")
     ),
 
+    // Streaming count-min maintenance: events arrive as two file-drop
+    // microbatches; each batch persists its own fixed-size sketch segment
+    // keyed by batch id (a replayed batch overwrites its segment — the
+    // exactly-once layout, since CMS addition is not idempotent), and the
+    // report merges segments. Oracle supplies the exact per-type counts
+    // and asserts the one-sided + ε-bound laws over the merged estimate.
+    "s9_streaming_sketch" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val srcDir = tmpDir(d, "cms_src"); val ckpt = tmpDir(d, "cms_ckpt")
+        val skDir = tmpDir(d, "cms_sketch")
+        Seq(srcDir, ckpt, skDir).foreach(cleanDir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+        val ev = events(s, d).select(col("event_id"), col("event_type"))
+        def run(): Unit = {
+          val src = s.readStream
+            .schema("event_id BIGINT, event_type STRING").json(srcDir)
+          val q = graft.streaming.StreamingPipeline
+            .sketchingWriter(src, "event_type", skDir, ckpt).start()
+          q.awaitTermination()
+        }
+        ev.filter(col("event_id") % 2 === 0).coalesce(1).write.mode("append").json(srcDir)
+        run()
+        ev.filter(col("event_id") % 2 === 1).coalesce(1).write.mode("append").json(srcDir)
+        run()
+        val merged = graft.operators.CountMin.readMerged(s, skDir)
+        val slack = math.ceil(0.001 * merged.totalCount()).toLong
+        val types = ev.select(col("event_type")).distinct().as[String].collect().sorted
+        val ests = types.toSeq.map(t => (t, merged.estimateCount(t)))
+          .toDF("event_type", "est")
+        ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+          .join(broadcast(ests), Seq("event_type"))
+          .select(col("event_type"), col("n_exact"),
+            (col("est") >= col("n_exact")).as("one_sided_ok"),
+            (col("est") - col("n_exact") <= lit(slack)).as("eps_bound_ok"))
+      },
+      Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact,
+             |       TRUE AS one_sided_ok, TRUE AS eps_bound_ok
+             |FROM events GROUP BY event_type""".stripMargin),
+      Seq("S6", "A2")
+    ),
+
     // §2.11: watermarked stream-stream interval join — view → purchase
     // attribution within 6 hours per user, both sides ARRIVING AS STREAMS
     // (file drops), joined with the bounded-state interval condition and a

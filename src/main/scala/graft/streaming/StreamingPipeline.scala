@@ -371,6 +371,33 @@ object StreamingPipeline {
             graft.operators.Similarity.buildIvf(batch, vecCol, idCol, kCells), indexPath)
       }
 
+  /** Streaming count-min maintenance — the frequency-summary twin of
+    * [[indexingWriter]]/[[vectorIndexingWriter]]: each microbatch persists
+    * its own fixed-size sketch segment keyed by BATCH ID (a replayed batch
+    * overwrites its own segment — CMS addition is not idempotent, so
+    * exactly-once lives in the layout), and report time folds the segments
+    * via [[graft.operators.CountMin.readMerged]]. State per batch is one
+    * `depth×width` counter grid regardless of batch size.
+    */
+  def sketchingWriter(
+      source: DataFrame,
+      valueCol: String,
+      sketchPath: String,
+      checkpointDir: String,
+      eps: Double = 0.001,
+      confidence: Double = 0.99,
+      seed: Int = 42
+  ): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.CountMin.writeBatchSegment(
+          batch.sparkSession, batch, valueCol, sketchPath, batchId,
+          eps, confidence, seed)
+      }
+
   /** Watermarked sliding-window counts over an event stream — the streaming
     * twin of [[graft.operators.EventWindows.sliding]].
     */

@@ -136,4 +136,19 @@ class LakeLayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("clusterInPlace swaps in the z-ordered layout losslessly") {
+    val dir = tmpDir("zswap") + "/table"
+    val df = (0 until 2048).map { i =>
+      (i.toLong, (i * 7 % 64).toLong, (i * 13 % 64).toLong)
+    }.toDF("id", "xb", "yb")
+    df.repartition(32).write.parquet(dir) // fragmented, unclustered
+    val st = Lake.clusterInPlace(spark, dir, "xb", "yb", bits = 6, nFiles = 8)
+    assert(st.rows == 2048 && st.filesAfter <= 8)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 2048)
+    assert(back.select(sum(col("id"))).head().getLong(0) == (0 until 2048).map(_.toLong).sum,
+      "every row must survive the swap")
+    assert(!new java.io.File(dir + ".zorder-tmp").exists(), "staging dir must be renamed away")
+  }
 }

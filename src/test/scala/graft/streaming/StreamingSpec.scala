@@ -360,6 +360,35 @@ class StreamingSpec extends SparkSpec {
     a.foreach { case (id, s) => assert(math.abs(s - b(id)) < 1e-12) }
   }
 
+  test("sketching writer folds per-batch CMS segments; replayed batches never double-count") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val skDir = tmpDir("scms") + "/sketch"
+    val ckpt = tmpDir("scms_ckpt")
+    def run(mem: MemoryStream[String]): Unit = {
+      val q = StreamingPipeline.sketchingWriter(
+        mem.toDF().toDF("term"), "term", skDir, ckpt).start()
+      q.awaitTermination()
+    }
+    val mem = MemoryStream[String]
+    mem.addData("a", "a", "b")
+    run(mem)
+    mem.addData("a", "b", "c")
+    run(mem)
+    val merged = graft.operators.CountMin.readMerged(spark, skDir)
+    // low cardinality -> estimates are exact
+    assert(merged.estimateCount("a") == 3L && merged.estimateCount("b") == 2L &&
+      merged.estimateCount("c") == 1L)
+    assert(merged.totalCount() == 6L)
+    // simulate a failure replay: the same batch id re-writes its own
+    // segment and the merged counts DON'T change (idempotent layout)
+    graft.operators.CountMin.writeBatchSegment(
+      spark, Seq("a", "b", "c").toDF("term"), "term", skDir, batchId = 1L)
+    val replayed = graft.operators.CountMin.readMerged(spark, skDir)
+    assert(replayed.estimateCount("a") == 3L && replayed.totalCount() == 6L,
+      "a replayed batch must overwrite its segment, not add to it")
+  }
+
   test("vector indexing writer builds then appends the IVF index across runs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
