@@ -1086,6 +1086,55 @@ object Dedup {
       .distinct()
   }
 
+  /** Semantic (embedding-space) DECONTAMINATION: flag corpus rows whose
+    * cosine similarity to ANY benchmark/eval vector reaches `threshold`.
+    * The n-gram families ([[contaminatedIds]], [[fuzzyContaminatedIds]])
+    * catch verbatim and near-verbatim eval leakage; this catches the
+    * paraphrased leakage they miss — an eval item rewritten enough to share
+    * no 8-gram still lands next to its source in embedding space.
+    *
+    * Scale shape: eval sets are SMALL by construction (thousands to low
+    * millions of rows), so the right plan at 100 TB is a broadcast
+    * nested-loop scan — the corpus never shuffles AT ALL; each partition
+    * streams once against the broadcast eval matrix, and the per-corpus-row
+    * max/count aggregate is map-side-combined on the already-present
+    * partitioning. Both sides' norms are projected ONCE below the join
+    * (never recomputed per pair). The comparison is O(N·M·d) flops but
+    * embarrassingly parallel with zero exchange, which beats any
+    * bucketed/probed variant until M stops fitting in a broadcast; past
+    * that, index the CORPUS with [[Similarity.buildIvf]] and radius-probe
+    * each eval row ([[Similarity.nnJoinIvf]] shape) instead.
+    *
+    * The boundary decision filters on `round(cos, 6)` so a pair landing
+    * within float-reassociation noise of `threshold` is judged identically
+    * by any replaying engine.
+    *
+    * @return one row per contaminated corpus id: `(id, n_eval_hits,
+    *         max_cos)` with `max_cos` rounded to 6 places
+    */
+  def semanticContaminatedIds(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      evalSet: DataFrame,
+      evalVecCol: String,
+      threshold: Double
+  ): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val c = corpus.select(col(idCol).as("_id"), col(vecCol).as("_cv"))
+      .withColumn("_cn", norm(col("_cv")))
+    val e = evalSet.select(col(evalVecCol).as("_ev"))
+      .withColumn("_en", norm(col("_ev")))
+    val nn = col("_cn") * col("_en")
+    c.crossJoin(broadcast(e))
+      .withColumn("_cos",
+        round(when(nn > 0.0, dot(col("_cv"), col("_ev")) / nn).otherwise(lit(0.0)), 6))
+      .filter(col("_cos") >= threshold)
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), max(col("_cos")).as("max_cos"))
+      .withColumnRenamed("_id", idCol)
+  }
+
   /** Semantic near-dup candidate pairs — SemDeDup (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic deduplication",
     * arXiv:2303.09540): cluster document embeddings with deterministic
@@ -1274,6 +1323,57 @@ object Dedup {
       .select(
         col("_doc").as(idCol), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_tokens"))
+  }
+
+  /** Global exact LINE deduplication (the RefinedWeb / CCNet line rule's
+    * first-occurrence form): across the WHOLE corpus every distinct line
+    * keeps exactly one occurrence — the minimum `(idCol, position)` — and
+    * all later occurrences are dropped; each document is then reassembled
+    * from its surviving lines in original order. Documents that lose no
+    * line pass through byte-identical (the rewrite is guarded, not
+    * re-serialized). Lines shorter than `minChars` are exempt from dedup
+    * (always kept), mirroring the public pipelines' "don't dedupe
+    * whitespace/markup stubs" guard.
+    *
+    * Scale shape: the dedup DECISION never shuttles text. The winner
+    * aggregate exchanges `(sha2(line), partial min (doc,pos))` — 32-byte
+    * keys + ids — with map-side partial min; the drop-set join and its
+    * per-doc collect are id-only exchanges. Document text crosses the wire
+    * exactly once, in the final drop-set equi-join (sort-merge on the id;
+    * AQE broadcasts the drop-set while it fits). A 256-bit line hash keeps
+    * the collision horizon past any corpus size (a 64-bit hash collides by
+    * the birthday bound at ~4B distinct lines — real at 100 TB).
+    */
+  def dedupLines(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minChars: Int = 1
+  ): DataFrame = {
+    val lines = corpus
+      .select(col(idCol).as("_doc"), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .filter(length(col("_line")) >= minChars)
+      .select(col("_doc"), col("_pos"), sha2(col("_line"), 256).as("_h"))
+    val winners = lines
+      .groupBy(col("_h"))
+      .agg(min(struct(col("_doc"), col("_pos"))).as("_first"))
+    val drops = lines
+      .join(winners, Seq("_h"))
+      .filter(!(col("_doc") === col("_first._doc") && col("_pos") === col("_first._pos")))
+      .groupBy(col("_doc"))
+      .agg(sort_array(collect_list(col("_pos"))).as("_drop"))
+    val toks = split(col(textCol), "\n")
+    val keptLines = filter(
+      transform(toks, (l, i) => struct(i.as("i"), l.as("l"))),
+      x => !array_contains(col("_drop"), x("i")))
+    corpus
+      .join(drops, corpus(idCol) === drops("_doc"), "left")
+      .withColumn("n_lines_removed",
+        when(col("_drop").isNull, lit(0L)).otherwise(size(col("_drop")).cast("long")))
+      .withColumn(textCol,
+        when(col("_drop").isNull, col(textCol))
+          .otherwise(array_join(transform(keptLines, x => x("l")), "\n")))
+      .drop("_doc", "_drop")
   }
 
   /** The apply side of [[duplicateSpans]]: rewrite `textCol` with every

@@ -353,6 +353,66 @@ object Sampling {
       .select(df.columns.map(col): _*) // joins moved key columns first; restore caller order
   }
 
+  /** Deterministic global training-order shuffle ("epoch shuffle") into
+    * `nShards` shards. Every row's position in the epoch is a pure function
+    * of its id and the salt — `order_key = hash(id:salt)` — and its shard is
+    * the top-bits range of that key, so `(shard asc, order_key asc)` IS the
+    * global shuffled order and each shard holds one contiguous range of it.
+    * Changing the salt ("epoch 0" → "epoch 1") yields an independent
+    * permutation; re-running, repartitioning, or growing the cluster never
+    * reorders an epoch — the property `df.orderBy(rand(seed))` famously
+    * lacks (its RNG stream is positional, so the "same seed" reshuffles
+    * whenever partitioning shifts).
+    *
+    * Scale shape: a per-row hash projection — NO exchange at all until the
+    * caller materializes order (then exactly one hash exchange on `shard` +
+    * a local sort in [[writeShuffleShards]]; never a global sort, and never
+    * the sampling pass a range partitioner needs). Shard sizes are balanced
+    * in expectation by hash uniformity.
+    *
+    * @param hashBits width of `hashFn`'s output domain ([[Dedup.xxBaseHash]]
+    *                 spans 63 bits, [[Dedup.md5Lower60]] 60); shard ranges
+    *                 divide `2^hashBits` evenly
+    * @return df plus `order_key` (long) and `shard` (int) columns
+    */
+  def shuffleShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      salt: String = "epoch0",
+      hashFn: Column => Column = Dedup.xxBaseHash,
+      hashBits: Int = 63
+  ): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(hashBits >= 1 && hashBits <= 63, s"hashBits must be in [1,63], got $hashBits")
+    val span = BigInt(2).pow(hashBits)
+    val q = ((span + nShards - 1) / nShards).toLong
+    df.withColumn("order_key", hashFn(concat(col(idCol).cast("string"), lit(":" + salt))))
+      .withColumn("shard", expr(s"order_key div ${q}L").cast("int"))
+  }
+
+  /** Materialize [[shuffleShards]] as training-shard files: parquet
+    * partitioned by `shard`, every shard exactly ONE file whose row order is
+    * the epoch order (readers stream shard 0..n-1 top to bottom and see the
+    * full deterministic permutation). One hash exchange on `shard` + a
+    * sort WITHIN each shard — no global sort. The id breaks order-key ties
+    * so the layout is byte-stable across reruns.
+    */
+  def writeShuffleShards(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      path: String,
+      salt: String = "epoch0",
+      hashFn: Column => Column = Dedup.xxBaseHash,
+      hashBits: Int = 63
+  ): Unit =
+    shuffleShards(df, idCol, nShards, salt, hashFn, hashBits)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("order_key"), col(idCol))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("shard").parquet(path)
+
   /** Weighted sample WITHOUT replacement: the `n` rows with the largest
     * `ln(weight) + Gumbel(id)` key — selection probability ∝ weight (the
     * Gumbel-top-k identity), deterministic because the noise derives from

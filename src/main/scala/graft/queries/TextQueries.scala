@@ -410,6 +410,76 @@ object TextQueries {
       Seq("C13")
     ),
 
+    // Global exact line dedup (RefinedWeb first-occurrence rule): documents
+    // are line-ified into 10-word lines (the corpus has no raw newlines),
+    // then every distinct line keeps only its first (doc, pos) occurrence
+    // corpus-wide and docs are reassembled. Exact-duplicate documents lose
+    // ALL their lines (t_sha = sha256('')); partial overlaps lose only the
+    // shared lines. The oracle replays line-ification, the first-occurrence
+    // window, and the reassembly; per-doc sha256 pins byte identity.
+    "dd_line_dedup" -> Q(
+      (s, d) => {
+        val ws = split(trim(col("text")), "\\s+")
+        val nl = ((size(ws) + lit(9)) / lit(10)).cast("int")
+        val text2 = array_join(
+          transform(sequence(lit(0), nl - lit(1)),
+            i => array_join(slice(ws, i * lit(10) + lit(1), lit(10)), " ")),
+          "\n")
+        val lined = documents(s, d).select(col("doc_id"), text2.as("text2"))
+        Dedup.dedupLines(lined, "doc_id", "text2")
+          .select(col("doc_id"), col("n_lines_removed"),
+            length(col("text2")).cast("long").as("n_chars2"),
+            sha2(col("text2"), 256).as("t_sha"))
+      },
+      Some("""WITH ws AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
+             |d2 AS (
+             |  SELECT doc_id,
+             |         array_to_string(list_transform(range((len(w) + 9) // 10),
+             |           i -> array_to_string(w[i*10+1 : i*10+10], ' ')), chr(10)) AS t
+             |  FROM ws),
+             |lines AS (
+             |  SELECT doc_id, generate_subscripts(string_split(t, chr(10)), 1) AS pos,
+             |         unnest(string_split(t, chr(10))) AS line
+             |  FROM d2),
+             |ranked AS (
+             |  SELECT doc_id, pos, line,
+             |         row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+             |  FROM lines),
+             |docs3 AS (
+             |  SELECT doc_id, array_to_string(list(line ORDER BY pos), chr(10)) AS t2,
+             |         count(*) AS n_keep
+             |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+             |base AS (SELECT doc_id, len(string_split(t, chr(10))) AS n_lines FROM d2)
+             |SELECT b.doc_id,
+             |       CAST(b.n_lines - coalesce(d.n_keep, 0) AS BIGINT) AS n_lines_removed,
+             |       CAST(len(coalesce(d.t2, '')) AS BIGINT) AS n_chars2,
+             |       sha256(coalesce(d.t2, '')) AS t_sha
+             |FROM base b LEFT JOIN docs3 d USING (doc_id)""".stripMargin),
+      Seq("A6", "C13")
+    ),
+
+    // Deterministic epoch shuffle into training shards: order_key =
+    // hash(id:salt), shard = top-bits range — (shard, order_key) IS the
+    // global permutation, reproducible across topology. Per-shard count /
+    // char mass / key range pins both the assignment and the ordering.
+    "ta_epoch_shuffle" -> Q(
+      (s, d) =>
+        Sampling.shuffleShards(documents(s, d), "doc_id", 8, salt = "ep1",
+          hashFn = c => Dedup.md5Lower60(c), hashBits = 60)
+          .groupBy(col("shard"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"),
+            min(col("order_key")).as("min_key"), max(col("order_key")).as("max_key")),
+      Some("""SELECT shard, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       min(k) AS min_key, max(k) AS max_key
+             |FROM (SELECT n_chars, k, CAST(k // 144115188075855872 AS INT) AS shard
+             |      FROM (SELECT n_chars,
+             |                   CAST((md5_number_lower(CAST(doc_id AS VARCHAR) || ':ep1') >> 4) AS BIGINT) AS k
+             |            FROM documents))
+             |GROUP BY shard""".stripMargin),
+      Seq("F8", "A1")
+    ),
+
     // Approximate aggregates — the 100 TB default for distincts/quantiles.
     // HLL and quantile-sketch internals differ per engine, so raw sketch
     // values can't hash-match; instead the query emits the error ENVELOPE as

@@ -320,6 +320,41 @@ object VectorQueries {
       Seq("E2", "A6")
     ),
 
+    // Semantic (embedding-space) decontamination: corpus rows within cosine
+    // 0.35 of ANY eval vector are flagged — the paraphrase leakage the
+    // n-gram contamination families can't see. Eval = every 50th vector;
+    // the corpus is salted with exact copies of the eval set (id+1000000),
+    // which must flag at max_cos = 1.0 alongside the natural near-hits.
+    // Plan: broadcast nested-loop over the small eval side — the corpus
+    // never shuffles; the oracle replays every pair in double precision
+    // with the shared round-6 boundary rule.
+    "dd_semantic_contamination" -> Q(
+      (s, d) => {
+        val emb = embeddings(s, d)
+        val eval = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id"), col("embedding"))
+        val corpus = emb.filter(col("vec_id") % 50 =!= 0)
+          .select(col("vec_id"), col("embedding"))
+          .unionByName(eval.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+        Dedup.semanticContaminatedIds(corpus, "vec_id", "embedding", eval, "embedding", 0.35)
+      },
+      Some("""WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+             |cp AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0
+             |       UNION ALL SELECT vec_id + 1000000, embedding FROM ev),
+             |ee AS (SELECT vec_id AS eid, generate_subscripts(embedding,1) AS i,
+             |              CAST(unnest(embedding) AS DOUBLE) AS x FROM ev),
+             |cc AS (SELECT vec_id AS cid, generate_subscripts(embedding,1) AS i,
+             |              CAST(unnest(embedding) AS DOUBLE) AS x FROM cp),
+             |sims AS (SELECT cid, eid, sum(cc.x*ee.x) AS dot,
+             |                sqrt(sum(cc.x*cc.x)) AS na, sqrt(sum(ee.x*ee.x)) AS nb
+             |         FROM cc JOIN ee ON cc.i = ee.i GROUP BY cid, eid),
+             |hits AS (SELECT cid, round(CASE WHEN na*nb > 0 THEN dot/(na*nb) ELSE 0 END, 6) AS s
+             |         FROM sims)
+             |SELECT cid AS vec_id, count(*) AS n_eval_hits, max(s) AS max_cos
+             |FROM hits WHERE s >= 0.35 GROUP BY cid""".stripMargin),
+      Seq("E2", "A6")
+    ),
+
     // Johnson–Lindenstrauss signed random projection: 64-dim embeddings
     // compressed to 16 dims with the deterministic ±1 plane generator the
     // LSH buckets already share with their oracles. Per-row codegen

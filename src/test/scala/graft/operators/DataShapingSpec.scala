@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Global line dedup, semantic decontamination, and the deterministic epoch
+  * shuffle — the round-9 corpus-shaping additions.
+  */
+class DataShapingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dedupLines keeps each distinct line's first (doc,pos) occurrence corpus-wide") {
+    val df = Seq(
+      (1L, "alpha\nbeta\ngamma"),
+      (2L, "beta\ndelta"),
+      (3L, "gamma\nalpha\nepsilon")
+    ).toDF("doc_id", "text")
+    val byId = Dedup.dedupLines(df, "doc_id", "text")
+      .select("doc_id", "text", "n_lines_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(byId(1L) == (("alpha\nbeta\ngamma", 0L)), "doc 1 owns every first occurrence")
+    assert(byId(2L) == (("delta", 1L)), "doc 2 loses the repeated 'beta'")
+    assert(byId(3L) == (("epsilon", 2L)), "doc 3 loses 'gamma' and 'alpha'")
+  }
+
+  test("dedupLines: within-doc repeats collapse; untouched docs pass byte-identical") {
+    val df = Seq(
+      (1L, "x\ny\nx\nx"),
+      (2L, "unique one\nunique two")
+    ).toDF("doc_id", "text")
+    val byId = Dedup.dedupLines(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_lines_removed")))).toMap
+    assert(byId(1L) == (("x\ny", 2L)))
+    assert(byId(2L) == (("unique one\nunique two", 0L)))
+  }
+
+  test("dedupLines minChars exempts short lines from dedup") {
+    // the empty line appears in both docs; with minChars=1 it is exempt and
+    // every occurrence survives, while the shared long line still dedups
+    val df = Seq(
+      (1L, "shared line\n\ntail one"),
+      (2L, "\nshared line\ntail two")
+    ).toDF("doc_id", "text")
+    val byId = Dedup.dedupLines(df, "doc_id", "text", minChars = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(byId(1L) == "shared line\n\ntail one")
+    assert(byId(2L) == "\ntail two", "doc 2 keeps its exempt empty line, loses the shared one")
+  }
+
+  test("dedupLines decision exchanges hashes, not text; an exact-dup doc empties") {
+    val df = Seq(
+      (1L, "a b\nc d"),
+      (2L, "a b\nc d") // exact duplicate document: loses every line
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, "doc_id", "text")
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[String]("text"), r.getAs[Long]("n_lines_removed")))).toMap
+    assert(byId(1L) == (("a b\nc d", 0L)))
+    assert(byId(2L) == (("", 2L)))
+    assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
+  test("semanticContaminatedIds flags cosine hits against the eval set only") {
+    val eval = Seq((100L, Array(1f, 0f)), (101L, Array(0f, 1f))).toDF("eid", "vec")
+    val corpus = Seq(
+      (1L, Array(2f, 0f)),   // cos 1.0 with eval 100
+      (2L, Array(0.9f, 0.1f)), // cos ~0.9939 with eval 100
+      (3L, Array(1f, 1f)),   // cos ~0.7071 with both — below 0.95
+      (4L, Array(0f, 0f))    // zero norm: never flagged
+    ).toDF("vec_id", "vec")
+    val out = Dedup.semanticContaminatedIds(corpus, "vec_id", "vec", eval, "vec", 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("n_eval_hits"), r.getAs[Double]("max_cos")))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((1L, 1.0)))
+    assert(out(2L)._1 == 1L && out(2L)._2 > 0.99 && out(2L)._2 < 1.0)
+    // the corpus side must not shuffle: broadcast nested loop, no exchange
+    // above the scan on the corpus branch
+    val plan = Dedup.semanticContaminatedIds(corpus, "vec_id", "vec", eval, "vec", 0.95)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast NL join:\n$plan")
+  }
+
+  test("shuffleShards: deterministic permutation, salt-sensitive, ranges partition the key space") {
+    val df = (1L to 500L).map(i => (i, s"d$i")).toDF("doc_id", "payload")
+    val a = Sampling.shuffleShards(df, "doc_id", 8, salt = "ep0")
+      .select("doc_id", "order_key", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val b = Sampling.shuffleShards(df.repartition(7), "doc_id", 8, salt = "ep0")
+      .select("doc_id", "order_key", "shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "same salt → same permutation regardless of partitioning")
+    val c = Sampling.shuffleShards(df, "doc_id", 8, salt = "ep1")
+      .select("order_key").as[Long].collect().sorted
+    assert(c.toSeq != a.map(_._2).sorted.toSeq, "different salt → different permutation")
+    assert(a.forall { case (_, _, s) => s >= 0 && s < 8 })
+    // shard is the top-bits range of the key: shard asc, key asc is global order
+    val q = (BigInt(2).pow(63) + 7) / 8
+    assert(a.forall { case (_, k, s) => (BigInt(k) / q).toInt == s })
+  }
+
+  test("writeShuffleShards: one file per shard, epoch order within each shard") {
+    val df = (1L to 200L).map(i => (i, i * 2)).toDF("doc_id", "v")
+    val dir = tmpDir("shards")
+    Sampling.writeShuffleShards(df, "doc_id", 4, dir, salt = "ep0")
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == 4)
+    shardDirs.foreach { sd =>
+      assert(sd.listFiles().count(_.getName.endsWith(".parquet")) == 1,
+        s"${sd.getName} must hold exactly one file")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 200L)
+    assert(back.select("doc_id").as[Long].collect().toSet == (1L to 200L).toSet)
+    // within every shard file, rows are already in order_key order
+    (0 until 4).foreach { s =>
+      val keys = spark.read.parquet(s"$dir/shard=$s").select("order_key").as[Long].collect()
+      assert(keys.toSeq == keys.sorted.toSeq, s"shard $s must be stored in epoch order")
+    }
+  }
+}
