@@ -48,7 +48,9 @@ object ExplainAudit {
       "q_correlated_subquery", "j_salted_skew", "k_partitioned_write",
       "ta_leakage_split", "a_kll_shard_quantiles", "j_corpus_diff",
       "q_lateral_topk", "dd_url_dedup", "e2_pq_recall_gate",
-      "e2_binary_topk", "e2_mih_radius"
+      "e2_binary_topk", "e2_mih_radius",
+      "dd_line_dedup", "ta_epoch_shuffle", "dd_semantic_contamination",
+      "c_lambda_funcs", "c_generator_funcs", "c_map_funcs", "a_agg_pushdown"
     )
 
     var bad = 0
@@ -435,6 +437,42 @@ object ExplainAudit {
         val p = plan("e2_mih_radius")
         p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
           !p.contains("BroadcastNestedLoopJoin")
+      }),
+      // parquet aggregate pushdown: the unfiltered count/min/max must be
+      // answered by the scan's footer statistics — `PushedAggregation` on
+      // the scan node, or the monitoring query reads the whole table
+      ("global count/min/max pushes to the parquet scan (PushedAggregation)", {
+        val p = plan("a_agg_pushdown")
+        p.contains("PushedAggregation") && p.contains("COUNT(*)")
+      }),
+      // graph ANN build: the per-vector kNN truncates through the native
+      // map-side partial_top_k and candidates pair only within LSH buckets
+      // (equi-join) — an all-pairs build would be the 100 TB non-starter
+      ("graph ann build truncates knn map-side, pairs only within buckets", {
+        val g = graft.operators.GraphAnn.buildGraph(
+          Tables.embeddings(spark, sfDir), "vec_id", "embedding",
+          dim = 64, degree = 4, nPlanes = 6, probes = 2)
+        val p = g.edges.queryExecution.executedPlan.toString
+        p.contains("partial_top_k") && !p.contains("CartesianProduct")
+      }),
+      // semantic decontamination: the eval side must BROADCAST (nested-loop
+      // against a broadcast relation is the intended bounded plan); the
+      // corpus side must reach the join without any Exchange
+      ("semantic decontamination broadcasts eval, corpus never exchanges pre-join", {
+        val p = plan("dd_semantic_contamination")
+        p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+      }),
+      // global line dedup: the winner aggregate must key its exchange on
+      // the line HASH column (_h) — the decision shuffle moves 32-byte
+      // hashes + (doc,pos) ids; text crosses the wire only in the final
+      // id-keyed overlay join
+      ("line dedup decision exchange keys on the line hash, not text", {
+        val lined = Tables.documents(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+        val p = graft.operators.Dedup.dedupLines(lined, "doc_id", "text")
+          .queryExecution.executedPlan.toString
+        p.contains("hashpartitioning(_h#") && !p.contains("CartesianProduct")
       })
     )
     println("\n===== invariants =====")

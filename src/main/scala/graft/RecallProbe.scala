@@ -47,6 +47,14 @@ object RecallProbe {
         val r = Similarity.recallAtK(approx, exact, "vec_id")
         println(f"RECALL dir=$d nProbes=$p%2d recall@10=$r%.4f")
       }
+      val graph = graft.operators.GraphAnn.buildGraph(
+        corpus, "vec_id", "embedding", dim = 64, degree = 8, nPlanes = 8, probes = 4)
+      for ((beam, hops) <- Seq((16, 3), (24, 4), (32, 4), (32, 6))) {
+        val approx = graft.operators.GraphAnn.search(graph, queries,
+          "vec_id", "embedding", k = 10, beam = beam, maxHops = hops, nSeeds = 16)
+        val r = Similarity.recallAtK(approx, exact, "vec_id")
+        println(f"RECALL dir=$d graph beam=$beam%2d hops=$hops recall@10=$r%.4f")
+      }
       exact.unpersist()
     }
     spark.stop()

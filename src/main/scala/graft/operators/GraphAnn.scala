@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Graph-based approximate nearest-neighbor search — the NSW family (Malkov
+  * et al., "Approximate nearest neighbor algorithm based on navigable small
+  * world graphs", Information Systems 2014; the single-layer ancestor of
+  * HNSW and of DiskANN's Vamana graph), re-expressed for a bulk-synchronous
+  * relational engine.
+  *
+  * The classic formulation is pointer-chasing: greedy walk from an entry
+  * point, hop to whichever neighbor is closer to the query, keep a beam of
+  * the best candidates seen. A distributed engine has no pointers — but the
+  * walk IS a fixed number of relational rounds, and that is how this
+  * operator runs it:
+  *
+  *   - the INDEX is two tables: the vectors and an undirected k-NN edge
+  *     list (built once with the existing LSH two-sided join — no
+  *     all-pairs);
+  *   - one SEARCH HOP for a whole query COHORT is: frontier ⋈ edges
+  *     (equi-join on node) → anti-join the per-query `seen` set → join back
+  *     to vectors for scoring → per-query `top_k` (map-side combined).
+  *     Every exchange carries id/score pairs bounded by
+  *     `queries × beam × degree` rows — NEVER corpus-sized, and independent
+  *     of corpus row count;
+  *   - `maxHops` bounds the rounds; the `seen` anti-join guarantees
+  *     monotone progress (a node is scored at most once per query), so the
+  *     search also terminates early the moment a hop discovers nothing new.
+  *
+  * Why this shape at 100 TB: IVF probes read whole cells (`nProbes/k` of
+  * the corpus per query); a graph search reads `beam × degree` vectors per
+  * hop regardless of corpus size, which is why graph indexes win at high
+  * recall on billion-vector corpora. The relational re-expression keeps
+  * that property: per-hop cost scales with the query cohort, not the data,
+  * and the corpus is touched only through equi-joins an at-rest layout
+  * (edges and vectors co-bucketed by id) turns into pruned scans.
+  *
+  * Determinism: seeds are the `nSeeds` smallest vector ids, similarities
+  * round to 6dp BEFORE ranking, and `top_k(struct(sim, id))` breaks ties
+  * toward the larger id — the battery's shared cross-engine tie rule.
+  */
+object GraphAnn {
+
+  /** A graph ANN index: `vectors` (id, vec) and the undirected `edges`
+    * (src, dst) of the k-NN graph over them.
+    */
+  final case class AnnGraph(
+      vectors: DataFrame,
+      idCol: String,
+      vecCol: String,
+      edges: DataFrame
+  )
+
+  /** Build the k-NN graph: each vector's `degree` approximate nearest
+    * neighbors via the LSH two-sided join ([[Similarity.nnJoin]] — banded
+    * buckets + per-query top-k, no all-pairs), symmetrized to an undirected
+    * edge list. Symmetrization is the cheap half of NSW's insertion rule:
+    * an edge discovered from either endpoint serves the walk in both
+    * directions, which repairs most of the connectivity LSH bucketing
+    * loses.
+    *
+    * Build cost is the kNN join (the one corpus-sized step — index
+    * construction, amortized over every search); the edge list is
+    * `≤ 2 × degree × N` id pairs.
+    */
+  def buildGraph(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      degree: Int = 8,
+      nPlanes: Int = 8,
+      probes: Int = 4,
+      maxBucketSize: Int = 10000
+  ): AnnGraph = {
+    require(degree > 0, s"degree must be positive, got $degree")
+    // degree+1 then drop self: the nearest "neighbor" of a vector is itself
+    val knn = Similarity.nnJoin(df, idCol, df, idCol, vecCol, dim,
+      k = degree + 1, nPlanes = nPlanes, probes = probes,
+      maxBucketSize = maxBucketSize)
+    val directed = knn.filter(col("neighbor_id") =!= col(idCol))
+      .select(col(idCol).as("src"), col("neighbor_id").as("dst"))
+    val edges = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, edges)
+  }
+
+  /** Persist the index: vectors and edges as parquet, edges repartitioned
+    * by `src` so a search hop's frontier⋈edges join co-locates with an
+    * at-rest bucketing.
+    */
+  def writeGraph(graph: AnnGraph, path: String): Unit = {
+    graph.vectors.write.mode(SaveMode.Overwrite).parquet(s"$path/vectors")
+    graph.edges.repartition(col("src")).write.mode(SaveMode.Overwrite)
+      .parquet(s"$path/edges")
+  }
+
+  def readGraph(spark: SparkSession, path: String, idCol: String, vecCol: String): AnnGraph =
+    AnnGraph(spark.read.parquet(s"$path/vectors"), idCol, vecCol,
+      spark.read.parquet(s"$path/edges"))
+
+  /** Beam search over the graph for a query cohort. Returns the per-query
+    * top-`k` as `(queryIdCol, neighbor_id, sim)` — the [[Similarity.nnJoin]]
+    * output shape, so the recall harness and downstream joins compose
+    * unchanged.
+    *
+    * State per round (all bounded by the cohort, never the corpus):
+    * `best` (queries × beam), `frontier` (queries × beam), `seen`
+    * (queries × nodes-scored-so-far ≤ nSeeds + hops × beam × degree).
+    * Each round cuts lineage through one localCheckpoint rotation per
+    * state table (the PageRank/BpeTrainer discipline) so `maxHops` rounds
+    * hold a constant number of materialized tables.
+    */
+  def search(
+      graph: AnnGraph,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      beam: Int = 16,
+      maxHops: Int = 4,
+      nSeeds: Int = 16
+  ): DataFrame = {
+    require(k > 0 && beam >= k, s"need 0 < k <= beam, got k=$k beam=$beam")
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    require(nSeeds > 0, s"nSeeds must be positive, got $nSeeds")
+
+    val q = queries
+      .select(col(queryIdCol).as("_ga_qid"), col(queryVecCol).as("_ga_qv"))
+      .withColumn("_ga_qn", norm(col("_ga_qv")))
+      .localCheckpoint(false) // joined every hop: compute the cohort once
+    val v = graph.vectors
+      .select(col(graph.idCol).as("_ga_node"), col(graph.vecCol).as("_ga_v"))
+      .withColumn("_ga_n", norm(col("_ga_v")))
+    val e = graph.edges
+      .select(col("src").as("_ga_node"), col("dst").as("_ga_dst"))
+
+    // deterministic entry points: the nSeeds smallest ids (id-only sort —
+    // nSeeds rows, no vector payload in the exchange)
+    val seeds = v.select(col("_ga_node")).orderBy(col("_ga_node")).limit(nSeeds)
+
+    // score a (qid, node) candidate set: both norms were projected once
+    // below this join; sims round to 6dp BEFORE any ranking
+    def score(cand: DataFrame): DataFrame =
+      cand.join(v, Seq("_ga_node"))
+        .join(q, Seq("_ga_qid"))
+        .select(col("_ga_qid"), col("_ga_node"),
+          round(cosineWithNorms(col("_ga_qv"), col("_ga_v"),
+            col("_ga_qn"), col("_ga_n")), 6).as("_ga_sim"))
+
+    def topBeam(scored: DataFrame): DataFrame =
+      scored.groupBy(col("_ga_qid"))
+        .agg(expr(s"top_k(struct(_ga_sim, _ga_node), $beam)").as("_ga_top"))
+        .select(col("_ga_qid"), explode(col("_ga_top")).as("_ga_t"))
+        .select(col("_ga_qid"), col("_ga_t._ga_node").as("_ga_node"),
+          col("_ga_t._ga_sim").as("_ga_sim"))
+
+    // per-state-slot lineage rotation: each slot holds ONE checkpointed
+    // RDD; rotating in a new round's table releases the previous one
+    val held = scala.collection.mutable.Map.empty[String, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def rotate(slot: String, df: DataFrame): DataFrame = {
+      val rdd = df.rdd
+      rdd.localCheckpoint()
+      rdd.count()
+      held.get(slot).foreach(_.unpersist(blocking = false))
+      held(slot) = rdd
+      df.sparkSession.createDataFrame(rdd, df.schema)
+    }
+
+    val round0 = q.select(col("_ga_qid")).crossJoin(seeds) // cohort × nSeeds
+    var seen = rotate("seen", round0)
+    var best = rotate("best", topBeam(score(round0)))
+    var frontier = best
+    var hop = 0
+    var converged = false
+    while (hop < maxHops && !converged) {
+      val fresh = rotate("fresh",
+        frontier.select(col("_ga_qid"), col("_ga_node"))
+          .join(e, Seq("_ga_node"))
+          .select(col("_ga_qid"), col("_ga_dst").as("_ga_node"))
+          .distinct()
+          .join(seen, Seq("_ga_qid", "_ga_node"), "left_anti"))
+      if (fresh.isEmpty) converged = true
+      else {
+        val scored = score(fresh)
+        seen = rotate("seen", seen.unionByName(fresh))
+        best = rotate("best", topBeam(best.unionByName(scored)))
+        // expand from this hop's best NEW nodes: the seen anti-join above
+        // guarantees progress, so re-expanding old beam members is waste
+        frontier = topBeam(scored)
+      }
+      hop += 1
+    }
+
+    best.groupBy(col("_ga_qid"))
+      .agg(expr(s"top_k(struct(_ga_sim, _ga_node), $k)").as("_ga_top"))
+      .select(col("_ga_qid"), explode(col("_ga_top")).as("_ga_t"))
+      .select(col("_ga_qid").as(queryIdCol),
+        col("_ga_t._ga_node").as("neighbor_id"),
+        col("_ga_t._ga_sim").as("sim"))
+  }
+}

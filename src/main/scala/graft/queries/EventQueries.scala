@@ -830,6 +830,59 @@ object EventQueries {
              |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
              |FROM sizes""".stripMargin),
       Seq("S6", "W1")
+    ),
+
+    // §2.11: STREAM-STATIC enrichment join — the third Structured Streaming
+    // join shape after stream-stream inner/outer: a purchase stream joined
+    // per microbatch against a STATIC per-user profile table (views count +
+    // last view id from the batch corpus). Stream-static joins are
+    // STATELESS — no watermark, no buffered state; the static side is
+    // re-planned each microbatch, which is exactly why it must BROADCAST: a
+    // shuffle join would re-exchange the stream every batch, and at 100 TB
+    // the dim side (users, domains, blocklists) is the small one by
+    // construction. LEFT join keeps profile-less purchasers with NULL
+    // profile columns. Oracle replays it as a plain SQL left join.
+    "s10_stream_static_enrich" -> Q(
+      (s, d) => {
+        val purDir = tmpDir(d, "sse_purchases"); val outDir = tmpDir(d, "sse_out")
+        val ckpt = tmpDir(d, "sse_ckpt")
+        Seq(purDir, outDir, ckpt).foreach(cleanDir)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(purDir))
+        val ev = events(s, d)
+        val profile = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_views"), max(col("event_id")).as("last_view_id"))
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+          .coalesce(1).write.mode("overwrite").json(purDir)
+        val purchases = s.readStream
+          .schema("event_id BIGINT, user_id BIGINT, ts_us BIGINT, value DOUBLE")
+          .json(purDir)
+        val q = purchases
+          .join(broadcast(profile), Seq("user_id"), "left")
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .format("parquet").option("path", outDir).start()
+        q.awaitTermination()
+        s.read.parquet(outDir).agg(
+          count(lit(1)).as("n_purchases"),
+          count(col("n_views")).as("n_with_profile"),
+          sum(col("n_views")).as("sum_views"),
+          sum(col("event_id") + col("last_view_id")).as("sum_pair_ids"),
+          round(sum(col("value")), 2).as("sum_value"))
+      },
+      Some("""WITH profile AS (
+             |  SELECT user_id, count(*) AS n_views, max(event_id) AS last_view_id
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+             |       CAST(count(pr.n_views) AS BIGINT) AS n_with_profile,
+             |       CAST(sum(pr.n_views) AS BIGINT) AS sum_views,
+             |       CAST(sum(p.event_id + pr.last_view_id) AS BIGINT) AS sum_pair_ids,
+             |       round(sum(p.value), 2) AS sum_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN profile pr USING (user_id)""".stripMargin),
+      Seq("S6", "J1")
     )
   )
 

@@ -484,6 +484,35 @@ object RelationalQueries {
              |            ELSE 'ok' END AS route, count(*) AS n
              |FROM orders GROUP BY 1""".stripMargin),
       Seq("F5")
+    ),
+
+    // Parquet AGGREGATE PUSHDOWN: an unfiltered global count/min/max runs
+    // against footer statistics — zero row groups decoded, the scan node
+    // itself answers the query (`PushedAggregation` in the plan). At 100 TB
+    // this is the difference between a metadata read and a full-table scan
+    // for the monitoring queries every pipeline runs constantly. Needs the
+    // DSv2 parquet path, so the entry runs in a child session (shared
+    // SparkContext, isolated conf) rather than flipping the battery-wide
+    // session's source list. min/max push for numeric columns only — the
+    // date/string columns stay unpushed on purpose and are not used here.
+    "a_agg_pushdown" -> Q(
+      (s, d) => {
+        val s2 = s.newSession()
+        s2.conf.set("spark.sql.sources.useV1SourceList", "")
+        s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s2.read.parquet(s"$d/lineitem.parquet")
+          .agg(
+            expr("count(*)").as("n_rows"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"),
+            min(col("l_orderkey")).as("min_ok"),
+            max(col("l_orderkey")).as("max_ok"))
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+             |FROM lineitem""".stripMargin),
+      Seq("A2", "F6")
     )
   )
 }

@@ -1839,6 +1839,120 @@ object TextQueries {
       Seq("C10", "C3")
     ),
 
+    // Higher-order array lambdas — aggregate (fold), zip_with, exists,
+    // forall, filter — the codegen'd in-row loop surface that replaces
+    // per-element UDFs. DuckDB replays each value through its list_*
+    // equivalents (list_sum, list_dot_product over the reversed list,
+    // list_filter emptiness for exists/forall).
+    "c_lambda_funcs" -> Q(
+      (s, d) => {
+        val ws = split(trim(col("text")), "\\s+")
+        val ls = transform(ws, w => length(w).cast("long"))
+        documents(s, d)
+          .select(col("doc_id"), ls.as("ls"))
+          .select(
+            col("doc_id"),
+            aggregate(col("ls"), lit(0L), (acc, x) => acc + x).as("sum_len"),
+            aggregate(zip_with(col("ls"), reverse(col("ls")), (a, b) => a * b),
+              lit(0L), (acc, x) => acc + x).as("dot_rev"),
+            exists(col("ls"), x => x > 10).as("has_long"),
+            forall(col("ls"), x => x > 0).as("all_nonempty"),
+            size(filter(col("ls"), x => x % 2 === 0)).as("n_even"))
+          .orderBy(col("doc_id")).limit(100)
+      },
+      Some("""SELECT doc_id,
+             |  CAST(list_sum(ls) AS BIGINT) AS sum_len,
+             |  CAST(list_dot_product(ls, list_reverse(ls)) AS BIGINT) AS dot_rev,
+             |  len(list_filter(ls, x -> x > 10)) > 0 AS has_long,
+             |  len(list_filter(ls, x -> NOT (x > 0))) = 0 AS all_nonempty,
+             |  CAST(len(list_filter(ls, x -> x % 2 = 0)) AS INT) AS n_even
+             |FROM (SELECT doc_id,
+             |        list_transform(regexp_split_to_array(trim(text), '\s+'),
+             |          w -> CAST(len(w) AS BIGINT)) AS ls
+             |      FROM documents)
+             |ORDER BY doc_id LIMIT 100""".stripMargin),
+      Seq("C10", "C1")
+    ),
+
+    // Generator breadth: posexplode_outer (the null-preserving explode —
+    // a doc whose word array is emptied still emits one row, the LEFT JOIN
+    // semantics `explode` silently drops) composed with a per-word
+    // sequence() generator. Every 5th doc's array is emptied to exercise
+    // the outer path. DuckDB replays the inner generator with unnest +
+    // generate_series and re-adds the empty docs via anti-join UNION.
+    "c_generator_funcs" -> Q(
+      (s, d) => {
+        val ws5 = slice(split(trim(col("text")), "\\s+"), 1, 5)
+        val arr = when(col("doc_id") % 5 === 0, array().cast("array<string>"))
+          .otherwise(ws5)
+        documents(s, d)
+          // all-whitespace text splits to [""], whose zero-length word would
+          // hit Spark's DESCENDING sequence(1,0) — exclude it on both sides
+          .filter(col("doc_id") < 50 && trim(col("text")) =!= "")
+          .select(col("doc_id"), posexplode_outer(arr).as(Seq("pos", "w")))
+          .select(col("doc_id"), col("pos"), col("w"),
+            when(col("w").isNull, lit(0L))
+              .otherwise(aggregate(sequence(lit(1L), length(col("w")).cast("long")),
+                lit(0L), (acc, x) => acc + x)).as("tri"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("pos")).as("sum_pos"),
+            sum(col("tri")).as("sum_tri"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+')[1:5] AS ws
+             |  FROM documents WHERE doc_id < 50 AND trim(text) <> ''),
+             |inner_rows AS (
+             |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS w
+             |  FROM base WHERE doc_id % 5 <> 0),
+             |with_tri AS (
+             |  SELECT doc_id, pos, len(w) * (len(w) + 1) // 2 AS tri FROM inner_rows),
+             |outer_rows AS (
+             |  SELECT doc_id, CAST(NULL AS INT) AS pos, CAST(0 AS BIGINT) AS tri
+             |  FROM base WHERE doc_id % 5 = 0)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(sum(pos) AS BIGINT) AS sum_pos,
+             |       CAST(sum(tri) AS BIGINT) AS sum_tri
+             |FROM (SELECT * FROM with_tri UNION ALL SELECT * FROM outer_rows)
+             |GROUP BY doc_id""".stripMargin),
+      Seq("C10", "W2")
+    ),
+
+    // Map-typed column surface: map_from_arrays over the doc's first three
+    // words, map_concat overlay (right side wins on key collision),
+    // transform_values, map_keys/map_values — reduced to deterministic
+    // scalars (sorted key join + value sum) so the oracle replays the
+    // VALUES from plain arrays without needing a cross-engine map encoding.
+    "c_map_funcs" -> Q(
+      (s, d) => {
+        val w3 = slice(split(trim(col("text")), "\\s+"), 1, 3)
+        val m = map_from_arrays(col("w3"), array(lit(1L), lit(2L), lit(3L)))
+        val m2 = map_concat(map(lit("extra"), lit(10L)), transform_values(m, (_, v) => v * 2))
+        documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), w3.as("w3"))
+          // first 3 words of a doc can repeat; map keys must be unique
+          .filter(size(array_distinct(col("w3"))) === 3 &&
+            !array_contains(col("w3"), "extra"))
+          .select(col("doc_id"), m2.as("m2"))
+          .select(col("doc_id"),
+            size(col("m2")).as("n_keys"),
+            array_join(array_sort(map_keys(col("m2"))), ",").as("keys_sorted"),
+            aggregate(map_values(col("m2")), lit(0L), (acc, x) => acc + x).as("sum_vals"))
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+')[1:3] AS w3
+             |  FROM documents WHERE doc_id < 100),
+             |uniq AS (
+             |  SELECT * FROM base
+             |  WHERE len(list_distinct(w3)) = 3 AND NOT list_contains(w3, 'extra'))
+             |SELECT doc_id,
+             |       CAST(4 AS INT) AS n_keys,
+             |       array_to_string(list_sort(list_append(w3, 'extra')), ',') AS keys_sorted,
+             |       CAST(22 AS BIGINT) AS sum_vals
+             |FROM uniq""".stripMargin),
+      Seq("C10", "C15")
+    ),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword ranking
     // (documents) and the cosine vector ranking (embeddings — the id spaces
     // align 1:1 in the testdata). Ranks come from the ROUNDED scores on

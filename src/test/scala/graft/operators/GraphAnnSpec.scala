@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Graph-based ANN (NSW-style beam search as iterated equi-joins): exact
+  * laws on hand-built graphs, navigation, build invariants, and
+  * persistence.
+  */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Unit-circle vectors at evenly spaced angles in [0, π/2]: cosine
+    * similarity between two of them is cos(Δangle) — strictly monotone in
+    * index distance, which makes nearest-neighbor structure exact and
+    * obvious in the assertions.
+    */
+  private def circle(n: Int) = {
+    val rows = (0 until n).map { i =>
+      val a = (math.Pi / 2) * i / (n - 1)
+      (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+    }
+    rows.toDF("id", "vec")
+  }
+
+  /** Ring edges: i — i+1, both directions. Connected, diameter n−1. */
+  private def ring(n: Int) = {
+    val e = (0 until n - 1).flatMap(i =>
+      Seq((i.toLong, (i + 1).toLong), ((i + 1).toLong, i.toLong)))
+    e.toDF("src", "dst")
+  }
+
+  private def bruteTopK(corpus: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame, k: Int) =
+    queries.select(col("id").as("_qid"), col("vec").as("_qv"))
+      .crossJoin(corpus.select(col("id").as("_cid"), col("vec").as("_cv")))
+      .withColumn("_sim", round(graft.functions.VectorFunctions.cosine(col("_qv"), col("_cv")), 6))
+      .groupBy(col("_qid"))
+      .agg(expr(s"top_k(struct(_sim, _cid), $k)").as("_top"))
+      .select(col("_qid"), explode(col("_top")).as("_t"))
+      .select(col("_qid").as("id"), col("_t._cid").as("neighbor_id"),
+        col("_t._sim").as("sim"))
+
+  test("full beam + connected graph + enough hops == brute force exactly") {
+    val n = 24
+    val vecs = circle(n)
+    // ring graph: worst-case connectivity (diameter n−1); with beam ≥ n and
+    // hops ≥ n every node is reachable and scored, so the beam search MUST
+    // equal the brute-force top-k, ties and all
+    val g = GraphAnn.AnnGraph(vecs, "id", "vec", ring(n))
+    val queries = vecs.filter(col("id").isin(3L, 11L, 20L))
+    val got = GraphAnn.search(g, queries, "id", "vec", k = 5,
+      beam = n, maxHops = n, nSeeds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = bruteTopK(vecs, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want)
+  }
+
+  test("beam search navigates a ring from a far seed to the true neighborhood") {
+    val n = 40
+    val vecs = circle(n)
+    val g = GraphAnn.AnnGraph(vecs, "id", "vec", ring(n))
+    // query = the far end of the arc; the only seed is node 0, so reaching
+    // id 39's neighborhood requires walking the whole ring through
+    // strictly-improving frontiers
+    val queries = vecs.filter(col("id") === 39L)
+    val got = GraphAnn.search(g, queries, "id", "vec", k = 3,
+      beam = 4, maxHops = n, nSeeds = 1)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(39L, 38L, 37L), s"expected the true top-3, got $got")
+  }
+
+  test("hop budget bounds the walk: zero hops returns seed-only results") {
+    val n = 20
+    val vecs = circle(n)
+    val g = GraphAnn.AnnGraph(vecs, "id", "vec", ring(n))
+    val queries = vecs.filter(col("id") === 19L)
+    val got = GraphAnn.search(g, queries, "id", "vec", k = 2,
+      beam = 4, maxHops = 0, nSeeds = 2)
+      .collect().map(r => r.getLong(1)).toSet
+    // only seeds 0 and 1 were ever scored
+    assert(got == Set(0L, 1L))
+  }
+
+  test("buildGraph: undirected, no self edges, bounded degree") {
+    val vecs = circle(32)
+    val g = GraphAnn.buildGraph(vecs, "id", "vec", dim = 2, degree = 4,
+      nPlanes = 2, probes = 4)
+    val edges = g.edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (s, d) => s != d }, "no self edges")
+    val set = edges.toSet
+    assert(set.forall { case (s, d) => set.contains((d, s)) }, "symmetric")
+    val maxDeg = edges.groupBy(_._1).map(_._2.length).max
+    assert(maxDeg <= 2 * 4 + 1, s"degree bounded by symmetrized k, got $maxDeg")
+  }
+
+  test("output has no duplicate (query, neighbor) pairs and respects k") {
+    val n = 30
+    val vecs = circle(n)
+    val g = GraphAnn.AnnGraph(vecs, "id", "vec", ring(n))
+    val queries = vecs.filter(col("id") % 7 === 0)
+    val rows = GraphAnn.search(g, queries, "id", "vec", k = 4,
+      beam = 8, maxHops = 6, nSeeds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.toSet.size, "no (query, neighbor) duplicates")
+    assert(rows.groupBy(_._1).forall(_._2.length <= 4))
+  }
+
+  test("search is invariant under input repartitioning") {
+    val n = 30
+    val vecs = circle(n)
+    val g = GraphAnn.AnnGraph(vecs, "id", "vec", ring(n))
+    val queries = vecs.filter(col("id") % 9 === 0)
+    def run(gr: GraphAnn.AnnGraph, q: org.apache.spark.sql.DataFrame) =
+      GraphAnn.search(gr, q, "id", "vec", k = 3, beam = 6, maxHops = 8, nSeeds = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = run(g, queries)
+    val b = run(GraphAnn.AnnGraph(vecs.repartition(7), "id", "vec",
+      ring(n).repartition(5)), queries.repartition(3))
+    assert(a == b)
+  }
+
+  test("writeGraph/readGraph roundtrip searches identically") {
+    val n = 26
+    val vecs = circle(n)
+    val built = GraphAnn.buildGraph(vecs, "id", "vec", dim = 2, degree = 3,
+      nPlanes = 2, probes = 4)
+    val dir = tmpDir("graft-graphann")
+    GraphAnn.writeGraph(built, dir)
+    val read = GraphAnn.readGraph(spark, dir, "id", "vec")
+    val queries = vecs.filter(col("id") % 5 === 0)
+    def run(gr: GraphAnn.AnnGraph) =
+      GraphAnn.search(gr, queries, "id", "vec", k = 3, beam = 8, maxHops = 5, nSeeds = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(built) == run(read))
+  }
+}
