@@ -64,7 +64,16 @@ object GraphAnn {
     *
     * Build cost is the kNN join (the one corpus-sized step — index
     * construction, amortized over every search); the edge list is
-    * `≤ 2 × degree × N` id pairs.
+    * `≤ 2 × degree × N` id pairs. The build is EAGER: the directed kNN
+    * result is localCheckpointed before symmetrization, so (a) the
+    * union's two branches read one materialization instead of running the
+    * kNN join twice, and (b) every search hop that touches `edges`
+    * references the cached edge table, not the build plan — without the
+    * cut, a 4-hop search re-executes the whole kNN join per hop.
+    *
+    * `probes` is a Hamming RADIUS over the `nPlanes`-bit bucket code (the
+    * [[Similarity.nnJoin]] convention): radius 2 over 8 planes probes 37
+    * of 256 buckets per vector.
     */
   def buildGraph(
       df: DataFrame,
@@ -73,7 +82,7 @@ object GraphAnn {
       dim: Int,
       degree: Int = 8,
       nPlanes: Int = 8,
-      probes: Int = 4,
+      probes: Int = 2,
       maxBucketSize: Int = 10000
   ): AnnGraph = {
     require(degree > 0, s"degree must be positive, got $degree")
@@ -83,6 +92,7 @@ object GraphAnn {
       maxBucketSize = maxBucketSize)
     val directed = knn.filter(col("neighbor_id") =!= col(idCol))
       .select(col(idCol).as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint() // eager: one kNN execution, hops reference the cache
     val edges = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -102,6 +112,54 @@ object GraphAnn {
   def readGraph(spark: SparkSession, path: String, idCol: String, vecCol: String): AnnGraph =
     AnnGraph(spark.read.parquet(s"$path/vectors"), idCol, vecCol,
       spark.read.parquet(s"$path/edges"))
+
+  /** Incremental index maintenance — the IVF/BM25/MinHash/PQ append
+    * discipline applied to the graph: a new batch kNN-joins against the
+    * STORED corpus ∪ itself (the corpus is never re-linked, never re-read
+    * beyond the one join), and the discovered edges append symmetrized.
+    * This is NSW's actual insertion rule (link each arriving point to its
+    * current approximate neighbors), which is why incremental construction
+    * is the natural mode for this index family.
+    *
+    * Replay-safe: the batch anti-joins stored ids first, so a re-run after
+    * a partial failure re-appends only what is missing and a fully-landed
+    * batch is a no-op (no duplicate vectors — duplicated corpus rows would
+    * surface as duplicate neighbors in search results). Edge rows may
+    * duplicate across appends; [[search]] is insensitive to edge
+    * multiplicity (the per-hop candidate set is `distinct` before the seen
+    * anti-join).
+    */
+  def appendToGraph(
+      spark: SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      degree: Int = 8,
+      nPlanes: Int = 8,
+      probes: Int = 4,
+      maxBucketSize: Int = 10000
+  ): Unit = {
+    val stored = readGraph(spark, path, idCol, vecCol)
+    val fresh = batch.select(col(idCol), col(vecCol))
+      .join(stored.vectors.select(col(idCol)), Seq(idCol), "left_anti")
+      .localCheckpoint(false) // read twice below; and cut off the stored-read lineage
+    if (fresh.isEmpty) return
+    val knn = Similarity.nnJoin(
+      stored.vectors.unionByName(fresh), idCol,
+      fresh, idCol, vecCol, dim,
+      k = degree + 1, nPlanes = nPlanes, probes = probes,
+      maxBucketSize = maxBucketSize)
+    val directed = knn.filter(col("neighbor_id") =!= col(idCol))
+      .select(col(idCol).as("src"), col("neighbor_id").as("dst"))
+      .localCheckpoint() // one kNN execution across the symmetrizing union
+    val newEdges = directed
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    newEdges.write.mode(SaveMode.Append).parquet(s"$path/edges")
+    fresh.write.mode(SaveMode.Append).parquet(s"$path/vectors")
+  }
 
   /** Beam search over the graph for a query cohort. Returns the per-query
     * top-`k` as `(queryIdCol, neighbor_id, sim)` — the [[Similarity.nnJoin]]
@@ -160,43 +218,48 @@ object GraphAnn {
           col("_ga_t._ga_sim").as("_ga_sim"))
 
     // per-state-slot lineage rotation: each slot holds ONE checkpointed
-    // RDD; rotating in a new round's table releases the previous one
+    // RDD; rotating in a new round's table releases the previous one.
+    // Returns the row count too — the hop's termination probe rides the
+    // rotation's own materialization, costing no extra job.
     val held = scala.collection.mutable.Map.empty[String, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-    def rotate(slot: String, df: DataFrame): DataFrame = {
+    def rotate(slot: String, df: DataFrame): (DataFrame, Long) = {
       val rdd = df.rdd
       rdd.localCheckpoint()
-      rdd.count()
+      val n = rdd.count()
       held.get(slot).foreach(_.unpersist(blocking = false))
       held(slot) = rdd
-      df.sparkSession.createDataFrame(rdd, df.schema)
+      (df.sparkSession.createDataFrame(rdd, df.schema), n)
     }
 
+    // ONE state table: everything scored so far, tagged with the hop that
+    // discovered it — `(qid, node, sim, hop)`. The per-hop frontier is a
+    // filter on the cached table (zero extra jobs), the dedup guard is an
+    // anti-join against it, and the final answer is its per-query top-k
+    // (a superset of any beam-capped running best, so keeping the full
+    // visited set can only help recall; its size is bounded by
+    // nSeeds + hops × beam × degree rows per query).
     val round0 = q.select(col("_ga_qid")).crossJoin(seeds) // cohort × nSeeds
-    var seen = rotate("seen", round0)
-    var best = rotate("best", topBeam(score(round0)))
-    var frontier = best
+    var (seen, _) = rotate("seen", score(round0).withColumn("_ga_hop", lit(0)))
     var hop = 0
     var converged = false
     while (hop < maxHops && !converged) {
-      val fresh = rotate("fresh",
+      val frontier = topBeam(seen.filter(col("_ga_hop") === hop))
+      val (fresh, nFresh) = rotate("fresh",
         frontier.select(col("_ga_qid"), col("_ga_node"))
           .join(e, Seq("_ga_node"))
           .select(col("_ga_qid"), col("_ga_dst").as("_ga_node"))
           .distinct()
           .join(seen, Seq("_ga_qid", "_ga_node"), "left_anti"))
-      if (fresh.isEmpty) converged = true
+      if (nFresh == 0) converged = true
       else {
-        val scored = score(fresh)
-        seen = rotate("seen", seen.unionByName(fresh))
-        best = rotate("best", topBeam(best.unionByName(scored)))
-        // expand from this hop's best NEW nodes: the seen anti-join above
-        // guarantees progress, so re-expanding old beam members is waste
-        frontier = topBeam(scored)
+        val (s1, _) = rotate("seen",
+          seen.unionByName(score(fresh).withColumn("_ga_hop", lit(hop + 1))))
+        seen = s1
       }
       hop += 1
     }
 
-    best.groupBy(col("_ga_qid"))
+    seen.groupBy(col("_ga_qid"))
       .agg(expr(s"top_k(struct(_ga_sim, _ga_node), $k)").as("_ga_top"))
       .select(col("_ga_qid"), explode(col("_ga_top")).as("_ga_t"))
       .select(col("_ga_qid").as(queryIdCol),

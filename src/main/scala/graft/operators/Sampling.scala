@@ -440,4 +440,64 @@ object Sampling {
       .orderBy(col("_key").desc, col(idCol))
       .limit(n)
       .drop("_key")
+
+  /** Length-bucketed batching — the dynamic-batching primitive every
+    * tokenize-and-train (or batch-inference) loop needs: within each
+    * source, rows sort by `(lenCol desc, idCol)` and chop into consecutive
+    * batches of `batchSize`, so each batch holds near-equal lengths and
+    * padding waste (`max_len × rows − Σ len`) collapses. Returns the input
+    * plus a `batch_id` column; [[paddingStats]] reports the per-batch
+    * waste the layout saves.
+    *
+    * Scale shape — the [[takeTokenBudget]] decomposition applied to
+    * ranking: a whole-source `row_number` window is the 10 TB non-starter,
+    * so the global rank is assembled from LENGTH-RANGE buckets
+    * (`len div lenBucketWidth`): every row in a higher bucket sorts
+    * strictly before every row in a lower one, so
+    * `rank = (rows in higher buckets) + (rank within own bucket)` — the
+    * bucket-offset table is tiny (sources × maxLen/width rows, window'd
+    * driver-free), and the row window partitions by `(source, bucket)`,
+    * never by source alone. Deterministic: ties break by id; the hash-free
+    * ordering is fully replayable in SQL.
+    */
+  def lengthBatches(
+      df: DataFrame,
+      idCol: String,
+      lenCol: String,
+      batchSize: Int,
+      sourceCol: String,
+      lenBucketWidth: Int = 64
+  ): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(lenBucketWidth > 0, s"lenBucketWidth must be positive, got $lenBucketWidth")
+    val w = org.apache.spark.sql.expressions.Window
+    val b = df.withColumn("_slb", expr(s"CAST($lenCol AS BIGINT) div $lenBucketWidth"))
+    // bucket-count table: ≤ sources × (maxLen/width) rows — the only
+    // cross-bucket pass, and it moves counts, not rows
+    val offsets = b.groupBy(col(sourceCol), col("_slb"))
+      .agg(count(lit(1)).as("_sn"))
+      .withColumn("_soff",
+        coalesce(sum(col("_sn")).over(
+          w.partitionBy(col(sourceCol)).orderBy(col("_slb").desc)
+            .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .drop("_sn")
+    b.join(offsets, Seq(sourceCol, "_slb"))
+      .withColumn("_srn",
+        row_number().over(w.partitionBy(col(sourceCol), col("_slb"))
+          .orderBy(col(lenCol).desc, col(idCol))))
+      .withColumn("batch_id", expr(s"(_soff + _srn - 1) div $batchSize"))
+      .drop("_slb", "_soff", "_srn")
+  }
+
+  /** Per-batch padding report over a [[lengthBatches]] result: rows, the
+    * batch's max length (= its padded width), total payload, and the waste
+    * `max×rows − Σ len` a fixed-width batch would pad.
+    */
+  def paddingStats(batched: DataFrame, lenCol: String, sourceCol: String): DataFrame =
+    batched.groupBy(col(sourceCol), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        max(col(lenCol)).cast("long").as("max_len"),
+        sum(col(lenCol)).cast("long").as("sum_len"))
+      .withColumn("padding", col("max_len") * col("n_rows") - col("sum_len"))
 }

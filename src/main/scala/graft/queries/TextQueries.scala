@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables._
 import graft.functions.TextFunctions._
-import graft.operators.{BpeTrainer, Dedup, Graph, ImportanceSampling, LanguageModel, NaiveBayes, QualityFilters, Sampling, Similarity, TextSearch}
+import graft.operators.{BpeTrainer, Dedup, Drift, Graph, ImportanceSampling, LanguageModel, NaiveBayes, QualityFilters, Sampling, Similarity, TextSearch}
 
 /** Scalar-function battery (SURVEY §2.9 C-series), document filters
   * (F-series), and the text-analysis / dedup training-data operators — all
@@ -1837,6 +1837,144 @@ object TextQueries {
              |FROM (SELECT doc_id, string_split(trim(text), ' ')[1] AS w1 FROM documents)
              |ORDER BY doc_id LIMIT 50""".stripMargin),
       Seq("C10", "C3")
+    ),
+
+    // Corpus distribution drift (PSI + KL) between the even- and odd-id
+    // halves over the md5 hashed-bigram bucket family — the "is this
+    // month's crawl distributed like the corpus my thresholds were tuned
+    // on" monitor. Everything after the two count scans is a ≤buckets-row
+    // full-outer join; per-bucket contributions round to exact nano-unit
+    // longs BEFORE summation (integer associativity ⇒ partition-invariant
+    // and SQL-replayable); absent-bucket floor terms fold in analytically.
+    "ta_dist_drift" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        Drift.textDrift(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1),
+          "text", buckets = 512, n = 2, gramHash = Dedup.Md5Gram)
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(
+             |    CASE WHEN len(toks) - 1 <= 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END) AS g
+             |  FROM corpus),
+             |gb AS (
+             |  SELECT doc_id,
+             |         (CAST((md5_number_lower(g) >> 4) AS BIGINT) % 512) AS bucket
+             |  FROM grams),
+             |rcnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 2 = 0 GROUP BY bucket),
+             |ccnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 2 = 1 GROUP BY bucket),
+             |tot AS (SELECT
+             |  CAST((SELECT coalesce(sum(cnt), 0) FROM rcnt) + 512 AS DOUBLE) AS dr,
+             |  CAST((SELECT coalesce(sum(cnt), 0) FROM ccnt) + 512 AS DOUBLE) AS dc,
+             |  CAST((SELECT coalesce(sum(cnt), 0) FROM rcnt) AS BIGINT) AS nr,
+             |  CAST((SELECT coalesce(sum(cnt), 0) FROM ccnt) AS BIGINT) AS nc),
+             |j AS (
+             |  SELECT ((coalesce(r.cnt, 0) + 1.0) / (SELECT dr FROM tot)) AS p,
+             |         ((coalesce(c.cnt, 0) + 1.0) / (SELECT dc FROM tot)) AS q
+             |  FROM rcnt r FULL OUTER JOIN ccnt c ON r.bucket = c.bucket),
+             |terms AS (
+             |  SELECT CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) AS psin,
+             |         CAST(round(p * ln(p / q) * 1e9) AS BIGINT) AS kln
+             |  FROM j),
+             |pres AS (
+             |  SELECT count(*) AS np, coalesce(sum(psin), 0) AS sp,
+             |         coalesce(sum(kln), 0) AS sk FROM terms),
+             |fl AS (
+             |  SELECT CAST(round((1.0 / dr - 1.0 / dc) * ln((1.0 / dr) / (1.0 / dc)) * 1e9) AS BIGINT) AS psi0,
+             |         CAST(round((1.0 / dr) * ln((1.0 / dr) / (1.0 / dc)) * 1e9) AS BIGINT) AS kl0
+             |  FROM tot)
+             |SELECT round((sp + (512 - np) * (SELECT psi0 FROM fl)) / 1e9, 6) AS psi,
+             |       round((sk + (512 - np) * (SELECT kl0 FROM fl)) / 1e9, 6) AS kl_ref_cur,
+             |       CAST(np AS BIGINT) AS n_buckets_present,
+             |       (SELECT nr FROM tot) AS n_ref, (SELECT nc FROM tot) AS n_cur
+             |FROM pres""".stripMargin),
+      Seq("A1", "A2", "C1")
+    ),
+
+    // Length-bucketed batching — the dynamic-batching layout that collapses
+    // padding waste: per source, rows sort (n_chars desc, doc_id) and chop
+    // into batches of 8. The operator assembles the global rank from
+    // length-range buckets (offset table + bucket-scoped window — never a
+    // whole-source window); the oracle replays the NAIVE whole-source
+    // window, so the decomposition must be row-identical to it.
+    "ta_length_batching" -> Q(
+      (s, d) => {
+        val batched = Sampling.lengthBatches(documents(s, d), "doc_id",
+          "n_chars", batchSize = 8, sourceCol = "source", lenBucketWidth = 64)
+        Sampling.paddingStats(batched, "n_chars", "source")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT source, n_chars,
+             |         row_number() OVER (PARTITION BY source
+             |                            ORDER BY n_chars DESC, doc_id) AS rn
+             |  FROM documents),
+             |b AS (SELECT source, n_chars, (rn - 1) // 8 AS batch_id FROM ranked)
+             |SELECT source, batch_id, CAST(count(*) AS BIGINT) AS n_rows,
+             |       CAST(max(n_chars) AS BIGINT) AS max_len,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_len,
+             |       CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT) AS padding
+             |FROM b GROUP BY source, batch_id""".stripMargin),
+      Seq("W2", "A1")
+    ),
+
+    // Top-20 bigram collocations by pointwise mutual information:
+    // PMI = ln(c₁₂) + 2·ln(T) − ln(T₂) − ln(c₁) − ln(c₂), min count 5 —
+    // the collocation-mining classic. Plan shape: the bigram table joins
+    // the unigram table twice EQUI-KEY and the three totals ride along as
+    // broadcast scalars; ranking is by the ROUNDED pmi (shared tie-break)
+    // so cross-engine ulp noise in ln cannot reorder the cut.
+    "ta_pmi_top20" -> Q(
+      (s, d) => {
+        val docs = documents(s, d)
+        val toks = split(trim(col("text")), " ")
+        val flat = docs.select(posexplode(toks).as(Seq("i", "w")), col("doc_id"))
+        val uni = flat.groupBy(col("w")).agg(count(lit(1)).as("cu"))
+        val bg = docs
+          .withColumn("toks", toks)
+          .filter(size(col("toks")) >= 2)
+          .select(explode(transform(sequence(lit(1), size(col("toks")) - 1),
+            i => struct(element_at(col("toks"), i).as("w1"),
+              element_at(col("toks"), i + 1).as("w2")))).as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).as("cb"))
+        val totals = flat.agg(count(lit(1)).cast("double").as("t"))
+          .crossJoin(bg.agg(sum(col("cb")).cast("double").as("t2")))
+        bg.filter(col("cb") >= 5)
+          .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("cu", "c1"), Seq("w1"))
+          .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("cu", "c2"), Seq("w2"))
+          .crossJoin(broadcast(totals))
+          .select(col("w1"), col("w2"), col("cb").as("n"),
+            round(log(col("cb").cast("double")) + lit(2.0) * log(col("t"))
+              - log(col("t2")) - log(col("c1").cast("double"))
+              - log(col("c2").cast("double")), 6).as("pmi"))
+          .orderBy(col("pmi").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""WITH flat AS (
+             |  SELECT doc_id,
+             |         generate_subscripts(string_split(trim(text), ' '), 1) AS i,
+             |         unnest(string_split(trim(text), ' ')) AS w
+             |  FROM documents),
+             |uni AS (SELECT w, count(*) AS cu FROM flat GROUP BY w),
+             |tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM flat),
+             |bg AS (
+             |  SELECT a.w AS w1, b.w AS w2, count(*) AS cb
+             |  FROM flat a JOIN flat b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+             |  GROUP BY 1, 2),
+             |tot2 AS (SELECT CAST(sum(cb) AS DOUBLE) AS t2 FROM bg)
+             |SELECT w1, w2, CAST(cb AS BIGINT) AS n,
+             |       round(ln(CAST(cb AS DOUBLE)) + 2.0 * ln((SELECT t FROM tot))
+             |             - ln((SELECT t2 FROM tot2)) - ln(CAST(u1.cu AS DOUBLE))
+             |             - ln(CAST(u2.cu AS DOUBLE)), 6) AS pmi
+             |FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+             |WHERE cb >= 5
+             |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin),
+      Seq("A2", "C10", "L2")
     ),
 
     // Higher-order array lambdas — aggregate (fold), zip_with, exists,

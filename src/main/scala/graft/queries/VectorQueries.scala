@@ -935,9 +935,10 @@ object VectorQueries {
     // vectors per hop — why graph indexes win at high recall on 10⁹-vector
     // corpora, preserved here in relational form). Same cohort, same floor
     // discipline as e2_ann_recall_gate: measured recall@10 at
-    // beam=24/hops=4 is 0.976 (sf0.001) / 0.988 (sf0.01) / 0.99 (sf0.1) vs
-    // IVF-12-probe's 0.936 — the 0.90 floor passes with margin and fails
-    // fast if graph build or walk degrades (beam=16/hops=3 reads ~0.85).
+    // degree=12/beam=32/hops=5 is 1.0 (sf0.001) / 0.996 (sf0.01) /
+    // 0.967 (sf0.1) vs IVF-12-probe's 0.927–0.936 — the 0.90 floor passes
+    // with margin and fails fast if graph build or walk degrades
+    // (degree=8/beam=24/hops=4 reads 0.72 at sf0.1).
     "e2_graph_ann_gate" -> Q(
       (s, d) => {
         import s.implicits._
@@ -945,9 +946,9 @@ object VectorQueries {
         val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
         val queries = vecs.filter(col("vec_id") % 20 === 0)
         val graph = GraphAnn.buildGraph(corpus, "vec_id", "embedding",
-          dim = 64, degree = 8, nPlanes = 8, probes = 4)
+          dim = 64, degree = 12, nPlanes = 8, probes = 2)
         val approx = GraphAnn.search(graph, queries, "vec_id", "embedding",
-          k = 10, beam = 24, maxHops = 4, nSeeds = 16)
+          k = 10, beam = 32, maxHops = 5, nSeeds = 16)
         val exact = queries.select(col("vec_id").as("_qid"), col("embedding").as("_qv"))
           .crossJoin(corpus.select(col("vec_id").as("_cid"), col("embedding").as("_cv")))
           .withColumn("_sim", cosine(col("_qv"), col("_cv")))

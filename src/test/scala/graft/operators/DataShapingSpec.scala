@@ -120,4 +120,46 @@ class DataShapingSpec extends SparkSpec {
       assert(keys.toSeq == keys.sorted.toSeq, s"shard $s must be stored in epoch order")
     }
   }
+
+  /** Deterministic varied lengths over three sources. */
+  private def lenRows = (0 until 210).map { i =>
+    (i.toLong, s"s${i % 3}", ((i * 37) % 450).toLong)
+  }
+
+  private def naiveBatches(rows: Seq[(Long, String, Long)], b: Int): Map[Long, Long] =
+    rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy(r => (-r._3, r._1)).zipWithIndex.map { case (r, i) => r._1 -> (i / b).toLong }
+    }
+
+  test("lengthBatches bucket decomposition equals the naive whole-source window") {
+    val df = lenRows.toDF("id", "source", "len")
+    val want = naiveBatches(lenRows, 8)
+    for (width <- Seq(1, 64, 100000)) { // per-length buckets … one giant bucket
+      val got = Sampling.lengthBatches(df, "id", "len", 8, "source", width)
+        .select("id", "batch_id").as[(Long, Long)].collect().toMap
+      assert(got == want, s"width=$width must replicate the naive window")
+    }
+  }
+
+  test("lengthBatches: batches are full except the per-source tail; padding ≤ unsorted") {
+    val df = lenRows.toDF("id", "source", "len")
+    val batched = Sampling.lengthBatches(df, "id", "len", 8, "source")
+    val stats = Sampling.paddingStats(batched, "len", "source")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("batch_id"),
+        r.getAs[Long]("n_rows"), r.getAs[Long]("padding")))
+    stats.groupBy(_._1).foreach { case (_, bs) =>
+      val maxBatch = bs.map(_._2).max
+      bs.foreach { case (_, bid, n, pad) =>
+        assert(pad >= 0)
+        if (bid < maxBatch) assert(n == 8L, "only the tail batch may be partial")
+      }
+    }
+    // the whole point: length-sorted batching pads less than id-order batching
+    val sortedPad = stats.map(_._4).sum
+    val unsortedPad = lenRows.groupBy(_._2).map { case (_, rs) =>
+      rs.sortBy(_._1).grouped(8).map(g => g.map(_._3).max * g.length - g.map(_._3).sum).sum
+    }.sum
+    assert(sortedPad < unsortedPad,
+      s"sorted padding $sortedPad must beat unsorted $unsortedPad")
+  }
 }

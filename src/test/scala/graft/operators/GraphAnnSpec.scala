@@ -123,6 +123,37 @@ class GraphAnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("appendToGraph: batch links in, searchable; replay is a no-op") {
+    val n = 30
+    val vecs = circle(n)
+    val stored = vecs.filter(col("id") < 25)
+    val batch = vecs.filter(col("id") >= 25)
+    val dir = tmpDir("graft-graphann-append")
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(stored, "id", "vec", dim = 2, degree = 3, nPlanes = 2, probes = 4),
+      dir)
+    val edgesBefore = spark.read.parquet(s"$dir/edges")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    GraphAnn.appendToGraph(spark, dir, batch, "id", "vec", dim = 2,
+      degree = 3, nPlanes = 2, probes = 4)
+    val g = GraphAnn.readGraph(spark, dir, "id", "vec")
+    assert(g.vectors.count() == n.toLong)
+    val edgesAfter = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgesBefore.subsetOf(edgesAfter), "stored edges survive the append")
+    assert(edgesAfter.exists { case (s, d) => s >= 25 || d >= 25 },
+      "batch vectors are linked into the graph")
+    // an appended vector is reachable: searching for id 29's neighborhood
+    // from the far seed must surface appended ids
+    val got = GraphAnn.search(g, vecs.filter(col("id") === 29L), "id", "vec",
+      k = 3, beam = 6, maxHops = n, nSeeds = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.contains(29L) && got.exists(i => i >= 25 && i != 29L))
+    // replaying the same batch appends nothing
+    GraphAnn.appendToGraph(spark, dir, batch, "id", "vec", dim = 2,
+      degree = 3, nPlanes = 2, probes = 4)
+    assert(spark.read.parquet(s"$dir/vectors").count() == n.toLong)
+  }
+
   test("writeGraph/readGraph roundtrip searches identically") {
     val n = 26
     val vecs = circle(n)
