@@ -8,7 +8,7 @@ import org.apache.spark.sql.DataFrame
 import graft.chunker.LovdataChunker
 import graft.config.Settings
 import graft.embed.{DeterministicProvider, EmbeddingProvider}
-import graft.operators.Similarity
+import graft.operators.{GraphAnn, Similarity}
 import graft.ops.Ops
 import graft.pipeline.Pipeline
 import graft.sources.{ChunkStore, LovligState, XmlFiles}
@@ -204,6 +204,53 @@ object GraftCli {
     val qv = provider.embedBatch(Seq(query)).head
     Similarity.topKIvf(
       Similarity.readIvf(spark, indexPath), "embedding", "chunkId", qv, k, nProbes)
+  }
+
+  /** Graph-ANN index lifecycle over the chunk store — the NSW-family
+    * complement of [[vectorIndex]]: build the kNN graph once
+    * ([[graft.operators.GraphAnn.buildGraph]]), keep ingest incremental
+    * with [[graphIndexAppend]], search with the beam walk. Same projection
+    * discipline as the IVF path: only (chunkId, embedding) enter the index.
+    */
+  def graphIndex(
+      spark: SparkSession, store: ChunkStore, graphPath: String,
+      dim: Int = 64, degree: Int = 8): Unit =
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(
+        store.read(spark).filter(col("embedding").isNotNull)
+          .select(col("chunkId"), col("embedding")),
+        "chunkId", "embedding", dim, degree),
+      graphPath)
+
+  /** Link newly-stored chunks into an existing graph index (NSW insertion —
+    * [[graft.operators.GraphAnn.appendToGraph]]); `docIds` limits the batch.
+    */
+  def graphIndexAppend(
+      spark: SparkSession, store: ChunkStore, graphPath: String,
+      docIds: Seq[String], dim: Int = 64, degree: Int = 8): Unit = {
+    val chunks = store.read(spark).filter(col("embedding").isNotNull)
+    val batch =
+      if (docIds.isEmpty) chunks
+      else chunks.filter(col("documentId").isin(docIds: _*))
+    GraphAnn.appendToGraph(spark, graphPath,
+      batch.select(col("chunkId"), col("embedding")),
+      "chunkId", "embedding", dim, degree)
+  }
+
+  /** Beam-walk search through a persisted graph index; returns
+    * (chunkId, sim) like [[vectorSearch]].
+    */
+  def graphSearch(
+      spark: SparkSession, graphPath: String, query: String, k: Int = 10,
+      provider: EmbeddingProvider = new DeterministicProvider(64)
+  ): DataFrame = {
+    val qv = provider.embedBatch(Seq(query)).head
+    import spark.implicits._
+    val queries = Seq((0L, qv)).toDF("qid", "embedding")
+    GraphAnn.search(
+      GraphAnn.readGraph(spark, graphPath, "chunkId", "embedding"),
+      queries, "qid", "embedding", k, beam = math.max(16, k))
+      .select(col("neighbor_id").as("chunkId"), col("sim"))
   }
 
   /** `lg dedup` — retire near-duplicate DOCUMENTS from the chunk store:
@@ -431,6 +478,47 @@ object GraftCli {
             System.err.println("usage: vector-search <indexPath> <query> [--limit=K flags]")
             2
         }
+      case "graph-index" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: graphPath :: Nil =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            graphIndex(spark, store, graphPath, dim = settings.embeddingDimensions)
+            println(s"graph-indexed=$graphPath")
+            0
+          case _ =>
+            System.err.println("usage: graph-index <storePath> <graphPath> [flags]")
+            2
+        }
+      case "graph-index-append" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: graphPath :: docIds =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            graphIndexAppend(spark, store, graphPath, docIds,
+              dim = settings.embeddingDimensions)
+            println(s"graph-appended=$graphPath")
+            0
+          case _ =>
+            System.err.println(
+              "usage: graph-index-append <storePath> <graphPath> [docId ...] [flags]")
+            2
+        }
+      case "graph-search" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case graphPath :: query :: Nil =>
+            val provider = new DeterministicProvider(settings.embeddingDimensions)
+            graphSearch(spark, graphPath, query, settings.limit.getOrElse(10),
+              provider = provider)
+              .collect().foreach { r =>
+                println(s"${r.get(0)}\t${r.getAs[Double]("sim")}")
+              }
+            0
+          case _ =>
+            System.err.println("usage: graph-search <graphPath> <query> [--limit=K flags]")
+            2
+        }
       case "text-index" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
@@ -584,6 +672,9 @@ object GraftCli {
             |  vector-index-append <storePath> <indexPath> [docId ...]
             |  vector-index-retrain <indexPath> [--limit=kCells]
             |  vector-search <indexPath> <query> [--limit=K]
+            |  graph-index <storePath> <graphPath>
+            |  graph-index-append <storePath> <graphPath> [docId ...]
+            |  graph-search <graphPath> <query> [--limit=K]
             |  text-index <storePath> <indexPath>
             |  text-index-append <storePath> <indexPath> [docId ...]
             |  text-index-compact <indexPath>

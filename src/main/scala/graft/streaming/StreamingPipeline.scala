@@ -236,6 +236,47 @@ object StreamingPipeline {
       }
   }
 
+  /** Streaming drift monitor — per-microbatch PSI/KL of the arriving text
+    * against a REFERENCE bucket-count table built once from the tuned-on
+    * corpus ([[graft.operators.ImportanceSampling.bucketCounts]]): the
+    * ingest-side tripwire for "this feed stopped looking like the corpus my
+    * thresholds/mixture/DSIR ratios were tuned on". Per batch only the
+    * batch's gram explode + one ≤`buckets`-row join run (the reference
+    * table never recomputes — it is localCheckpointed once before the
+    * stream starts); each batch appends one `(batch_id, psi, kl_ref_cur,
+    * n_buckets_present, n_ref, n_cur)` row to the metrics sink, where an
+    * alert is a plain threshold filter. Family mismatch fails fast before
+    * any stream state exists (the [[importanceFilteringWriter]] guard).
+    */
+  def driftMonitorWriter(
+      source: DataFrame,
+      textCol: String,
+      refCounts: DataFrame,
+      buckets: Int,
+      checkpointDir: String,
+      n: Int = 2,
+      gramHash: graft.operators.Dedup.GramHash = graft.operators.Dedup.PolyGram
+  )(sink: DataFrame => Unit): DataStreamWriter[Row] = {
+    graft.operators.ImportanceSampling.familyOf(refCounts).foreach { stored =>
+      require(stored == gramHash.tag,
+        s"reference count table was built under gram-hash family '$stored' but this " +
+          s"stream monitors under '${gramHash.tag}'.")
+    }
+    val ref = refCounts.localCheckpoint() // computed once, joined every batch
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val cur = graft.operators.ImportanceSampling
+            .bucketCounts(batch, textCol, buckets, n, gramHash)
+          sink(graft.operators.Drift.drift(ref, cur, buckets)
+            .withColumn("batch_id", lit(batchId)))
+        }
+      }
+  }
+
   /** Streaming SEMANTIC dedup — the embedding twin of [[dedupingWriter]]:
     * each microbatch of (id, embedding) rows dedups against the corpus'
     * persisted IVF index via

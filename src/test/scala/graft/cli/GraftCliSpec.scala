@@ -229,6 +229,41 @@ class GraftCliSpec extends SparkSpec {
     assert(hitR.getString(0) == "c1" && hitR.getAs[Double]("sim") > 0.999)
   }
 
+  test("graph-index + graph-search: beam walk finds the stored chunk; append links new chunks") {
+    val root = tmpDir("cligraph")
+    val store = new ChunkStore(s"$root/store", prefixLen = 1)
+    val provider = new graft.embed.DeterministicProvider(64)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def rows(ids: Seq[(String, String, String)]) = ids.toDF("chunkId", "documentId", "content")
+      .select(
+        col("chunkId"), col("documentId"), lit("ds").as("datasetName"), col("content"),
+        lit(5).as("tokenCount"), lit("h").as("sectionHeading"), lit("").as("absoluteAddress"),
+        lit("none").as("splitReason"), lit(null).cast("string").as("parentChunkId"),
+        sha2(col("content"), 256).as("sourceHash"),
+        array().cast("array<string>").as("crossRefs"), lit(0).as("chunkIndex"),
+        lit(null).cast("array<float>").as("embedding"),
+        lit("m").as("embeddingModel"), lit("t0").as("embeddedAt"))
+    def embed(df: org.apache.spark.sql.DataFrame) =
+      graft.embed.Embedding.embed(
+        df.drop("embedding", "embeddingModel", "embeddedAt"), "content", provider)
+    store.upsert(spark, embed(rows(Seq(
+      ("c1", "d1", "alpha beta gamma content one"),
+      ("c2", "d2", "delta epsilon zeta content two")))))
+    val idx = s"$root/gindex"
+    GraftCli.graphIndex(spark, store, idx)
+    val hit = GraftCli.graphSearch(spark, idx, "alpha beta gamma content one",
+      k = 1, provider = provider).collect().head
+    assert(hit.getString(0) == "c1" && hit.getAs[Double]("sim") > 0.999,
+      "the exact stored text must be its own nearest neighbor")
+    // append a new doc's chunks; they become searchable without a rebuild
+    store.upsert(spark, embed(rows(Seq(("c3", "d3", "totally new eta theta content three")))))
+    GraftCli.graphIndexAppend(spark, store, idx, Seq("d3"))
+    val hit3 = GraftCli.graphSearch(spark, idx, "totally new eta theta content three",
+      k = 1, provider = provider).collect().head
+    assert(hit3.getString(0) == "c3" && hit3.getAs[Double]("sim") > 0.999)
+  }
+
   test("dedup retires the near-duplicate document, keeping the canonical one") {
     val root = tmpDir("clidedup")
     val store = new ChunkStore(s"$root/store", prefixLen = 1)

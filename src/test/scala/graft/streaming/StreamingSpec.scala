@@ -295,6 +295,36 @@ class StreamingSpec extends SparkSpec {
       "only the target-distribution document clears the importance threshold")
   }
 
+  test("drift monitor writer: in-distribution batch scores near zero, shifted batch spikes") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.ImportanceSampling
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq.tabulate(40)(i => (i.toLong,
+      s"lov om arbeidsmiljø og sikkerhet paragraf ${i % 5}")).toDF("doc_id", "text")
+    val refCounts = ImportanceSampling.bucketCounts(ref, "text", buckets = 256)
+    // the monitor is stateless across batches: each feed is its own run
+    def psiOf(data: Seq[(Long, String)]): Double = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val mem = MemoryStream[(Long, String)]
+      mem.addData(data: _*)
+      val q = StreamingPipeline.driftMonitorWriter(
+        mem.toDF().toDF("doc_id", "text"), "text", refCounts,
+        buckets = 256, checkpointDir = tmpDir("drift_ckpt")
+      ) { metrics =>
+        rows ++= metrics.select("psi").as[Double].collect()
+      }.start()
+      q.awaitTermination()
+      assert(rows.size == 1, s"one metrics row per microbatch, got $rows")
+      rows.head
+    }
+    val inDist = psiOf(Seq.tabulate(10)(i =>
+      (1000L + i, s"lov om arbeidsmiljø og sikkerhet paragraf ${i % 5}")))
+    val shifted = psiOf(Seq.tabulate(10)(i =>
+      (2000L + i, s"pasta recipe with fresh tomatoes basil number ${i % 5}")))
+    assert(shifted > inDist * 3 && shifted > 0.1,
+      s"shifted feed must spike PSI: in-dist=$inDist shifted=$shifted")
+  }
+
   test("semantic deduping writer drops embedding near-dups across runs via the IVF index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
