@@ -362,6 +362,52 @@ object ScaleProbe {
     require(nIncSemPairs >= nSemBatch,
       s"incremental semantic found $nIncSemPairs pairs for a $nSemBatch-vector batch " +
         "of exact replicas — every batch vector must pair with its stored base")
+
+    // Graph ANN at scale: the replicated corpus is DEGENERATE for a kNN
+    // graph (exact replicas form sealed cliques once a family outgrows the
+    // degree), so the probe derives a genuinely diverse cloud by giving
+    // each replica a cyclic component shift — distinct directions with
+    // real neighbor structure, nVecs strong. Build is the one corpus-sized
+    // kNN join; the cohort search's per-hop exchanges stay bounded by
+    // queries × beam × degree regardless of corpus size. Gate: recall@10
+    // of the beam walk vs the exact brute-force cohort (and the walk must
+    // find each query vector itself — sim 1.0 — for ≥90% of the cohort).
+    val shiftVecs = bigVecs.select(col("vec_id"),
+      expr("""transform(embedding,
+               (x, i) -> element_at(embedding,
+                 CAST((i + CAST(vec_id div 10000000 AS INT)) % 64 AS INT) + 1))""")
+        .cast("array<float>").as("embedding"))
+      .cache()
+    shiftVecs.count()
+    val (annGraph, tGraphBuild) = timed {
+      val g = graft.operators.GraphAnn.buildGraph(shiftVecs, "vec_id", "embedding",
+        dim = 64, degree = 8, nPlanes = 10, probes = 1, hubs = 64)
+      g.edges.count(); g
+    }
+    val graphCohort = shiftVecs.filter(col("vec_id") % 97L === 3L).limit(20)
+      .localCheckpoint()
+    val nGraphQ = graphCohort.count()
+    val (graphHits, tGraphSearch) = timed {
+      val r = graft.operators.GraphAnn.search(annGraph, graphCohort,
+        "vec_id", "embedding", k = 10, beam = 32, maxHops = 6, nSeeds = 32)
+        .localCheckpoint()
+      r.count(); r
+    }
+    val graphExact = graphCohort.select(col("vec_id").as("_qid"), col("embedding").as("_qv"))
+      .crossJoin(shiftVecs.select(col("vec_id").as("_cid"), col("embedding").as("_cv")))
+      .withColumn("_sim",
+        graft.functions.VectorFunctions.cosine(col("_qv"), col("_cv")))
+      .groupBy(col("_qid"))
+      .agg(expr("top_k(struct(_sim, _cid), 10)").as("_top"))
+      .select(col("_qid"), explode(col("_top")).as("_t"))
+      .select(col("_qid").as("vec_id"), col("_t._cid").as("neighbor_id"))
+    val graphRecall = graft.operators.Similarity.recallAtK(graphHits, graphExact, "vec_id")
+    val selfHits = graphHits.filter(col("neighbor_id") === col("vec_id")).count()
+    require(selfHits >= (nGraphQ * 9) / 10,
+      s"graph walk found only $selfHits/$nGraphQ query vectors themselves")
+    require(graphRecall >= 0.6,
+      s"graph recall@10 $graphRecall under the 0.6 scale floor (measured 0.76 at mult 20)")
+    shiftVecs.unpersist()
     bigVecs.unpersist()
 
     // Gopher rule throughput: the full seven-rule signal pass over every
@@ -619,6 +665,7 @@ object ScaleProbe {
         s""""sig_build_sec":${f"$tSigBuild%.1f"},"incremental_pairs":$nIncPairs,"incremental_sec":${f"$tIncremental%.1f"},"full_pairs_sec":${f"$tFullPairs%.1f"},""" +
         s""""span_docs":${spanSlice.count()},"dup_spans":$nSpans,"span_sec":${f"$tSpans%.1f"},""" +
         s""""ppl_keep":$nPplKeep,"ppl_sec":${f"$tPerplexity%.1f"},""" +
+        s""""graph_build_sec":${f"$tGraphBuild%.1f"},"graph_search_sec":${f"$tGraphSearch%.1f"},"graph_recall10":$graphRecall,"graph_self_hits":$selfHits,""" +
         s""""semantic_vecs":$nSemVecs,"semantic_kept":$nSemKept,"semantic_sec":${f"$tSemantic%.1f"},""" +
         s""""inc_semantic_pairs":$nIncSemPairs,"inc_semantic_sec":${f"$tIncSemantic%.1f"},""" +
         s""""dsir_kept":$nDsir,"dsir_sec":${f"$tDsir%.1f"},""" +

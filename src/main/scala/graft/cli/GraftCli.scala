@@ -214,12 +214,12 @@ object GraftCli {
     */
   def graphIndex(
       spark: SparkSession, store: ChunkStore, graphPath: String,
-      dim: Int = 64, degree: Int = 8): Unit =
+      dim: Int = 64, degree: Int = 8, hubs: Int = 64): Unit =
     GraphAnn.writeGraph(
       GraphAnn.buildGraph(
         store.read(spark).filter(col("embedding").isNotNull)
           .select(col("chunkId"), col("embedding")),
-        "chunkId", "embedding", dim, degree),
+        "chunkId", "embedding", dim, degree, hubs = hubs),
       graphPath)
 
   /** Link newly-stored chunks into an existing graph index (NSW insertion —
@@ -227,14 +227,14 @@ object GraftCli {
     */
   def graphIndexAppend(
       spark: SparkSession, store: ChunkStore, graphPath: String,
-      docIds: Seq[String], dim: Int = 64, degree: Int = 8): Unit = {
+      docIds: Seq[String], dim: Int = 64, degree: Int = 8, hubs: Int = 64): Unit = {
     val chunks = store.read(spark).filter(col("embedding").isNotNull)
     val batch =
       if (docIds.isEmpty) chunks
       else chunks.filter(col("documentId").isin(docIds: _*))
     GraphAnn.appendToGraph(spark, graphPath,
       batch.select(col("chunkId"), col("embedding")),
-      "chunkId", "embedding", dim, degree)
+      "chunkId", "embedding", dim, degree, hubs = hubs)
   }
 
   /** Beam-walk search through a persisted graph index; returns

@@ -108,6 +108,48 @@ object Dedup {
   def lshBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
     lshBandsWith(sig, bands, rowsPerBand, s => xxhash64(s))
 
+  /** MinHash-LSH parameter planner: the `(bands, rowsPerBand)` split of a
+    * `numHashes`-hash budget whose collision S-curve
+    * `P(candidate | jaccard=s) = 1 − (1 − s^r)^b` best matches a target
+    * similarity threshold. "Best" is the standard integral criterion (the
+    * datasketch formulation): minimize
+    * `fpWeight·∫₀ᵗ P(s) ds + fnWeight·∫ₜ¹ (1 − P(s)) ds` — the area of
+    * spurious candidates below the threshold plus the area of missed pairs
+    * above it — over every exact split `b·r = numHashes`. Deterministic
+    * midpoint integration; ties break toward more bands (recall).
+    *
+    * This is a driver-side planning function: at 100 TB the band count is
+    * the index's partition layout, so it is chosen ONCE here and baked into
+    * [[writeSignatureIndex]] — not something to grid-search at query time.
+    */
+  def lshPlan(
+      numHashes: Int,
+      threshold: Double,
+      fpWeight: Double = 0.5,
+      fnWeight: Double = 0.5
+  ): (Int, Int) = {
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    val steps = 1000
+    def cost(b: Int, r: Int): Double = {
+      var fp = 0.0; var fn = 0.0
+      var i = 0
+      while (i < steps) {
+        val s = (i + 0.5) / steps
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < threshold) fp += p else fn += (1.0 - p)
+        i += 1
+      }
+      (fpWeight * fp + fnWeight * fn) / steps
+    }
+    val splits = (1 to numHashes)
+      .filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b))
+    // max bands on cost ties → the recall-leaning split
+    splits.minBy { case (b, r) => (cost(b, r), -b) }
+  }
+
   /** Drop rows whose bucket holds more than `maxBucketSize` members — the
     * skew guard for candidate self-joins. A bucket of n rows yields n(n-1)/2
     * pairs, so one degenerate bucket (empty text, boilerplate, an all-equal

@@ -74,6 +74,17 @@ object GraphAnn {
     * `probes` is a Hamming RADIUS over the `nPlanes`-bit bucket code (the
     * [[Similarity.nnJoin]] convention): radius 2 over 8 planes probes 37
     * of 256 buckets per vector.
+    *
+    * `hubs > 0` adds a LONG-RANGE ROUTING LAYER — the piece a plain kNN
+    * graph lacks: NSW's small-world diameter comes from insertion order
+    * (early points keep long links), and HNSW makes it an explicit layer.
+    * The deterministic relational equivalent here: the `hubs` smallest ids
+    * form a fully-connected hub clique, and every vector links to its
+    * nearest hub (one broadcast scan — the hub table is `hubs` rows). Any
+    * two vectors are then ≤3 routing hops apart (member → hub → hub →
+    * member), and the kNN layer refines locally — without this, walk
+    * length grows with corpus diameter and a fixed hop budget strands
+    * distant queries.
     */
   def buildGraph(
       df: DataFrame,
@@ -83,7 +94,8 @@ object GraphAnn {
       degree: Int = 8,
       nPlanes: Int = 8,
       probes: Int = 2,
-      maxBucketSize: Int = 10000
+      maxBucketSize: Int = 10000,
+      hubs: Int = 0
   ): AnnGraph = {
     require(degree > 0, s"degree must be positive, got $degree")
     // degree+1 then drop self: the nearest "neighbor" of a vector is itself
@@ -93,10 +105,60 @@ object GraphAnn {
     val directed = knn.filter(col("neighbor_id") =!= col(idCol))
       .select(col(idCol).as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint() // eager: one kNN execution, hops reference the cache
-    val edges = directed
+    val base = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val edges =
+      (if (hubs <= 0) base.distinct()
+       else base.unionByName(hubEdges(df, idCol, vecCol, hubs)).distinct())
+        // the edge table IS the index: materialize it once (writeGraph
+        // semantics, in memory) — otherwise every search hop re-runs the
+        // symmetrize/hub-link/distinct pipeline behind it
+        .localCheckpoint()
     AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, edges)
+  }
+
+  /** The routing layer of [[buildGraph]]: hub clique + member→nearest-hub
+    * links, symmetrized. One broadcast pass over the corpus (the hub table
+    * is `hubs` rows); per-member truncation through the native map-side
+    * `top_k`.
+    */
+  private def hubSet(
+      df: DataFrame, idCol: String, vecCol: String, hubs: Int): DataFrame = {
+    val hubIds = df.select(col(idCol)).orderBy(col(idCol)).limit(hubs)
+    df.select(col(idCol).as("_ga_hub"), col(vecCol).as("_ga_hv"))
+      .join(hubIds.withColumnRenamed(idCol, "_ga_hub"), Seq("_ga_hub"))
+      .withColumn("_ga_hn", norm(col("_ga_hv")))
+  }
+
+  /** Symmetrized member ↔ nearest-hub links: one broadcast pass over the
+    * members (the hub table is `hubs` rows), per-member truncation through
+    * the native map-side `top_k`.
+    */
+  private def memberHubLinks(
+      members: DataFrame, idCol: String, vecCol: String,
+      hubVecs: DataFrame): DataFrame = {
+    val nearest = members.select(col(idCol).as("_ga_m"), col(vecCol).as("_ga_mv"))
+      .withColumn("_ga_mn", norm(col("_ga_mv")))
+      .crossJoin(broadcast(hubVecs))
+      .select(col("_ga_m"), col("_ga_hub"),
+        round(cosineWithNorms(col("_ga_mv"), col("_ga_hv"),
+          col("_ga_mn"), col("_ga_hn")), 6).as("_ga_hs"))
+      .groupBy(col("_ga_m"))
+      .agg(expr("top_k(struct(_ga_hs, _ga_hub), 1)").as("_ga_t"))
+      .select(col("_ga_m").as("src"), explode(col("_ga_t")).as("_ga_x"))
+      .select(col("src"), col("_ga_x._ga_hub").as("dst"))
+      .filter(col("src") =!= col("dst"))
+    nearest.unionByName(nearest.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  private def hubEdges(
+      df: DataFrame, idCol: String, vecCol: String, hubs: Int): DataFrame = {
+    val hubIds = df.select(col(idCol)).orderBy(col(idCol)).limit(hubs)
+    val clique = hubIds.select(col(idCol).as("src"))
+      .crossJoin(hubIds.select(col(idCol).as("dst")))
+      .filter(col("src") =!= col("dst"))
+    memberHubLinks(df, idCol, vecCol, hubSet(df, idCol, vecCol, hubs))
+      .unionByName(clique)
   }
 
   /** Persist the index: vectors and edges as parquet, edges repartitioned
@@ -128,6 +190,11 @@ object GraphAnn {
     * duplicate across appends; [[search]] is insensitive to edge
     * multiplicity (the per-hop candidate set is `distinct` before the seen
     * anti-join).
+    *
+    * `hubs > 0` links each appended vector to its nearest FROZEN hub —
+    * the hubs are re-derived as the stored corpus' smallest ids (stable
+    * under append-only growth, the frozen-centroid discipline), so the
+    * routing layer keeps covering new vectors without a rebuild.
     */
   def appendToGraph(
       spark: SparkSession,
@@ -138,8 +205,9 @@ object GraphAnn {
       dim: Int,
       degree: Int = 8,
       nPlanes: Int = 8,
-      probes: Int = 4,
-      maxBucketSize: Int = 10000
+      probes: Int = 2,
+      maxBucketSize: Int = 10000,
+      hubs: Int = 0
   ): Unit = {
     val stored = readGraph(spark, path, idCol, vecCol)
     val fresh = batch.select(col(idCol), col(vecCol))
@@ -154,9 +222,13 @@ object GraphAnn {
     val directed = knn.filter(col("neighbor_id") =!= col(idCol))
       .select(col(idCol).as("src"), col("neighbor_id").as("dst"))
       .localCheckpoint() // one kNN execution across the symmetrizing union
-    val newEdges = directed
+    val sym = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val newEdges =
+      (if (hubs <= 0) sym
+       else sym.unionByName(memberHubLinks(fresh, idCol, vecCol,
+         hubSet(stored.vectors, idCol, vecCol, hubs))))
+        .distinct()
     newEdges.write.mode(SaveMode.Append).parquet(s"$path/edges")
     fresh.write.mode(SaveMode.Append).parquet(s"$path/vectors")
   }

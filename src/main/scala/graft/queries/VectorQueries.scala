@@ -946,7 +946,7 @@ object VectorQueries {
         val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
         val queries = vecs.filter(col("vec_id") % 20 === 0)
         val graph = GraphAnn.buildGraph(corpus, "vec_id", "embedding",
-          dim = 64, degree = 12, nPlanes = 8, probes = 2)
+          dim = 64, degree = 12, nPlanes = 8, probes = 2, hubs = 64)
         val approx = GraphAnn.search(graph, queries, "vec_id", "embedding",
           k = 10, beam = 32, maxHops = 5, nSeeds = 16)
         val exact = queries.select(col("vec_id").as("_qid"), col("embedding").as("_qv"))

@@ -121,6 +121,25 @@ class DataShapingSpec extends SparkSpec {
     }
   }
 
+  test("lshPlan: exact split, s-curve lands near the target, threshold monotonicity") {
+    for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
+      val (b, r) = Dedup.lshPlan(128, t)
+      assert(b * r == 128, s"split must spend the whole hash budget: ($b, $r)")
+      // the curve's inflection (1/b)^(1/r) should land near the target
+      val inflection = math.pow(1.0 / b, 1.0 / r)
+      assert(math.abs(inflection - t) < 0.15,
+        s"t=$t chose ($b, $r) with inflection $inflection")
+    }
+    // steeper thresholds need more rows per band
+    val rs = Seq(0.3, 0.5, 0.7, 0.9).map(t => Dedup.lshPlan(128, t)._2)
+    assert(rs == rs.sorted, s"rowsPerBand must be monotone in threshold: $rs")
+    // recall-leaning asymmetry: weighting false negatives harder never
+    // lowers the band count
+    val (bBal, _) = Dedup.lshPlan(128, 0.6)
+    val (bRec, _) = Dedup.lshPlan(128, 0.6, fpWeight = 0.1, fnWeight = 0.9)
+    assert(bRec >= bBal)
+  }
+
   /** Deterministic varied lengths over three sources. */
   private def lenRows = (0 until 210).map { i =>
     (i.toLong, s"s${i % 3}", ((i * 37) % 450).toLong)

@@ -123,6 +123,37 @@ class GraphAnnSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hub routing layer: clique + member links present; far target reachable in few hops") {
+    // two tight, far-apart clusters: a pure kNN graph may have no
+    // cross-cluster edge at all; the hub layer guarantees ≤3 routing hops
+    // between any two members
+    val a = (0 until 20).map { i =>
+      val t = 0.02 * i / 19
+      (i.toLong, Array(math.cos(t).toFloat, math.sin(t).toFloat))
+    }
+    val b = (0 until 20).map { i =>
+      val t = math.Pi / 2 - 0.02 * i / 19
+      (100L + i, Array(math.cos(t).toFloat, math.sin(t).toFloat))
+    }
+    val vecs = (a ++ b).toDF("id", "vec")
+    val g = GraphAnn.buildGraph(vecs, "id", "vec", dim = 2, degree = 2,
+      nPlanes = 4, probes = 0, hubs = 4)
+    val edges = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hubIds = Seq(0L, 1L, 2L, 3L)
+    for (x <- hubIds; y <- hubIds if x != y)
+      assert(edges.contains((x, y)), s"hub clique edge ($x,$y) missing")
+    val allIds = (a ++ b).map(_._1).toSet
+    for (m <- allIds if !hubIds.contains(m))
+      assert(hubIds.exists(h => edges.contains((m, h))),
+        s"member $m has no hub link")
+    // nSeeds=1 starts in cluster A; the B-cluster query must still find
+    // itself within the routing diameter + local refinement
+    val got = GraphAnn.search(g, vecs.filter(col("id") === 119L), "id", "vec",
+      k = 1, beam = 8, maxHops = 5, nSeeds = 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(119L), s"hub routing must reach the far cluster, got $got")
+  }
+
   test("appendToGraph: batch links in, searchable; replay is a no-op") {
     val n = 30
     val vecs = circle(n)
