@@ -447,12 +447,14 @@ object ExplainAudit {
       }),
       // graph ANN build: the per-vector kNN truncates through the native
       // map-side partial_top_k and candidates pair only within LSH buckets
-      // (equi-join) — an all-pairs build would be the 100 TB non-starter
+      // (equi-join) — an all-pairs build would be the 100 TB non-starter.
+      // buildGraph checkpoints its result (the edge table IS the index),
+      // so the invariant inspects the kNN join it wraps.
       ("graph ann build truncates knn map-side, pairs only within buckets", {
-        val g = graft.operators.GraphAnn.buildGraph(
-          Tables.embeddings(spark, sfDir), "vec_id", "embedding",
-          dim = 64, degree = 4, nPlanes = 6, probes = 2)
-        val p = g.edges.queryExecution.executedPlan.toString
+        val vecs = Tables.embeddings(spark, sfDir)
+        val p = graft.operators.Similarity.nnJoin(vecs, "vec_id", vecs, "vec_id",
+          "embedding", dim = 64, k = 5, nPlanes = 6, probes = 2)
+          .queryExecution.executedPlan.toString
         p.contains("partial_top_k") && !p.contains("CartesianProduct")
       }),
       // semantic decontamination: the eval side must BROADCAST (nested-loop

@@ -253,6 +253,17 @@ object GraftCli {
       .select(col("neighbor_id").as("chunkId"), col("sim"))
   }
 
+  /** `drift` — PSI/KL of a current corpus against a reference corpus
+    * ([[graft.operators.Drift.textDrift]]): the ops check before pointing a
+    * tuned pipeline at a new dump. Both paths are parquet with a text
+    * column.
+    */
+  def driftReport(
+      spark: SparkSession, refPath: String, curPath: String,
+      textCol: String = "text", buckets: Int = 4096): org.apache.spark.sql.Row =
+    graft.operators.Drift.textDrift(
+      spark.read.parquet(refPath), spark.read.parquet(curPath), textCol, buckets).head()
+
   /** `lg dedup` — retire near-duplicate DOCUMENTS from the chunk store:
     * each document's text is the chunkIndex-ordered join of its chunks
     * (deterministic — `collect_list` order varies, `array_sort` on the
@@ -658,6 +669,22 @@ object GraftCli {
           .orderBy(col("source"))
           .collect().foreach(r => println(s"source=${r.get(0)} docs=${r.get(1)} tokens=${r.get(2)}"))
         0
+      case "drift" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case refPath :: curPath :: colRest if colRest.size <= 1 =>
+            val r = driftReport(spark, refPath, curPath,
+              colRest.headOption.getOrElse("text"),
+              settings.limit.getOrElse(4096))
+            println(
+              s"""{"psi":${r.getAs[Double]("psi")},"kl_ref_cur":${r.getAs[Double]("kl_ref_cur")},""" +
+                s""""n_buckets_present":${r.getAs[Long]("n_buckets_present")},""" +
+                s""""n_ref":${r.getAs[Long]("n_ref")},"n_cur":${r.getAs[Long]("n_cur")}}""")
+            0
+          case _ =>
+            System.err.println("usage: drift <refParquet> <curParquet> [textCol] [--limit=buckets]")
+            2
+        }
       case _ =>
         System.err.println(
           """usage: graft.cli.GraftCli <command>
@@ -681,6 +708,7 @@ object GraftCli {
             |  dedup-index-compact <indexPath>
             |  lake-compact <dir> [partitionCol,...] [--limit=recordsPerFile]
             |  zorder <dir> <xCol> <yCol> [--limit=nFiles]
+            |  drift <refParquet> <curParquet> [textCol] [--limit=buckets]
             |  sketch-build <dir> <col> <sketchPath>
             |  sketch-query <sketchPath> <value> [value ...]
             |  text-search <storePath|indexPath> <"terms"> [--limit=K]

@@ -832,6 +832,33 @@ object EventQueries {
       Seq("S6", "W1")
     ),
 
+    // ROWS-frame moving average — the count-based sibling of the RANGE
+    // rolling window (w_rolling_1h): per user, the mean of the last 4
+    // events by (ts, event_id) order. Per-row averages round at 6dp, then
+    // convert to exact MICRO-UNIT longs before the per-user sum — integer
+    // associativity makes the fold partition-invariant and replayable.
+    "w_moving_avg" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+        events(s, d)
+          .withColumn("ma", round(avg(col("value")).over(w), 6))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("ma") * 1e6).cast("long")).as("sum_ma_micro"))
+      },
+      Some("""WITH ma AS (
+             |  SELECT user_id,
+             |         round(avg(value) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id
+             |           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS ma
+             |  FROM events)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(round(ma * 1e6) AS BIGINT)) AS BIGINT) AS sum_ma_micro
+             |FROM ma GROUP BY user_id""".stripMargin),
+      Seq("W1", "A2")
+    ),
+
     // §2.11: STREAM-STATIC enrichment join — the third Structured Streaming
     // join shape after stream-stream inner/outer: a purchase stream joined
     // per microbatch against a STATIC per-user profile table (views count +

@@ -486,6 +486,34 @@ object RelationalQueries {
       Seq("F5")
     ),
 
+    // Correlated EXISTS / NOT EXISTS through the SQL surface: Catalyst must
+    // decorrelate both into semi/anti joins — a per-outer-row subquery
+    // execution is the 100 TB non-starter the rewrite exists for. The two
+    // predicates partition the customers, which the count pins.
+    "q_exists_subquery" -> Q(
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer_ex")
+        orders(s, d).createOrReplaceTempView("orders_ex")
+        s.sql(
+          """SELECT c_nationkey,
+            |       count(*) AS n_with_big_order
+            |FROM customer_ex c
+            |WHERE EXISTS (SELECT 1 FROM orders_ex o
+            |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+            |  AND NOT EXISTS (SELECT 1 FROM orders_ex o
+            |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 5000)
+            |GROUP BY c_nationkey""".stripMargin)
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_with_big_order
+             |FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+             |  AND NOT EXISTS (SELECT 1 FROM orders o
+             |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice < 5000)
+             |GROUP BY c_nationkey""".stripMargin),
+      Seq("J1", "SO1")
+    ),
+
     // Parquet AGGREGATE PUSHDOWN: an unfiltered global count/min/max runs
     // against footer statistics — zero row groups decoded, the scan node
     // itself answers the query (`PushedAggregation` in the plan). At 100 TB

@@ -264,6 +264,21 @@ class GraftCliSpec extends SparkSpec {
     assert(hit3.getString(0) == "c3" && hit3.getAs[Double]("sim") > 0.999)
   }
 
+  test("driftReport: identical corpora read zero, a shifted dump spikes") {
+    val root = tmpDir("clidrift")
+    import spark.implicits._
+    val ref = Seq.tabulate(30)(i => (i.toLong, s"lov om arbeidsmiljø paragraf ${i % 4}"))
+      .toDF("doc_id", "text")
+    val shifted = Seq.tabulate(30)(i => (i.toLong, s"pasta recipe with basil number ${i % 4}"))
+      .toDF("doc_id", "text")
+    ref.write.parquet(s"$root/ref"); shifted.write.parquet(s"$root/cur")
+    val same = GraftCli.driftReport(spark, s"$root/ref", s"$root/ref", buckets = 256)
+    assert(same.getAs[Double]("psi") == 0.0)
+    val moved = GraftCli.driftReport(spark, s"$root/ref", s"$root/cur", buckets = 256)
+    assert(moved.getAs[Double]("psi") > 0.1,
+      s"shifted dump must spike PSI, got ${moved.getAs[Double]("psi")}")
+  }
+
   test("dedup retires the near-duplicate document, keeping the canonical one") {
     val root = tmpDir("clidedup")
     val store = new ChunkStore(s"$root/store", prefixLen = 1)
