@@ -48,8 +48,8 @@ object RecallProbe {
         println(f"RECALL dir=$d nProbes=$p%2d recall@10=$r%.4f")
       }
       val graph = graft.operators.GraphAnn.buildGraph(
-        corpus, "vec_id", "embedding", dim = 64, degree = 12, nPlanes = 8, probes = 2)
-      for ((beam, hops) <- Seq((24, 4), (32, 5), (32, 6))) {
+        corpus, "vec_id", "embedding", dim = 64, degree = 12, nPlanes = 8, probes = 2, hubs = 64)
+      for ((beam, hops) <- Seq((24, 4), (32, 4), (32, 5))) {
         val approx = graft.operators.GraphAnn.search(graph, queries,
           "vec_id", "embedding", k = 10, beam = beam, maxHops = hops, nSeeds = 16)
         val r = Similarity.recallAtK(approx, exact, "vec_id")

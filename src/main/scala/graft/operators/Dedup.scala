@@ -1391,17 +1391,42 @@ object Dedup {
       idCol: String,
       textCol: String,
       minChars: Int = 1
-  ): DataFrame = {
-    val lines = corpus
+  ): DataFrame = dedupLinesCore(corpus, idCol, textCol, minChars, None)
+
+  /** `(_doc, _pos, _h)` rows: one sha2-256 per dedup-eligible line. */
+  private def lineHashRows(
+      corpus: DataFrame, idCol: String, textCol: String, minChars: Int): DataFrame =
+    corpus
       .select(col(idCol).as("_doc"), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
       .filter(length(col("_line")) >= minChars)
       .select(col("_doc"), col("_pos"), sha2(col("_line"), 256).as("_h"))
-    val winners = lines
+
+  /** [[dedupLines]] with an optional already-seen hash set: a line in
+    * `seen` drops EVERY occurrence (its first is elsewhere — in the stored
+    * corpus); the first-occurrence rule applies only among fresh lines.
+    */
+  private def dedupLinesCore(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      minChars: Int,
+      seen: Option[DataFrame]
+  ): DataFrame = {
+    val lines = lineHashRows(corpus, idCol, textCol, minChars)
+    val fresh = seen.fold(lines)(s =>
+      lines.join(s.select(col("_h")), Seq("_h"), "left_anti"))
+    val winners = fresh
       .groupBy(col("_h"))
       .agg(min(struct(col("_doc"), col("_pos"))).as("_first"))
-    val drops = lines
+    val dropFresh = fresh
       .join(winners, Seq("_h"))
       .filter(!(col("_doc") === col("_first._doc") && col("_pos") === col("_first._pos")))
+      .select(col("_doc"), col("_pos"))
+    val dropRows = seen.fold(dropFresh)(s =>
+      dropFresh.unionByName(
+        lines.join(s.select(col("_h")), Seq("_h"), "left_semi")
+          .select(col("_doc"), col("_pos"))))
+    val drops = dropRows
       .groupBy(col("_doc"))
       .agg(sort_array(collect_list(col("_pos"))).as("_drop"))
     val toks = split(col(textCol), "\n")
@@ -1416,6 +1441,49 @@ object Dedup {
         when(col("_drop").isNull, col(textCol))
           .otherwise(array_join(transform(keptLines, x => x("l")), "\n")))
       .drop("_doc", "_drop")
+  }
+
+  /** Incremental first-occurrence line dedup — the line-rule member of the
+    * engine's incremental-index family (exact / MinHash / semantic / BM25 /
+    * IVF / PQ / graph): a persisted registry of every line hash already
+    * accepted lets each new batch dedup against the WHOLE history without
+    * re-reading or re-hashing the stored corpus. A batch line whose hash is
+    * registered drops every occurrence (its first lives in history); fresh
+    * lines keep their within-batch first occurrence, and their hashes
+    * register under this batch's `segmentId`.
+    *
+    * Replay-safe via the segment discipline: the batch's view of "seen"
+    * EXCLUDES its own segment's rows, so re-running a half-landed batch
+    * (output written, registration partial) reproduces the identical
+    * output, and registration's anti-join re-appends only what is missing.
+    * The registry exchanges 32-byte hashes only — corpus text never enters
+    * the index.
+    */
+  def dedupLinesIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      segmentId: String,
+      minChars: Int = 1
+  ): DataFrame = {
+    require(segmentId.nonEmpty && !segmentId.contains("/"),
+      s"segmentId must be a non-empty path-safe token, got '$segmentId'")
+    val hashesPath = s"$indexPath/hashes"
+    val hp = new org.apache.hadoop.fs.Path(hashesPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stored: Option[DataFrame] =
+      if (fs.exists(hp)) Some(spark.read.parquet(hashesPath)) else None
+    val seen = stored.map(_.filter(col("segment") =!= segmentId).select(col("_h")))
+    val out = dedupLinesCore(batch, idCol, textCol, minChars, seen)
+    val batchHashes = lineHashRows(batch, idCol, textCol, minChars)
+      .select(col("_h")).distinct()
+    val newHashes = stored.fold(batchHashes)(st =>
+      batchHashes.join(st.select(col("_h")), Seq("_h"), "left_anti"))
+    newHashes.withColumn("segment", lit(segmentId))
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(hashesPath)
+    out
   }
 
   /** The apply side of [[duplicateSpans]]: rewrite `textCol` with every

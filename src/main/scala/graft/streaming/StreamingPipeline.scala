@@ -412,6 +412,69 @@ object StreamingPipeline {
             graft.operators.Similarity.buildIvf(batch, vecCol, idCol, kCells), indexPath)
       }
 
+  /** Streaming first-occurrence LINE dedup — the CCNet/RefinedWeb line rule
+    * at ingest: each microbatch drops every line already registered in the
+    * persisted hash registry (its first occurrence lives in history), keeps
+    * within-batch firsts, and registers fresh hashes under the batch id —
+    * [[graft.operators.Dedup.dedupLinesIncremental]]'s segment discipline
+    * makes a replayed batch reproduce identical output. State per batch is
+    * the registry scan (32-byte hashes, never text).
+    */
+  def lineDedupingWriter(
+      source: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      minChars: Int = 1
+  )(sink: DataFrame => Unit): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.Dedup.dedupLinesIncremental(
+            batch.sparkSession, batch, idCol, textCol, indexPath,
+            segmentId = s"b$batchId", minChars = minChars))
+      }
+
+  /** Streaming graph-index maintenance — the NSW twin of
+    * [[vectorIndexingWriter]]: the first microbatch builds the graph over
+    * its own vectors (hub layer included), later ones link in through
+    * [[graft.operators.GraphAnn.appendToGraph]] (frozen hubs, replay-safe
+    * anti-join) — the index stays searchable mid-stream and the corpus is
+    * never re-linked.
+    */
+  def graphIndexingWriter(
+      source: DataFrame,
+      idCol: String,
+      vecCol: String,
+      graphPath: String,
+      checkpointDir: String,
+      dim: Int,
+      degree: Int = 8,
+      hubs: Int = 16
+  ): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val exists = {
+          val hp = new org.apache.hadoop.fs.Path(graphPath + "/vectors")
+          hp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(hp)
+        }
+        if (exists)
+          graft.operators.GraphAnn.appendToGraph(s, graphPath, batch,
+            idCol, vecCol, dim, degree, hubs = hubs)
+        else if (!batch.isEmpty)
+          graft.operators.GraphAnn.writeGraph(
+            graft.operators.GraphAnn.buildGraph(batch, idCol, vecCol, dim,
+              degree, hubs = hubs), graphPath)
+      }
+
   /** Streaming count-min maintenance — the frequency-summary twin of
     * [[indexingWriter]]/[[vectorIndexingWriter]]: each microbatch persists
     * its own fixed-size sketch segment keyed by BATCH ID (a replayed batch

@@ -121,6 +121,33 @@ class DataShapingSpec extends SparkSpec {
     }
   }
 
+  test("dedupLinesIncremental: history drops all occurrences, replay is identical") {
+    val dir = tmpDir("graft-lineidx")
+    val b1 = Seq((1L, "alpha\nbeta"), (2L, "beta\ngamma")).toDF("doc_id", "text")
+    val o1 = Dedup.dedupLinesIncremental(spark, b1, "doc_id", "text", dir, "s1")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(o1 == Map(1L -> "alpha\nbeta", 2L -> "gamma"),
+      "within-batch first-occurrence rule applies to the first batch")
+    def runB2() = Dedup.dedupLinesIncremental(spark,
+      Seq((10L, "gamma\ndelta"), (11L, "delta\nepsilon")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "s2")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("n_lines_removed")))).toMap
+    val o2 = runB2()
+    // gamma lives in history (every occurrence drops); delta is fresh
+    // (doc 10 keeps the first, doc 11 loses it); epsilon is fresh
+    assert(o2 == Map(10L -> (("delta", 1L)), 11L -> (("epsilon", 1L))), s"got $o2")
+    // replaying the same segment reproduces the identical output — the
+    // half-landed registration from the first run is excluded from `seen`
+    assert(runB2() == o2, "replayed segment must be byte-identical")
+    // a third batch sees batch 2's registrations
+    val o3 = Dedup.dedupLinesIncremental(spark,
+      Seq((20L, "epsilon\nzeta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "s3")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(o3 == Map(20L -> "zeta"))
+  }
+
   test("lshPlan: exact split, s-curve lands near the target, threshold monotonicity") {
     for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
       val (b, r) = Dedup.lshPlan(128, t)

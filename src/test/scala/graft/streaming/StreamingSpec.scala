@@ -325,6 +325,56 @@ class StreamingSpec extends SparkSpec {
       s"shifted feed must spike PSI: in-dist=$inDist shifted=$shifted")
   }
 
+  test("line deduping writer drops repeated lines across runs via the hash registry") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmpDir("linededup") + "/index"
+    val ckpt = tmpDir("linededup_ckpt") // SAME checkpoint both runs: batch ids stay monotone
+    val collected = scala.collection.mutable.Map.empty[Long, String]
+    val mem = MemoryStream[(Long, String)]
+    def run(): Unit = {
+      val q = StreamingPipeline.lineDedupingWriter(
+        mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt
+      ) { out =>
+        collected ++= out.select("doc_id", "text").as[(Long, String)].collect()
+      }.start()
+      q.awaitTermination()
+    }
+    mem.addData((1L, "alpha\nbeta"), (2L, "beta\ngamma"))
+    run()
+    assert(collected.toMap == Map(1L -> "alpha\nbeta", 2L -> "gamma"))
+    mem.addData((10L, "gamma\ndelta"))
+    run()
+    assert(collected(10L) == "delta", "a line first seen in run 1 drops in run 2")
+  }
+
+  test("graph indexing writer builds on the first batch and links later ones in") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmpDir("graphidx") + "/graph"
+    val ckpt = tmpDir("graphidx_ckpt")
+    def v(a: Double) = Array(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f)
+    val mem = MemoryStream[(Long, Array[Float])]
+    def run(): Unit = {
+      val q = StreamingPipeline.graphIndexingWriter(
+        mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding", idx, ckpt,
+        dim = 4, degree = 2, hubs = 4).start()
+      q.awaitTermination()
+    }
+    mem.addData((0 until 12).map(i => (i.toLong, v(0.1 * i))): _*)
+    run()
+    mem.addData((100L, v(1.3)), (101L, v(0.05)))
+    run()
+    val g = graft.operators.GraphAnn.readGraph(spark, idx, "vec_id", "embedding")
+    assert(g.vectors.count() == 14)
+    import org.apache.spark.sql.functions.col
+    val hit = graft.operators.GraphAnn.search(g,
+      g.vectors.filter(col("vec_id") === 101L), "vec_id", "embedding",
+      k = 1, beam = 8, maxHops = 6, nSeeds = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(hit == Set(101L), s"appended vector must be findable mid-stream, got $hit")
+  }
+
   test("semantic deduping writer drops embedding near-dups across runs via the IVF index") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
