@@ -49,11 +49,12 @@ object RecallProbe {
       }
       val graph = graft.operators.GraphAnn.buildGraph(
         corpus, "vec_id", "embedding", dim = 64, degree = 12, nPlanes = 8, probes = 2, hubs = 64)
-      for ((beam, hops) <- Seq((24, 4), (32, 4), (32, 5))) {
+      for ((beam, hops, sh) <- Seq((32, 3, 64), (32, 4, 64), (32, 5, 64), (32, 5, 0))) {
         val approx = graft.operators.GraphAnn.search(graph, queries,
-          "vec_id", "embedding", k = 10, beam = beam, maxHops = hops, nSeeds = 16)
+          "vec_id", "embedding", k = 10, beam = beam, maxHops = hops,
+          nSeeds = 16, seedHubs = sh)
         val r = Similarity.recallAtK(approx, exact, "vec_id")
-        println(f"RECALL dir=$d graph beam=$beam%2d hops=$hops recall@10=$r%.4f")
+        println(f"RECALL dir=$d graph beam=$beam%2d hops=$hops seedHubs=$sh recall@10=$r%.4f")
       }
       exact.unpersist()
     }

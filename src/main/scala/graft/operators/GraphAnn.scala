@@ -245,6 +245,15 @@ object GraphAnn {
     * state table (the PageRank/BpeTrainer discipline) so `maxHops` rounds
     * hold a constant number of materialized tables.
     */
+  /** `seedHubs > 0` switches entry-point selection from the global
+    * `nSeeds` smallest ids to PER-QUERY seeds: each query starts from its
+    * `nSeeds` most-similar members of the `seedHubs`-wide hub set (the
+    * same smallest-ids rule the build's routing layer uses, so a
+    * hub-built graph is seeded on its own routing nodes) — HNSW's
+    * upper-layer descent as one broadcast scan over cohort × hubs rows.
+    * Personalized seeds start the walk near the answer, so the same
+    * recall needs fewer hops.
+    */
   def search(
       graph: AnnGraph,
       queries: DataFrame,
@@ -253,7 +262,61 @@ object GraphAnn {
       k: Int,
       beam: Int = 16,
       maxHops: Int = 4,
-      nSeeds: Int = 16
+      nSeeds: Int = 16,
+      seedHubs: Int = 0
+  ): DataFrame =
+    finalCut(walk(graph, queries, queryIdCol, queryVecCol, k, beam, maxHops,
+      nSeeds, seedHubs), queryIdCol, k)
+
+  /** Filtered ANN through the graph — the DiskANN filtered-search shape:
+    * the WALK runs unrestricted (routing needs the whole graph; a
+    * predicate-respecting walk strands queries whose allowed set is
+    * sparse), and the `allowed` id set applies before the final per-query
+    * top-k, so every returned neighbor satisfies it. A query whose visited
+    * set intersects `allowed` in fewer than `k` nodes returns fewer rows —
+    * widen `beam`/`maxHops` for very selective filters.
+    */
+  def searchFiltered(
+      graph: AnnGraph,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      allowed: DataFrame,
+      beam: Int = 16,
+      maxHops: Int = 4,
+      nSeeds: Int = 16,
+      seedHubs: Int = 0
+  ): DataFrame = {
+    val seen = walk(graph, queries, queryIdCol, queryVecCol, k, beam, maxHops,
+      nSeeds, seedHubs)
+    finalCut(
+      seen.join(allowed.select(col(graph.idCol).as("_ga_node")),
+        Seq("_ga_node"), "left_semi"),
+      queryIdCol, k)
+  }
+
+  private def finalCut(seen: DataFrame, queryIdCol: String, k: Int): DataFrame =
+    seen.groupBy(col("_ga_qid"))
+      .agg(expr(s"top_k(struct(_ga_sim, _ga_node), $k)").as("_ga_top"))
+      .select(col("_ga_qid"), explode(col("_ga_top")).as("_ga_t"))
+      .select(col("_ga_qid").as(queryIdCol),
+        col("_ga_t._ga_node").as("neighbor_id"),
+        col("_ga_t._ga_sim").as("sim"))
+
+  /** The beam walk itself: returns the full hop-tagged visited table
+    * `(_ga_qid, _ga_node, _ga_sim, _ga_hop)`.
+    */
+  private def walk(
+      graph: AnnGraph,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      beam: Int,
+      maxHops: Int,
+      nSeeds: Int,
+      seedHubs: Int
   ): DataFrame = {
     require(k > 0 && beam >= k, s"need 0 < k <= beam, got k=$k beam=$beam")
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
@@ -310,7 +373,19 @@ object GraphAnn {
     // (a superset of any beam-capped running best, so keeping the full
     // visited set can only help recall; its size is bounded by
     // nSeeds + hops × beam × degree rows per query).
-    val round0 = q.select(col("_ga_qid")).crossJoin(seeds) // cohort × nSeeds
+    val round0 =
+      if (seedHubs <= 0) q.select(col("_ga_qid")).crossJoin(seeds) // cohort × nSeeds
+      else { // per-query descent from the hub set: cohort × seedHubs scored rows
+        val hubVecs = hubSet(graph.vectors, graph.idCol, graph.vecCol, seedHubs)
+        q.crossJoin(broadcast(hubVecs))
+          .select(col("_ga_qid"), col("_ga_hub"),
+            round(cosineWithNorms(col("_ga_qv"), col("_ga_hv"),
+              col("_ga_qn"), col("_ga_hn")), 6).as("_ga_hs"))
+          .groupBy(col("_ga_qid"))
+          .agg(expr(s"top_k(struct(_ga_hs, _ga_hub), $nSeeds)").as("_ga_t"))
+          .select(col("_ga_qid"), explode(col("_ga_t")).as("_ga_x"))
+          .select(col("_ga_qid"), col("_ga_x._ga_hub").as("_ga_node"))
+      }
     var (seen, _) = rotate("seen", score(round0).withColumn("_ga_hop", lit(0)))
     var hop = 0
     var converged = false
@@ -330,12 +405,6 @@ object GraphAnn {
       }
       hop += 1
     }
-
-    seen.groupBy(col("_ga_qid"))
-      .agg(expr(s"top_k(struct(_ga_sim, _ga_node), $k)").as("_ga_top"))
-      .select(col("_ga_qid"), explode(col("_ga_top")).as("_ga_t"))
-      .select(col("_ga_qid").as(queryIdCol),
-        col("_ga_t._ga_node").as("neighbor_id"),
-        col("_ga_t._ga_sim").as("sim"))
+    seen
   }
 }

@@ -933,12 +933,13 @@ object VectorQueries {
     // queries × beam × degree and INDEPENDENT of corpus size (IVF probes
     // read nProbes/k of the corpus; the graph walk reads beam×degree
     // vectors per hop — why graph indexes win at high recall on 10⁹-vector
-    // corpora, preserved here in relational form). Same cohort, same floor
-    // discipline as e2_ann_recall_gate: measured recall@10 at
-    // degree=12/beam=32/hops=5 is 1.0 (sf0.001) / 0.996 (sf0.01) /
-    // 0.967 (sf0.1) vs IVF-12-probe's 0.927–0.936 — the 0.90 floor passes
-    // with margin and fails fast if graph build or walk degrades
-    // (degree=8/beam=24/hops=4 reads 0.72 at sf0.1).
+    // corpora, preserved here in relational form). Entry points descend
+    // from the hub layer per query (seedHubs — HNSW's upper-layer descent),
+    // which buys a hop: measured recall@10 at degree=12/beam=32/hops=4/
+    // hub-seeded is 1.0 (sf0.001) / 1.0 (sf0.01) / 0.974 (sf0.1) vs
+    // IVF-12-probe's 0.927–0.936 — the 0.90 floor passes with margin and
+    // fails fast if build, walk, or seeding degrades (global-seed
+    // degree=8/beam=24/hops=4 reads 0.72 at sf0.1).
     "e2_graph_ann_gate" -> Q(
       (s, d) => {
         import s.implicits._
@@ -948,7 +949,7 @@ object VectorQueries {
         val graph = GraphAnn.buildGraph(corpus, "vec_id", "embedding",
           dim = 64, degree = 12, nPlanes = 8, probes = 2, hubs = 64)
         val approx = GraphAnn.search(graph, queries, "vec_id", "embedding",
-          k = 10, beam = 32, maxHops = 5, nSeeds = 16)
+          k = 10, beam = 32, maxHops = 4, nSeeds = 16, seedHubs = 64)
         val exact = queries.select(col("vec_id").as("_qid"), col("embedding").as("_qv"))
           .crossJoin(corpus.select(col("vec_id").as("_cid"), col("embedding").as("_cv")))
           .withColumn("_sim", cosine(col("_qv"), col("_cv")))

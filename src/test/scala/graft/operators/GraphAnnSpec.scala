@@ -154,6 +154,42 @@ class GraphAnnSpec extends SparkSpec {
     assert(got == Set(119L), s"hub routing must reach the far cluster, got $got")
   }
 
+  test("per-query hub seeding reaches a far cluster with a tight hop budget") {
+    val a = (0 until 20).map { i =>
+      val t = 0.02 * i / 19
+      (i.toLong, Array(math.cos(t).toFloat, math.sin(t).toFloat))
+    }
+    val b = (0 until 20).map { i =>
+      val t = math.Pi / 2 - 0.02 * i / 19
+      (100L + i, Array(math.cos(t).toFloat, math.sin(t).toFloat))
+    }
+    val vecs = (a ++ b).toDF("id", "vec")
+    // hubs 0..3 all sit in cluster A, but B members hub-link to them, so a
+    // B query's best hub neighbors include B-linked hubs: with personalized
+    // seeds the walk needs only the member links (2 hops), not a traverse
+    val g = GraphAnn.buildGraph(vecs, "id", "vec", dim = 2, degree = 2,
+      nPlanes = 4, probes = 0, hubs = 4)
+    val got = GraphAnn.search(g, vecs.filter(col("id") === 110L), "id", "vec",
+      k = 1, beam = 8, maxHops = 2, nSeeds = 2, seedHubs = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(110L), s"hub-seeded walk must reach the far cluster, got $got")
+  }
+
+  test("searchFiltered: full walk + allowed set == brute-force filtered top-k") {
+    val n = 24
+    val vecs = circle(n)
+    val g = GraphAnn.AnnGraph(vecs, "id", "vec", ring(n))
+    val queries = vecs.filter(col("id").isin(5L, 17L))
+    val allowed = vecs.filter(col("id") % 2 === 1).select("id")
+    val got = GraphAnn.searchFiltered(g, queries, "id", "vec", k = 4, allowed,
+      beam = n, maxHops = n, nSeeds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.forall(_._2 % 2 == 1), "every neighbor satisfies the predicate")
+    val want = bruteTopK(vecs.filter(col("id") % 2 === 1), queries, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want, "full walk makes the filtered cut exact")
+  }
+
   test("appendToGraph: batch links in, searchable; replay is a no-op") {
     val n = 30
     val vecs = circle(n)
