@@ -559,6 +559,10 @@ object GraftCli {
         graft.operators.TextSearch.compactIndex(spark, indexPath)
         println(s"compacted=$indexPath")
         0
+      case "line-index-compact" :: indexPath :: Nil =>
+        graft.operators.Dedup.compactLineIndex(spark, indexPath)
+        println(s"compacted=$indexPath")
+        0
       case "dedup-index-compact" :: indexPath :: Nil =>
         graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
         println(s"compacted=$indexPath")
@@ -706,6 +710,7 @@ object GraftCli {
             |  text-index-append <storePath> <indexPath> [docId ...]
             |  text-index-compact <indexPath>
             |  dedup-index-compact <indexPath>
+            |  line-index-compact <indexPath>
             |  lake-compact <dir> [partitionCol,...] [--limit=recordsPerFile]
             |  zorder <dir> <xCol> <yCol> [--limit=nFiles]
             |  drift <refParquet> <curParquet> [textCol] [--limit=buckets]

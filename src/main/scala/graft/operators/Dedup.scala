@@ -1486,6 +1486,33 @@ object Dedup {
     out
   }
 
+  /** Fold the line registry's append-accumulated small files into
+    * `nFiles` hash-range-sorted files and heal any replay duplicates
+    * (keep the lexicographically-first segment per hash) — the
+    * [[compactSignatureIndex]] discipline: staged write, then a CHECKED
+    * rename swap. Run between ingest waves; per-file open cost is what
+    * dominates scans of fragmented layouts at 100 TB. The range-sorted
+    * layout also gives each registry scan row-group min/max pruning on
+    * `_h` and is the shard boundary a range-partitioned ingest would
+    * co-locate its anti-joins against.
+    */
+  def compactLineIndex(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String, nFiles: Int = 16): Unit = {
+    val path = s"$indexPath/hashes"
+    val tmp = path + ".compact-tmp"
+    spark.read.parquet(path)
+      .groupBy(col("_h")).agg(min(col("segment")).as("segment"))
+      .repartitionByRange(nFiles, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
+      s"rename $tmp -> $path failed after the old registry was deleted; " +
+        s"the compacted registry is intact at $tmp — move it into place manually")
+  }
+
   /** The apply side of [[duplicateSpans]]: rewrite `textCol` with every
     * duplicated span's tokens removed. Documents containing a span come
     * back whitespace-normalized (single-space joined — token identity is

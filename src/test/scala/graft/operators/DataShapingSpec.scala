@@ -146,6 +146,21 @@ class DataShapingSpec extends SparkSpec {
       "doc_id", "text", dir, "s3")
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     assert(o3 == Map(20L -> "zeta"))
+    // compaction folds the per-segment appends to <= nFiles sorted files
+    // and changes NOTHING about subsequent dedup decisions
+    val before = spark.read.parquet(s"$dir/hashes").collect()
+      .map(_.getAs[String]("_h")).sorted.toSeq
+    Dedup.compactLineIndex(spark, dir, nFiles = 2)
+    val after = spark.read.parquet(s"$dir/hashes")
+    assert(after.collect().map(_.getAs[String]("_h")).sorted.toSeq == before,
+      "compaction preserves the hash set")
+    assert(new java.io.File(s"$dir/hashes").listFiles()
+      .count(_.getName.endsWith(".parquet")) <= 2)
+    val o4 = Dedup.dedupLinesIncremental(spark,
+      Seq((30L, "zeta\ntheta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, "s4")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(o4 == Map(30L -> "theta"), "post-compaction registry still drops history lines")
   }
 
   test("lshPlan: exact split, s-curve lands near the target, threshold monotonicity") {
