@@ -109,6 +109,33 @@ object TextFunctions {
   def collapseWhitespace(c: Column): Column =
     trim(regexp_replace(c, "\\s+", " "))
 
+  /** HTML → text extraction — the WET-style primitive every web-crawl
+    * pipeline runs before any quality/dedup stage: drop script/style
+    * blocks and comments wholesale (their CONTENT is not text), strip
+    * remaining tags, decode the five predefined entities plus `&nbsp;`
+    * (`&amp;` last, the standard order that never double-decodes), and
+    * collapse the whitespace the removals leave behind. Every pattern is
+    * RE2-compatible (inline `(?is)` flags, no backreferences), so a SQL
+    * oracle replays the chain verbatim. Regex tag-stripping is the
+    * deliberate 100 TB trade: a DOM parse per document costs more than
+    * the fidelity buys for *training-corpus* extraction (malformed markup
+    * degrades to dropped fragments, not failures).
+    */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    // entity strings contain no regex metacharacters — plain patterns keep
+    // the chain RE2-replayable (\Q…\E quoting would not be)
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (col0, (from, to)) =>
+        regexp_replace(col0, from, to)
+      }
+    collapseWhitespace(ent)
+  }
+
   /** Canonical text normalization for dedup/fingerprint stability:
     * NFC composition → control-char strip → whitespace collapse. Run this
     * BEFORE hashing/shingling so visually identical strings from different

@@ -1839,6 +1839,58 @@ object TextQueries {
       Seq("C10", "C3")
     ),
 
+    // HTML → text extraction (the WET primitive): each doc's first words
+    // wrapped in markup with script/style/comment blocks, attributes, and
+    // the predefined entities, then stripped. The whole chain is
+    // RE2-compatible regex (inline (?is) flags, no \Q quoting), so the
+    // oracle replays it verbatim; the extracted STRING itself is compared,
+    // not just a length. Double-encoded &amp;lt; must come out as &lt;
+    // (amp decodes last — the order that never double-decodes).
+    "ta_html_strip" -> Q(
+      (s, d) => {
+        val w8 = array_join(slice(split(trim(col("text")), "\\s+"), 1, 8), " ")
+        val html = concat(
+          lit("<html><body class=\"x\"><h1>T&amp;C &amp;lt;</h1><p>"), w8,
+          lit(" &quot;q&#39;s&quot; &lt;tag&gt;&nbsp;end</p>" +
+            "<script type=\"text/javascript\">var a = 1 < 2;</script>" +
+            "<!-- hidden --><style>p { color: red; }</style></body></html>"))
+        documents(s, d)
+          .filter(col("doc_id") < 100)
+          .select(col("doc_id"), stripHtml(html).as("extracted"))
+          .withColumn("n_chars2", length(col("extracted")).cast("long"))
+      },
+      Some("""WITH built AS (
+             |  SELECT doc_id,
+             |    '<html><body class="x"><h1>T&amp;C &amp;lt;</h1><p>' ||
+             |    array_to_string(regexp_split_to_array(trim(text), '\s+')[1:8], ' ') ||
+             |    ' &quot;q&#39;s&quot; &lt;tag&gt;&nbsp;end</p>' ||
+             |    '<script type="text/javascript">var a = 1 < 2;</script>' ||
+             |    '<!-- hidden --><style>p { color: red; }</style></body></html>' AS h
+             |  FROM documents WHERE doc_id < 100),
+             |stripped AS (
+             |  SELECT doc_id,
+             |    trim(regexp_replace(
+             |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             |      regexp_replace(regexp_replace(
+             |        h,
+             |        '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             |        '(?s)<!--.*?-->', ' ', 'g'),
+             |        '<[^>]+>', ' ', 'g'),
+             |        '&lt;', '<', 'g'),
+             |        '&gt;', '>', 'g'),
+             |        '&quot;', '"', 'g'),
+             |        '&#39;', CAST('''' AS VARCHAR), 'g'),
+             |        '&nbsp;', ' ', 'g'),
+             |        '&amp;', '&', 'g'),
+             |      '\s+', ' ', 'g')) AS extracted
+             |  FROM built)
+             |SELECT doc_id, extracted, CAST(len(extracted) AS BIGINT) AS n_chars2
+             |FROM stripped""".stripMargin),
+      Seq("C17", "C10")
+    ),
+
     // Corpus distribution drift (PSI + KL) between the even- and odd-id
     // halves over the md5 hashed-bigram bucket family — the "is this
     // month's crawl distributed like the corpus my thresholds were tuned

@@ -218,4 +218,23 @@ class FunctionsSpec extends SparkSpec {
     val mean = ratios.sum / ratios.size
     assert(math.abs(mean - 1.0) < 0.15, s"mean ratio $mean drifts from isometry")
   }
+
+  test("stripHtml: blocks drop wholesale, tags strip, entities decode once") {
+    import graft.functions.TextFunctions.stripHtml
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(stripHtml(col("h")).as("t")).head().getString(0)
+    assert(strip("<p>hello <b>world</b></p>") == "hello world")
+    assert(strip("<script>var x = 'not text';</script>after") == "after",
+      "script CONTENT is not text")
+    assert(strip("<STYLE>p{}</STYLE>ok") == "ok", "case-insensitive block match")
+    assert(strip("a<!-- secret -->b") == "a b")
+    assert(strip("T&amp;C &lt;x&gt; &quot;q&#39;s&quot;&nbsp;!") ==
+      "T&C <x> \"q's\" !")
+    assert(strip("&amp;lt;") == "&lt;",
+      "double-encoded decodes exactly once (amp last)")
+    assert(strip("<a href=\"http://e.com?a=1&amp;b=2\">link</a>") == "link")
+    assert(strip("plain text, no markup") == "plain text, no markup")
+    assert(strip("<script a=1>s1</script>mid<script>s2</script>") == "mid",
+      "lazy block match: two scripts drop separately, text between survives")
+  }
 }
