@@ -163,6 +163,39 @@ class DataShapingSpec extends SparkSpec {
     assert(o4 == Map(30L -> "theta"), "post-compaction registry still drops history lines")
   }
 
+  test("dedupLines equals a reference implementation on random colliding corpora") {
+    val rng = new scala.util.Random(42)
+    val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")
+    val docs = (0 until 60).map { i =>
+      val n = 1 + rng.nextInt(6)
+      (i.toLong, Seq.fill(n)(pool(rng.nextInt(pool.size))).mkString("\n"))
+    }
+    // reference: global first-occurrence by (doc, pos) scan order
+    val seen = scala.collection.mutable.Set.empty[String]
+    val want = docs.map { case (id, text) =>
+      val kept = text.split("\n", -1).filter(l => seen.add(l))
+      id -> kept.mkString("\n")
+    }.toMap
+    val got = Dedup.dedupLines(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(got == want)
+  }
+
+  test("round-10 operators tolerate empty and degenerate inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.dedupLines(empty, "doc_id", "text").count() == 0)
+    val emptyLen = Seq.empty[(Long, String, Long)].toDF("id", "source", "len")
+    assert(Sampling.lengthBatches(emptyLen, "id", "len", 8, "source").count() == 0)
+    assert(Sampling.shuffleShards(empty, "doc_id", 4).count() == 0)
+    // drift of two empty corpora: every bucket sits at the (equal) floor
+    val r = Drift.textDrift(empty, empty, "text", buckets = 32).head()
+    assert(r.getAs[Double]("psi") == 0.0 && r.getAs[Long]("n_ref") == 0L)
+    // drift empty-vs-nonempty is finite and positive
+    val some = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val r2 = Drift.textDrift(empty, some, "text", buckets = 32).head()
+    assert(!r2.getAs[Double]("psi").isNaN && r2.getAs[Double]("psi") > 0.0)
+  }
+
   test("lshPlan: exact split, s-curve lands near the target, threshold monotonicity") {
     for (t <- Seq(0.3, 0.5, 0.7, 0.9)) {
       val (b, r) = Dedup.lshPlan(128, t)
