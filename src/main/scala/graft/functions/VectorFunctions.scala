@@ -11,8 +11,25 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two float-array columns, accumulated as double. */
+  /** Dot product of two float/double-array columns, accumulated
+    * left-to-right as double — the NATIVE [[graft.expressions.VecDot]]
+    * expression: the HOF form ([[dotHof]]) materializes the zipped product
+    * array per pair, which at ANN-build volume (tens of millions of scored
+    * pairs) is an allocation per value consumed once. Bit-identical null
+    * algebra and accumulation order to the HOF form, so every SQL oracle
+    * replays unchanged.
+    */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.toColumn(
+      graft.expressions.VecDot(
+        org.apache.spark.sql.graft.ColumnBridge.toExpression(a),
+        org.apache.spark.sql.graft.ColumnBridge.toExpression(b)))
+
+  /** The declarative twin of [[dot]] — for element types the native
+    * expression doesn't take (ints, decimals); also the reference
+    * implementation its tests compare against.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -219,6 +219,38 @@ class FunctionsSpec extends SparkSpec {
     assert(math.abs(mean - 1.0) < 0.15, s"mean ratio $mean drifts from isometry")
   }
 
+  test("native vec_dot is bit-identical to the HOF fold, null algebra included") {
+    import graft.functions.VectorFunctions.{dot, dotHof}
+    val rng = new scala.util.Random(7)
+    val rows = Seq.tabulate(40)(i =>
+      (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat),
+        Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("id", "a", "b")
+    val both = rows.select(col("id"), dot(col("a"), col("b")).as("n"),
+      dotHof(col("a"), col("b")).as("h")).collect()
+    both.foreach(r => assert(
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+      s"row ${r.getLong(0)}: native ${r.getDouble(1)} != hof ${r.getDouble(2)}"))
+    // unequal lengths and null elements → null, exactly like the fold
+    val weird = Seq(
+      (1L, Array(1f, 2f), Array(1f, 2f, 3f)),
+      (2L, Array(1f, 2f), Array(3f, 4f))
+    ).toDF("id", "a", "b")
+      .union(Seq((3L, Array(1f, 2f), Array(1f, 2f))).toDF("id", "a", "b")
+        .select(col("id"), col("a"),
+          array(lit(1f), lit(null).cast("float")).as("b")))
+    val w = weird.select(col("id"), dot(col("a"), col("b")).as("n"),
+      dotHof(col("a"), col("b")).as("h")).collect()
+    w.foreach(r => assert(r.isNullAt(1) == r.isNullAt(2),
+      s"row ${r.getLong(0)} null mismatch"))
+    assert(w.filter(_.getLong(0) != 2L).forall(_.isNullAt(1)))
+    // doubles on one side (pooled vectors) work too
+    val mixed = Seq((1L, Array(1f, 2f), Array(0.5, 0.25))).toDF("id", "a", "b")
+      .select(dot(col("a"), col("b")).as("n")).head().getDouble(0)
+    assert(mixed == 1.0)
+  }
+
   test("stripHtml: blocks drop wholesale, tags strip, entities decode once") {
     import graft.functions.TextFunctions.stripHtml
     def strip(s: String): String =
