@@ -131,8 +131,21 @@ object VectorFunctions {
     when(s >= 0.0, lit(1)).otherwise(lit(0))
   }
 
-  /** LSH bucket id from `nPlanes` random-hyperplane bits. */
+  /** LSH bucket id from `nPlanes` random-hyperplane bits — the NATIVE
+    * [[graft.expressions.LshBucket]]: the composed form below
+    * ([[lshBucketCols]]) is nPlanes × dim `element_at` chains per row, the
+    * same blown-up-tree pathology [[randomProject]] replaced. Same planes
+    * ([[planeSignString]]), same arithmetic, same oracles.
+    */
   def lshBucket(vec: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column =
+    org.apache.spark.sql.graft.ColumnBridge.toColumn(
+      graft.expressions.LshBucket(
+        org.apache.spark.sql.graft.ColumnBridge.toExpression(vec), dim, nPlanes, seed))
+
+  /** The declarative twin of [[lshBucket]] — the reference its tests
+    * compare against.
+    */
+  def lshBucketCols(vec: Column, dim: Int, nPlanes: Int, seed: Int = 42): Column =
     (0 until nPlanes)
       .map(p => hyperplaneSign(vec, dim, seed + p) * lit(1 << p))
       .reduce(_ + _)

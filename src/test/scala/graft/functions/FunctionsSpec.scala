@@ -251,6 +251,32 @@ class FunctionsSpec extends SparkSpec {
     assert(mixed == 1.0)
   }
 
+  test("native lsh_bucket equals the composed column form, quirks included") {
+    import graft.functions.VectorFunctions.{lshBucket, lshBucketCols}
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(80)(i => (i.toLong, Array.fill(16)(rng.nextGaussian().toFloat)))
+      .toDF("id", "v")
+    for ((planes, seed) <- Seq((4, 42), (8, 42), (6, 7))) {
+      val got = rows.select(col("id"), lshBucket(col("v"), 16, planes, seed).as("n"),
+        lshBucketCols(col("v"), 16, planes, seed).as("h")).collect()
+      got.foreach(r => assert(r.getInt(1) == r.getInt(2),
+        s"row ${r.getLong(0)} planes=$planes: native ${r.getInt(1)} != ${r.getInt(2)}"))
+      assert(got.map(_.getInt(1)).distinct.length > 1, "buckets actually spread")
+    }
+    // a null component lands in bucket 0 on both forms (the null sum falls
+    // to the otherwise-branch); a SHORT vector crashes the composed form
+    // under ANSI element_at — the native degrades to bucket 0 instead
+    val nullComp = Seq((2L, Array.fill(16)(1f))).toDF("id", "v")
+      .select(col("id"), concat(slice(col("v"), 1, 15),
+        array(lit(null).cast("float"))).as("v"))
+    val w = nullComp.select(col("id"), lshBucket(col("v"), 16, 4).as("n"),
+      lshBucketCols(col("v"), 16, 4).as("h")).collect()
+    w.foreach(r => assert(r.getInt(1) == 0 && r.getInt(2) == 0))
+    val short = Seq((1L, Array(1f, 2f))).toDF("id", "v")
+      .select(lshBucket(col("v"), 16, 4).as("n")).head()
+    assert(short.getInt(0) == 0, "short vector buckets to 0 instead of throwing")
+  }
+
   test("stripHtml: blocks drop wholesale, tags strip, entities decode once") {
     import graft.functions.TextFunctions.stripHtml
     def strip(s: String): String =
