@@ -1948,6 +1948,81 @@ object TextQueries {
       Seq("A1", "A2", "C1")
     ),
 
+    // §2.11: STREAMING drift monitor, oracle-pinned — the nano-unit integer
+    // discipline makes the per-microbatch PSI/KL exactly SQL-replayable,
+    // so the stateful monitor gets a hash oracle, not just a spec: the odd
+    // half streams through driftMonitorWriter (one JSON file → one
+    // AvailableNow microbatch) against the even half's precomputed md5
+    // bucket table, and the emitted metrics row must equal ta_dist_drift's
+    // replay to the last rounded digit.
+    "s11_streaming_drift" -> Q(
+      (s, d) => {
+        val srcDir = QueryScratch.dir(d, "sdrift_src")
+        val outDir = QueryScratch.dir(d, "sdrift_out")
+        val ckpt = QueryScratch.dir(d, "sdrift_ckpt")
+        Seq(srcDir, outDir, ckpt).foreach(QueryScratch.clean)
+        val docs = documents(s, d)
+        val ref = ImportanceSampling.bucketCounts(
+          docs.filter(col("doc_id") % 2 === 0), "text",
+          buckets = 512, n = 2, gramHash = Dedup.Md5Gram)
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"))
+          .coalesce(1).write.mode("overwrite").json(srcDir)
+        val stream = s.readStream.schema("doc_id BIGINT, text STRING").json(srcDir)
+        val q = graft.streaming.StreamingPipeline.driftMonitorWriter(
+          stream, "text", ref, buckets = 512, checkpointDir = ckpt,
+          n = 2, gramHash = Dedup.Md5Gram
+        ) { metrics =>
+          metrics.coalesce(1).write.mode("append").parquet(outDir)
+        }.start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .select(col("batch_id"), col("psi"), col("kl_ref_cur"),
+            col("n_buckets_present"), col("n_ref"), col("n_cur"))
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+             |grams AS (
+             |  SELECT doc_id, unnest(
+             |    CASE WHEN len(toks) - 1 <= 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE list_transform(range(1, greatest(len(toks) - 1, 1) + 1),
+             |      i -> array_to_string(list_slice(toks, i, i + 1), ' ')) END) AS g
+             |  FROM corpus),
+             |gb AS (
+             |  SELECT doc_id,
+             |         (CAST((md5_number_lower(g) >> 4) AS BIGINT) % 512) AS bucket
+             |  FROM grams),
+             |rcnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 2 = 0 GROUP BY bucket),
+             |ccnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 2 = 1 GROUP BY bucket),
+             |tot AS (SELECT
+             |  CAST((SELECT coalesce(sum(cnt), 0) FROM rcnt) + 512 AS DOUBLE) AS dr,
+             |  CAST((SELECT coalesce(sum(cnt), 0) FROM ccnt) + 512 AS DOUBLE) AS dc,
+             |  CAST((SELECT coalesce(sum(cnt), 0) FROM rcnt) AS BIGINT) AS nr,
+             |  CAST((SELECT coalesce(sum(cnt), 0) FROM ccnt) AS BIGINT) AS nc),
+             |j AS (
+             |  SELECT ((coalesce(r.cnt, 0) + 1.0) / (SELECT dr FROM tot)) AS p,
+             |         ((coalesce(c.cnt, 0) + 1.0) / (SELECT dc FROM tot)) AS q
+             |  FROM rcnt r FULL OUTER JOIN ccnt c ON r.bucket = c.bucket),
+             |terms AS (
+             |  SELECT CAST(round((p - q) * ln(p / q) * 1e9) AS BIGINT) AS psin,
+             |         CAST(round(p * ln(p / q) * 1e9) AS BIGINT) AS kln
+             |  FROM j),
+             |pres AS (
+             |  SELECT count(*) AS np, coalesce(sum(psin), 0) AS sp,
+             |         coalesce(sum(kln), 0) AS sk FROM terms),
+             |fl AS (
+             |  SELECT CAST(round((1.0 / dr - 1.0 / dc) * ln((1.0 / dr) / (1.0 / dc)) * 1e9) AS BIGINT) AS psi0,
+             |         CAST(round((1.0 / dr) * ln((1.0 / dr) / (1.0 / dc)) * 1e9) AS BIGINT) AS kl0
+             |  FROM tot)
+             |SELECT CAST(0 AS BIGINT) AS batch_id,
+             |       round((sp + (512 - np) * (SELECT psi0 FROM fl)) / 1e9, 6) AS psi,
+             |       round((sk + (512 - np) * (SELECT kl0 FROM fl)) / 1e9, 6) AS kl_ref_cur,
+             |       CAST(np AS BIGINT) AS n_buckets_present,
+             |       (SELECT nr FROM tot) AS n_ref, (SELECT nc FROM tot) AS n_cur
+             |FROM pres""".stripMargin),
+      Seq("S6", "A1", "A2")
+    ),
+
     // Length-bucketed batching — the dynamic-batching layout that collapses
     // padding waste: per source, rows sort (n_chars desc, doc_id) and chop
     // into batches of 8. The operator assembles the global rank from
