@@ -966,6 +966,50 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // Filtered graph ANN with an EXACT oracle: the hub layer makes the
+    // graph CONNECTED (every vector links to a hub, hubs form a clique),
+    // so a full-beam walk provably visits the whole corpus and the
+    // DiskANN-style filtered cut (walk unrestricted, allowed-id semi-join
+    // before the final top-k) must equal the brute-force filtered top-5
+    // HASH-exactly — an exactness pin for the walk machinery itself, the
+    // production-approximate gate's (e2_graph_ann_gate) strict companion.
+    "e2_graph_ann_filtered" -> Q(
+      (s, d) => {
+        val vecs = embeddings(s, d)
+        val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
+        val queries = vecs.filter(col("vec_id") % 100 === 0)
+        val graph = GraphAnn.buildGraph(corpus, "vec_id", "embedding",
+          dim = 64, degree = 8, nPlanes = 8, probes = 2, hubs = 64)
+        val allowed = corpus.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
+        GraphAnn.searchFiltered(graph, queries, "vec_id", "embedding", k = 5,
+          allowed, beam = 4096, maxHops = 8, nSeeds = 16)
+      },
+      Some("""WITH anchors AS (
+             |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+             |qu AS (SELECT qid, generate_subscripts(qv, 1) AS i,
+             |              CAST(unnest(qv) AS DOUBLE) AS x FROM anchors),
+             |cu AS (SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS i,
+             |              CAST(unnest(embedding) AS DOUBLE) AS x
+             |       FROM embeddings WHERE vec_id % 20 <> 0 AND vec_id % 3 = 0),
+             |sims AS (
+             |  SELECT q.qid, c.nid,
+             |         sum(q.x * c.x) AS dot,
+             |         sqrt(sum(q.x * q.x)) AS na, sqrt(sum(c.x * c.x)) AS nb
+             |  FROM qu q JOIN cu c ON q.i = c.i
+             |  GROUP BY q.qid, c.nid),
+             |scored AS (
+             |  SELECT qid, nid,
+             |         round(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END, 6) AS sim
+             |  FROM sims),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid DESC) AS rn
+             |  FROM scored)
+             |SELECT qid AS vec_id, nid AS neighbor_id, sim
+             |FROM ranked WHERE rn <= 5""".stripMargin),
+      Seq("E2", "J1")
+    ),
+
     // Embedding-cosine near-dup, hyperplane-bucketed. Oracle-matched via the
     // same inlined plane-sign literals as e2_ann_lsh_topk.
     "dd_cosine_lsh" -> Q(
