@@ -1473,6 +1473,18 @@ object Dedup {
     val hashesPath = s"$indexPath/hashes"
     val hp = new org.apache.hadoop.fs.Path(hashesPath)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fail fast on a torn compaction: an index dir WITHOUT hashes/ but WITH
+    // a compaction marker means history exists but is mid-swap — treating it
+    // as empty would silently stop deduping against the whole corpus history.
+    if (!fs.exists(hp)) {
+      val bak = new org.apache.hadoop.fs.Path(hashesPath + ".compact-bak")
+      val tmp = new org.apache.hadoop.fs.Path(hashesPath + ".compact-tmp")
+      require(!fs.exists(bak) && !fs.exists(tmp),
+        s"$indexPath has no live hashes/ but a compaction marker " +
+          s"(${hashesPath}.compact-bak/.compact-tmp) exists — a compactLineIndex " +
+          "swap was interrupted. Restore the marker dir to hashes/ before deduping; " +
+          "proceeding would silently ignore all registered history.")
+    }
     val stored: Option[DataFrame] =
       if (fs.exists(hp)) Some(spark.read.parquet(hashesPath)) else None
     val seen = stored.map(_.filter(col("segment") =!= segmentId).select(col("_h")))
@@ -1500,17 +1512,33 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexPath: String, nFiles: Int = 16): Unit = {
     val path = s"$indexPath/hashes"
     val tmp = path + ".compact-tmp"
+    val bak = path + ".compact-bak"
     spark.read.parquet(path)
       .groupBy(col("_h")).agg(min(col("segment")).as("segment"))
       .repartitionByRange(nFiles, col("_h"))
       .sortWithinPartitions(col("_h"))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp)
     val hp = new org.apache.hadoop.fs.Path(path)
+    val tp = new org.apache.hadoop.fs.Path(tmp)
+    val bp = new org.apache.hadoop.fs.Path(bak)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hp, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hp),
-      s"rename $tmp -> $path failed after the old registry was deleted; " +
-        s"the compacted registry is intact at $tmp — move it into place manually")
+    // crash-safe swap: the live registry is renamed aside, never deleted,
+    // until the compacted tree is in place — a crash at ANY point leaves
+    // either the live dir or a recoverable .compact-bak/.compact-tmp pair,
+    // and [[dedupLinesIncremental]] fails fast on both marker dirs instead
+    // of silently treating lost history as empty.
+    if (fs.exists(bp)) fs.delete(bp, true) // only a completed prior swap leaves one
+    require(fs.rename(hp, bp),
+      s"rename $path -> $bak failed; live registry untouched, compaction aborted")
+    if (!fs.rename(tp, hp)) {
+      require(fs.rename(bp, hp),
+        s"rename $tmp -> $path failed AND restoring $bak failed; " +
+          s"registry intact at $bak, compacted copy at $tmp — restore manually")
+      fs.delete(tp, true)
+      throw new IllegalStateException(
+        s"rename $tmp -> $path failed; original registry restored, compaction aborted")
+    }
+    fs.delete(bp, true)
   }
 
   /** The apply side of [[duplicateSpans]]: rewrite `textCol` with every

@@ -63,6 +63,7 @@ object Drift {
       .join(curCounts.select(col("bucket"), col("cnt").as("_cc")),
         Seq("bucket"), "full_outer")
       .select(
+        col("bucket"),
         coalesce(col("_cr"), lit(0L)).as("_cr"),
         coalesce(col("_cc"), lit(0L)).as("_cc"))
 
@@ -73,10 +74,37 @@ object Drift {
     // the totals are partition-invariant and SQL-replayable
     def nano(x: Column): Column = round(x * lit(1e9)).cast("long")
 
+    // guard the declared bucket space: if more distinct buckets are present
+    // than `buckets` declares (an undercounted categoricalDrift `domain`),
+    // or a numeric bucket id falls outside [0, buckets), the analytic
+    // absent-bucket floor term would fold in with a NEGATIVE multiplier /
+    // a mismatched space — silently wrong PSI/KL. raise_error keeps the
+    // check lazy (one extra min/max in the same tiny aggregate).
+    val numericBucket = joined.schema("bucket").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val rangeAggs =
+      if (numericBucket)
+        Seq(min(col("bucket").cast("long")).as("_bmin"),
+          max(col("bucket").cast("long")).as("_bmax"))
+      else Seq(lit(0L).as("_bmin"), lit(0L).as("_bmax"))
     val present = joined.agg(
       count(lit(1)).as("_npresent"),
-      coalesce(sum(nano((p - q) * lr)), lit(0L)).as("_psiN"),
-      coalesce(sum(nano(p * lr)), lit(0L)).as("_klN"))
+      (Seq(
+        coalesce(sum(nano((p - q) * lr)), lit(0L)).as("_psiN"),
+        coalesce(sum(nano(p * lr)), lit(0L)).as("_klN")) ++ rangeAggs): _*)
+      .withColumn("_guard",
+        when(col("_npresent") > lit(buckets.toLong), raise_error(concat(
+          lit(s"drift: declared bucket space buckets=$buckets is smaller than the "),
+          col("_npresent"), lit(" distinct buckets present — the absent-bucket floor " +
+            "term would be folded in with a negative multiplier. Pass the true " +
+            "domain size (>= distinct categories across both sides)."))))
+          .when(lit(numericBucket) &&
+            (col("_bmin") < 0L || col("_bmax") >= lit(buckets.toLong)),
+            raise_error(concat(
+              lit(s"drift: bucket ids must lie in [0, $buckets); found ["),
+              col("_bmin"), lit(", "), col("_bmax"),
+              lit("] — count tables were built over a different bucket space."))))
+          .otherwise(lit(0)))
 
     // absent-from-both floor contribution, computed once driver-side
     val p0 = 1.0 / dRef
@@ -85,8 +113,10 @@ object Drift {
     val psi0 = math.round((p0 - q0) * lr0 * 1e9)
     val kl0 = math.round(p0 * lr0 * 1e9)
 
+    // `_guard` (always 0, or an error) rides the psi sum so column pruning
+    // can never drop the validation
     present.select(
-      round((col("_psiN") + (lit(buckets.toLong) - col("_npresent")) * lit(psi0)) / lit(1e9), 6).as("psi"),
+      round((col("_psiN") + col("_guard") + (lit(buckets.toLong) - col("_npresent")) * lit(psi0)) / lit(1e9), 6).as("psi"),
       round((col("_klN") + (lit(buckets.toLong) - col("_npresent")) * lit(kl0)) / lit(1e9), 6).as("kl_ref_cur"),
       col("_npresent").cast("long").as("n_buckets_present"),
       lit(tRef).as("n_ref"),

@@ -45,13 +45,20 @@ import graft.functions.VectorFunctions._
 object GraphAnn {
 
   /** A graph ANN index: `vectors` (id, vec) and the undirected `edges`
-    * (src, dst) of the k-NN graph over them.
+    * (src, dst) of the k-NN graph over them. `hubIds` is the FROZEN routing
+    * hub set chosen at build time (None when the graph was built without a
+    * routing layer): persisted with the index so incremental appends and
+    * per-query hub seeding keep referencing the ORIGINAL hub clique —
+    * re-deriving hubs as "the corpus' smallest ids" would silently shift
+    * the set when a later batch carries smaller ids, stranding new members
+    * outside the ≤3-hop routing bound.
     */
   final case class AnnGraph(
       vectors: DataFrame,
       idCol: String,
       vecCol: String,
-      edges: DataFrame
+      edges: DataFrame,
+      hubIds: Option[DataFrame] = None
   )
 
   /** Build the k-NN graph: each vector's `degree` approximate nearest
@@ -107,14 +114,21 @@ object GraphAnn {
       .localCheckpoint() // eager: one kNN execution, hops reference the cache
     val base = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+    val hubIds =
+      if (hubs <= 0) None
+      // hubs rows, localCheckpointed: the frozen routing set — appends and
+      // hub seeding reference THIS table, never a re-derivation
+      else Some(df.select(col(idCol)).orderBy(col(idCol)).limit(hubs).localCheckpoint())
     val edges =
-      (if (hubs <= 0) base.distinct()
-       else base.unionByName(hubEdges(df, idCol, vecCol, hubs)).distinct())
+      (hubIds match {
+        case None => base.distinct()
+        case Some(h) => base.unionByName(hubEdges(df, idCol, vecCol, h)).distinct()
+      })
         // the edge table IS the index: materialize it once (writeGraph
         // semantics, in memory) — otherwise every search hop re-runs the
         // symmetrize/hub-link/distinct pipeline behind it
         .localCheckpoint()
-    AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, edges)
+    AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, edges, hubIds)
   }
 
   /** The routing layer of [[buildGraph]]: hub clique + member→nearest-hub
@@ -122,13 +136,11 @@ object GraphAnn {
     * is `hubs` rows); per-member truncation through the native map-side
     * `top_k`.
     */
-  private def hubSet(
-      df: DataFrame, idCol: String, vecCol: String, hubs: Int): DataFrame = {
-    val hubIds = df.select(col(idCol)).orderBy(col(idCol)).limit(hubs)
+  private def hubVectors(
+      df: DataFrame, idCol: String, vecCol: String, hubIds: DataFrame): DataFrame =
     df.select(col(idCol).as("_ga_hub"), col(vecCol).as("_ga_hv"))
-      .join(hubIds.withColumnRenamed(idCol, "_ga_hub"), Seq("_ga_hub"))
+      .join(hubIds.select(col(hubIds.columns.head).as("_ga_hub")), Seq("_ga_hub"))
       .withColumn("_ga_hn", norm(col("_ga_hv")))
-  }
 
   /** Symmetrized member ↔ nearest-hub links: one broadcast pass over the
     * members (the hub table is `hubs` rows), per-member truncation through
@@ -152,12 +164,12 @@ object GraphAnn {
   }
 
   private def hubEdges(
-      df: DataFrame, idCol: String, vecCol: String, hubs: Int): DataFrame = {
-    val hubIds = df.select(col(idCol)).orderBy(col(idCol)).limit(hubs)
-    val clique = hubIds.select(col(idCol).as("src"))
-      .crossJoin(hubIds.select(col(idCol).as("dst")))
+      df: DataFrame, idCol: String, vecCol: String, hubIds: DataFrame): DataFrame = {
+    val hid = hubIds.select(col(hubIds.columns.head).as("_ga_hub"))
+    val clique = hid.select(col("_ga_hub").as("src"))
+      .crossJoin(hid.select(col("_ga_hub").as("dst")))
       .filter(col("src") =!= col("dst"))
-    memberHubLinks(df, idCol, vecCol, hubSet(df, idCol, vecCol, hubs))
+    memberHubLinks(df, idCol, vecCol, hubVectors(df, idCol, vecCol, hubIds))
       .unionByName(clique)
   }
 
@@ -169,11 +181,19 @@ object GraphAnn {
     graph.vectors.write.mode(SaveMode.Overwrite).parquet(s"$path/vectors")
     graph.edges.repartition(col("src")).write.mode(SaveMode.Overwrite)
       .parquet(s"$path/edges")
+    // the frozen routing hub set rides with the index — appendToGraph and
+    // hub seeding read THIS, never a re-derivation over a grown corpus
+    graph.hubIds.foreach(
+      _.write.mode(SaveMode.Overwrite).parquet(s"$path/hubs"))
   }
 
-  def readGraph(spark: SparkSession, path: String, idCol: String, vecCol: String): AnnGraph =
+  def readGraph(spark: SparkSession, path: String, idCol: String, vecCol: String): AnnGraph = {
+    val hp = new org.apache.hadoop.fs.Path(s"$path/hubs")
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     AnnGraph(spark.read.parquet(s"$path/vectors"), idCol, vecCol,
-      spark.read.parquet(s"$path/edges"))
+      spark.read.parquet(s"$path/edges"),
+      if (fs.exists(hp)) Some(spark.read.parquet(s"$path/hubs")) else None)
+  }
 
   /** Incremental index maintenance — the IVF/BM25/MinHash/PQ append
     * discipline applied to the graph: a new batch kNN-joins against the
@@ -192,9 +212,11 @@ object GraphAnn {
     * anti-join).
     *
     * `hubs > 0` links each appended vector to its nearest FROZEN hub —
-    * the hubs are re-derived as the stored corpus' smallest ids (stable
-    * under append-only growth, the frozen-centroid discipline), so the
-    * routing layer keeps covering new vectors without a rebuild.
+    * the hub id set persisted with the index at build time (`$path/hubs`,
+    * the frozen-centroid discipline), so the routing layer keeps covering
+    * new vectors without a rebuild AND without the set silently shifting
+    * when a batch carries ids below the stored minimum. A pre-hub-set
+    * index (no `hubs/` dir) refuses a hubbed append rather than guessing.
     */
   def appendToGraph(
       spark: SparkSession,
@@ -226,8 +248,15 @@ object GraphAnn {
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
     val newEdges =
       (if (hubs <= 0) sym
-       else sym.unionByName(memberHubLinks(fresh, idCol, vecCol,
-         hubSet(stored.vectors, idCol, vecCol, hubs))))
+       else {
+         val frozen = stored.hubIds.getOrElse(throw new IllegalStateException(
+           s"appendToGraph(hubs=$hubs) on an index without a persisted hub set " +
+             s"($path/hubs) — the graph was built with hubs=0. Rebuild with a " +
+             "routing layer; deriving hubs from the grown corpus would shift " +
+             "the clique and break the ≤3-hop routing bound."))
+         sym.unionByName(memberHubLinks(fresh, idCol, vecCol,
+           hubVectors(stored.vectors, idCol, vecCol, frozen)))
+       })
         .distinct()
     newEdges.write.mode(SaveMode.Append).parquet(s"$path/edges")
     fresh.write.mode(SaveMode.Append).parquet(s"$path/vectors")
@@ -265,16 +294,28 @@ object GraphAnn {
       nSeeds: Int = 16,
       seedHubs: Int = 0
   ): DataFrame =
-    finalCut(walk(graph, queries, queryIdCol, queryVecCol, k, beam, maxHops,
-      nSeeds, seedHubs), queryIdCol, k)
+    walk(graph, queries, queryIdCol, queryVecCol, k, beam, maxHops,
+      nSeeds, seedHubs)(seen => finalCut(seen, queryIdCol, k))
 
   /** Filtered ANN through the graph — the DiskANN filtered-search shape:
     * the WALK runs unrestricted (routing needs the whole graph; a
     * predicate-respecting walk strands queries whose allowed set is
     * sparse), and the `allowed` id set applies before the final per-query
-    * top-k, so every returned neighbor satisfies it. A query whose visited
-    * set intersects `allowed` in fewer than `k` nodes returns fewer rows —
-    * widen `beam`/`maxHops` for very selective filters.
+    * top-k, so every returned neighbor satisfies it.
+    *
+    * CONTRACT: returns `k` rows per query whenever `allowed` intersects the
+    * corpus in ≥ `k` nodes. The walk alone cannot promise that — a
+    * 1%-selective filter leaves most visited nodes disallowed — so queries
+    * whose visited∩allowed falls short of `k` are re-answered EXACTLY:
+    * their cohort brute-force-scores the allowed vectors (per-query result
+    * is either wholly graph-walked or wholly exact — never a mix, so the
+    * output is well-defined under replay). The fallback's cost regime is
+    * complementary by construction: it only triggers when the filter is
+    * selective, which is exactly when `allowed` is small — the scored
+    * cross-product is `deficient-queries × |allowed|`, never corpus-sized
+    * for the selectivities that trigger it. `fallback = false` restores the
+    * best-effort walk-only behavior (monitoring probes that prefer speed
+    * over fill).
     */
   def searchFiltered(
       graph: AnnGraph,
@@ -286,15 +327,38 @@ object GraphAnn {
       beam: Int = 16,
       maxHops: Int = 4,
       nSeeds: Int = 16,
-      seedHubs: Int = 0
-  ): DataFrame = {
-    val seen = walk(graph, queries, queryIdCol, queryVecCol, k, beam, maxHops,
-      nSeeds, seedHubs)
-    finalCut(
-      seen.join(allowed.select(col(graph.idCol).as("_ga_node")),
-        Seq("_ga_node"), "left_semi"),
-      queryIdCol, k)
-  }
+      seedHubs: Int = 0,
+      fallback: Boolean = true
+  ): DataFrame =
+    walk(graph, queries, queryIdCol, queryVecCol, k, beam, maxHops,
+      nSeeds, seedHubs) { seen =>
+      val allowedIds = allowed.select(col(allowed.columns.head).as("_ga_node"))
+      val walkCut = finalCut(
+        seen.join(allowedIds, Seq("_ga_node"), "left_semi"), queryIdCol, k)
+      if (!fallback) walkCut
+      else {
+        // queries the walk under-filled (< k allowed hits, incl. zero)
+        val filled = walkCut.groupBy(col(queryIdCol))
+          .agg(count(lit(1)).as("_ga_nhits"))
+          .filter(col("_ga_nhits") >= k).select(col(queryIdCol))
+        val deficient = queries
+          .select(col(queryIdCol), col(queryVecCol))
+          .join(filled, Seq(queryIdCol), "left_anti")
+        val allowedVecs = graph.vectors
+          .select(col(graph.idCol).as("_ga_node"), col(graph.vecCol).as("_ga_v"))
+          .join(allowedIds, Seq("_ga_node"), "left_semi")
+          .withColumn("_ga_n", norm(col("_ga_v")))
+        val exact = deficient
+          .select(col(queryIdCol).as("_ga_qid"), col(queryVecCol).as("_ga_qv"))
+          .withColumn("_ga_qn", norm(col("_ga_qv")))
+          .crossJoin(allowedVecs)
+          .select(col("_ga_qid"), col("_ga_node"),
+            round(cosineWithNorms(col("_ga_qv"), col("_ga_v"),
+              col("_ga_qn"), col("_ga_n")), 6).as("_ga_sim"))
+        walkCut.join(deficient.select(col(queryIdCol)), Seq(queryIdCol), "left_anti")
+          .unionByName(finalCut(exact, queryIdCol, k))
+      }
+    }
 
   private def finalCut(seen: DataFrame, queryIdCol: String, k: Int): DataFrame =
     seen.groupBy(col("_ga_qid"))
@@ -304,8 +368,16 @@ object GraphAnn {
         col("_ga_t._ga_node").as("neighbor_id"),
         col("_ga_t._ga_sim").as("sim"))
 
-  /** The beam walk itself: returns the full hop-tagged visited table
-    * `(_ga_qid, _ga_node, _ga_sim, _ga_hop)`.
+  /** The beam walk itself: builds the full hop-tagged visited table
+    * `(_ga_qid, _ga_node, _ga_sim, _ga_hop)`, applies `finish` to it, and
+    * MATERIALIZES the finished result through one final localCheckpoint the
+    * caller owns — then releases every walk-internal checkpointed slot
+    * (`seen`/`fresh`/the cohort) before returning. Without the explicit
+    * release, each search leaked its final state RDDs for the session
+    * lifetime (until a GC cycle let the context cleaner find them); with
+    * it, repeated cohort searches hold exactly one small cached table each
+    * (the `queries × k` answer), freed by the cleaner when the caller drops
+    * the DataFrame.
     */
   private def walk(
       graph: AnnGraph,
@@ -317,15 +389,20 @@ object GraphAnn {
       maxHops: Int,
       nSeeds: Int,
       seedHubs: Int
-  ): DataFrame = {
+  )(finish: DataFrame => DataFrame): DataFrame = {
     require(k > 0 && beam >= k, s"need 0 < k <= beam, got k=$k beam=$beam")
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     require(nSeeds > 0, s"nSeeds must be positive, got $nSeeds")
 
-    val q = queries
+    // joined every hop: compute the cohort once, holding the checkpointed
+    // RDD itself so the exit path can release it (a Dataset.localCheckpoint
+    // hides its RDD — `.rdd` on it wraps a fresh, unpersisted one)
+    val qRaw = queries
       .select(col(queryIdCol).as("_ga_qid"), col(queryVecCol).as("_ga_qv"))
       .withColumn("_ga_qn", norm(col("_ga_qv")))
-      .localCheckpoint(false) // joined every hop: compute the cohort once
+    val qRdd = qRaw.rdd
+    qRdd.localCheckpoint()
+    val q = qRaw.sparkSession.createDataFrame(qRdd, qRaw.schema)
     val v = graph.vectors
       .select(col(graph.idCol).as("_ga_node"), col(graph.vecCol).as("_ga_v"))
       .withColumn("_ga_n", norm(col("_ga_v")))
@@ -376,7 +453,16 @@ object GraphAnn {
     val round0 =
       if (seedHubs <= 0) q.select(col("_ga_qid")).crossJoin(seeds) // cohort × nSeeds
       else { // per-query descent from the hub set: cohort × seedHubs scored rows
-        val hubVecs = hubSet(graph.vectors, graph.idCol, graph.vecCol, seedHubs)
+        // a hub-built graph seeds on its FROZEN routing set (persisted with
+        // the index — stable under appends); only a hub-less graph falls
+        // back to deriving "the seedHubs smallest ids" from the vectors
+        val hid = graph.hubIds match {
+          case Some(h) => h.select(col(h.columns.head).as("_gh"))
+            .orderBy(col("_gh")).limit(seedHubs).withColumnRenamed("_gh", graph.idCol)
+          case None => graph.vectors.select(col(graph.idCol))
+            .orderBy(col(graph.idCol)).limit(seedHubs)
+        }
+        val hubVecs = hubVectors(graph.vectors, graph.idCol, graph.vecCol, hid)
         q.crossJoin(broadcast(hubVecs))
           .select(col("_ga_qid"), col("_ga_hub"),
             round(cosineWithNorms(col("_ga_qv"), col("_ga_hv"),
@@ -405,6 +491,13 @@ object GraphAnn {
       }
       hop += 1
     }
-    seen
+    // finish over the visited table, materialize the (queries × k)-bounded
+    // answer through ONE caller-owned localCheckpoint, then free every
+    // walk-internal slot — the finished result no longer references them.
+    val result = finish(seen).localCheckpoint()
+    held.values.foreach(_.unpersist(blocking = false))
+    held.clear()
+    qRdd.unpersist(blocking = false)
+    result
   }
 }

@@ -163,6 +163,29 @@ class DataShapingSpec extends SparkSpec {
     assert(o4 == Map(30L -> "theta"), "post-compaction registry still drops history lines")
   }
 
+  test("dedupLinesIncremental fails fast on a torn compaction swap") {
+    val dir = tmpDir("graft-lineidx-torn")
+    Dedup.dedupLinesIncremental(spark,
+      Seq((1L, "alpha\nbeta")).toDF("doc_id", "text"), "doc_id", "text", dir, "s1")
+    // simulate a crash mid-swap: live hashes/ renamed aside, tmp not yet in
+    // place — exactly the window compactLineIndex's bak-first protocol leaves
+    val live = new java.io.File(s"$dir/hashes")
+    assert(live.renameTo(new java.io.File(s"$dir/hashes.compact-bak")))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupLinesIncremental(spark,
+        Seq((2L, "alpha\ngamma")).toDF("doc_id", "text"), "doc_id", "text", dir, "s2")
+    }
+    assert(ex.getMessage.contains("compactLineIndex"),
+      s"lost history must fail loudly, not dedup against nothing: $ex")
+    // operator recovery (restore the bak) resumes with full history
+    assert(new java.io.File(s"$dir/hashes.compact-bak")
+      .renameTo(new java.io.File(s"$dir/hashes")))
+    val o = Dedup.dedupLinesIncremental(spark,
+      Seq((2L, "alpha\ngamma")).toDF("doc_id", "text"), "doc_id", "text", dir, "s2")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(o == Map(2L -> "gamma"), "restored registry still holds batch-1 lines")
+  }
+
   test("dedupLines equals a reference implementation on random colliding corpora") {
     val rng = new scala.util.Random(42)
     val pool = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta")

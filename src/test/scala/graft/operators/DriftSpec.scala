@@ -74,4 +74,24 @@ class DriftSpec extends SparkSpec {
     assert(a.getAs[Double]("psi") == b.getAs[Double]("psi"))
     assert(a.getAs[Double]("kl_ref_cur") == b.getAs[Double]("kl_ref_cur"))
   }
+
+  test("an undercounted domain fails loudly, never a negative floor term") {
+    // 3 categories present but domain declares 2: the absent-bucket count
+    // (2 − 3) would fold in with a NEGATIVE multiplier — must raise instead
+    val ref = Seq("a", "b", "c").toDF("cat")
+    val cur = Seq("a", "a", "b").toDF("cat")
+    val ex = intercept[Exception] {
+      Drift.categoricalDrift(ref, cur, "cat", domain = 2).head()
+    }
+    assert(ex.getMessage.contains("smaller than"), s"got: ${ex.getMessage}")
+  }
+
+  test("numeric bucket ids outside [0, buckets) fail loudly") {
+    val ref = Seq((0L, 3L), (9L, 2L)).toDF("bucket", "cnt") // id 9 ∉ [0, 8)
+    val cur = Seq((0L, 1L), (1L, 4L)).toDF("bucket", "cnt")
+    val ex = intercept[Exception] {
+      Drift.drift(ref, cur, buckets = 8).head()
+    }
+    assert(ex.getMessage.contains("[0, 8)"), s"got: ${ex.getMessage}")
+  }
 }

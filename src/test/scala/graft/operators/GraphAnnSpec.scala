@@ -235,4 +235,72 @@ class GraphAnnSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(run(built) == run(read))
   }
+
+  test("searchFiltered contract: sparse allowed set still fills k rows, exactly") {
+    val n = 24
+    val vecs = circle(n)
+    val g = GraphAnn.AnnGraph(vecs, "id", "vec", ring(n))
+    val queries = vecs.filter(col("id").isin(5L, 17L))
+    // 1-in-12 selectivity (ids 0 and 12): a beam-2 hop-2 walk from seed 0
+    // visits ≤ 7 nodes and cannot find 2 allowed ones for the far query
+    val allowed = vecs.filter(col("id") % 12 === 0).select("id")
+    val starved = GraphAnn.searchFiltered(g, queries, "id", "vec", k = 2, allowed,
+      beam = 2, maxHops = 2, nSeeds = 1, fallback = false)
+    assert(starved.groupBy(col("id")).count().collect()
+      .exists(_.getLong(1) < 2L) || starved.select("id").distinct().count() < 2,
+      "without fallback the sparse filter must under-fill (test premise)")
+    val got = GraphAnn.searchFiltered(g, queries, "id", "vec", k = 2, allowed,
+      beam = 2, maxHops = 2, nSeeds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = bruteTopK(vecs.filter(col("id") % 12 === 0), queries, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == want,
+      "deficient queries re-answer exactly against the allowed set")
+  }
+
+  test("hub set is frozen at build: persisted, and appends with smaller ids keep it") {
+    val vecs = circle(30).withColumn("id", col("id") + 100L)
+    val stored = vecs.filter(col("id") < 125L)
+    val batch = vecs.filter(col("id") >= 125L)
+      .withColumn("id", col("id") - 125L) // ids 0..4: BELOW the stored minimum
+    val dir = tmpDir("graft-graphann-hubs")
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(stored, "id", "vec", dim = 2, degree = 3,
+        nPlanes = 2, probes = 4, hubs = 4),
+      dir)
+    val hubsBefore = spark.read.parquet(s"$dir/hubs").collect().map(_.getLong(0)).toSet
+    assert(hubsBefore == Set(100L, 101L, 102L, 103L),
+      "build-time hubs are the BUILD corpus' smallest ids")
+    GraphAnn.appendToGraph(spark, dir, batch, "id", "vec", dim = 2,
+      degree = 3, nPlanes = 2, probes = 4, hubs = 4)
+    val g = GraphAnn.readGraph(spark, dir, "id", "vec")
+    assert(g.hubIds.map(_.collect().map(_.getLong(0)).toSet).contains(hubsBefore),
+      "the persisted hub set never shifts — batch ids below the stored " +
+        "minimum must NOT become hubs")
+    // every appended member hub-links into the ORIGINAL clique
+    val batchIds = batch.select("id").as[Long].collect().toSet
+    val hubTouching = g.edges.filter(col("src").isin(batchIds.toSeq.map(Long.box): _*))
+      .collect().map(_.getLong(1)).toSet
+    assert(hubTouching.intersect(hubsBefore).nonEmpty,
+      "appended vectors route through the frozen hubs")
+    // hub-seeded search still answers for an appended id
+    val got = GraphAnn.search(g, batch.filter(col("id") === 0L), "id", "vec",
+      k = 1, beam = 8, maxHops = 4, nSeeds = 2, seedHubs = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(0L))
+  }
+
+  test("hubbed append onto a hub-less index fails fast") {
+    val vecs = circle(20)
+    val dir = tmpDir("graft-graphann-nohubs")
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(vecs.filter(col("id") < 15L), "id", "vec",
+        dim = 2, degree = 3, nPlanes = 2, probes = 4), // hubs = 0
+      dir)
+    val ex = intercept[IllegalStateException] {
+      GraphAnn.appendToGraph(spark, dir, vecs.filter(col("id") >= 15L),
+        "id", "vec", dim = 2, degree = 3, nPlanes = 2, probes = 4, hubs = 4)
+    }
+    assert(ex.getMessage.contains("persisted hub set"))
+  }
 }
