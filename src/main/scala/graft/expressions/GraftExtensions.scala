@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => NfcNormalize(children.head)
     ))
     ext.injectFunction((
+      FunctionIdentifier("canonicalize_url"),
+      info("canonicalize_url", classOf[CanonicalizeUrl],
+        "canonicalize_url(str) - crawl-dedup URL spelling: fragment/tracking-param/" +
+          "default-port strip, scheme+host lowercase (one codegen'd method)"),
+      (children: Seq[Expression]) => CanonicalizeUrl(children.head)
+    ))
+    ext.injectFunction((
       FunctionIdentifier("occurrence_count"),
       info("occurrence_count", classOf[OccurrenceCount],
         "occurrence_count(str, substr) - non-overlapping occurrences, single scan, no allocation"),

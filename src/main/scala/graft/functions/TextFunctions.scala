@@ -288,7 +288,19 @@ object TextFunctions {
     * https); strip a trailing slash. Non-URL input passes through the
     * host-lowering step unchanged (the extract matches nothing).
     */
-  def canonicalizeUrl(u: Column): Column = {
+  def canonicalizeUrl(u: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.toColumn(
+      graft.expressions.CanonicalizeUrl(
+        org.apache.spark.sql.graft.ColumnBridge.toExpression(u)))
+
+  /** The composed-builtin twin of [[canonicalizeUrl]] — the 8-step
+    * `regexp_replace`/`regexp_extract` chain the DuckDB oracles replay.
+    * Kept as the executable specification of the native expression (a
+    * property test pins bit-parity); NOT used on hot paths: inside
+    * whole-stage codegen the chain expands past janino's 64 KB method
+    * limit and silently drops the stage to interpreted execution.
+    */
+  def canonicalizeUrlComposed(u: Column): Column = {
     val noFrag = regexp_replace(u, "#.*$", "")
     val noTrack = regexp_replace(noFrag, "[?&](utm_[a-z]+|fbclid|gclid|ref)=[^&#]*", "")
     val sepFixed = regexp_replace(noTrack, "^([^?]*)&", "$1?")
