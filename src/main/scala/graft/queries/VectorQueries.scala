@@ -1010,6 +1010,52 @@ object VectorQueries {
       Seq("E2", "J1")
     ),
 
+    // The SPARSE companion of e2_graph_ann_filtered: a ~1% allowed set
+    // (vec_id % 97) against a deliberately RESTRICTED walk (beam 8, 2
+    // hops — visits a corpus-independent ~200 nodes), so the walk CANNOT
+    // fill k=8 allowed hits and searchFiltered's fill-contract fallback
+    // must answer: deficient queries re-score the allowed set exactly.
+    // Pins the contract "k rows whenever >= k allowed nodes exist" (and
+    // "all |allowed| rows when fewer") HASH-exactly against brute force —
+    // the DiskANN-filtered-search failure mode the walk-only cut had
+    // (silent under-fill at high selectivity) can never return.
+    "e2_graph_ann_filtered_sparse" -> Q(
+      (s, d) => {
+        val vecs = embeddings(s, d)
+        val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
+        val queries = vecs.filter(col("vec_id") % 50 === 0)
+        val graph = GraphAnn.buildGraph(corpus, "vec_id", "embedding",
+          dim = 64, degree = 12, nPlanes = 8, probes = 2, hubs = 64)
+        val allowed = corpus.filter(col("vec_id") % 97 === 0).select(col("vec_id"))
+        GraphAnn.searchFiltered(graph, queries, "vec_id", "embedding", k = 8,
+          allowed, beam = 8, maxHops = 2, nSeeds = 8, seedHubs = 64)
+      },
+      Some("""WITH anchors AS (
+             |  SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 50 = 0),
+             |qu AS (SELECT qid, generate_subscripts(qv, 1) AS i,
+             |              CAST(unnest(qv) AS DOUBLE) AS x FROM anchors),
+             |cu AS (SELECT vec_id AS nid, generate_subscripts(embedding, 1) AS i,
+             |              CAST(unnest(embedding) AS DOUBLE) AS x
+             |       FROM embeddings WHERE vec_id % 20 <> 0 AND vec_id % 97 = 0),
+             |sims AS (
+             |  SELECT q.qid, c.nid,
+             |         sum(q.x * c.x) AS dot,
+             |         sqrt(sum(q.x * q.x)) AS na, sqrt(sum(c.x * c.x)) AS nb
+             |  FROM qu q JOIN cu c ON q.i = c.i
+             |  GROUP BY q.qid, c.nid),
+             |scored AS (
+             |  SELECT qid, nid,
+             |         round(CASE WHEN na > 0 AND nb > 0 THEN dot / (na * nb) ELSE 0 END, 6) AS sim
+             |  FROM sims),
+             |ranked AS (
+             |  SELECT qid, nid, sim,
+             |         row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid DESC) AS rn
+             |  FROM scored)
+             |SELECT qid AS vec_id, nid AS neighbor_id, sim
+             |FROM ranked WHERE rn <= 8""".stripMargin),
+      Seq("E2", "J1")
+    ),
+
     // Embedding-cosine near-dup, hyperplane-bucketed. Oracle-matched via the
     // same inlined plane-sign literals as e2_ann_lsh_topk.
     "dd_cosine_lsh" -> Q(
