@@ -141,7 +141,37 @@ object ExplainAudit {
       (small, shuffle)
     }
 
+    // A prepared (read-back) ANN graph pins its edge table hash-partitioned
+    // on src: the walk's per-hop frontier⋈edges equi-join must exchange
+    // ONLY the frontier side — one Exchange in the join plan, zero above
+    // the edge scan. (Broadcast off: mid-walk frontiers carry no size
+    // stats, so the real search can't broadcast them either.)
+    val graphHopNoExchange = {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("audit-graph").toString + "/g"
+      val vecs = (0 until 40).map { i =>
+        val a = i / 40.0 * math.Pi
+        (i.toLong, Array(math.cos(a).toFloat, math.sin(a).toFloat))
+      }.toDF("id", "vec")
+      graft.operators.GraphAnn.writeGraph(
+        graft.operators.GraphAnn.buildGraph(vecs, "id", "vec", dim = 2,
+          degree = 3, nPlanes = 2, probes = 4, hubs = 4), dir)
+      val prep = graft.operators.GraphAnn.prepare(
+        graft.operators.GraphAnn.readGraph(spark, dir, "id", "vec"))
+      val frontier = Seq((1L, 2L), (3L, 4L)).toDF("qid", "src")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val p = frontier.join(prep.edges, Seq("src")).queryExecution.executedPlan.toString
+        println(s"\n===== graph hop join over a prepared read-back index =====")
+        println(p)
+        "Exchange".r.findAllIn(p).length == 1
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+
     val checks = Seq(
+      ("prepared graph-ann edges stay in place on the hop join (one Exchange: the frontier)",
+        graphHopNoExchange),
       ("j1 anti-join broadcasts a small ledger (size-adaptive, no hint)", j1SmallLedger),
       ("j1 anti-join shuffles when broadcast is unavailable (no forced hint)", j1ShuffleLedger),
       ("k3 delete anti-join broadcasts a small tombstone set (no hint)", k3SmallTombstones),

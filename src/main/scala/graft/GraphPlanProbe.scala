@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Build-parameter sweep for the graph-ANN planner: replicates the sf0.1
+  * embedding cloud with ScaleProbe's cyclic component shift (distinct
+  * directions, real neighbor structure) to `replicas × 2000` vectors and
+  * prints walk recall@10 + build/search seconds per (nPlanes, probes,
+  * degree) config — the measurement base behind [[graft.operators.GraphAnn
+  * .buildPlan]]'s calibration constants. Run when changing the planner, the
+  * kNN join, or the walk.
+  *
+  * Usage: runMain graft.GraphPlanProbe [replicas] [configs]
+  *   configs = comma-separated b:r:d triples, e.g. "10:1:8,10:2:8,10:2:12"
+  */
+object GraphPlanProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = args.headOption.map(_.toInt).getOrElse(100)
+    val configs = args.lift(1).getOrElse("10:1:8,10:2:8,10:2:12,12:2:8")
+      .split(",").toSeq.map { s =>
+        val Array(b, r, d) = s.split(":").map(_.toInt); (b, r, d)
+      }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
+      .config("spark.driver.memory", "48g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
+    val big = (0 until replicas).map { rep =>
+      base.select((col("vec_id") + lit(rep.toLong * 10_000_000L)).as("vec_id"),
+        col("embedding"))
+    }.reduce(_ unionByName _)
+    val shifted = big.select(col("vec_id"),
+        expr("""transform(embedding,
+                 (x, i) -> element_at(embedding,
+                   CAST((i + CAST(vec_id div 10000000 AS INT)) % 64 AS INT) + 1))""")
+          .cast("array<float>").as("embedding"))
+      .localCheckpoint()
+    val n = shifted.count()
+    val cohort = shifted.filter(col("vec_id") % 97L === 3L).limit(20).localCheckpoint()
+    val exact = cohort.select(col("vec_id").as("_qid"), col("embedding").as("_qv"))
+      .crossJoin(shifted.select(col("vec_id").as("_cid"), col("embedding").as("_cv")))
+      .withColumn("_sim", graft.functions.VectorFunctions.cosine(col("_qv"), col("_cv")))
+      .groupBy(col("_qid"))
+      .agg(expr("top_k(struct(_sim, _cid), 10)").as("_top"))
+      .select(col("_qid"), explode(col("_top")).as("_t"))
+      .select(col("_qid").as("vec_id"), col("_t._cid").as("neighbor_id"))
+      .localCheckpoint()
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    for ((b, r, d) <- configs) {
+      val (g, tB) = timed {
+        val gr = graft.operators.GraphAnn.buildGraph(shifted, "vec_id", "embedding",
+          dim = 64, degree = d, nPlanes = b, probes = r, hubs = 64)
+        gr.edges.count(); gr
+      }
+      val nEdges = g.edges.count()
+      val (hits, tS) = timed {
+        val h = graft.operators.GraphAnn.search(g, cohort, "vec_id", "embedding",
+          k = 10, beam = 32, maxHops = 6, nSeeds = 32)
+        h.count(); h
+      }
+      val rec = graft.operators.Similarity.recallAtK(hits, exact, "vec_id")
+      println(f"PLANPROBE n=$n b=$b r=$r d=$d edges=$nEdges recall@10=$rec%.4f build=$tB%.1fs search=$tS%.1fs")
+    }
+    spark.stop()
+  }
+}

@@ -248,7 +248,7 @@ object GraftCli {
     import spark.implicits._
     val queries = Seq((0L, qv)).toDF("qid", "embedding")
     GraphAnn.search(
-      GraphAnn.readGraph(spark, graphPath, "chunkId", "embedding"),
+      GraphAnn.prepare(GraphAnn.readGraph(spark, graphPath, "chunkId", "embedding")),
       queries, "qid", "embedding", k, beam = math.max(16, k))
       .select(col("neighbor_id").as("chunkId"), col("sim"))
   }

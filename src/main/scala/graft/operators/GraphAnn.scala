@@ -44,6 +44,23 @@ import graft.functions.VectorFunctions._
   */
 object GraphAnn {
 
+  /** Materialize `df` hash-partitioned on `key` such that later equi-joins
+    * on `key` leave it IN PLACE: `Dataset.localCheckpoint` records the
+    * physical plan's outputPartitioning into its `LogicalRDD` — but only
+    * when AQE is off for that one job (under AQE the recorded partitioning
+    * is `UnknownPartitioning`, and every downstream join re-exchanges the
+    * table). The wrapped job is a plain shuffle of already-materialized
+    * rows, so losing AQE for it costs nothing.
+    */
+  private def pinPartitionedOn(df: DataFrame, key: String): DataFrame = {
+    val spark = df.sparkSession
+    val aqe = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(aqe)
+    spark.conf.set(aqe, "false")
+    try df.repartition(col(key)).localCheckpoint()
+    finally spark.conf.set(aqe, prev)
+  }
+
   /** A graph ANN index: `vectors` (id, vec) and the undirected `edges`
     * (src, dst) of the k-NN graph over them. `hubIds` is the FROZEN routing
     * hub set chosen at build time (None when the graph was built without a
@@ -128,7 +145,16 @@ object GraphAnn {
         // semantics, in memory) — otherwise every search hop re-runs the
         // symmetrize/hub-link/distinct pipeline behind it
         .localCheckpoint()
-    AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, edges, hubIds)
+    // …then pin it HASH-PARTITIONED ON src (one cheap extra shuffle of the
+    // materialized id pairs): every search hop's frontier⋈edges equi-join
+    // now leaves the edge table in place and exchanges only the
+    // queries × beam frontier. Without this the "bounded per-hop exchange"
+    // claim was half true — the frontier was bounded, but the edge side
+    // re-exchanged corpus-sized every hop.
+    val pinned = pinPartitionedOn(edges, "src")
+    org.apache.spark.sql.graft.CheckpointBridge.internalRdd(edges)
+      .foreach(_.unpersist(blocking = false))
+    AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, pinned, hubIds)
   }
 
   /** The routing layer of [[buildGraph]]: hub clique + member→nearest-hub
@@ -194,6 +220,18 @@ object GraphAnn {
       spark.read.parquet(s"$path/edges"),
       if (fs.exists(hp)) Some(spark.read.parquet(s"$path/hubs")) else None)
   }
+
+  /** Prepare a READ-BACK graph for repeated searching: materialize the edge
+    * table hash-partitioned on `src` (what [[buildGraph]] already does for
+    * in-memory graphs), so every subsequent hop join leaves the edges in
+    * place — a parquet file carries no partitioning metadata, and an
+    * unprepared read-back graph re-scans AND re-exchanges the edge table
+    * once per hop. Pay one scan+shuffle here, amortize over every search;
+    * skip for append-only maintenance ([[appendToGraph]] never joins on
+    * src). PLANS.md pins the one-Exchange-per-hop-join invariant.
+    */
+  def prepare(graph: AnnGraph): AnnGraph =
+    graph.copy(edges = pinPartitionedOn(graph.edges, "src"))
 
   /** Incremental index maintenance — the IVF/BM25/MinHash/PQ append
     * discipline applied to the graph: a new batch kNN-joins against the
@@ -403,9 +441,18 @@ object GraphAnn {
     val qRdd = qRaw.rdd
     qRdd.localCheckpoint()
     val q = qRaw.sparkSession.createDataFrame(qRdd, qRaw.schema)
-    val v = graph.vectors
-      .select(col(graph.idCol).as("_ga_node"), col(graph.vecCol).as("_ga_v"))
-      .withColumn("_ga_n", norm(col("_ga_v")))
+    // the scored-vectors table: norms computed ONCE, hash-partitioned on
+    // the node id and pinned for the whole walk (Dataset.localCheckpoint
+    // keeps the partitioning) — each hop's scoring join then shuffles only
+    // its bounded candidate set, where the lazy form re-scanned AND
+    // re-exchanged the corpus-sized vector table once per hop. Released on
+    // exit with the other walk state (CheckpointBridge).
+    val v = pinPartitionedOn(
+      graph.vectors
+        .select(col(graph.idCol).as("_ga_node"), col(graph.vecCol).as("_ga_v"))
+        .withColumn("_ga_n", norm(col("_ga_v"))),
+      "_ga_node")
+    val vRdd = org.apache.spark.sql.graft.CheckpointBridge.internalRdd(v)
     val e = graph.edges
       .select(col("src").as("_ga_node"), col("dst").as("_ga_dst"))
 
@@ -498,6 +545,7 @@ object GraphAnn {
     held.values.foreach(_.unpersist(blocking = false))
     held.clear()
     qRdd.unpersist(blocking = false)
+    vRdd.foreach(_.unpersist(blocking = false))
     result
   }
 }

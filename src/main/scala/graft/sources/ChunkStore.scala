@@ -121,8 +121,66 @@ final class ChunkStore(
       throw new ConcurrentWriteException(
         s"another writer holds $lockFile — the chunk store serializes mutations; " +
           s"retry later, raise lockWaitMs to wait, or remove a stale lock")
-    try body
-    finally if (heldToken(f).contains(token)) f.delete(lockFile, false)
+    try {
+      recoverTornSwap(f) // heal any crashed bucket swap before mutating
+      body
+    } finally if (heldToken(f).contains(token)) f.delete(lockFile, false)
+  }
+
+  // ---- staged bucket swap --------------------------------------------------
+  // Upsert stages its merged buckets into `.upsert-tmp` (a hidden sibling —
+  // Spark's file index skips dot-dirs) and swaps each staged bucket into
+  // the live tree by rename. The stage job READS the live tree and WRITES
+  // the staging tree, so it can never recompute from half-replaced buckets
+  // — which is what the previous persist+count+dynamic-overwrite discipline
+  // paid a full second materialization of every merged bucket to prevent.
+  // The swap itself is per-bucket metadata renames (live → .bak-, staged →
+  // live, drop .bak-), and a crash anywhere leaves only recoverable
+  // states: [[recoverTornSwap]] restores a bucket whose live dir went
+  // missing mid-swap and clears completed-swap leftovers, running under
+  // the write lock before every mutation. Replaying the interrupted upsert
+  // then converges (overlay by chunkId is idempotent).
+
+  private def stagePath = s"$path/.upsert-tmp"
+  private def bakName(bucketDir: String) = s".bak-$bucketDir"
+
+  private def swapStagedBuckets(f: org.apache.hadoop.fs.FileSystem): Unit = {
+    val staged = f.listStatus(new Path(stagePath))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("doc_prefix="))
+    staged.foreach { d =>
+      val name = d.getPath.getName
+      val live = new Path(s"$path/$name")
+      val bak = new Path(s"$path/${bakName(name)}")
+      if (f.exists(live))
+        require(f.rename(live, bak),
+          s"rename $live -> $bak failed; live bucket untouched, swap aborted")
+      require(f.rename(d.getPath, live),
+        s"rename ${d.getPath} -> $live failed; bucket preserved at $bak — " +
+          "the next mutation's recovery pass restores it")
+      f.delete(bak, true)
+    }
+    f.delete(new Path(stagePath), true)
+  }
+
+  /** Heal a crashed swap: a `.bak-doc_prefix=*` dir whose live bucket is
+    * missing is restored (the staged replacement never landed); one whose
+    * live bucket exists is a completed swap's leftover and drops. An
+    * orphaned staging tree drops too — the interrupted upsert re-runs from
+    * its inputs, not from stale staged files.
+    */
+  private def recoverTornSwap(f: org.apache.hadoop.fs.FileSystem): Unit = {
+    val root = new Path(path)
+    if (!f.exists(root)) return
+    f.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".bak-doc_prefix="))
+      .foreach { b =>
+        val live = new Path(s"$path/${b.getPath.getName.stripPrefix(".bak-")}")
+        if (!f.exists(live))
+          require(f.rename(b.getPath, live),
+            s"restoring ${b.getPath} -> $live failed; restore manually")
+        else f.delete(b.getPath, true)
+      }
+    f.delete(new Path(stagePath), true)
   }
 
   /** S4/S5: full store scan. Bad JSON lines are tolerated (PERMISSIVE) and
@@ -134,6 +192,19 @@ final class ChunkStore(
     else readRaw(spark).drop("doc_prefix")
 
   private def readRaw(spark: SparkSession): DataFrame = {
+    // loud, not silent: a `.bak-` bucket with no live dir and no active
+    // writer is a crashed swap — reading would silently miss that bucket's
+    // rows. (With the lock held a writer is mid-swap; readers of this store
+    // have always been lock-free and see mutation transients.)
+    val f = fs(spark)
+    val torn = f.listStatus(new Path(path))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".bak-doc_prefix="))
+      .filter(b => !f.exists(new Path(s"$path/${b.getPath.getName.stripPrefix(".bak-")}")))
+    if (torn.nonEmpty && !f.exists(lockFile))
+      throw new IllegalStateException(
+        s"chunk store $path has ${torn.length} bucket(s) from an interrupted " +
+          s"swap (${torn.map(_.getPath.getName).mkString(", ")}); run any " +
+          "mutation (its recovery pass restores them) before reading")
     val r = spark.read.schema(storedSchema)
     val df = if (format == "json") r.option("mode", "PERMISSIVE").json(path) else r.parquet(path)
     df.filter(col("chunkId").isNotNull)
@@ -152,17 +223,17 @@ final class ChunkStore(
       val prefixes = incoming.select("doc_prefix").distinct()
       val existing = withPrefix(read(spark))
         .join(broadcast(prefixes), Seq("doc_prefix"), "left_semi")
-      // Materialize the merged buckets BEFORE the dynamic overwrite touches
-      // the same path: the write job must never re-read partitions it is
-      // replacing (a mid-commit failure or stage re-execution would otherwise
-      // recompute from half-replaced buckets). Disk-backed persist + count
-      // pins every merged block first — same pattern as deleteByDocuments.
+      // ONE materialization: the merge job reads the live tree and writes
+      // the staging tree (never its own input), then the touched buckets
+      // swap in by rename — see the staged-bucket-swap notes above. The
+      // previous persist+count+dynamic-overwrite discipline wrote every
+      // merged bucket twice to get the same never-read-what-you-replace
+      // guarantee.
       val merged = Overlay.overlay(existing, incoming, Seq("chunkId"), Seq("chunkIndex"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        merged.count()
-        write(spark, merged)
-      } finally merged.unpersist()
+      val f = fs(spark)
+      f.delete(new Path(stagePath), true)
+      writeTo(merged, stagePath, dynamic = false)
+      swapStagedBuckets(f)
     }
   }
 
@@ -224,17 +295,20 @@ final class ChunkStore(
   private[graft] def remainingAfter(inBuckets: DataFrame, ids: DataFrame): DataFrame =
     inBuckets.join(ids, Seq("documentId"), "left_anti")
 
-  private def write(spark: SparkSession, df: DataFrame): Unit = {
+  private def write(spark: SparkSession, df: DataFrame): Unit =
+    writeTo(df, path, dynamic = true)
+
+  private def writeTo(df: DataFrame, target: String, dynamic: Boolean): Unit = {
     // sort by documentId within each bucket file: parquet row-group min/max
     // stats then prune documentId point-lookups inside a bucket too
-    val w = df
+    val w0 = df
       .repartition(col("doc_prefix"))
       .sortWithinPartitions(col("doc_prefix"), col("documentId"), col("chunkIndex"))
       .write
       .partitionBy("doc_prefix")
-      .option("partitionOverwriteMode", "dynamic")
+    val w = (if (dynamic) w0.option("partitionOverwriteMode", "dynamic") else w0)
       .mode(SaveMode.Overwrite)
-    if (format == "json") w.json(path) else w.parquet(path)
+    if (format == "json") w.json(target) else w.parquet(target)
   }
 
   /** Number of data files across bucket directories (hidden/_SUCCESS

@@ -236,6 +236,39 @@ class GraphAnnSpec extends SparkSpec {
     assert(run(built) == run(read))
   }
 
+  test("prepared read-back graph: a hop join leaves the edge table in place") {
+    val dir = tmpDir("graft-graphann-prep")
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(circle(30), "id", "vec", dim = 2, degree = 3,
+        nPlanes = 2, probes = 4, hubs = 4),
+      dir)
+    val read = GraphAnn.readGraph(spark, dir, "id", "vec")
+    val prep = GraphAnn.prepare(read)
+    // the walk's per-hop shape: an unknown-size frontier equi-joined on the
+    // edge key (broadcast off — mid-walk frontiers carry no size stats, so
+    // the planner can't broadcast them either)
+    val frontier = Seq((3L, 1L), (7L, 2L)).toDF("qid", "src")
+    def exchanges(g: GraphAnn.AnnGraph): Int = {
+      val plan = frontier.join(g.edges, Seq("src"))
+        .queryExecution.executedPlan.toString
+      "Exchange".r.findAllIn(plan).length
+    }
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      assert(exchanges(read) == 2, "unprepared parquet edges re-exchange (premise)")
+      assert(exchanges(prep) == 1,
+        "prepared edges are hash-partitioned on src: only the frontier moves")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and preparation changes nothing about the answers
+    val queries = circle(30).filter(col("id") % 7 === 0)
+    def run(g: GraphAnn.AnnGraph) =
+      GraphAnn.search(g, queries, "id", "vec", k = 3, beam = 8, maxHops = 4,
+        nSeeds = 2, seedHubs = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(prep) == run(read))
+  }
+
   test("searchFiltered contract: sparse allowed set still fills k rows, exactly") {
     val n = 24
     val vecs = circle(n)

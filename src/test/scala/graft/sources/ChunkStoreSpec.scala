@@ -51,6 +51,26 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.count(spark) == 0)
   }
 
+  test("a torn bucket swap fails reads loudly and heals on the next mutation") {
+    val dir = tmpDir("store")
+    val store = new ChunkStore(dir)
+    store.upsert(spark, chunks(("d1_c0", "d1", "a", 0), ("d2_c0", "d2", "b", 0)))
+    assert(store.count(spark) == 2)
+    // simulate a crash mid-swap: one live bucket renamed aside, replacement
+    // never landed — exactly the window upsert's bak-first protocol leaves
+    val bucket = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("doc_prefix=")).head
+    assert(bucket.renameTo(new java.io.File(dir, s".bak-${bucket.getName}")))
+    val ex = intercept[IllegalStateException] { store.count(spark) }
+    assert(ex.getMessage.contains("interrupted"),
+      s"a missing bucket must fail loudly, not read short: $ex")
+    // ANY mutation's recovery pass restores the bucket first
+    store.upsert(spark, chunks(("d3_c0", "d3", "c", 0)))
+    assert(store.count(spark) == 3)
+    assert(store.distinctDocumentIds(spark).collect().map(_.getString(0)).toSet ==
+      Set("d1", "d2", "d3"))
+  }
+
   test("upsert is idempotent under replay (task-retry safety)") {
     val store = new ChunkStore(tmpDir("store"))
     val batch = chunks(("d1_c0", "d1", "a", 0), ("d2_c0", "d2", "b", 0))
