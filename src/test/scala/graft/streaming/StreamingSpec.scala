@@ -558,6 +558,117 @@ class StreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("stateful writers run identically on the RocksDB state store backend") {
+    // The round-9 writers keep their durable state in on-disk registries /
+    // indexes (not the Spark state store), so backend invariance SHOULD be
+    // trivial — this pins it, the sessionization discipline applied to the
+    // whole writer family: same outputs under RocksDB, registries land the
+    // same, and no state rows accumulate in the store.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.ImportanceSampling
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // line dedup: first-occurrence drops replay across runs
+      val lineIdx = tmpDir("rocks_linededup") + "/index"
+      val lineCkpt = tmpDir("rocks_linededup_ckpt")
+      val lineOut = scala.collection.mutable.Map.empty[Long, String]
+      val lineMem = MemoryStream[(Long, String)]
+      def runLine(): Unit = {
+        val q = StreamingPipeline.lineDedupingWriter(
+          lineMem.toDF().toDF("doc_id", "text"), "doc_id", "text", lineIdx, lineCkpt
+        ) { out =>
+          lineOut ++= out.select("doc_id", "text").as[(Long, String)].collect()
+        }.start()
+        q.awaitTermination()
+        assert(q.lastProgress == null || q.lastProgress.stateOperators.isEmpty ||
+          q.lastProgress.stateOperators.forall(_.numRowsTotal == 0),
+          "writer state lives in the registry, not the store")
+      }
+      lineMem.addData((1L, "alpha\nbeta"), (2L, "beta\ngamma"))
+      runLine()
+      lineMem.addData((10L, "gamma\ndelta"))
+      runLine()
+      assert(lineOut.toMap ==
+        Map(1L -> "alpha\nbeta", 2L -> "gamma", 10L -> "delta"),
+        s"line-dedup outputs must match the default backend's: $lineOut")
+
+      // drift monitor: identical PSI behavior
+      val ref = Seq.tabulate(40)(i => (i.toLong,
+        s"lov om arbeidsmiljø og sikkerhet paragraf ${i % 5}")).toDF("doc_id", "text")
+      val refCounts = ImportanceSampling.bucketCounts(ref, "text", buckets = 256)
+      val psis = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val driftBatch = Seq.tabulate(10)(i =>
+        (1000L + i, s"lov om arbeidsmiljø og sikkerhet paragraf ${i % 5}"))
+      val driftMem = MemoryStream[(Long, String)]
+      driftMem.addData(driftBatch: _*)
+      val dq = StreamingPipeline.driftMonitorWriter(
+        driftMem.toDF().toDF("doc_id", "text"), "text", refCounts,
+        buckets = 256, checkpointDir = tmpDir("rocks_drift_ckpt")
+      ) { m => psis ++= m.select("psi").as[Double].collect() }.start()
+      dq.awaitTermination()
+      // backend invariance in the strict form: the streamed metric equals
+      // the same batch's drift computed directly
+      val wantPsi = graft.operators.Drift.drift(refCounts,
+        ImportanceSampling.bucketCounts(
+          driftBatch.toDF("doc_id", "text"), "text", buckets = 256),
+        buckets = 256).select("psi").as[Double].head()
+      assert(psis.toSeq == Seq(wantPsi),
+        s"streamed PSI under RocksDB equals the batch computation: $psis vs $wantPsi")
+
+      // graph indexing: build + incremental link-in
+      val gIdx = tmpDir("rocks_graphidx") + "/graph"
+      def gv(a: Double) = Array(math.cos(a).toFloat, math.sin(a).toFloat, 0f, 0f)
+      val gMem = MemoryStream[(Long, Array[Float])]
+      val gCkpt = tmpDir("rocks_graphidx_ckpt")
+      def runGraph(): Unit = {
+        val q = StreamingPipeline.graphIndexingWriter(
+          gMem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          gIdx, gCkpt, dim = 4, degree = 2, hubs = 4).start()
+        q.awaitTermination()
+      }
+      gMem.addData((0 until 12).map(i => (i.toLong, gv(0.1 * i))): _*)
+      runGraph()
+      gMem.addData((101L, gv(0.05)))
+      runGraph()
+      val g = graft.operators.GraphAnn.readGraph(spark, gIdx, "vec_id", "embedding")
+      assert(g.vectors.count() == 13 && g.hubIds.isDefined)
+      val hit = graft.operators.GraphAnn.search(g,
+        g.vectors.filter(org.apache.spark.sql.functions.col("vec_id") === 101L),
+        "vec_id", "embedding", k = 1, beam = 8, maxHops = 6, nSeeds = 2)
+        .collect().map(_.getLong(1)).toSet
+      assert(hit == Set(101L), s"appended vector findable under RocksDB, got $hit")
+
+      // semantic dedup: near-dups drop against the persisted IVF registry
+      val sIdx = tmpDir("rocks_semdedup") + "/index"
+      val sCkpt = tmpDir("rocks_semdedup_ckpt")
+      def sv(a: Double, eps: Double) =
+        Array((math.cos(a) + eps).toFloat, math.sin(a).toFloat, 0f, 0f)
+      val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val sMem = MemoryStream[(Long, Array[Float])]
+      def runSem(): Unit = {
+        val q = StreamingPipeline.semanticDedupingWriter(
+          sMem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+          sIdx, sCkpt, kCells = 2, threshold = 0.999
+        ) { out => kept ++= out.select("vec_id").as[Long].collect() }.start()
+        q.awaitTermination()
+      }
+      sMem.addData((1L, sv(0, 0)), (2L, sv(0, 1e-4)), (10L, sv(2, 0)))
+      runSem()
+      kept.clear()
+      sMem.addData((11L, sv(2, 1e-4)), (20L, sv(1, 0)))
+      runSem()
+      assert(kept.toSet == Set(20L),
+        s"semantic dedup drops 11 against run-1 state under RocksDB: $kept")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("sessionization runs identically on the RocksDB state store backend") {
     // At 100 TB/day the in-memory (HDFS-backed) state store caps state at
     // executor heap; production streaming state lives in RocksDB, where
