@@ -367,29 +367,34 @@ object ScaleProbe {
     // graph (exact replicas form sealed cliques once a family outgrows the
     // degree), so the probe derives a genuinely diverse cloud by giving
     // each replica a cyclic component shift — distinct directions with
-    // real neighbor structure. The slice caps at 40k vectors (20 replicas):
-    // measured there, the radius-1 LSH build + 64-hub routing walk reads
-    // recall@10 = 0.76 with 20/20 self-retrieval; at 200k the SAME build
-    // config decays to 0.62-0.65 — edge quality, not routing (at 200k each
-    // vector's kNN candidates are ~1% of the corpus at radius 1), so the
-    // scale lever is the build's probe RADIUS, paid once at index time.
-    // The leg pins the 40k point with firm margins. Build is the one
-    // corpus-sized kNN join; the cohort search's per-hop exchanges stay
-    // bounded by queries × beam × degree regardless of corpus size. Gate:
-    // recall@10 of the beam walk vs the exact brute-force cohort, and the
-    // walk must find each query vector itself for ≥90% of the cohort.
+    // real neighbor structure. The slice takes min(mult, 100) replicas —
+    // 200k vectors at the standard multiplier-100 probe, the size where
+    // the fixed radius-1 build's recall cliff lives (measured 0.64 there
+    // vs 0.97 at sf0.1: at 200k each vector's radius-1 LSH candidates are
+    // ~1% of the corpus — edge quality, not routing, is the limiter).
+    // The build therefore runs under GraphAnn.buildPlan: the planner
+    // chooses (nPlanes, probes, degree, hubs) from corpus size + target
+    // recall the way the MinHash lshPlan chooses (bands, rows) — measured
+    // 0.80+ recall@10 with the planned config at 200k (GraphPlanProbe),
+    // gated here at the 0.75 floor the plan targets. Build is the one
+    // corpus-sized kNN join, paid once; the hub-seeded cohort search's
+    // per-hop exchanges stay bounded by queries × beam × degree regardless
+    // of corpus size. Gate: recall@10 of the beam walk vs the exact
+    // brute-force cohort, and the walk must find each query vector itself
+    // for ≥90% of the cohort.
     val shiftVecs = bigVecs
-      .filter((col("vec_id") / lit(10_000_000L)) < lit(math.min(mult, 20).toLong))
+      .filter((col("vec_id") / lit(10_000_000L)) < lit(math.min(mult, 100).toLong))
       .select(col("vec_id"),
       expr("""transform(embedding,
                (x, i) -> element_at(embedding,
                  CAST((i + CAST(vec_id div 10000000 AS INT)) % 64 AS INT) + 1))""")
         .cast("array<float>").as("embedding"))
       .cache()
-    shiftVecs.count()
+    val nShift = shiftVecs.count()
+    val graphPlan = graft.operators.GraphAnn.buildPlan(nShift, 64, targetRecall = 0.75)
     val (annGraph, tGraphBuild) = timed {
-      val g = graft.operators.GraphAnn.buildGraph(shiftVecs, "vec_id", "embedding",
-        dim = 64, degree = 8, nPlanes = 10, probes = 1, hubs = 64)
+      val g = graft.operators.GraphAnn.buildPlanned(shiftVecs, "vec_id", "embedding",
+        dim = 64, plan = graphPlan)
       g.edges.count(); g
     }
     val graphCohort = shiftVecs.filter(col("vec_id") % 97L === 3L).limit(20)
@@ -397,7 +402,8 @@ object ScaleProbe {
     val nGraphQ = graphCohort.count()
     val (graphHits, tGraphSearch) = timed {
       val r = graft.operators.GraphAnn.search(annGraph, graphCohort,
-        "vec_id", "embedding", k = 10, beam = 32, maxHops = 6, nSeeds = 32)
+        "vec_id", "embedding", k = 10, beam = 48, maxHops = 6, nSeeds = 32,
+        seedHubs = graphPlan.hubs)
         .localCheckpoint()
       r.count(); r
     }
@@ -413,8 +419,9 @@ object ScaleProbe {
     val selfHits = graphHits.filter(col("neighbor_id") === col("vec_id")).count()
     require(selfHits >= (nGraphQ * 9) / 10,
       s"graph walk found only $selfHits/$nGraphQ query vectors themselves")
-    require(graphRecall >= 0.6,
-      s"graph recall@10 $graphRecall under the 0.6 floor (measured 0.76 on the 40k slice)")
+    require(graphRecall >= 0.75,
+      s"graph recall@10 $graphRecall under the planned 0.75 floor with " +
+        s"plan=$graphPlan at n=$nShift (GraphPlanProbe measured 0.80+ here)")
     shiftVecs.unpersist()
     bigVecs.unpersist()
 

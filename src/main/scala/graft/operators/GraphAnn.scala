@@ -78,6 +78,124 @@ object GraphAnn {
       hubIds: Option[DataFrame] = None
   )
 
+  /** A planned graph-build configuration: the LSH kNN join's bucketing
+    * (`nPlanes` hyperplanes, probe Hamming radius `probes`), the graph
+    * degree, and the routing-layer width, with the model's predicted
+    * true-neighbor capture probability for the audit trail.
+    */
+  final case class GraphBuildPlan(
+      nPlanes: Int,
+      probes: Int,
+      degree: Int,
+      hubs: Int,
+      predictedCapture: Double
+  )
+
+  /** Choose `(nPlanes, probes, degree, hubs)` from corpus size and target
+    * walk recall — the [[Dedup.lshPlan]] discipline applied to the graph
+    * build, closing the measured recall cliff (radius-1 edges: recall@10
+    * 0.97 at 2k vectors → 0.64 at 200k, the GraphPlanProbe sweep): at
+    * scale the lever is the build's probe radius, paid once at index time,
+    * and it should be CHOSEN from the corpus, not hand-tuned per run.
+    *
+    * The model, hyperplane-LSH collision algebra over the probe ball:
+    *   - `nPlanes` targets a bucket occupancy band (`n / 2^b ≈ 48`): fewer
+    *     planes crowd buckets (candidate cost grows linearly with
+    *     occupancy — the b=11 probe point was 3× slower than b=12 for
+    *     equal recall), more planes starve them.
+    *   - a true-neighbor pair flips each hyperplane independently with
+    *     probability `flipP` (θ/π for angle θ — 0.25 calibrated on the
+    *     64-dim probe cloud at 200k; override per corpus), so the
+    *     probability a true neighbor lies within Hamming radius `r` of the
+    *     query's code is the binomial CDF `P(Bin(b, flipP) ≤ r)` — the
+    *     planner takes the SMALLEST radius whose capture clears the
+    *     requirement calibrated from measured (capture → walk-recall)
+    *     pairs, then bounds expected candidate work per vector
+    *     (`occupancy × probedBuckets ≤ maxCandidateFrac × n`, the
+    *     [[Dedup.capBuckets]] cost discipline) by adding planes if the
+    *     radius got expensive.
+    *   - degree widens with the target (12 ≥ 0.7, 16 ≥ 0.9): the measured
+    *     lift above 12 is small (+0.01 per +4 at 200k), so capture does
+    *     the heavy lifting.
+    *   - hubs ≈ √n clamped to [16, 256]: the routing layer needs only
+    *     enough width that member→hub links stay short.
+    *
+    * Measured with the planned config (200k-vector probe cloud, hub-seeded
+    * beam-48 search): recall@10 ≥ 0.79 vs 0.64 for the unplanned radius-1
+    * build — the ScaleProbe leg gates this at 0.75 with margin.
+    */
+  def buildPlan(
+      n: Long,
+      dim: Int,
+      targetRecall: Double,
+      flipP: Double = 0.25,
+      maxCandidateFrac: Double = 0.10
+  ): GraphBuildPlan = {
+    require(n > 0, s"corpus size must be positive, got $n")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0,1), got $targetRecall")
+    require(flipP > 0.0 && flipP < 0.5, s"flipP must be in (0,0.5), got $flipP")
+    // capture the walk needs for a target recall: piecewise-linear through
+    // the measured anchors (GraphPlanProbe, 200k-vector shifted cloud,
+    // beam-32 global-seed search — hub seeding only adds margin) —
+    // (walk recall, capture): (0.64, 0.245) at b10/r1, (0.755, 0.39) at
+    // b12/r2/d12, (0.82, 0.65) at b12/r3/d12; conservative extension.
+    def requiredCapture(r: Double): Double = {
+      val anchors = Seq((0.64, 0.245), (0.755, 0.39), (0.82, 0.65), (0.95, 0.95))
+      if (r <= anchors.head._1) anchors.head._2 * r / anchors.head._1
+      else anchors.sliding(2).collectFirst {
+        case Seq((r0, c0), (r1, c1)) if r <= r1 =>
+          c0 + (c1 - c0) * (r - r0) / (r1 - r0)
+      }.getOrElse(anchors.last._2)
+    }
+    def binomCdf(r: Int, b: Int, p: Double): Double =
+      (0 to r).map { i =>
+        var comb = 1.0
+        (0 until i).foreach(j => comb = comb * (b - j) / (j + 1))
+        comb * math.pow(p, i) * math.pow(1 - p, b - i)
+      }.sum
+    def probedBuckets(b: Int, r: Int): Double =
+      (0 to r).map { i =>
+        var comb = 1.0
+        (0 until i).foreach(j => comb = comb * (b - j) / (j + 1))
+        comb
+      }.sum
+    val need = requiredCapture(targetRecall)
+    // occupancy-band planes, then the smallest adequate radius; if the
+    // radius' candidate volume blows the budget, add planes and retry
+    var b = math.max(4, math.min(16,
+      math.ceil(math.log(n.toDouble / 48.0) / math.log(2.0)).toInt))
+    var r = 0
+    var done = false
+    while (!done) {
+      r = (0 to b).find(binomCdf(_, b, flipP) >= need).getOrElse(b)
+      val occupancy = n.toDouble / math.pow(2.0, b)
+      val candidates = occupancy * probedBuckets(b, r)
+      // relative budget at scale, absolute floor at small n (2k candidates
+      // per vector is trivial work regardless of corpus fraction — without
+      // the floor, small corpora get pushed to huge empty bucket spaces
+      // whose probe-row expansion costs more than the candidates saved)
+      if (candidates <= math.max(maxCandidateFrac * n, 2000.0) || b >= 16) done = true
+      else b += 1
+    }
+    val degree = if (targetRecall >= 0.9) 16 else if (targetRecall >= 0.7) 12 else 8
+    val hubs = math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
+    GraphBuildPlan(b, r, degree, hubs, binomCdf(r, b, flipP))
+  }
+
+  /** [[buildGraph]] under a [[buildPlan]] — the one-call planned build. */
+  def buildPlanned(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      plan: GraphBuildPlan,
+      maxBucketSize: Int = 10000
+  ): AnnGraph =
+    buildGraph(df, idCol, vecCol, dim, degree = plan.degree,
+      nPlanes = plan.nPlanes, probes = plan.probes,
+      maxBucketSize = maxBucketSize, hubs = plan.hubs)
+
   /** Build the k-NN graph: each vector's `degree` approximate nearest
     * neighbors via the LSH two-sided join ([[Similarity.nnJoin]] — banded
     * buckets + per-query top-k, no all-pairs), symmetrized to an undirected

@@ -1950,11 +1950,13 @@ object TextQueries {
 
     // §2.11: STREAMING drift monitor, oracle-pinned — the nano-unit integer
     // discipline makes the per-microbatch PSI/KL exactly SQL-replayable,
-    // so the stateful monitor gets a hash oracle, not just a spec: the odd
-    // half streams through driftMonitorWriter (one JSON file → one
-    // AvailableNow microbatch) against the even half's precomputed md5
-    // bucket table, and the emitted metrics row must equal ta_dist_drift's
-    // replay to the last rounded digit.
+    // so the stateful monitor gets a hash oracle, not just a spec: a 10%
+    // ingest slice (doc_id % 10 = 1) streams through driftMonitorWriter
+    // (one JSON file → one AvailableNow microbatch) against a 10% reference
+    // sample's precomputed md5 bucket table, and the emitted metrics row
+    // must equal the SQL replay to the last rounded digit. The gate's cost
+    // is the streaming face itself, not corpus volume — ta_dist_drift
+    // already pins the full-corpus batch computation.
     "s11_streaming_drift" -> Q(
       (s, d) => {
         val srcDir = QueryScratch.dir(d, "sdrift_src")
@@ -1963,9 +1965,9 @@ object TextQueries {
         Seq(srcDir, outDir, ckpt).foreach(QueryScratch.clean)
         val docs = documents(s, d)
         val ref = ImportanceSampling.bucketCounts(
-          docs.filter(col("doc_id") % 2 === 0), "text",
+          docs.filter(col("doc_id") % 10 === 0), "text",
           buckets = 512, n = 2, gramHash = Dedup.Md5Gram)
-        docs.filter(col("doc_id") % 2 === 1)
+        docs.filter(col("doc_id") % 10 === 1)
           .select(col("doc_id"), col("text"))
           .coalesce(1).write.mode("overwrite").json(srcDir)
         val stream = s.readStream.schema("doc_id BIGINT, text STRING").json(srcDir)
@@ -1992,8 +1994,8 @@ object TextQueries {
              |  SELECT doc_id,
              |         (CAST((md5_number_lower(g) >> 4) AS BIGINT) % 512) AS bucket
              |  FROM grams),
-             |rcnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 2 = 0 GROUP BY bucket),
-             |ccnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 2 = 1 GROUP BY bucket),
+             |rcnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 10 = 0 GROUP BY bucket),
+             |ccnt AS (SELECT bucket, count(*) AS cnt FROM gb WHERE doc_id % 10 = 1 GROUP BY bucket),
              |tot AS (SELECT
              |  CAST((SELECT coalesce(sum(cnt), 0) FROM rcnt) + 512 AS DOUBLE) AS dr,
              |  CAST((SELECT coalesce(sum(cnt), 0) FROM ccnt) + 512 AS DOUBLE) AS dc,

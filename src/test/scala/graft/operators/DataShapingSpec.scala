@@ -238,6 +238,52 @@ class DataShapingSpec extends SparkSpec {
     assert(bRec >= bBal)
   }
 
+  test("GraphAnn.buildPlan: determinism, monotone effort, cost guard, measured pin") {
+    import graft.operators.GraphAnn
+    def plan(n: Long, t: Double) = GraphAnn.buildPlan(n, 64, t)
+    // deterministic
+    assert(plan(200000, 0.75) == plan(200000, 0.75))
+    // the 200k-probe pin: the planned config is the one measured >= 0.80
+    // recall@10 on the GraphPlanProbe cloud (vs 0.64 unplanned radius-1)
+    val p200k = plan(200000, 0.75)
+    assert(p200k.nPlanes == 13 && p200k.probes == 3 && p200k.degree == 12,
+      s"planned 200k config drifted: $p200k")
+    assert(p200k.hubs == 256 && p200k.predictedCapture > 0.5)
+    // corpus growth never shrinks the bucket space
+    val bs = Seq(2000L, 20000L, 200000L, 2000000L, 20000000L)
+      .map(plan(_, 0.8).nPlanes)
+    assert(bs == bs.sorted, s"nPlanes must be monotone in corpus size: $bs")
+    // higher targets never plan less modeled candidate work (the radius/
+    // plane pair can shift, so the law is on the work product, not fields)
+    def work(p: GraphAnn.GraphBuildPlan, n: Long): Double = {
+      val probed = (0 to p.probes).map { i =>
+        var c = 1.0; (0 until i).foreach(j => c = c * (p.nPlanes - j) / (j + 1)); c
+      }.sum
+      probed * n / math.pow(2.0, p.nPlanes)
+    }
+    for (n <- Seq(2000L, 200000L, 5000000L)) {
+      val ws = Seq(0.55, 0.7, 0.8, 0.9).map(t => work(plan(n, t), n))
+      assert(ws == ws.sorted, s"modeled work must be monotone in target at n=$n: $ws")
+    }
+    // cost guard: modeled candidates stay under max(10% of corpus, 2000)
+    // per vector unless the plane budget is exhausted
+    for (n <- bs.indices.map(i => Seq(2000L, 20000L, 200000L, 2000000L, 20000000L)(i));
+         t <- Seq(0.6, 0.75, 0.9)) {
+      val p = plan(n, t)
+      assert(work(p, n) <= math.max(0.1 * n, 2000.0) * 1.0001 || p.nPlanes == 16,
+        s"cost guard violated at n=$n t=$t: $p work=${work(p, n)}")
+    }
+    // degree tiers with the target; hubs stay in the clamp
+    assert(plan(200000, 0.95).degree == 16 && plan(200000, 0.6).degree == 8)
+    for (n <- Seq(100L, 2000L, 200000L, 20000000L)) {
+      val h = plan(n, 0.8).hubs
+      assert(h >= 16 && h <= 256)
+    }
+    // degenerate inputs refuse
+    intercept[IllegalArgumentException](GraphAnn.buildPlan(0, 64, 0.8))
+    intercept[IllegalArgumentException](GraphAnn.buildPlan(1000, 64, 1.0))
+  }
+
   /** Deterministic varied lengths over three sources. */
   private def lenRows = (0 until 210).map { i =>
     (i.toLong, s"s${i % 3}", ((i * 37) % 450).toLong)
