@@ -121,8 +121,12 @@ object GraphAnn {
     *     enough width that member→hub links stay short.
     *
     * Measured with the planned config (200k-vector probe cloud, hub-seeded
-    * beam-48 search): recall@10 ≥ 0.79 vs 0.64 for the unplanned radius-1
-    * build — the ScaleProbe leg gates this at 0.75 with margin.
+    * beam-48 search): recall@10 = 0.965 vs 0.64 for the unplanned radius-1
+    * build — the ScaleProbe leg gates this stack at 0.75 with wide margin.
+    * Hub seeding is load-bearing at this size (+0.20 recall over global
+    * seeds: fixed smallest-id entry points strand far queries once the
+    * corpus outgrows the hop budget), so searches over planned builds
+    * should pass `seedHubs = plan.hubs`.
     */
   def buildPlan(
       n: Long,
