@@ -258,25 +258,23 @@ object GraphAnn {
       // hubs rows, localCheckpointed: the frozen routing set — appends and
       // hub seeding reference THIS table, never a re-derivation
       else Some(df.select(col(idCol)).orderBy(col(idCol)).limit(hubs).localCheckpoint())
-    val edges =
-      (hubIds match {
+    // the edge table IS the index: ONE materialization (otherwise every
+    // search hop re-runs the symmetrize/hub-link/distinct pipeline behind
+    // it), pinned HASH-PARTITIONED ON src so every hop's frontier⋈edges
+    // equi-join leaves the edge table in place and exchanges only the
+    // queries × beam frontier — without the pin the "bounded per-hop
+    // exchange" claim was half true: the frontier was bounded, but the
+    // edge side re-exchanged corpus-sized every hop. The pinning job is
+    // distinct+repartition over id pairs read from the `directed`
+    // checkpoint (the kNN join itself ran under AQE one step earlier), so
+    // running it AQE-off costs nothing.
+    val edges = pinPartitionedOn(
+      hubIds match {
         case None => base.distinct()
         case Some(h) => base.unionByName(hubEdges(df, idCol, vecCol, h)).distinct()
-      })
-        // the edge table IS the index: materialize it once (writeGraph
-        // semantics, in memory) — otherwise every search hop re-runs the
-        // symmetrize/hub-link/distinct pipeline behind it
-        .localCheckpoint()
-    // …then pin it HASH-PARTITIONED ON src (one cheap extra shuffle of the
-    // materialized id pairs): every search hop's frontier⋈edges equi-join
-    // now leaves the edge table in place and exchanges only the
-    // queries × beam frontier. Without this the "bounded per-hop exchange"
-    // claim was half true — the frontier was bounded, but the edge side
-    // re-exchanged corpus-sized every hop.
-    val pinned = pinPartitionedOn(edges, "src")
-    org.apache.spark.sql.graft.CheckpointBridge.internalRdd(edges)
-      .foreach(_.unpersist(blocking = false))
-    AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, pinned, hubIds)
+      },
+      "src")
+    AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, edges, hubIds)
   }
 
   /** The routing layer of [[buildGraph]]: hub clique + member→nearest-hub
@@ -493,8 +491,12 @@ object GraphAnn {
     walk(graph, queries, queryIdCol, queryVecCol, k, beam, maxHops,
       nSeeds, seedHubs) { seen =>
       val allowedIds = allowed.select(col(allowed.columns.head).as("_ga_node"))
+      // materialized once (queries × k rows): the fallback plan reads the
+      // cut three times (fill counts, the kept side, the deficient
+      // anti-join) and would otherwise re-run the top-k per read
       val walkCut = finalCut(
         seen.join(allowedIds, Seq("_ga_node"), "left_semi"), queryIdCol, k)
+        .localCheckpoint()
       if (!fallback) walkCut
       else {
         // queries the walk under-filled (< k allowed hits, incl. zero)

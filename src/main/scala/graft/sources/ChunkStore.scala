@@ -122,7 +122,9 @@ final class ChunkStore(
         s"another writer holds $lockFile — the chunk store serializes mutations; " +
           s"retry later, raise lockWaitMs to wait, or remove a stale lock")
     try {
-      recoverTornSwap(f) // heal any crashed bucket swap before mutating
+      // heal any crashed bucket swap before mutating (and drop stale
+      // listings if the heal moved files beneath Spark's cache)
+      if (recoverTornSwap(f)) spark.catalog.refreshByPath(path)
       body
     } finally if (heldToken(f).contains(token)) f.delete(lockFile, false)
   }
@@ -168,19 +170,20 @@ final class ChunkStore(
     * orphaned staging tree drops too — the interrupted upsert re-runs from
     * its inputs, not from stale staged files.
     */
-  private def recoverTornSwap(f: org.apache.hadoop.fs.FileSystem): Unit = {
+  private def recoverTornSwap(f: org.apache.hadoop.fs.FileSystem): Boolean = {
     val root = new Path(path)
-    if (!f.exists(root)) return
-    f.listStatus(root)
+    if (!f.exists(root)) return false
+    val baks = f.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".bak-doc_prefix="))
-      .foreach { b =>
-        val live = new Path(s"$path/${b.getPath.getName.stripPrefix(".bak-")}")
-        if (!f.exists(live))
-          require(f.rename(b.getPath, live),
-            s"restoring ${b.getPath} -> $live failed; restore manually")
-        else f.delete(b.getPath, true)
-      }
+    baks.foreach { b =>
+      val live = new Path(s"$path/${b.getPath.getName.stripPrefix(".bak-")}")
+      if (!f.exists(live))
+        require(f.rename(b.getPath, live),
+          s"restoring ${b.getPath} -> $live failed; restore manually")
+      else f.delete(b.getPath, true)
+    }
     f.delete(new Path(stagePath), true)
+    baks.nonEmpty
   }
 
   /** S4/S5: full store scan. Bad JSON lines are tolerated (PERMISSIVE) and
@@ -234,6 +237,11 @@ final class ChunkStore(
       f.delete(new Path(stagePath), true)
       writeTo(merged, stagePath, dynamic = false)
       swapStagedBuckets(f)
+      // the rename swap happens beneath Spark's writers, so the session's
+      // FileStatusCache still lists the replaced part files — Spark's own
+      // overwrite paths refresh implicitly; an out-of-band swap must do it
+      // explicitly or the next read fails FILE_NOT_EXIST on stale listings
+      spark.catalog.refreshByPath(path)
     }
   }
 
