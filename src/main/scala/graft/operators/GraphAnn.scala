@@ -426,7 +426,7 @@ object GraphAnn {
     * unchanged.
     *
     * State per round (all bounded by the cohort, never the corpus):
-    * `best` (queries × beam), `frontier` (queries × beam), `seen`
+    * `fresh` (queries × beam × degree) and the hop-tagged `seen`
     * (queries × nodes-scored-so-far ≤ nSeeds + hops × beam × degree).
     * Each round cuts lineage through one localCheckpoint rotation per
     * state table (the PageRank/BpeTrainer discipline) so `maxHops` rounds
@@ -534,7 +534,8 @@ object GraphAnn {
     * `(_ga_qid, _ga_node, _ga_sim, _ga_hop)`, applies `finish` to it, and
     * MATERIALIZES the finished result through one final localCheckpoint the
     * caller owns — then releases every walk-internal checkpointed slot
-    * (`seen`/`fresh`/the cohort) before returning. Without the explicit
+    * (`seen`, the cohort, the pinned vector table) before returning.
+    * Without the explicit
     * release, each search leaked its final state RDDs for the session
     * lifetime (until a GC cycle let the context cleaner find them); with
     * it, repeated cohort searches hold exactly one small cached table each
@@ -643,6 +644,13 @@ object GraphAnn {
           .select(col("_ga_qid"), explode(col("_ga_t")).as("_ga_x"))
           .select(col("_ga_qid"), col("_ga_x._ga_hub").as("_ga_node"))
       }
+    // two state slots, deliberately asymmetric: the FRESH rotation is the
+    // small one (≤ queries × beam × degree rows — its checkpoint doubles as
+    // the termination probe at trivial cost), and the large SEEN table
+    // re-materializes only when the hop actually discovered nodes. Folding
+    // the two into one rotation re-copies the full visited set on every
+    // hop including the final no-change one — measured slower on the
+    // exhaustive-walk entries, where seen is cohort × corpus.
     var (seen, _) = rotate("seen", score(round0).withColumn("_ga_hop", lit(0)))
     var hop = 0
     var converged = false
