@@ -137,3 +137,79 @@ object AdcScore {
     acc
   }
 }
+
+/** Native per-query ADC lookup table: for every (subspace s, code c) the
+  * dot product of the query's subvector s with codebook centroid (s, c),
+  * flattened `s·k + c` — the m·k-double array [[AdcScore]]-style scoring
+  * reads per row. One expression node; the equivalent Column composition
+  * (an `array` of m·k folds, each dsub `element_at` products — 16×16×4 ⇒
+  * ~1k leaf nodes) expands past janino's 64 KB generated-method limit and
+  * silently drops the query-side projection to interpreted evaluation
+  * (the [[PqEncode]] lesson, query side). Accumulation is j-ascending
+  * left-to-right from 0.0 — bit-identical to `Pq.adcTable` and to the
+  * composed fold it replaces. A vector shorter than m·dsub or containing
+  * a null element maps to null (the [[RandomProject]] convention; the
+  * composition errored under ANSI instead — battery vectors are always
+  * full-width, and null is the kinder contract).
+  */
+final case class AdcTable(child: Expression, m: Int, k: Int, dsub: Int, flat: Array[Float])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"adc_table requires ARRAY<FLOAT> input, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    AdcTable.build(input.asInstanceOf[ArrayData], m, k, dsub, flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebooks", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expressions.AdcTable.build($c, $m, $k, $dsub, $ref);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcTable =
+    copy(child = newChild)
+
+  override def prettyName: String = "adc_table"
+}
+
+object AdcTable {
+  def build(arr: ArrayData, m: Int, k: Int, dsub: Int, flat: Array[Float]): ArrayData = {
+    val dim = m * dsub
+    if (arr == null || arr.numElements() < dim) return null
+    var j = 0
+    while (j < dim) {
+      if (arr.isNullAt(j)) return null
+      j += 1
+    }
+    val out = new Array[Double](m * k)
+    var s = 0
+    while (s < m) {
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * dsub
+        var dp = 0.0
+        var i = 0
+        while (i < dsub) {
+          dp += arr.getFloat(s * dsub + i).toDouble * flat(off + i).toDouble
+          i += 1
+        }
+        out(s * k + c) = dp
+        c += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}

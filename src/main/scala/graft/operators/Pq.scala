@@ -263,13 +263,14 @@ object Pq {
       queries: DataFrame, qidCol: String, qvecCol: String,
       n: Int, model: PqModel): DataFrame = {
     // each query's (m × k) table flattens to one m·k-double array column —
-    // the whole query side broadcasts as |queries| rows of fixed width
-    val tbl = array((for (s <- 0 until model.m; c <- 0 until model.k) yield {
-      (0 until model.dsub).foldLeft(lit(0.0)) { (acc, j) =>
-        acc + element_at(col(qvecCol), s * model.dsub + j + 1).cast("double") *
-          lit(model.codebooks(s)(c)(j).toDouble)
-      }
-    }): _*)
+    // the whole query side broadcasts as |queries| rows of fixed width.
+    // NATIVE ([[graft.expressions.AdcTable]], bit-identical j-ascending
+    // accumulation): the composed `array` of m·k folds was a ~1k-node tree
+    // that blew janino's 64 KB method limit and ran interpreted.
+    val tbl = org.apache.spark.sql.graft.ColumnBridge.toColumn(
+      graft.expressions.AdcTable(
+        org.apache.spark.sql.graft.ColumnBridge.toExpression(col(qvecCol)),
+        model.m, model.k, model.dsub, flatten(model)))
     val qtab = queries.select(col(qidCol), tbl.as("_tbl"))
     // scoring is map-side only: m lookups into the broadcast row's table,
     // folded in subspace order (same order as adcScoreExpr); the single
