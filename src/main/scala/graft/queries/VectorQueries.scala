@@ -940,6 +940,46 @@ object VectorQueries {
     // IVF-12-probe's 0.927–0.936 — the 0.90 floor passes with margin and
     // fails fast if build, walk, or seeding degrades (global-seed
     // degree=8/beam=24/hops=4 reads 0.72 at sf0.1).
+    // The PLANNED build end-to-end in the battery: GraphAnn.buildPlan
+    // chooses (nPlanes, probes, degree, hubs) from the actual corpus count
+    // and a 0.9 target, the graph builds under the plan, and the
+    // hub-seeded search must clear a 0.85 recall floor (sf0.1 measures
+    // ~0.99 — small corpora sit in the planner's exhaustive-probing
+    // regime; the 200k ScaleProbe leg gates the same stack at scale).
+    // Envelope oracle: n_queries pins the cohort, booleans pin the gate
+    // and that the plan's shape came from the planner's documented bands.
+    "e2_graph_ann_planned" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val vecs = embeddings(s, d)
+        val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
+        val queries = vecs.filter(col("vec_id") % 20 === 0)
+        val plan = GraphAnn.buildPlan(corpus.count(), 64, targetRecall = 0.9)
+        val graph = GraphAnn.buildPlanned(corpus, "vec_id", "embedding",
+          dim = 64, plan = plan)
+        val approx = GraphAnn.search(graph, queries, "vec_id", "embedding",
+          k = 10, beam = 32, maxHops = 4, nSeeds = 16, seedHubs = plan.hubs)
+        val exact = queries.select(col("vec_id").as("_qid"), col("embedding").as("_qv"))
+          .crossJoin(corpus.select(col("vec_id").as("_cid"), col("embedding").as("_cv")))
+          .withColumn("_sim", cosine(col("_qv"), col("_cv")))
+          .groupBy(col("_qid"))
+          .agg(expr("top_k(struct(_sim, _cid), 10)").as("_top"))
+          .select(col("_qid"), explode(col("_top")).as("_t"))
+          .select(col("_qid").as("vec_id"), col("_t._cid").as("neighbor_id"))
+        val recall = Similarity.recallAtK(approx, exact, "vec_id")
+        val nq = queries.count()
+        val planSane = plan.probes >= 1 && plan.probes <= plan.nPlanes &&
+          plan.nPlanes >= 4 && plan.nPlanes <= 16 &&
+          plan.degree == 16 && plan.hubs >= 16 && plan.hubs <= 256
+        Seq((nq, recall >= 0.85, planSane))
+          .toDF("n_queries", "recall_ok", "plan_sane")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
+             |       TRUE AS plan_sane
+             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
+      Seq("E2")
+    ),
+
     "e2_graph_ann_gate" -> Q(
       (s, d) => {
         import s.implicits._
