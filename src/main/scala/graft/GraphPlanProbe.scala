@@ -17,13 +17,11 @@ import org.apache.spark.sql.functions._
 object GraphPlanProbe {
   def main(args: Array[String]): Unit = {
     val replicas = args.headOption.map(_.toInt).getOrElse(100)
-    // b:r:d[:beam:hops:seedHubs] — build triple plus optional search config
-    val configs = args.lift(1).getOrElse("10:1:8,10:2:8,10:2:12,12:2:8")
-      .split(",").toSeq.map { s =>
-        val xs = s.split(":").map(_.toInt)
-        (xs(0), xs(1), xs(2),
-          xs.lift(3).getOrElse(32), xs.lift(4).getOrElse(6), xs.lift(5).getOrElse(0))
-      }
+    // b:r:d[:beam:hops:seedHubs] — build triple plus optional search
+    // config; the token "plan" resolves the whole tuple from
+    // GraphAnn.buildPlan(n, 64, 0.75) with hub-seeded search (the
+    // ScaleProbe leg's stack), for extrapolation checks at other sizes
+    val rawConfigs = args.lift(1).getOrElse("10:1:8,10:2:8,10:2:12,12:2:8").split(",").toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,13 +57,26 @@ object GraphPlanProbe {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
+    val configs = rawConfigs.map {
+      case "plan" =>
+        val p = graft.operators.GraphAnn.buildPlan(n, 64, targetRecall = 0.75)
+        println(s"PLANPROBE planned config for n=$n: $p")
+        (p.nPlanes, p.probes, p.degree, 48, 6, p.hubs)
+      case s =>
+        val xs = s.split(":").map(_.toInt)
+        (xs(0), xs(1), xs(2),
+          xs.lift(3).getOrElse(32), xs.lift(4).getOrElse(6), xs.lift(5).getOrElse(0))
+    }
     var lastBuild: Option[((Int, Int, Int), graft.operators.GraphAnn.AnnGraph)] = None
     for ((b, r, d, beam, hops, sh) <- configs) {
       val (g, tB) = lastBuild match {
         case Some((key, cached)) if key == (b, r, d) => (cached, 0.0) // reuse: search-only sweep
         case _ => timed {
+          // hub width follows the search's seed-hub request (the planned
+          // stack); plain sweeps keep the historical 64
           val gr = graft.operators.GraphAnn.buildGraph(shifted, "vec_id", "embedding",
-            dim = 64, degree = d, nPlanes = b, probes = r, hubs = 64)
+            dim = 64, degree = d, nPlanes = b, probes = r,
+            hubs = if (sh > 0) sh else 64)
           gr.edges.count(); gr
         }
       }

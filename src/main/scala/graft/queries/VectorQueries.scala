@@ -953,7 +953,7 @@ object VectorQueries {
         import s.implicits._
         val vecs = embeddings(s, d)
         val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
-        val queries = vecs.filter(col("vec_id") % 20 === 0)
+        val queries = vecs.filter(col("vec_id") % 100 === 0)
         val plan = GraphAnn.buildPlan(corpus.count(), 64, targetRecall = 0.9)
         val graph = GraphAnn.buildPlanned(corpus, "vec_id", "embedding",
           dim = 64, plan = plan)
@@ -976,7 +976,7 @@ object VectorQueries {
       },
       Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries, TRUE AS recall_ok,
              |       TRUE AS plan_sane
-             |FROM embeddings WHERE vec_id % 20 = 0""".stripMargin),
+             |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin),
       Seq("E2")
     ),
 
