@@ -222,6 +222,23 @@ object GraftCli {
         "chunkId", "embedding", dim, degree, hubs = hubs),
       graphPath)
 
+  /** [[graphIndex]] with the build parameters PLANNED from the stored
+    * corpus size and a target recall ([[graft.operators.GraphAnn
+    * .buildPlan]]) — the production default: hand-tuned radii are exactly
+    * what decayed from 0.97 to 0.64 recall between 2k and 200k vectors.
+    * Returns the plan it used (logged by the CLI for the audit trail).
+    */
+  def graphIndexPlanned(
+      spark: SparkSession, store: ChunkStore, graphPath: String,
+      dim: Int = 64, targetRecall: Double = 0.9): GraphAnn.GraphBuildPlan = {
+    val vecs = store.read(spark).filter(col("embedding").isNotNull)
+      .select(col("chunkId"), col("embedding"))
+    val plan = GraphAnn.buildPlan(vecs.count(), dim, targetRecall)
+    GraphAnn.writeGraph(
+      GraphAnn.buildPlanned(vecs, "chunkId", "embedding", dim, plan), graphPath)
+    plan
+  }
+
   /** Link newly-stored chunks into an existing graph index (NSW insertion —
     * [[graft.operators.GraphAnn.appendToGraph]]); `docIds` limits the batch.
     */
@@ -501,6 +518,21 @@ object GraftCli {
             System.err.println("usage: graph-index <storePath> <graphPath> [flags]")
             2
         }
+      case "graph-index-planned" :: rest =>
+        val (settings, positional) = Settings.fromArgs(rest)
+        positional match {
+          case storePath :: graphPath :: Nil =>
+            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val plan = graphIndexPlanned(spark, store, graphPath,
+              dim = settings.embeddingDimensions)
+            println(s"graph-indexed=$graphPath plan=nPlanes:${plan.nPlanes}," +
+              s"probes:${plan.probes},degree:${plan.degree},hubs:${plan.hubs}," +
+              f"capture:${plan.predictedCapture}%.3f")
+            0
+          case _ =>
+            System.err.println("usage: graph-index-planned <storePath> <graphPath> [flags]")
+            2
+        }
       case "graph-index-append" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
@@ -704,6 +736,7 @@ object GraftCli {
             |  vector-index-retrain <indexPath> [--limit=kCells]
             |  vector-search <indexPath> <query> [--limit=K]
             |  graph-index <storePath> <graphPath>
+            |  graph-index-planned <storePath> <graphPath>
             |  graph-index-append <storePath> <graphPath> [docId ...]
             |  graph-search <graphPath> <query> [--limit=K]
             |  text-index <storePath> <indexPath>

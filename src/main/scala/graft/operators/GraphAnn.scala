@@ -128,6 +128,16 @@ object GraphAnn {
     * corpus outgrows the hop budget), so searches over planned builds
     * should pass `seedHubs = plan.hubs`.
     */
+  /** One term the candidate budget does NOT model: the build's probe
+    * expansion shuffles `probedBuckets(b, r) × n` rows carrying the vector
+    * payload — ~70 GB at 500k × radius-3 × 64 float dims, which is
+    * cluster-scale volume (it spreads across executor disks) but can
+    * exceed a single host's spill space. For single-host builds past a few
+    * hundred thousand vectors, slice the corpus into fixed-size query
+    * batches against the full bucket table (same total work, bounded
+    * per-pass spill) — the incremental [[appendToGraph]] path is exactly
+    * that discipline.
+    */
   def buildPlan(
       n: Long,
       dim: Int,

@@ -262,6 +262,16 @@ class GraftCliSpec extends SparkSpec {
     val hit3 = GraftCli.graphSearch(spark, idx, "totally new eta theta content three",
       k = 1, provider = provider).collect().head
     assert(hit3.getString(0) == "c3" && hit3.getAs[Double]("sim") > 0.999)
+    // planned build: parameters come from buildPlan over the stored corpus,
+    // the hub set persists, and search still self-retrieves
+    val pidx = s"$root/gindex_planned"
+    val plan = GraftCli.graphIndexPlanned(spark, store, pidx)
+    assert(plan.nPlanes >= 4 && plan.probes >= 1 && plan.hubs >= 16,
+      s"degenerate plan: $plan")
+    assert(new java.io.File(s"$pidx/hubs").exists, "planned index persists its hub set")
+    val hitP = GraftCli.graphSearch(spark, pidx, "alpha beta gamma content one",
+      k = 1, provider = provider).collect().head
+    assert(hitP.getString(0) == "c1" && hitP.getAs[Double]("sim") > 0.999)
   }
 
   test("driftReport: identical corpora read zero, a shifted dump spikes") {
