@@ -61,14 +61,15 @@ object GraphPlanProbe {
       case "plan" =>
         val p = graft.operators.GraphAnn.buildPlan(n, 64, targetRecall = 0.75)
         println(s"PLANPROBE planned config for n=$n: $p")
-        (p.nPlanes, p.probes, p.degree, 48, 6, p.hubs)
+        (p.nPlanes, p.probes, p.degree, 48, 6, p.hubs, p.buildBatches)
       case s =>
         val xs = s.split(":").map(_.toInt)
         (xs(0), xs(1), xs(2),
-          xs.lift(3).getOrElse(32), xs.lift(4).getOrElse(6), xs.lift(5).getOrElse(0))
+          xs.lift(3).getOrElse(32), xs.lift(4).getOrElse(6), xs.lift(5).getOrElse(0),
+          xs.lift(6).getOrElse(1))
     }
     var lastBuild: Option[((Int, Int, Int), graft.operators.GraphAnn.AnnGraph)] = None
-    for ((b, r, d, beam, hops, sh) <- configs) {
+    for ((b, r, d, beam, hops, sh, bb) <- configs) {
       val (g, tB) = lastBuild match {
         case Some((key, cached)) if key == (b, r, d) => (cached, 0.0) // reuse: search-only sweep
         case _ => timed {
@@ -76,7 +77,7 @@ object GraphPlanProbe {
           // stack); plain sweeps keep the historical 64
           val gr = graft.operators.GraphAnn.buildGraph(shifted, "vec_id", "embedding",
             dim = 64, degree = d, nPlanes = b, probes = r,
-            hubs = if (sh > 0) sh else 64)
+            hubs = if (sh > 0) sh else 64, buildBatches = bb)
           gr.edges.count(); gr
         }
       }
@@ -88,7 +89,7 @@ object GraphPlanProbe {
         h.count(); h
       }
       val rec = graft.operators.Similarity.recallAtK(hits, exact, "vec_id")
-      println(f"PLANPROBE n=$n b=$b r=$r d=$d beam=$beam hops=$hops seedHubs=$sh " +
+      println(f"PLANPROBE n=$n b=$b r=$r d=$d beam=$beam hops=$hops seedHubs=$sh batches=$bb " +
         f"edges=$nEdges recall@10=$rec%.4f build=$tB%.1fs search=$tS%.1fs")
     }
     spark.stop()

@@ -88,7 +88,14 @@ object GraphAnn {
       probes: Int,
       degree: Int,
       hubs: Int,
-      predictedCapture: Double
+      predictedCapture: Double,
+      /** Query-side slices for the build's kNN join: per-pass shuffle is
+        * `probedBuckets × n / buildBatches` vector rows, sized so one pass
+        * spills within a 16 GB budget (see [[buildPlan]]'s shuffle-volume
+        * note). 1 = single shot; the union of per-slice kNNs is EXACTLY
+        * the single-shot edge set, so batching never changes results.
+        */
+      buildBatches: Int = 1
   )
 
   /** Choose `(nPlanes, probes, degree, hubs)` from corpus size and target
@@ -194,7 +201,12 @@ object GraphAnn {
     }
     val degree = if (targetRecall >= 0.9) 16 else if (targetRecall >= 0.7) 12 else 8
     val hubs = math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
-    GraphBuildPlan(b, r, degree, hubs, binomCdf(r, b, flipP))
+    // probe-expansion shuffle volume (vector payload rides every probe
+    // row): slice the query side so one pass stays within ~16 GB of spill
+    val rowBytes = 4.0 * dim + 48 // floats + id/bucket/norm/row overhead
+    val volume = probedBuckets(b, r) * n.toDouble * rowBytes
+    val batches = math.max(1, math.ceil(volume / (16.0 * 1024 * 1024 * 1024)).toInt)
+    GraphBuildPlan(b, r, degree, hubs, binomCdf(r, b, flipP), batches)
   }
 
   /** [[buildGraph]] under a [[buildPlan]] — the one-call planned build. */
@@ -208,7 +220,8 @@ object GraphAnn {
   ): AnnGraph =
     buildGraph(df, idCol, vecCol, dim, degree = plan.degree,
       nPlanes = plan.nPlanes, probes = plan.probes,
-      maxBucketSize = maxBucketSize, hubs = plan.hubs)
+      maxBucketSize = maxBucketSize, hubs = plan.hubs,
+      buildBatches = plan.buildBatches)
 
   /** Build the k-NN graph: each vector's `degree` approximate nearest
     * neighbors via the LSH two-sided join ([[Similarity.nnJoin]] — banded
@@ -251,16 +264,32 @@ object GraphAnn {
       nPlanes: Int = 8,
       probes: Int = 2,
       maxBucketSize: Int = 10000,
-      hubs: Int = 0
+      hubs: Int = 0,
+      /** Query-side build slices ([[GraphBuildPlan.buildBatches]]): the kNN
+        * join's probe expansion shuffles `probedBuckets × n` VECTOR rows —
+        * past a few hundred thousand vectors at radius ≥ 3 that exceeds a
+        * single host's spill space. Each slice kNN-joins against the FULL
+        * corpus, so the union equals the single-shot edge set exactly;
+        * per-pass shuffle drops to `probedBuckets × n / buildBatches`.
+        */
+      buildBatches: Int = 1
   ): AnnGraph = {
     require(degree > 0, s"degree must be positive, got $degree")
+    require(buildBatches >= 1, s"buildBatches must be >= 1, got $buildBatches")
     // degree+1 then drop self: the nearest "neighbor" of a vector is itself
-    val knn = Similarity.nnJoin(df, idCol, df, idCol, vecCol, dim,
-      k = degree + 1, nPlanes = nPlanes, probes = probes,
-      maxBucketSize = maxBucketSize)
-    val directed = knn.filter(col("neighbor_id") =!= col(idCol))
-      .select(col(idCol).as("src"), col("neighbor_id").as("dst"))
-      .localCheckpoint() // eager: one kNN execution, hops reference the cache
+    def sliceKnn(queries: DataFrame): DataFrame =
+      Similarity.nnJoin(df, idCol, queries, idCol, vecCol, dim,
+        k = degree + 1, nPlanes = nPlanes, probes = probes,
+        maxBucketSize = maxBucketSize)
+        .filter(col("neighbor_id") =!= col(idCol))
+        .select(col(idCol).as("src"), col("neighbor_id").as("dst"))
+        .localCheckpoint() // eager: one kNN execution per slice, hops reference the cache
+    val slices =
+      if (buildBatches <= 1) Seq(sliceKnn(df))
+      else (0 until buildBatches).map { s =>
+        sliceKnn(df.filter(pmod(xxhash64(col(idCol)), lit(buildBatches.toLong)) === s.toLong))
+      }
+    val directed = slices.reduce(_ unionByName _)
     val base = directed
       .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
     val hubIds =
@@ -284,6 +313,10 @@ object GraphAnn {
         case Some(h) => base.unionByName(hubEdges(df, idCol, vecCol, h)).distinct()
       },
       "src")
+    // the pinned edge table is the index; the per-slice directed
+    // checkpoints it folded are no longer referenced — release them
+    slices.foreach(s => org.apache.spark.sql.graft.CheckpointBridge.internalRdd(s)
+      .foreach(_.unpersist(blocking = false)))
     AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, edges, hubIds)
   }
 

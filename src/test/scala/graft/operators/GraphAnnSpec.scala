@@ -323,6 +323,24 @@ class GraphAnnSpec extends SparkSpec {
     assert(got == Set(0L))
   }
 
+  test("batched build equals the single-shot build: identical edge set and searches") {
+    val vecs = circle(40)
+    def build(bb: Int) = GraphAnn.buildGraph(vecs, "id", "vec", dim = 2,
+      degree = 3, nPlanes = 3, probes = 2, hubs = 4, buildBatches = bb)
+    val one = build(1)
+    val four = build(4)
+    def edgeSet(g: GraphAnn.AnnGraph) =
+      g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edgeSet(one) == edgeSet(four),
+      "each slice kNN-joins the FULL corpus, so the union is the exact edge set")
+    val queries = vecs.filter(col("id") % 9 === 0)
+    def run(g: GraphAnn.AnnGraph) =
+      GraphAnn.search(g, queries, "id", "vec", k = 3, beam = 8, maxHops = 4,
+        nSeeds = 2, seedHubs = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(one) == run(four))
+  }
+
   test("hubbed append onto a hub-less index fails fast") {
     val vecs = circle(20)
     val dir = tmpDir("graft-graphann-nohubs")
