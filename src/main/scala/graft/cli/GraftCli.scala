@@ -599,6 +599,15 @@ object GraftCli {
         graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
         println(s"compacted=$indexPath")
         0
+      // graph-index-compact <graphPath> [maxDegree] — fold an appended
+      // graph index's small files and re-truncate hot nodes to maxDegree
+      // by re-scored similarity (routing/hub edges survive); staged swap
+      case "graph-index-compact" :: graphPath :: rest =>
+        val maxDegree = rest.headOption.map(_.toInt).getOrElse(16)
+        graft.operators.GraphAnn.compactGraph(
+          spark, graphPath, "chunkId", "embedding", maxDegree)
+        println(s"compacted=$graphPath maxDegree=$maxDegree")
+        0
       // lake-compact <dir> [partitionCol,...] — fold a parquet table's
       // small files to ~one-per-partition (or the record target), rows
       // preserved exactly; staged swap, see Lake.compact

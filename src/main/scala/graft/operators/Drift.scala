@@ -41,8 +41,22 @@ object Drift {
     *
     * If both tables carry a [[ImportanceSampling.familyOf]] gram-family tag
     * they must match — a drift score across hash families is noise.
+    *
+    * `requireIdsInRange` (default true) asserts numeric bucket ids lie in
+    * `[0, buckets)` — correct for HASHED bucket spaces
+    * ([[ImportanceSampling.bucketCounts]], where an out-of-range id means
+    * the table was built over a different space. [[categoricalDrift]]
+    * passes false: its "bucket" column carries RAW category VALUES
+    * (year=2024, domain=5 are valid categories, not ids), and PSI/KL never
+    * index by bucket id — only the domain-undercount check (which guards
+    * the analytic floor term's sign) applies there.
     */
-  def drift(refCounts: DataFrame, curCounts: DataFrame, buckets: Int): DataFrame = {
+  def drift(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
+      buckets: Int,
+      requireIdsInRange: Boolean = true
+  ): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     (ImportanceSampling.familyOf(refCounts), ImportanceSampling.familyOf(curCounts)) match {
       case (Some(a), Some(b)) =>
@@ -80,8 +94,9 @@ object Drift {
     // absent-bucket floor term would fold in with a NEGATIVE multiplier /
     // a mismatched space — silently wrong PSI/KL. raise_error keeps the
     // check lazy (one extra min/max in the same tiny aggregate).
-    val numericBucket = joined.schema("bucket").dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val numericBucket = requireIdsInRange &&
+      joined.schema("bucket").dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val rangeAggs =
       if (numericBucket)
         Seq(min(col("bucket").cast("long")).as("_bmin"),
@@ -113,11 +128,12 @@ object Drift {
     val psi0 = math.round((p0 - q0) * lr0 * 1e9)
     val kl0 = math.round(p0 * lr0 * 1e9)
 
-    // `_guard` (always 0, or an error) rides the psi sum so column pruning
-    // can never drop the validation
+    // `_guard` (always 0, or an error) rides BOTH metric sums so column
+    // pruning can never drop the validation — a caller selecting only
+    // `kl_ref_cur` would otherwise prune `psi` and the guard with it
     present.select(
       round((col("_psiN") + col("_guard") + (lit(buckets.toLong) - col("_npresent")) * lit(psi0)) / lit(1e9), 6).as("psi"),
-      round((col("_klN") + (lit(buckets.toLong) - col("_npresent")) * lit(kl0)) / lit(1e9), 6).as("kl_ref_cur"),
+      round((col("_klN") + col("_guard") + (lit(buckets.toLong) - col("_npresent")) * lit(kl0)) / lit(1e9), 6).as("kl_ref_cur"),
       col("_npresent").cast("long").as("n_buckets_present"),
       lit(tRef).as("n_ref"),
       lit(tCur).as("n_cur"))
@@ -143,6 +159,11 @@ object Drift {
   /** Categorical drift: the share-shift of a low-cardinality column (source,
     * language, domain). `domain` declares the full category space size for
     * smoothing (pass the union distinct count for "what's present").
+    *
+    * The "bucket" ids here are the RAW category values, so the hashed-space
+    * range check is off: a numeric category column (year=2024, domain=5)
+    * is a valid input — PSI/KL compare count shares and never index by the
+    * value itself. The domain-undercount guard still applies.
     */
   def categoricalDrift(
       ref: DataFrame,
@@ -152,6 +173,6 @@ object Drift {
   ): DataFrame = {
     def counts(df: DataFrame): DataFrame =
       df.groupBy(col(catCol).as("bucket")).agg(count(lit(1)).as("cnt"))
-    drift(counts(ref), counts(cur), domain)
+    drift(counts(ref), counts(cur), domain, requireIdsInRange = false)
   }
 }

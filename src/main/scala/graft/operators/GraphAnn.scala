@@ -49,17 +49,16 @@ object GraphAnn {
     * physical plan's outputPartitioning into its `LogicalRDD` — but only
     * when AQE is off for that one job (under AQE the recorded partitioning
     * is `UnknownPartitioning`, and every downstream join re-exchanges the
-    * table). The wrapped job is a plain shuffle of already-materialized
+    * table). The job runs in a cloned, AQE-off session
+    * ([[org.apache.spark.sql.graft.CheckpointBridge.withAqeOff]]) so the
+    * shared session conf is never toggled: concurrent pins can't race each
+    * other's save/restore, and unrelated queries on the session never see
+    * AQE off. The wrapped job is a plain shuffle of already-materialized
     * rows, so losing AQE for it costs nothing.
     */
-  private def pinPartitionedOn(df: DataFrame, key: String): DataFrame = {
-    val spark = df.sparkSession
-    val aqe = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(aqe)
-    spark.conf.set(aqe, "false")
-    try df.repartition(col(key)).localCheckpoint()
-    finally spark.conf.set(aqe, prev)
-  }
+  private def pinPartitionedOn(df: DataFrame, key: String): DataFrame =
+    org.apache.spark.sql.graft.CheckpointBridge.withAqeOff(df)(
+      _.repartition(col(key)).localCheckpoint())
 
   /** A graph ANN index: `vectors` (id, vec) and the undirected `edges`
     * (src, dst) of the k-NN graph over them. `hubIds` is the FROZEN routing
@@ -372,8 +371,19 @@ object GraphAnn {
       .parquet(s"$path/edges")
     // the frozen routing hub set rides with the index — appendToGraph and
     // hub seeding read THIS, never a re-derivation over a grown corpus
-    graph.hubIds.foreach(
-      _.write.mode(SaveMode.Overwrite).parquet(s"$path/hubs"))
+    graph.hubIds match {
+      case Some(h) => h.write.mode(SaveMode.Overwrite).parquet(s"$path/hubs")
+      case None =>
+        // rewriting a previously-hubbed path with a hub-less graph must
+        // REMOVE the stale hubs/ dir: phantom hub ids would otherwise
+        // survive the overwrite, and a hub-seeded search over the re-read
+        // index would join its seeds against nodes that no longer exist —
+        // silently returning zero rows.
+        val hp = new org.apache.hadoop.fs.Path(s"$path/hubs")
+        val fs = hp.getFileSystem(
+          graph.vectors.sparkSession.sparkContext.hadoopConfiguration)
+        if (fs.exists(hp)) fs.delete(hp, true)
+    }
   }
 
   def readGraph(spark: SparkSession, path: String, idCol: String, vecCol: String): AnnGraph = {
@@ -443,24 +453,150 @@ object GraphAnn {
       k = degree + 1, nPlanes = nPlanes, probes = probes,
       maxBucketSize = maxBucketSize)
     val directed = knn.filter(col("neighbor_id") =!= col(idCol))
-      .select(col(idCol).as("src"), col("neighbor_id").as("dst"))
+      .select(col(idCol).as("src"), col("neighbor_id").as("dst"), col("sim"))
       .localCheckpoint() // one kNN execution across the symmetrizing union
     val sym = directed
-      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(directed.select(col("dst").as("src"), col("src").as("dst"),
+        col("sim")))
+    // per-src re-truncation at append time: symmetrization lands up to
+    // `degree` REVERSE edges per append on a stored hot node, so without a
+    // cap its degree grows unbounded across appends and the walk's bounded
+    // per-hop exchange (queries × beam × degree) silently degrades. Cosine
+    // is symmetric, so the kNN sim prices both directions; each append now
+    // contributes at most `degree` kNN edges per touched src ([[compactGraph]]
+    // heals the residual cross-append accumulation). Hub links are exempt —
+    // routing edges are not similarity-ranked and must survive.
+    val symCapped = sym
+      .groupBy(col("src"))
+      .agg(expr(s"top_k(struct(sim, dst), $degree)").as("_ga_t"))
+      .select(col("src"), explode(col("_ga_t")).as("_ga_x"))
+      .select(col("src"), col("_ga_x.dst").as("dst"))
     val newEdges =
-      (if (hubs <= 0) sym
+      (if (hubs <= 0) symCapped
        else {
          val frozen = stored.hubIds.getOrElse(throw new IllegalStateException(
            s"appendToGraph(hubs=$hubs) on an index without a persisted hub set " +
              s"($path/hubs) — the graph was built with hubs=0. Rebuild with a " +
              "routing layer; deriving hubs from the grown corpus would shift " +
              "the clique and break the ≤3-hop routing bound."))
-         sym.unionByName(memberHubLinks(fresh, idCol, vecCol,
+         symCapped.unionByName(memberHubLinks(fresh, idCol, vecCol,
            hubVectors(stored.vectors, idCol, vecCol, frozen)))
        })
         .distinct()
     newEdges.write.mode(SaveMode.Append).parquet(s"$path/edges")
     fresh.write.mode(SaveMode.Append).parquet(s"$path/vectors")
+  }
+
+  /** Fold a long-lived appended graph index back into shape — the
+    * [[Dedup.compactLineIndex]] discipline applied to the one index family
+    * that lacked it: each [[appendToGraph]] lands new `edges/` + `vectors/`
+    * parquet files (per-file open cost dominates fragmented scans at
+    * scale) and up to `degree` new edges per touched src (bounded per
+    * append, unbounded across appends — hot nodes accumulate degree and
+    * the walk's `queries × beam × degree` per-hop exchange grows with
+    * them). Compaction heals both:
+    *
+    *   - replay-duplicate edges collapse (`distinct`);
+    *   - the kNN layer re-truncates per-src to `maxDegree` by RE-SCORED
+    *     similarity (vectors are the source of truth; edges store no sims)
+    *     with the battery's (sim, dst) tie rule;
+    *   - ROUTING edges (either endpoint in the frozen hub set) are exempt
+    *     from the similarity cut — hub links are reachability, not
+    *     similarity, and pruning them would strand members;
+    *   - both dirs rewrite `src`-hash-partitioned (edges) / id-deduped
+    *     (vectors) into `ceil(rows / rowsPerFile)` files, one per
+    *     partition, then swap in via staged rename: the live dir moves
+    *     aside to `.compact-bak` and is deleted only after the compacted
+    *     tree is in place — a crash at any point leaves a recoverable dir.
+    *
+    * Scoring cost is one vector-carrying equi-join over the edge list
+    * (`≤ appends × degree × N` id pairs — never corpus²), paid between
+    * ingest waves like every other registry compaction here.
+    */
+  def compactGraph(
+      spark: SparkSession,
+      path: String,
+      idCol: String,
+      vecCol: String,
+      maxDegree: Int,
+      rowsPerFile: Long = 4000000L
+  ): Unit = {
+    require(maxDegree > 0, s"maxDegree must be positive, got $maxDegree")
+    val stored = readGraph(spark, path, idCol, vecCol)
+    val v = stored.vectors
+      .dropDuplicates(idCol) // heal a replayed partial append
+      .select(col(idCol).as("_ga_node"), col(vecCol).as("_ga_v"))
+      .withColumn("_ga_n", norm(col("_ga_v")))
+      .localCheckpoint(false)
+    val edges = stored.edges.filter(col("src") =!= col("dst")).distinct()
+    val (routing, knn) = stored.hubIds match {
+      case Some(h) =>
+        val hid = h.select(col(h.columns.head).as("_ga_hub")).localCheckpoint(false)
+        val isHub = (c: String) => broadcast(hid.withColumnRenamed("_ga_hub", c))
+        (edges.join(isHub("src"), Seq("src"), "left_semi")
+          .unionByName(edges.join(isHub("dst"), Seq("dst"), "left_semi")
+            .join(isHub("src"), Seq("src"), "left_anti"))
+          .select(col("src"), col("dst")),
+          edges.join(isHub("src"), Seq("src"), "left_anti")
+            .join(isHub("dst"), Seq("dst"), "left_anti"))
+      case None => (spark.emptyDataFrame, edges)
+    }
+    // re-score the kNN layer (one vector-carrying equi-join; the sim is
+    // recomputed because the stored edge list is id pairs only), then the
+    // per-src similarity cut with the shared (sim, dst) tie rule
+    val scored = knn
+      .join(v.select(col("_ga_node").as("src"), col("_ga_v").as("_sv"),
+        col("_ga_n").as("_sn")), Seq("src"))
+      .join(v.select(col("_ga_node").as("dst"), col("_ga_v").as("_dv"),
+        col("_ga_n").as("_dn")), Seq("dst"))
+      .select(col("src"), col("dst"),
+        round(cosineWithNorms(col("_sv"), col("_dv"), col("_sn"), col("_dn")), 6)
+          .as("_ga_sim"))
+    val pruned = scored
+      .groupBy(col("src"))
+      .agg(expr(s"top_k(struct(_ga_sim, dst), $maxDegree)").as("_ga_t"))
+      .select(col("src"), explode(col("_ga_t")).as("_ga_x"))
+      .select(col("src"), col("_ga_x.dst").as("dst"))
+    val finalEdges =
+      (if (stored.hubIds.isDefined) pruned.unionByName(routing).distinct()
+       else pruned)
+        .localCheckpoint()
+    val nEdgeFiles = math.max(1L, (finalEdges.count() + rowsPerFile - 1) / rowsPerFile).toInt
+    val vKeep = v.select(col("_ga_node").as(idCol), col("_ga_v").as(vecCol))
+      .localCheckpoint()
+    val nVecFiles = math.max(1L, (vKeep.count() + rowsPerFile - 1) / rowsPerFile).toInt
+
+    def swapIn(sub: String, df: DataFrame, nFiles: Int, partCol: String): Unit = {
+      val live = s"$path/$sub"
+      val tmp = live + ".compact-tmp"
+      val bak = live + ".compact-bak"
+      df.repartition(nFiles, col(partCol))
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+      val lp = new org.apache.hadoop.fs.Path(live)
+      val tp = new org.apache.hadoop.fs.Path(tmp)
+      val bp = new org.apache.hadoop.fs.Path(bak)
+      val fs = lp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(bp)) fs.delete(bp, true) // only a completed prior swap leaves one
+      require(fs.rename(lp, bp),
+        s"rename $live -> $bak failed; live index untouched, compaction aborted")
+      if (!fs.rename(tp, lp)) {
+        require(fs.rename(bp, lp),
+          s"rename $tmp -> $live failed AND restoring $bak failed; " +
+            s"index intact at $bak, compacted copy at $tmp — restore manually")
+        fs.delete(tp, true)
+        throw new IllegalStateException(
+          s"rename $tmp -> $live failed; original index restored, compaction aborted")
+      }
+      fs.delete(bp, true)
+      // out-of-band rename: Spark's FileStatusCache still lists the old
+      // files — refresh or the next read dies FAILED_READ_FILE.FILE_NOT_EXIST
+      spark.catalog.refreshByPath(live)
+    }
+    swapIn("edges", finalEdges, nEdgeFiles, "src")
+    swapIn("vectors", vKeep, nVecFiles, idCol)
+    Seq(finalEdges, vKeep, v).foreach(d =>
+      org.apache.spark.sql.graft.CheckpointBridge.internalRdd(d)
+        .foreach(_.unpersist(blocking = false)))
   }
 
   /** Beam search over the graph for a query cohort. Returns the per-query
@@ -533,7 +669,20 @@ object GraphAnn {
   ): DataFrame =
     walk(graph, queries, queryIdCol, queryVecCol, k, beam, maxHops,
       nSeeds, seedHubs) { seen =>
-      val allowedIds = allowed.select(col(allowed.columns.head).as("_ga_node"))
+      // resolve the allowed-id column BY NAME (`graph.idCol`) when present;
+      // positional `columns.head` on a multi-column input silently
+      // semi-joined on whatever happened to be first — an empty/wrong
+      // filter with no error. A single-column input of any name is
+      // unambiguous and stays accepted.
+      val allowedIdName =
+        if (allowed.columns.contains(graph.idCol)) graph.idCol
+        else if (allowed.columns.length == 1) allowed.columns.head
+        else throw new IllegalArgumentException(
+          s"searchFiltered: allowed-id set has columns " +
+            s"[${allowed.columns.mkString(", ")}] and none is the graph id " +
+            s"column '${graph.idCol}' — pass a single-column DataFrame or " +
+            s"name the id column '${graph.idCol}'.")
+      val allowedIds = allowed.select(col(allowedIdName).as("_ga_node"))
       // materialized once (queries × k rows): the fallback plan reads the
       // cut three times (fill counts, the kept side, the deficient
       // anti-join) and would otherwise re-run the top-k per read

@@ -22,4 +22,30 @@ object CheckpointBridge {
     df.queryExecution.analyzed.collectFirst {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
+
+  /** Run `f` over `df` rebound to a CLONED session whose SQLConf has AQE
+    * disabled, then rebind the result to the ORIGINAL session. The scoped
+    * clone replaces the earlier toggle-and-restore on the shared session
+    * conf, which raced: two concurrent pinning jobs could interleave their
+    * save/restore (one could re-save the other's "false" as the value to
+    * restore, leaving the session AQE-off for good), and any unrelated
+    * query submitted during the window ran AQE-off. A cloned session
+    * shares the SparkContext (same executors, same cached RDDs) but owns
+    * its SQLConf, so nothing global is ever touched. The use case is
+    * `repartition(key).localCheckpoint()` pinning: under AQE the recorded
+    * outputPartitioning is `UnknownPartitioning`, under a plain planner it
+    * is `hashpartitioning(key, N)` — and the `LogicalRDD` produced by the
+    * checkpoint carries that partitioning with it across the rebind, so
+    * downstream equi-joins in the original (AQE-on) session still elide
+    * the exchange.
+    */
+  def withAqeOff(df: DataFrame)(f: DataFrame => DataFrame): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val cloned = session.cloneSession()
+    cloned.conf.set("spark.sql.adaptive.enabled", "false")
+    val rebound = org.apache.spark.sql.classic.Dataset.ofRows(
+      cloned, df.queryExecution.logical)
+    val out = f(rebound)
+    org.apache.spark.sql.classic.Dataset.ofRows(session, out.queryExecution.logical)
+  }
 }

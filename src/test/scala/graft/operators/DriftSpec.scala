@@ -86,6 +86,37 @@ class DriftSpec extends SparkSpec {
     assert(ex.getMessage.contains("smaller than"), s"got: ${ex.getMessage}")
   }
 
+  test("numeric CATEGORIES are valid: year-like values never trip the range guard") {
+    // categoricalDrift's "bucket" column carries raw category VALUES —
+    // year=2024 with domain=5 is a legal call (PSI/KL never index by the
+    // value); the hashed-space range guard must not apply here
+    val ref = Seq(2020L, 2021L, 2021L, 2024L).toDF("year")
+    val cur = Seq(2021L, 2024L, 2024L, 2024L).toDF("year")
+    val r = Drift.categoricalDrift(ref, cur, "year", domain = 5).head()
+    assert(r.getAs[Long]("n_buckets_present") == 3L)
+    assert(r.getAs[Double]("psi") > 0.0, "shifted shares drift")
+    // and the same shares under relabeled categories score identically —
+    // the drift value depends on counts only, never on the values
+    val refS = Seq("a", "b", "b", "c").toDF("cat")
+    val curS = Seq("b", "c", "c", "c").toDF("cat")
+    val s = Drift.categoricalDrift(refS, curS, "cat", domain = 5).head()
+    assert(r.getAs[Double]("psi") == s.getAs[Double]("psi"))
+    assert(r.getAs[Double]("kl_ref_cur") == s.getAs[Double]("kl_ref_cur"))
+  }
+
+  test("the validation guard survives selecting only kl_ref_cur") {
+    // the _guard rides BOTH metric columns: a caller projecting only the
+    // KL must still hit the domain-undercount error, not a silent negative
+    // floor term
+    val ref = Seq("a", "b", "c").toDF("cat")
+    val cur = Seq("a", "a", "b").toDF("cat")
+    val ex = intercept[Exception] {
+      Drift.categoricalDrift(ref, cur, "cat", domain = 2)
+        .select("kl_ref_cur").head()
+    }
+    assert(ex.getMessage.contains("smaller than"), s"got: ${ex.getMessage}")
+  }
+
   test("numeric bucket ids outside [0, buckets) fail loudly") {
     val ref = Seq((0L, 3L), (9L, 2L)).toDF("bucket", "cnt") // id 9 ∉ [0, 8)
     val cur = Seq((0L, 1L), (1L, 4L)).toDF("bucket", "cnt")

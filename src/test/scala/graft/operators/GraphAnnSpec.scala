@@ -341,6 +341,149 @@ class GraphAnnSpec extends SparkSpec {
     assert(run(one) == run(four))
   }
 
+  test("searchFiltered resolves the allowed-id column by name, not position") {
+    val n = 24
+    val vecs = circle(n)
+    val g = GraphAnn.AnnGraph(vecs, "id", "vec", ring(n))
+    val queries = vecs.filter(col("id").isin(5L, 17L))
+    // multi-column allowed set whose id is NOT first: positional resolution
+    // would semi-join on `reason` (empty intersection → empty walk cut and
+    // a full exact fallback over zero vectors); name resolution must find
+    // `id` wherever it sits
+    val multi = vecs.filter(col("id") % 2 === 1)
+      .select(lit("quality-pass").as("reason"), col("id"))
+    val single = vecs.filter(col("id") % 2 === 1).select("id")
+    def run(allowed: org.apache.spark.sql.DataFrame) =
+      GraphAnn.searchFiltered(g, queries, "id", "vec", k = 4, allowed,
+        beam = n, maxHops = n, nSeeds = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(multi) == run(single),
+      "a multi-column allowed set must filter on the graph id column")
+    assert(run(multi).nonEmpty)
+    // a multi-column set with NO column named like the graph id is
+    // ambiguous — refuse loudly instead of guessing positionally
+    val ambiguous = vecs.filter(col("id") % 2 === 1)
+      .select(col("id").as("x"), col("id").as("y"))
+    val ex = intercept[IllegalArgumentException] {
+      GraphAnn.searchFiltered(g, queries, "id", "vec", k = 4, ambiguous,
+        beam = 4, maxHops = 2, nSeeds = 1)
+    }
+    assert(ex.getMessage.contains("allowed-id"))
+  }
+
+  test("rewriting a hubbed path with a hub-less graph removes the stale hub set") {
+    val vecs = circle(24)
+    val dir = tmpDir("graft-graphann-stalehubs")
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(vecs, "id", "vec", dim = 2, degree = 3,
+        nPlanes = 2, probes = 4, hubs = 4),
+      dir)
+    assert(GraphAnn.readGraph(spark, dir, "id", "vec").hubIds.isDefined)
+    // rebuild WITHOUT a routing layer onto the same path: the old hubs/
+    // dir must go — phantom hub ids would make hub-seeded searches join an
+    // empty set and silently return zero rows
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(vecs, "id", "vec", dim = 2, degree = 3,
+        nPlanes = 2, probes = 4), // hubs = 0
+      dir)
+    val g = GraphAnn.readGraph(spark, dir, "id", "vec")
+    assert(g.hubIds.isEmpty, "stale hubs/ dir must be deleted on rewrite")
+    val got = GraphAnn.search(g, vecs.filter(col("id") === 20L), "id", "vec",
+      k = 2, beam = 24, maxHops = 24, nSeeds = 2, seedHubs = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(got.nonEmpty, "hub-seeded search over the hubless rewrite still answers")
+  }
+
+  test("append caps its per-src edge contribution at degree") {
+    val n = 60
+    val vecs = circle(n)
+    val dir = tmpDir("graft-graphann-degcap")
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(vecs.filter(col("id") < 40L), "id", "vec",
+        dim = 2, degree = 3, nPlanes = 2, probes = 4),
+      dir)
+    GraphAnn.appendToGraph(spark, dir, vecs.filter(col("id") >= 40L),
+      "id", "vec", dim = 2, degree = 3, nPlanes = 2, probes = 4)
+    val g = GraphAnn.readGraph(spark, dir, "id", "vec")
+    // batch srcs have ONLY the appended edges: symmetrized kNN re-truncated
+    // per src to degree — without the cap, reverse edges land up to 2×k
+    val batchDeg = g.edges.filter(col("src") >= 40L)
+      .groupBy("src").count().agg(max("count")).head().getLong(0)
+    assert(batchDeg <= 3L,
+      s"appended per-src contribution must be <= degree, got $batchDeg")
+  }
+
+  test("compactGraph without pruning pressure only folds files: searches identical") {
+    val n = 40
+    val vecs = circle(n)
+    val dir = tmpDir("graft-graphann-compact-fold")
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(vecs.filter(col("id") < 30L), "id", "vec",
+        dim = 2, degree = 3, nPlanes = 2, probes = 4, hubs = 4),
+      dir)
+    (30 until 40 by 5).foreach { lo =>
+      GraphAnn.appendToGraph(spark, dir,
+        vecs.filter(col("id") >= lo && col("id") < lo + 5), "id", "vec",
+        dim = 2, degree = 3, nPlanes = 2, probes = 4, hubs = 4)
+    }
+    val queries = vecs.filter(col("id") % 9 === 0)
+    def run() = GraphAnn.search(
+      GraphAnn.readGraph(spark, dir, "id", "vec"), queries, "id", "vec",
+      k = 3, beam = n, maxHops = n, nSeeds = 2, seedHubs = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = run()
+    val filesBefore = new java.io.File(s"$dir/edges")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesBefore > 1, "appends fragmented the edge dir (test premise)")
+    // maxDegree far above any real degree: pure fold + duplicate heal —
+    // the edge SET is unchanged, so the full-beam searches must be too
+    GraphAnn.compactGraph(spark, dir, "id", "vec", maxDegree = 1000)
+    assert(run() == before, "fold-only compaction never changes answers")
+    val filesAfter = new java.io.File(s"$dir/edges")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(filesAfter == 1, s"edges fold to one file per partition, got $filesAfter")
+    val e = GraphAnn.readGraph(spark, dir, "id", "vec").edges
+    assert(e.count() == e.distinct().count(), "replay duplicates healed")
+  }
+
+  test("compactGraph re-truncates hot nodes and keeps the routing layer intact") {
+    val n = 60
+    val vecs = circle(n)
+    val dir = tmpDir("graft-graphann-compact-deg")
+    GraphAnn.writeGraph(
+      GraphAnn.buildGraph(vecs.filter(col("id") < 30L), "id", "vec",
+        dim = 2, degree = 4, nPlanes = 2, probes = 4, hubs = 4),
+      dir)
+    // many small appends: cross-append accumulation grows stored degree
+    (30 until 60 by 5).foreach { lo =>
+      GraphAnn.appendToGraph(spark, dir,
+        vecs.filter(col("id") >= lo && col("id") < lo + 5), "id", "vec",
+        dim = 2, degree = 4, nPlanes = 2, probes = 4, hubs = 4)
+    }
+    val hubIds = spark.read.parquet(s"$dir/hubs").collect().map(_.getLong(0)).toSet
+    GraphAnn.compactGraph(spark, dir, "id", "vec", maxDegree = 4)
+    val g = GraphAnn.readGraph(spark, dir, "id", "vec")
+    val edges = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // kNN layer: every non-hub-touching src capped at maxDegree
+    val knnDeg = edges.toSeq
+      .filter { case (s, d) => !hubIds.contains(s) && !hubIds.contains(d) }
+      .groupBy(_._1).map(_._2.size)
+    assert(knnDeg.nonEmpty && knnDeg.max <= 4,
+      s"compaction bounds the kNN out-degree, got max ${knnDeg.max}")
+    // routing survives: full clique + every member still hub-linked
+    for (x <- hubIds; y <- hubIds if x != y)
+      assert(edges.contains((x, y)), s"hub clique edge ($x,$y) lost in compaction")
+    val members = (0L until n.toLong).toSet -- hubIds
+    for (m <- members)
+      assert(hubIds.exists(h => edges.contains((m, h))),
+        s"member $m lost its hub link in compaction")
+    // and the compacted index still answers for appended ids
+    val got = GraphAnn.search(g, vecs.filter(col("id") === 57L), "id", "vec",
+      k = 1, beam = 8, maxHops = 6, nSeeds = 2, seedHubs = 4)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == Set(57L))
+  }
+
   test("hubbed append onto a hub-less index fails fast") {
     val vecs = circle(20)
     val dir = tmpDir("graft-graphann-nohubs")
