@@ -57,31 +57,43 @@ object GraphPlanProbe {
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
     }
-    val configs = rawConfigs.map {
-      case "plan" =>
-        val p = graft.operators.GraphAnn.buildPlan(n, 64, targetRecall = 0.75)
-        println(s"PLANPROBE planned config for n=$n: $p")
-        (p.nPlanes, p.probes, p.degree, 48, 6, p.hubs, p.buildBatches)
-      case s =>
-        val xs = s.split(":").map(_.toInt)
-        (xs(0), xs(1), xs(2),
-          xs.lift(3).getOrElse(32), xs.lift(4).getOrElse(6), xs.lift(5).getOrElse(0),
-          xs.lift(6).getOrElse(1))
-    }
-    var lastBuild: Option[((Int, Int, Int), graft.operators.GraphAnn.AnnGraph)] = None
-    for ((b, r, d, beam, hops, sh, bb) <- configs) {
-      val (g, tB) = lastBuild match {
-        case Some((key, cached)) if key == (b, r, d) => (cached, 0.0) // reuse: search-only sweep
-        case _ => timed {
-          // hub width follows the search's seed-hub request (the planned
-          // stack); plain sweeps keep the historical 64
-          val gr = graft.operators.GraphAnn.buildGraph(shifted, "vec_id", "embedding",
-            dim = 64, degree = d, nPlanes = b, probes = r,
-            hubs = if (sh > 0) sh else 64, buildBatches = bb)
-          gr.edges.count(); gr
-        }
+    // (label, build thunk, beam, hops, seedHubs); "plan" goes through
+    // buildPlanned (so it exercises the planner's lsh/descent dispatch),
+    // "descent:b:d:rounds[:beam:hops:seedHubs]" forces the NN-Descent
+    // path, and b:r:d[:beam:hops:seedHubs[:batches]] forces the LSH path
+    val configs: Seq[(String, () => graft.operators.GraphAnn.AnnGraph, Int, Int, Int)] =
+      rawConfigs.map {
+        case "plan" =>
+          val p = graft.operators.GraphAnn.buildPlan(n, 64, targetRecall = 0.75)
+          println(s"PLANPROBE planned config for n=$n: $p")
+          (s"plan[${p.strategy}] b=${p.nPlanes} r=${p.probes} d=${p.degree} rounds=${p.refineRounds}",
+            () => graft.operators.GraphAnn.buildPlanned(
+              shifted, "vec_id", "embedding", dim = 64, plan = p),
+            48, 6, p.hubs)
+        case s if s.startsWith("descent:") =>
+          val xs = s.stripPrefix("descent:").split(":").map(_.toInt)
+          val (b, d, rounds) = (xs(0), xs(1), xs(2))
+          val sh = xs.lift(5).getOrElse(64)
+          (s"descent b=$b d=$d rounds=$rounds",
+            () => graft.operators.GraphAnn.buildGraphDescent(
+              shifted, "vec_id", "embedding", dim = 64, degree = d,
+              nPlanes = b, refineRounds = rounds, hubs = sh,
+              onRound = (r, sum, nNew) =>
+                println(s"PLANPROBE descent round=$r sumSimMicro=$sum new=$nNew")),
+            xs.lift(3).getOrElse(48), xs.lift(4).getOrElse(6), sh)
+        case s =>
+          val xs = s.split(":").map(_.toInt)
+          val (b, r, d) = (xs(0), xs(1), xs(2))
+          val sh = xs.lift(5).getOrElse(0)
+          (s"lsh b=$b r=$r d=$d batches=${xs.lift(6).getOrElse(1)}",
+            () => graft.operators.GraphAnn.buildGraph(
+              shifted, "vec_id", "embedding", dim = 64, degree = d,
+              nPlanes = b, probes = r, hubs = if (sh > 0) sh else 64,
+              buildBatches = xs.lift(6).getOrElse(1)),
+            xs.lift(3).getOrElse(32), xs.lift(4).getOrElse(6), sh)
       }
-      lastBuild = Some(((b, r, d), g))
+    for ((label, build, beam, hops, sh) <- configs) {
+      val (g, tB) = timed { val gr = build(); gr.edges.count(); gr }
       val nEdges = g.edges.count()
       val (hits, tS) = timed {
         val h = graft.operators.GraphAnn.search(g, cohort, "vec_id", "embedding",
@@ -89,7 +101,7 @@ object GraphPlanProbe {
         h.count(); h
       }
       val rec = graft.operators.Similarity.recallAtK(hits, exact, "vec_id")
-      println(f"PLANPROBE n=$n b=$b r=$r d=$d beam=$beam hops=$hops seedHubs=$sh batches=$bb " +
+      println(f"PLANPROBE n=$n [$label] beam=$beam hops=$hops seedHubs=$sh " +
         f"edges=$nEdges recall@10=$rec%.4f build=$tB%.1fs search=$tS%.1fs")
     }
     spark.stop()

@@ -94,7 +94,18 @@ object GraphAnn {
         * note). 1 = single shot; the union of per-slice kNNs is EXACTLY
         * the single-shot edge set, so batching never changes results.
         */
-      buildBatches: Int = 1
+      buildBatches: Int = 1,
+      /** "lsh" = the single-shot wide-radius kNN join ([[buildGraph]]);
+        * "descent" = cheap radius-1 init + NN-Descent refinement rounds
+        * ([[buildGraphDescent]]). The planner switches to descent exactly
+        * where the LSH path's probe-expansion shuffle would need batching
+        * (volume > one host's spill budget): batching bounds per-pass
+        * spill but not TOTAL shuffled bytes, while descent replaces the
+        * vector-payload probe expansion with id-only candidate exchanges.
+        */
+      strategy: String = "lsh",
+      /** NN-Descent refinement rounds when `strategy == "descent"`. */
+      refineRounds: Int = 0
   )
 
   /** Choose `(nPlanes, probes, degree, hubs)` from corpus size and target
@@ -205,10 +216,28 @@ object GraphAnn {
     val rowBytes = 4.0 * dim + 48 // floats + id/bucket/norm/row overhead
     val volume = probedBuckets(b, r) * n.toDouble * rowBytes
     val batches = math.max(1, math.ceil(volume / (16.0 * 1024 * 1024 * 1024)).toInt)
-    GraphBuildPlan(b, r, degree, hubs, binomCdf(r, b, flipP), batches)
+    if (batches > 1)
+      // the regime where the wide-radius LSH join stops making sense:
+      // batching caps per-pass spill but still shuffles the FULL
+      // probedBuckets × n vector payload (≈ volume bytes; measured ~70 GB
+      // / 1,542 s at 500k × radius-3). NN-Descent builds the same-quality
+      // graph from a radius-1 init (probe volume (1+b) × n — ~30× less)
+      // plus refinement rounds whose candidate exchanges carry ids, not
+      // vectors; each round's one vector-carrying exchange is
+      // ≤ n × sample²/2 rows. Rounds: the paper's convergence is ~O(log n)
+      // from RANDOM inits; from an LSH init 4 rounds reach the plateau
+      // (measured at 500k — see BENCHNOTES), with early exit when a round
+      // stops discovering.
+      GraphBuildPlan(b, probes = 1, degree, hubs, binomCdf(1, b, flipP),
+        buildBatches = 1, strategy = "descent", refineRounds = 4)
+    else GraphBuildPlan(b, r, degree, hubs, binomCdf(r, b, flipP), batches)
   }
 
-  /** [[buildGraph]] under a [[buildPlan]] — the one-call planned build. */
+  /** The one-call planned build: dispatches on the plan's strategy —
+    * wide-radius LSH kNN ([[buildGraph]]) where one pass fits, NN-Descent
+    * ([[buildGraphDescent]]) where the LSH probe expansion would have to
+    * batch.
+    */
   def buildPlanned(
       df: DataFrame,
       idCol: String,
@@ -217,10 +246,15 @@ object GraphAnn {
       plan: GraphBuildPlan,
       maxBucketSize: Int = 10000
   ): AnnGraph =
-    buildGraph(df, idCol, vecCol, dim, degree = plan.degree,
-      nPlanes = plan.nPlanes, probes = plan.probes,
-      maxBucketSize = maxBucketSize, hubs = plan.hubs,
-      buildBatches = plan.buildBatches)
+    if (plan.strategy == "descent")
+      buildGraphDescent(df, idCol, vecCol, dim, degree = plan.degree,
+        nPlanes = plan.nPlanes, refineRounds = plan.refineRounds,
+        maxBucketSize = maxBucketSize, hubs = plan.hubs)
+    else
+      buildGraph(df, idCol, vecCol, dim, degree = plan.degree,
+        nPlanes = plan.nPlanes, probes = plan.probes,
+        maxBucketSize = maxBucketSize, hubs = plan.hubs,
+        buildBatches = plan.buildBatches)
 
   /** Build the k-NN graph: each vector's `degree` approximate nearest
     * neighbors via the LSH two-sided join ([[Similarity.nnJoin]] — banded
@@ -316,6 +350,181 @@ object GraphAnn {
     // checkpoints it folded are no longer referenced — release them
     slices.foreach(s => org.apache.spark.sql.graft.CheckpointBridge.internalRdd(s)
       .foreach(_.unpersist(blocking = false)))
+    AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, edges, hubIds)
+  }
+
+  /** NN-Descent graph build (Dong, Moses, Li — "Efficient k-nearest
+    * neighbor graph construction for generic similarity measures",
+    * WWW 2011), re-expressed relationally — the scale path where
+    * [[buildGraph]]'s wide-radius LSH join stops making sense. The LSH
+    * build's probe expansion shuffles `probedBuckets × n` rows EACH
+    * CARRYING THE VECTOR PAYLOAD (~70 GB at 500k × radius-3 × 64 dims;
+    * query-side batching bounds per-pass spill but not total bytes). This
+    * build inverts the economics:
+    *
+    *   - INIT: one cheap radius-1 LSH kNN join — probe volume
+    *     `(1 + nPlanes) × n` vector rows, ~30× less than radius-3;
+    *     capture is weak (~10% at 500k) and that is fine, it only has to
+    *     beat a random init;
+    *   - REFINE (the NN-Descent observation: a neighbor of a neighbor is
+    *     likely a neighbor): each round samples every node's best
+    *     `sample` current neighbors (out ∪ in — best-first sampling),
+    *     forms the per-node LOCAL JOIN (all pairs among a node's sampled
+    *     neighbors, restricted to pairs with at least one NEW side — the
+    *     paper's incremental-search pruning), anti-joins pairs already in
+    *     the graph, scores the remainder, and folds them into the per-src
+    *     top-`degree` adjacency. Candidate generation and dedup exchange
+    *     ONLY id pairs; scoring pays one id-equi-join per side against
+    *     the hash-pinned vector table — a single vector-carrying exchange
+    *     of `≤ n × sample²/2` rows per round, independent of any probe
+    *     radius;
+    *   - rounds stop early when a round's surviving discoveries fall
+    *     under 0.1% of the adjacency (the paper's δ termination).
+    *
+    * The directed state holds `(src, dst, sim, new)` per-src top-degree
+    * rows — `n × degree` ids, rotated through one localCheckpoint per
+    * round (the PageRank/walk discipline) so refinement holds a constant
+    * number of materialized tables. Monotone by construction: a round's
+    * per-src adjacency is the top-`degree` of a SUPERSET of the previous
+    * round's pool, so each node's j-th-best similarity never regresses
+    * (`onRound` exposes the nano-summed audit trail; GraphAnnSpec pins
+    * the law).
+    *
+    * Output contract matches [[buildGraph]] exactly: symmetrized
+    * undirected edges + optional hub routing layer, pinned
+    * hash-partitioned on `src`.
+    */
+  def buildGraphDescent(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      degree: Int = 8,
+      nPlanes: Int = 8,
+      refineRounds: Int = 4,
+      sampleNeighbors: Int = 0, // 0 → min(degree, 8)
+      maxBucketSize: Int = 10000,
+      hubs: Int = 0,
+      /** Per-round audit hook `(round, sumSimMicro, newEdges)`: the
+        * micro-unit integer sum of all adjacency sims (deterministic —
+        * partition-invariant) and the count of edges the round added.
+        * Round 0 reports the init state.
+        */
+      onRound: (Int, Long, Long) => Unit = (_, _, _) => ()
+  ): AnnGraph = {
+    require(degree > 0, s"degree must be positive, got $degree")
+    require(refineRounds >= 0, s"refineRounds must be >= 0, got $refineRounds")
+    val s = if (sampleNeighbors > 0) sampleNeighbors else math.min(degree, 8)
+
+    // the scored-vector table, hash-pinned on id for the whole build: every
+    // candidate scoring join fetches vectors IN PLACE; only id pairs travel
+    val v = pinPartitionedOn(
+      df.select(col(idCol).as("_nd_node"), col(vecCol).as("_nd_v"))
+        .withColumn("_nd_w", norm(col("_nd_v"))),
+      "_nd_node")
+    val vRdd = org.apache.spark.sql.graft.CheckpointBridge.internalRdd(v)
+
+    def topDeg(edges: DataFrame): DataFrame =
+      edges.groupBy(col("_nd_src"))
+        .agg(expr(s"top_k(struct(_nd_sim, _nd_dst, _nd_new), $degree)").as("_t"))
+        .select(col("_nd_src"), explode(col("_t")).as("_x"))
+        .select(col("_nd_src"), col("_x._nd_dst").as("_nd_dst"),
+          col("_x._nd_sim").as("_nd_sim"), col("_x._nd_new").as("_nd_new"))
+
+    val held = scala.collection.mutable.Map.empty[String, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    def rotate(slot: String, dfr: DataFrame): (DataFrame, Long) = {
+      val rdd = dfr.rdd
+      rdd.localCheckpoint()
+      val n = rdd.count()
+      held.get(slot).foreach(_.unpersist(blocking = false))
+      held(slot) = rdd
+      (dfr.sparkSession.createDataFrame(rdd, dfr.schema), n)
+    }
+    // deterministic micro-unit sum over the cached state — the audit value
+    def sumSimMicro(st: DataFrame): Long =
+      st.agg(coalesce(sum(round(col("_nd_sim") * 1e6).cast("long")), lit(0L)))
+        .head().getLong(0)
+
+    // round 0: the radius-1 initializer (degree+1 then drop self)
+    val init = Similarity.nnJoin(df, idCol, df, idCol, vecCol, dim,
+      k = degree + 1, nPlanes = nPlanes, probes = 1,
+      maxBucketSize = maxBucketSize)
+      .filter(col("neighbor_id") =!= col(idCol))
+      .select(col(idCol).as("_nd_src"), col("neighbor_id").as("_nd_dst"),
+        col("sim").as("_nd_sim"))
+      .withColumn("_nd_new", lit(true))
+    var (state, stateRows) = rotate("state", topDeg(init))
+    onRound(0, sumSimMicro(state), stateRows)
+
+    var roundNo = 0
+    var converged = false
+    while (roundNo < refineRounds && !converged) {
+      // best-first neighbor sample over the undirected view (out ∪ in)
+      val und = state.unionByName(
+        state.select(col("_nd_dst").as("_nd_src"), col("_nd_src").as("_nd_dst"),
+          col("_nd_sim"), col("_nd_new")))
+      val sampled = und.groupBy(col("_nd_src"))
+        .agg(expr(s"top_k(struct(_nd_sim, _nd_dst, _nd_new), $s)").as("_t"))
+        .select(col("_nd_src").as("_nd_mid"), explode(col("_t")).as("_x"))
+        .select(col("_nd_mid"), col("_x._nd_dst").as("_nd_nbr"),
+          col("_x._nd_new").as("_nd_isnew"))
+      // the local join: pairs among each node's sampled neighbors, at
+      // least one side new; unordered (a < b) so each pair scores once
+      val pa = sampled.select(col("_nd_mid"), col("_nd_nbr").as("_a"),
+        col("_nd_isnew").as("_an"))
+      val pb = sampled.select(col("_nd_mid"), col("_nd_nbr").as("_b"),
+        col("_nd_isnew").as("_bn"))
+      val pairs = pa.join(pb, Seq("_nd_mid"))
+        .filter(col("_a") < col("_b") && (col("_an") || col("_bn")))
+        .select(col("_a"), col("_b")).distinct()
+      // drop pairs the graph already has (either direction): their sims
+      // are known, re-scoring them is pure waste
+      val known = state.select(
+        least(col("_nd_src"), col("_nd_dst")).as("_a"),
+        greatest(col("_nd_src"), col("_nd_dst")).as("_b")).distinct()
+      val cand = pairs.join(known, Seq("_a", "_b"), "left_anti")
+      // score: id-only exchange into the pinned table on _a, then the one
+      // vector-carrying exchange on _b; 6dp rounding BEFORE ranking
+      val scored = cand
+        .join(v.select(col("_nd_node").as("_a"), col("_nd_v").as("_av"),
+          col("_nd_w").as("_aw")), Seq("_a"))
+        .join(v.select(col("_nd_node").as("_b"), col("_nd_v").as("_bv"),
+          col("_nd_w").as("_bw")), Seq("_b"))
+        .select(col("_a"), col("_b"),
+          round(cosineWithNorms(col("_av"), col("_bv"),
+            col("_aw"), col("_bw")), 6).as("_nd_sim"))
+      val additions = scored
+        .select(col("_a").as("_nd_src"), col("_b").as("_nd_dst"), col("_nd_sim"))
+        .unionByName(scored
+          .select(col("_b").as("_nd_src"), col("_a").as("_nd_dst"), col("_nd_sim")))
+        .withColumn("_nd_new", lit(true))
+      val (next, nextRows) = rotate("state", topDeg(
+        state.withColumn("_nd_new", lit(false)).unionByName(additions)))
+      val nNew = next.filter(col("_nd_new")).count()
+      state = next
+      stateRows = nextRows
+      roundNo += 1
+      onRound(roundNo, sumSimMicro(state), nNew)
+      // δ-termination: a round that improves < 0.1% of the adjacency has
+      // converged — later rounds only get smaller
+      if (nNew * 1000L <= stateRows) converged = true
+    }
+
+    val undirected = state.select(col("_nd_src").as("src"), col("_nd_dst").as("dst"))
+    val base = undirected
+      .unionByName(undirected.select(col("dst").as("src"), col("src").as("dst")))
+    val hubIds =
+      if (hubs <= 0) None
+      else Some(df.select(col(idCol)).orderBy(col(idCol)).limit(hubs).localCheckpoint())
+    val edges = pinPartitionedOn(
+      hubIds match {
+        case None => base.distinct()
+        case Some(h) => base.unionByName(hubEdges(df, idCol, vecCol, h)).distinct()
+      },
+      "src")
+    held.values.foreach(_.unpersist(blocking = false))
+    held.clear()
+    vRdd.foreach(_.unpersist(blocking = false))
     AnnGraph(df.select(col(idCol), col(vecCol)), idCol, vecCol, edges, hubIds)
   }
 

@@ -22,6 +22,26 @@ object VectorQueries {
     */
   private def scratchDir(d: String, name: String): String = QueryScratch.fresh(d, name)
 
+  /** The graph-ANN gate family's SHARED index: the four `e2_graph_ann_*`
+    * entries used to each build their own graph over the SAME corpus with
+    * near-identical configs — ~4× the battery's single most expensive
+    * build, all duplicated work. One (degree=12, nPlanes=8, probes=2,
+    * hubs=64) build per sf dir now serves every gate entry in the family
+    * (the filtered entries' oracles are EXACT — the brute-force answer
+    * over the allowed set — so the shared degree changes nothing; the
+    * approximate gate's floor only gains margin from degree 8→12). Keyed
+    * by sf dir; one JVM run (Verify / Bench) sees one testdata generation,
+    * so the cache can never serve stale vectors. The cached edges are a
+    * localCheckpointed id-pair table (≤ 2 × degree × corpus rows — tiny).
+    */
+  private val gateGraphCache =
+    new java.util.concurrent.ConcurrentHashMap[String, GraphAnn.AnnGraph]()
+  private def gateGraph(s: org.apache.spark.sql.SparkSession, d: String): GraphAnn.AnnGraph =
+    gateGraphCache.computeIfAbsent(d, _ =>
+      GraphAnn.buildGraph(
+        embeddings(s, d).filter(col("vec_id") % 20 =!= 0), "vec_id", "embedding",
+        dim = 64, degree = 12, nPlanes = 8, probes = 2, hubs = 64))
+
   val all: Map[String, Q] = Map(
 
     // E2: brute-force cosine top-k — scan → project → TakeOrdered, no shuffle.
@@ -968,9 +988,13 @@ object VectorQueries {
           .select(col("_qid").as("vec_id"), col("_t._cid").as("neighbor_id"))
         val recall = Similarity.recallAtK(approx, exact, "vec_id")
         val nq = queries.count()
+        // band checks only — a planner recalibration that keeps recall must
+        // not break the battery (the exact planner laws live in
+        // DataShapingSpec, where recalibrating them is a deliberate edit)
         val planSane = plan.probes >= 1 && plan.probes <= plan.nPlanes &&
           plan.nPlanes >= 4 && plan.nPlanes <= 16 &&
-          plan.degree == 16 && plan.hubs >= 16 && plan.hubs <= 256
+          plan.degree >= 8 && plan.degree <= 64 &&
+          plan.hubs >= 16 && plan.hubs <= 256
         Seq((nq, recall >= 0.85, planSane))
           .toDF("n_queries", "recall_ok", "plan_sane")
       },
@@ -986,8 +1010,7 @@ object VectorQueries {
         val vecs = embeddings(s, d)
         val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
         val queries = vecs.filter(col("vec_id") % 20 === 0)
-        val graph = GraphAnn.buildGraph(corpus, "vec_id", "embedding",
-          dim = 64, degree = 12, nPlanes = 8, probes = 2, hubs = 64)
+        val graph = gateGraph(s, d)
         val approx = GraphAnn.search(graph, queries, "vec_id", "embedding",
           k = 10, beam = 32, maxHops = 4, nSeeds = 16, seedHubs = 64)
         val exact = queries.select(col("vec_id").as("_qid"), col("embedding").as("_qv"))
@@ -1018,8 +1041,7 @@ object VectorQueries {
         val vecs = embeddings(s, d)
         val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
         val queries = vecs.filter(col("vec_id") % 100 === 0)
-        val graph = GraphAnn.buildGraph(corpus, "vec_id", "embedding",
-          dim = 64, degree = 8, nPlanes = 8, probes = 2, hubs = 64)
+        val graph = gateGraph(s, d)
         val allowed = corpus.filter(col("vec_id") % 3 === 0).select(col("vec_id"))
         GraphAnn.searchFiltered(graph, queries, "vec_id", "embedding", k = 5,
           allowed, beam = 4096, maxHops = 8, nSeeds = 16)
@@ -1064,8 +1086,7 @@ object VectorQueries {
         val vecs = embeddings(s, d)
         val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
         val queries = vecs.filter(col("vec_id") % 50 === 0)
-        val graph = GraphAnn.buildGraph(corpus, "vec_id", "embedding",
-          dim = 64, degree = 12, nPlanes = 8, probes = 2, hubs = 64)
+        val graph = gateGraph(s, d)
         val allowed = corpus.filter(col("vec_id") % 97 === 0).select(col("vec_id"))
         GraphAnn.searchFiltered(graph, queries, "vec_id", "embedding", k = 8,
           allowed, beam = 8, maxHops = 2, nSeeds = 8, seedHubs = 64)
@@ -1093,6 +1114,40 @@ object VectorQueries {
              |  FROM scored)
              |SELECT qid AS vec_id, nid AS neighbor_id, sim
              |FROM ranked WHERE rn <= 8""".stripMargin),
+      Seq("E2", "J1")
+    ),
+
+    // The MID-SELECTIVITY companion (~30% allowed): pins the fill
+    // contract's COMPLEMENTARY COST REGIME — at moderate selectivity a
+    // production-shaped walk (beam 64, 4 hops, hub-seeded) fills k for
+    // every query on its own, so the exact fallback's deficient cohort is
+    // EMPTY and its cross-product cost is zero. n_fallback counts the
+    // queries a fallback would have to re-answer (walk-only fill < k);
+    // the oracle pins it at exactly 0. Together with _sparse (fallback
+    // answers everything) this brackets the DiskANN-filtered design:
+    // exact re-scoring only ever pays when the allowed set is small.
+    "e2_graph_ann_filtered_mid" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val vecs = embeddings(s, d)
+        val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
+        val queries = vecs.filter(col("vec_id") % 50 === 0)
+        val graph = gateGraph(s, d)
+        val allowed = corpus.filter(col("vec_id") % 10 < 3).select(col("vec_id"))
+        val walkOnly = GraphAnn.searchFiltered(graph, queries, "vec_id",
+          "embedding", k = 8, allowed, beam = 64, maxHops = 4, nSeeds = 16,
+          seedHubs = 64, fallback = false)
+        val filled = walkOnly.groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("_nhits"))
+          .filter(col("_nhits") >= 8).count()
+        val nq = queries.count()
+        val nFallback = nq - filled
+        Seq((nq, nFallback, nFallback == 0L))
+          .toDF("n_queries", "n_fallback", "mid_fill_ok")
+      },
+      Some("""SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             |       CAST(0 AS BIGINT) AS n_fallback, TRUE AS mid_fill_ok
+             |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin),
       Seq("E2", "J1")
     ),
 

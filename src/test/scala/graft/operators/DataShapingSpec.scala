@@ -243,27 +243,58 @@ class DataShapingSpec extends SparkSpec {
     def plan(n: Long, t: Double) = GraphAnn.buildPlan(n, 64, t)
     // deterministic
     assert(plan(200000, 0.75) == plan(200000, 0.75))
-    // the 200k-probe pin: the planned config is the one measured >= 0.80
-    // recall@10 on the GraphPlanProbe cloud (vs 0.64 unplanned radius-1)
+    // the LSH-regime pin (20k: one probe pass fits a host with ease)
+    val p20k = plan(20000, 0.75)
+    assert(p20k.strategy == "lsh" && p20k.nPlanes == 9 && p20k.probes == 2 &&
+      p20k.degree == 12 && p20k.buildBatches == 1,
+      s"planned 20k config drifted: $p20k")
+    // the descent-regime pin: at 200k the radius-3 probe expansion models
+    // past the 16 GB single-pass budget, so the planner hands the build to
+    // NN-Descent — radius-1 init, same occupancy-band planes, same
+    // degree/hub tiers, >= 3 refinement rounds
     val p200k = plan(200000, 0.75)
-    assert(p200k.nPlanes == 13 && p200k.probes == 3 && p200k.degree == 12,
+    assert(p200k.strategy == "descent" && p200k.probes == 1 &&
+      p200k.refineRounds >= 3 && p200k.buildBatches == 1,
       s"planned 200k config drifted: $p200k")
-    assert(p200k.hubs == 256 && p200k.predictedCapture > 0.5)
+    assert(p200k.nPlanes == 13 && p200k.degree == 12 && p200k.hubs == 256)
+    // the strategy switch tracks the single-pass spill budget (modeled
+    // probe volume probedBuckets × n × rowBytes vs 16 GB)
+    assert(plan(50000, 0.75).strategy == "lsh" &&
+      plan(500000, 0.75).strategy == "descent",
+      "50k stays lsh, 500k descends")
     // corpus growth never shrinks the bucket space
     val bs = Seq(2000L, 20000L, 200000L, 2000000L, 20000000L)
       .map(plan(_, 0.8).nPlanes)
     assert(bs == bs.sorted, s"nPlanes must be monotone in corpus size: $bs")
     // higher targets never plan less modeled candidate work (the radius/
-    // plane pair can shift, so the law is on the work product, not fields)
+    // plane pair can shift, so the law is on the work product, not
+    // fields). The law is an LSH-regime law: descent plans do their extra
+    // work in refinement rounds, not probe radius, so the comparison only
+    // ranges over targets the planner keeps on the lsh path.
     def work(p: GraphAnn.GraphBuildPlan, n: Long): Double = {
       val probed = (0 to p.probes).map { i =>
         var c = 1.0; (0 until i).foreach(j => c = c * (p.nPlanes - j) / (j + 1)); c
       }.sum
       probed * n / math.pow(2.0, p.nPlanes)
     }
-    for (n <- Seq(2000L, 200000L, 5000000L)) {
-      val ws = Seq(0.55, 0.7, 0.8, 0.9).map(t => work(plan(n, t), n))
+    for (n <- Seq(2000L, 20000L)) {
+      // high targets at moderate n can legitimately blow the single-pass
+      // budget (20k @ 0.9 models 90 GB of probe volume) — the monotone law
+      // ranges over the targets that stay on the lsh path
+      val ps = Seq(0.55, 0.7, 0.8, 0.9).map(t => plan(n, t))
+        .filter(_.strategy == "lsh")
+      assert(ps.size >= 2, s"premise: some lsh-regime targets at n=$n")
+      val ws = ps.map(work(_, n))
       assert(ws == ws.sorted, s"modeled work must be monotone in target at n=$n: $ws")
+    }
+    // descent-regime laws: the strategy never narrows the degree/hub
+    // bands, and refinement depth is a constant floor, not target-scaled
+    for (n <- Seq(200000L, 5000000L); t <- Seq(0.55, 0.75, 0.9)) {
+      val p = plan(n, t)
+      if (p.strategy == "descent") {
+        assert(p.probes == 1 && p.refineRounds >= 3 && p.buildBatches == 1,
+          s"descent plan shape at n=$n t=$t: $p")
+      }
     }
     // cost guard: modeled candidates stay under max(10% of corpus, 2000)
     // per vector unless the plane budget is exhausted

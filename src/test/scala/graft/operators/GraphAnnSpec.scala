@@ -484,6 +484,74 @@ class GraphAnnSpec extends SparkSpec {
     assert(got == Set(57L))
   }
 
+  test("NN-Descent build: refinement rounds monotonically improve the adjacency") {
+    // deterministic pseudo-random ALL-POSITIVE 16-dim vectors: every
+    // pairwise cosine is >= 0, so the per-src top-degree pool only ever
+    // GROWS across rounds and the micro-summed adjacency similarity is a
+    // deterministic monotone non-decreasing sequence (the law the
+    // refinement loop guarantees by construction). 12 planes over 200
+    // vectors starve the buckets, so the radius-1 init is genuinely weak
+    // and refinement has real work to do (circle data is too easy: its
+    // LSH buckets are contiguous arcs and the init is already perfect)
+    val rnd = new scala.util.Random(42) // fixed seed: deterministic law
+    val vecs = (0 until 300).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() + 0.01f))
+    }.toDF("id", "vec")
+    val stats = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    val g = GraphAnn.buildGraphDescent(vecs, "id", "vec", dim = 16,
+      degree = 4, nPlanes = 12, refineRounds = 4,
+      onRound = (r, sum, nNew) => stats += ((r, sum, nNew)))
+    assert(stats.nonEmpty && stats.head._1 == 0, "round 0 reports the init")
+    val sums = stats.map(_._2)
+    assert(sums.zip(sums.tail).forall { case (a, b) => b >= a },
+      s"adjacency quality must never regress across rounds: $sums")
+    assert(stats.size > 1 && sums.last > sums.head,
+      s"refinement must actually improve a weak radius-1 init: $sums")
+    // the refined graph has the buildGraph output contract
+    val edges = g.edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.forall { case (s, d) => s != d }, "no self edges")
+    val set = edges.toSet
+    assert(set.forall { case (s, d) => set.contains((d, s)) }, "symmetric")
+    assert(edges.length == set.size, "distinct")
+  }
+
+  test("NN-Descent build searches as well as the wide-radius LSH build") {
+    val n = 120
+    val vecs = circle(n)
+    val queries = vecs.filter(col("id") % 11 === 0)
+    val exact = bruteTopK(vecs, queries, 5)
+      .select(col("id"), col("neighbor_id"))
+    def recall(g: GraphAnn.AnnGraph): Double =
+      Similarity.recallAtK(
+        GraphAnn.search(g, queries, "id", "vec", k = 5, beam = 16,
+          maxHops = 6, nSeeds = 4, seedHubs = 8),
+        exact, "id")
+    val lsh = GraphAnn.buildGraph(vecs, "id", "vec", dim = 2, degree = 4,
+      nPlanes = 4, probes = 4, hubs = 8)
+    val descent = GraphAnn.buildGraphDescent(vecs, "id", "vec", dim = 2,
+      degree = 4, nPlanes = 6, refineRounds = 4, hubs = 8)
+    val (rLsh, rDescent) = (recall(lsh), recall(descent))
+    assert(rDescent >= 0.9, s"descent recall $rDescent under 0.9")
+    assert(rDescent >= rLsh - 0.05,
+      s"descent ($rDescent) must match the exhaustive-probe LSH build ($rLsh)")
+  }
+
+  test("planner switches to descent exactly where the LSH build would batch") {
+    // battery-sized corpus (sf0.1 keeps ~1.9k vectors): single LSH pass
+    // fits — plan stays lsh, battery entries keep their proven path
+    val small = GraphAnn.buildPlan(1900, 64, targetRecall = 0.9)
+    assert(small.strategy == "lsh" && small.buildBatches == 1 && small.refineRounds == 0)
+    // 500k × the planned radius: probe volume far past one host's spill
+    // budget — the planner must hand the build to NN-Descent instead of
+    // shipping the same bytes in slices
+    val big = GraphAnn.buildPlan(500000, 64, targetRecall = 0.75)
+    assert(big.strategy == "descent",
+      s"500k build must plan descent, got $big")
+    assert(big.refineRounds >= 3 && big.probes == 1 && big.buildBatches == 1)
+    assert(big.degree == 12 && big.hubs >= 16 && big.hubs <= 256,
+      "degree/hub bands unchanged by the strategy switch")
+  }
+
   test("hubbed append onto a hub-less index fails fast") {
     val vecs = circle(20)
     val dir = tmpDir("graft-graphann-nohubs")
