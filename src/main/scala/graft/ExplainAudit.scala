@@ -487,6 +487,37 @@ object ExplainAudit {
           .queryExecution.executedPlan.toString
         p.contains("partial_top_k") && !p.contains("CartesianProduct")
       }),
+      // NN-Descent refinement round: the local join (pairs among each
+      // node's sampled neighbors) must exchange ID PAIRS only — the whole
+      // point of the descent build is that no refinement exchange carries
+      // the vector payload; vectors are fetched by id-equi-join against
+      // the hash-pinned table at scoring time. The invariant reproduces
+      // the round's candidate pipeline over a real adjacency and asserts
+      // every Exchange keys on id columns with no vector in flight.
+      ("descent refinement local join exchanges id pairs, no vector payload", {
+        import org.apache.spark.sql.functions._
+        val vecs = Tables.embeddings(spark, sfDir)
+        val adj = graft.operators.Similarity.nnJoin(vecs, "vec_id", vecs, "vec_id",
+          "embedding", dim = 64, k = 5, nPlanes = 6, probes = 1)
+          .filter(col("neighbor_id") =!= col("vec_id"))
+          .select(col("vec_id").as("_nd_src"), col("neighbor_id").as("_nd_dst"),
+            col("sim").as("_nd_sim"))
+          .localCheckpoint()
+        val und = adj.unionByName(adj.select(col("_nd_dst").as("_nd_src"),
+          col("_nd_src").as("_nd_dst"), col("_nd_sim")))
+        val sampled = und
+          .withColumn("_nd_h", xxhash64(col("_nd_src"), col("_nd_dst"), lit(1)))
+          .groupBy(col("_nd_src"))
+          .agg(expr("top_k(struct(_nd_h, _nd_dst), 8)").as("_t"))
+          .select(col("_nd_src").as("_nd_mid"), explode(col("_t")).as("_x"))
+          .select(col("_nd_mid"), col("_x._nd_dst").as("_nd_nbr"))
+        val pairs = sampled.select(col("_nd_mid"), col("_nd_nbr").as("_a"))
+          .join(sampled.select(col("_nd_mid"), col("_nd_nbr").as("_b")), Seq("_nd_mid"))
+          .filter(col("_a") < col("_b")).select(col("_a"), col("_b")).distinct()
+        val p = pairs.queryExecution.executedPlan.toString
+        p.contains("partial_top_k") && !p.contains("embedding") &&
+          !p.contains("CartesianProduct")
+      }),
       // semantic decontamination: the eval side must BROADCAST (nested-loop
       // against a broadcast relation is the intended bounded plan); the
       // corpus side must reach the join without any Exchange

@@ -459,12 +459,22 @@ object GraphAnn {
     var roundNo = 0
     var converged = false
     while (roundNo < refineRounds && !converged) {
-      // best-first neighbor sample over the undirected view (out ∪ in)
+      // uniform neighbor sample over the undirected view (out ∪ in) — the
+      // paper's ρ-sampling made deterministic: rank by a per-round hash of
+      // the edge and keep s. NOT best-first: sampling a node's top-s by
+      // similarity stagnates on clustered corpora (an exact-duplicate
+      // clique's best neighbors are each other, so its local join only
+      // ever re-proposes the clique — measured at 500k: round 1 added 49
+      // edges and refinement died at the init's recall). The round number
+      // salts the hash so successive rounds explore different slices of
+      // each adjacency.
       val und = state.unionByName(
         state.select(col("_nd_dst").as("_nd_src"), col("_nd_src").as("_nd_dst"),
           col("_nd_sim"), col("_nd_new")))
-      val sampled = und.groupBy(col("_nd_src"))
-        .agg(expr(s"top_k(struct(_nd_sim, _nd_dst, _nd_new), $s)").as("_t"))
+      val sampled = und
+        .withColumn("_nd_h", xxhash64(col("_nd_src"), col("_nd_dst"), lit(roundNo)))
+        .groupBy(col("_nd_src"))
+        .agg(expr(s"top_k(struct(_nd_h, _nd_dst, _nd_new), $s)").as("_t"))
         .select(col("_nd_src").as("_nd_mid"), explode(col("_t")).as("_x"))
         .select(col("_nd_mid"), col("_x._nd_dst").as("_nd_nbr"),
           col("_x._nd_new").as("_nd_isnew"))
