@@ -1,0 +1,490 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Snapshot-versioned parquet tables: a manifest-log commit protocol giving
+  * the lake ACID appends, copy-on-write deletes, time travel, incremental
+  * (CDC) reads, manifest-side file skipping, and snapshot-aware compaction
+  * + retention — the table-format discipline (Iceberg/Delta-style, from the
+  * published designs) that a 100 TB corpus needs and a bare parquet
+  * directory cannot give:
+  *
+  *  - **Planning without listing.** At 100 TB a table is O(10^6) files;
+  *    object-store LIST is slow, rate-limited, and eventually consistent.
+  *    Every read here resolves `_current` (one tiny file) → one manifest
+  *    dataset → the exact file set. No directory listing on the read path.
+  *  - **Snapshot isolation.** Data files are immutable and manifests are
+  *    per-version; a reader that pinned version N is untouched by any
+  *    concurrent append/delete/compact, which only ever add new files and
+  *    swap the pointer.
+  *  - **Manifest-side pruning.** Per-file min/max stats for numeric
+  *    columns live in the manifest, so a range predicate skips files
+  *    during PLANNING — before a single parquet footer is opened. (Footer
+  *    row-group pruning still applies inside the files that survive.)
+  *  - **Incremental consumption.** `added_v` on every file entry makes
+  *    "what changed between v_i and v_j" a manifest query; downstream
+  *    incremental jobs ([[IncrementalAgg]]) re-read only the delta.
+  *
+  * Layout under `tablePath`:
+  * {{{
+  *   _current                # text: the committed version number (atomic swap)
+  *   _log/v00000007/         # manifest for v7: Spark-written JSON dataset of
+  *                           #   1 "commit" row (op/parent/ts) + N "file" rows
+  *   data/c00000007-x3f9/    # immutable data-file group written by commit 7
+  * }}}
+  *
+  * The manifest is itself a Spark dataset — carrying the parent's file list
+  * forward into a child manifest is a distributed union + write, never a
+  * driver materialization, so manifest maintenance scales with cluster size
+  * exactly like Iceberg's manifest-list rewrite. Only the PATH STRINGS of
+  * the post-pruning file set are collected at plan time (the same driver
+  * cost Spark's own `InMemoryFileIndex` pays).
+  *
+  * Commit protocol (single-writer-per-table discipline, same staged-write +
+  * checked-swap family as `ChunkStore`/`TextSearch.compactIndex`):
+  * data files land under a fresh `data/c<version>-<token>/` dir, the new
+  * manifest lands under `_log/v<version>/`, and only then does `_current`
+  * swap via an atomic rename. A crash before the swap leaves the table
+  * bit-for-bit at the old version with only unreferenced garbage behind
+  * (reclaimed by [[expire]]); a concurrent committer is detected by
+  * re-reading `_current` before the swap (optimistic concurrency). The
+  * pointer swap uses `java.nio` ATOMIC_MOVE — atomic on POSIX and HDFS-style
+  * stores; an S3-class store would substitute a conditional PUT here.
+  */
+object Snapshots {
+
+  /** One data file as recorded in a manifest. `path` is table-relative so
+    * tables can be moved/cloned wholesale. Stats maps hold min/max per
+    * numeric column (absent when a file is all-null for that column —
+    * which correctly disables skipping for it).
+    */
+  final case class FileEntry(
+      path: String,
+      rows: Long,
+      bytes: Long,
+      addedV: Long,
+      statsMin: Map[String, Double],
+      statsMax: Map[String, Double])
+
+  final case class CommitInfo(version: Long, parent: Long, op: String, ts: String)
+
+  /** A planned scan: how many files the manifest holds vs how many survive
+    * stats pruning, and the DataFrame reading exactly the survivors.
+    */
+  final case class ScanPlan(filesTotal: Long, filesScanned: Long, df: DataFrame)
+
+  private val manifestSchema = StructType(Seq(
+    StructField("kind", StringType),
+    StructField("version", LongType),
+    StructField("parent", LongType),
+    StructField("op", StringType),
+    StructField("ts", StringType),
+    StructField("path", StringType),
+    StructField("rows", LongType),
+    StructField("bytes", LongType),
+    StructField("stats_min", MapType(StringType, DoubleType)),
+    StructField("stats_max", MapType(StringType, DoubleType))))
+
+  private def vdir(table: String, v: Long) = f"$table/_log/v$v%08d"
+  private def currentPath(table: String) = s"$table/_current"
+
+  /** The committed version, or None for a non-table / pre-create path. */
+  def currentVersion(table: String): Option[Long] = {
+    val p = JPaths.get(currentPath(table))
+    if (JFiles.exists(p))
+      Some(new String(JFiles.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+    else None
+  }
+
+  private def requireVersion(table: String): Long =
+    currentVersion(table).getOrElse(
+      throw new IllegalArgumentException(s"not a snapshot table (no _current): $table"))
+
+  /** Read a version's manifest as a DataFrame (schema-on-read; no inference). */
+  private def manifest(spark: SparkSession, table: String, v: Long): DataFrame =
+    spark.read.schema(manifestSchema).json(vdir(table, v))
+
+  private def fileRows(spark: SparkSession, table: String, v: Long): DataFrame =
+    manifest(spark, table, v).filter(col("kind") === "file")
+
+  def commitInfo(spark: SparkSession, table: String, v: Long): CommitInfo = {
+    val r = manifest(spark, table, v).filter(col("kind") === "commit")
+      .select("version", "parent", "op", "ts").head()
+    CommitInfo(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+  }
+
+  /** Atomically swap `_current` from `expectedParent` to `v`. Optimistic
+    * concurrency: a committer that lost the race fails here, with its data
+    * + manifest left as unreferenced garbage for [[expire]].
+    */
+  private def swapCurrent(table: String, expectedParent: Long, v: Long): Unit = {
+    val seen = currentVersion(table).getOrElse(-1L)
+    if (seen != expectedParent)
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot commit conflict at $table: expected parent $expectedParent, found $seen")
+    val tmp = JPaths.get(s"${currentPath(table)}.swap-$v")
+    JFiles.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
+    JFiles.move(tmp, JPaths.get(currentPath(table)),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Numeric top-level columns — the default stats set. */
+  private def numericCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect { case StructField(n, _: NumericType, _, _) => n }.toSeq
+
+  /** Write `df`'s rows as a fresh immutable file group for commit `v` and
+    * return their manifest entries. Stats come from ONE pass over the
+    * just-written files (grouped by `input_file_name`), so the cost is a
+    * scan of the delta, never of the table.
+    */
+  private def writeFileGroup(
+      spark: SparkSession,
+      table: String,
+      v: Long,
+      df: DataFrame,
+      statsCols: Seq[String],
+      maxRecordsPerFile: Long): DataFrame = {
+    // random token per ATTEMPT: a crashed attempt's group dir never blocks
+    // the retry (its garbage is unreferenced and reclaimed by expire)
+    val token = java.util.UUID.randomUUID().toString.take(8)
+    val rel = f"data/c$v%08d-$token"
+    val dir = s"$table/$rel"
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode(SaveMode.ErrorIfExists).parquet(dir)
+
+    val stats = statsCols.filter(df.columns.contains)
+    val written = spark.read.parquet(dir)
+    val aggs =
+      count(lit(1)).cast(LongType).as("rows") +:
+        stats.flatMap(c => Seq(
+          min(col(c)).cast(DoubleType).as(s"__min_$c"),
+          max(col(c)).cast(DoubleType).as(s"__max_$c")))
+    val perFile = written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
+
+    // file sizes from one listing of the JUST-WRITTEN group dir (bounded by
+    // the delta's file count, not the table's)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(new Path(dir)).collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") =>
+        (st.getPath.getName, st.getLen)
+    }.toMap
+    val sizeLookup = typedLit(sizes)
+
+    def statsMap(prefix: String) =
+      if (stats.isEmpty) typedLit(Map.empty[String, Double])
+      else map_filter(
+        map(stats.flatMap(c => Seq(lit(c), col(s"${prefix}_$c"))): _*),
+        (_, mv) => mv.isNotNull)
+    perFile.select(
+      lit(v).as("version"),
+      concat(lit(rel + "/"), element_at(split(col("__file"), "/"), -1)).as("path"),
+      col("rows"),
+      element_at(sizeLookup, element_at(split(col("__file"), "/"), -1)).as("bytes"),
+      statsMap("__min").as("stats_min"),
+      statsMap("__max").as("stats_max"))
+  }
+
+  private def commitRow(spark: SparkSession, v: Long, parent: Long, op: String): DataFrame = {
+    import spark.implicits._
+    Seq((v, parent, op)).toDF("version", "parent", "op")
+      .select(
+        lit("commit").as("kind"), col("version"), col("parent"), col("op"),
+        date_format(current_timestamp(), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts"),
+        lit(null: String).as("path"), lit(null: java.lang.Long).cast(LongType).as("rows"),
+        lit(null: java.lang.Long).cast(LongType).as("bytes"),
+        typedLit(Map.empty[String, Double]).as("stats_min"),
+        typedLit(Map.empty[String, Double]).as("stats_max"))
+  }
+
+  /** Align a file-entry DataFrame to the manifest schema (file rows keep
+    * their own version column = added_v).
+    */
+  private def asManifestRows(files: DataFrame): DataFrame =
+    files.select(
+      lit("file").as("kind"), col("version"), lit(-1L).as("parent"),
+      lit(null: String).as("op"), lit(null: String).as("ts"),
+      col("path"), col("rows"), col("bytes"), col("stats_min"), col("stats_max"))
+
+  private def writeManifest(
+      spark: SparkSession, table: String, v: Long, parent: Long, op: String,
+      files: DataFrame): Unit = {
+    // a leftover _log/v<v> can only be a crashed or lost-race attempt
+    // (anything committed has _current >= v, checked by swapCurrent before
+    // we could get here with this v) — clear it so the retry proceeds
+    val dir = new Path(vdir(table, v))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir) && currentVersion(table).forall(_ < v)) fs.delete(dir, true): Unit
+    commitRow(spark, v, parent, op).unionByName(asManifestRows(files))
+      .coalesce(1)
+      .write.mode(SaveMode.ErrorIfExists).json(vdir(table, v))
+  }
+
+  /** Initialize an empty snapshot table at version 0. */
+  def create(spark: SparkSession, table: String): Unit = {
+    require(currentVersion(table).isEmpty, s"snapshot table already exists: $table")
+    JFiles.createDirectories(JPaths.get(table))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(manifestSchema.filterNot(_.name == "kind").toSeq))
+    writeManifest(spark, table, 0L, -1L, "create",
+      empty.withColumn("version", lit(0L)))
+    swapCurrent(table, -1L, 0L)
+  }
+
+  /** Append `df` as a new commit; returns the new version. One job writes
+    * the delta, one scans it for stats, one rewrites the manifest (parent
+    * file list carried forward distributively). The table's existing data
+    * files are never read or touched.
+    */
+  def append(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      statsCols: Seq[String] = null,
+      maxRecordsPerFile: Long = 1000000L): Long = {
+    val parent = requireVersion(table)
+    val v = parent + 1
+    val stats = Option(statsCols).getOrElse(numericCols(df))
+    val entries = writeFileGroup(spark, table, v, df, stats, maxRecordsPerFile)
+    val carried = fileRows(spark, table, parent)
+    writeManifest(spark, table, v, parent, "append",
+      carried.select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+        .unionByName(entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max")))
+    swapCurrent(table, parent, v)
+    v
+  }
+
+  /** Replace the table's contents with `df` (op recorded as `overwrite`).
+    * Old versions stay readable until [[expire]].
+    */
+  def overwrite(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      statsCols: Seq[String] = null,
+      maxRecordsPerFile: Long = 1000000L): Long = {
+    val parent = requireVersion(table)
+    val v = parent + 1
+    val stats = Option(statsCols).getOrElse(numericCols(df))
+    val entries = writeFileGroup(spark, table, v, df, stats, maxRecordsPerFile)
+    writeManifest(spark, table, v, parent, "overwrite",
+      entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max"))
+    swapCurrent(table, parent, v)
+    v
+  }
+
+  /** Conservative numeric bounding box of a predicate — delegates to
+    * [[org.apache.spark.sql.graft.PredicateBox]] (ColumnNode walker).
+    */
+  private[operators] def predicateBox(c: Column): Map[String, (Double, Double)] =
+    org.apache.spark.sql.graft.PredicateBox.extract(c)
+
+  /** File entries of `v` that survive stats pruning for `box`: a file is
+    * skipped iff for SOME constrained column its recorded [min,max] misses
+    * the box (missing stats keep the file — conservative).
+    */
+  private def pruned(files: DataFrame, box: Map[String, (Double, Double)]): DataFrame =
+    box.foldLeft(files) { case (df, (c, (lo, hi))) =>
+      df.filter(
+        element_at(col("stats_min"), c).isNull ||
+          (element_at(col("stats_max"), c) >= lit(lo) &&
+            element_at(col("stats_min"), c) <= lit(hi)))
+    }
+
+  private def readFiles(spark: SparkSession, table: String, files: DataFrame): DataFrame = {
+    // paths-only collect of the post-pruning survivors — the same driver
+    // cost Spark's own file index pays at plan time
+    val paths = files.select("path").collect().map(r => s"$table/${r.getString(0)}")
+    if (paths.isEmpty)
+      spark.emptyDataFrame
+    else spark.read.parquet(paths.toIndexedSeq: _*)
+  }
+
+  /** Read the table at `version` (default: current). Snapshot-isolated: the
+    * returned frame lists its exact immutable files, so concurrent commits,
+    * compactions, or deletes cannot change what it reads.
+    */
+  def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(requireVersion(table))
+    readFiles(spark, table, fileRows(spark, table, v))
+  }
+
+  /** Plan + execute a filtered scan with manifest-side file skipping. The
+    * predicate still applies in full to the surviving files (pruning is an
+    * optimization, never a semantic filter).
+    */
+  def scanPlan(
+      spark: SparkSession, table: String, cond: Column,
+      version: Option[Long] = None): ScanPlan = {
+    val v = version.getOrElse(requireVersion(table))
+    val files = fileRows(spark, table, v).cache()
+    try {
+      val box = predicateBox(cond)
+      val keep = pruned(files, box)
+      val total = files.count()
+      val kept = keep.count()
+      ScanPlan(total, kept, readFiles(spark, table, keep).filter(cond))
+    } finally files.unpersist(): Unit
+  }
+
+  /** Copy-on-write delete: files whose stats box can't contain a matching
+    * row are CARRIED FORWARD BY REFERENCE (zero I/O); only candidate files
+    * are rewritten without the matching rows. Returns (new version,
+    * files rewritten, files carried untouched). Rows deleted = old minus
+    * new manifest row totals.
+    */
+  def deleteWhere(
+      spark: SparkSession,
+      table: String,
+      cond: Column,
+      statsCols: Seq[String] = null,
+      maxRecordsPerFile: Long = 1000000L): (Long, Long, Long) = {
+    val parent = requireVersion(table)
+    val v = parent + 1
+    val files = fileRows(spark, table, parent).cache()
+    try {
+      val box = predicateBox(cond)
+      val candidates = pruned(files, box).cache()
+      val untouchedCount = files.count() - candidates.count()
+      val untouched = files.join(candidates.select("path"), Seq("path"), "left_anti")
+      val survivors = {
+        val cand = readFiles(spark, table, candidates)
+        if (cand.columns.isEmpty) cand else cand.filter(!cond)
+      }
+      val stats = Option(statsCols).getOrElse(
+        if (survivors.columns.isEmpty) Nil else numericCols(survivors))
+      val entries =
+        if (survivors.columns.isEmpty)
+          asManifestRows(untouched.limit(0))
+            .select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+        else
+          writeFileGroup(spark, table, v, survivors, stats, maxRecordsPerFile)
+            .select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+      writeManifest(spark, table, v, parent, "delete",
+        untouched.select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+          .unionByName(entries))
+      swapCurrent(table, parent, v)
+      val rewritten = candidates.count()
+      candidates.unpersist()
+      (v, rewritten, untouchedCount)
+    } finally { files.unpersist(); () }
+  }
+
+  /** Rows added by APPEND commits in `(fromV, toV]` — the incremental read:
+    * a manifest query selects exactly the delta's files; nothing else is
+    * scanned. Returns None when the range contains a non-append commit
+    * (overwrite/delete/replace), in which case the caller cannot treat the
+    * diff as pure inserts and should fall back to a full read.
+    */
+  def diffAppended(
+      spark: SparkSession, table: String, fromV: Long, toV: Long): Option[DataFrame] = {
+    require(fromV <= toV, s"diff range reversed: $fromV > $toV")
+    if (fromV == toV) return Some(spark.emptyDataFrame)
+    val ops = (fromV + 1).to(toV).map(v => commitInfo(spark, table, v).op)
+    if (ops.exists(_ != "append")) None
+    else Some(readFiles(spark, table,
+      fileRows(spark, table, toV).filter(col("version") > fromV)))
+  }
+
+  /** Commit history, newest first: one row per retained version with its
+    * op, parent, timestamp, and manifest totals.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val cur = requireVersion(table)
+    val fs = new Path(s"$table/_log").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new Path(s"$table/_log"))
+      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+    val frames = versions.map { v =>
+      manifest(spark, table, v).groupBy().agg(
+        lit(v).as("version"),
+        max(when(col("kind") === "commit", col("op"))).as("op"),
+        max(when(col("kind") === "commit", col("parent"))).as("parent"),
+        max(when(col("kind") === "commit", col("ts"))).as("ts"),
+        sum(when(col("kind") === "file", 1L).otherwise(0L)).as("n_files"),
+        coalesce(sum(col("rows")), lit(0L)).as("n_rows"),
+        coalesce(sum(col("bytes")), lit(0L)).as("n_bytes"))
+        .select("version", "op", "parent", "ts", "n_files", "n_rows", "n_bytes")
+    }
+    frames.reduce(_ unionByName _)
+      .withColumn("is_current", col("version") === lit(cur))
+      .orderBy(col("version").desc)
+  }
+
+  /** Snapshot-aware compaction: rewrite the CURRENT file set into
+    * ~`targetRecordsPerFile`-row files as a `replace` commit. Row-for-row
+    * identical; old versions stay readable (time travel across a compaction
+    * works) until [[expire]] reclaims them. The lake-level
+    * [[Lake.compact]] rewrites in place; THIS one preserves history.
+    */
+  def compact(
+      spark: SparkSession,
+      table: String,
+      targetRecordsPerFile: Long = 1000000L,
+      statsCols: Seq[String] = null): Long = {
+    val parent = requireVersion(table)
+    val v = parent + 1
+    val df = read(spark, table)
+    val rows = df.count()
+    val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+    val stats = Option(statsCols).getOrElse(numericCols(df))
+    val entries = writeFileGroup(
+      spark, table, v, df.repartition(nFiles.toInt), stats, targetRecordsPerFile)
+    writeManifest(spark, table, v, parent, "replace",
+      entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max"))
+    swapCurrent(table, parent, v)
+    v
+  }
+
+  /** Retention: keep the last `keepLast` versions (always including the
+    * current one), drop older manifests, and delete every data file no
+    * retained manifest references — including garbage from crashed or lost
+    * commits. Deletion is of UNREFERENCED files only, so a reader pinned to
+    * any retained version is unaffected; this is the Iceberg
+    * `expire_snapshots` contract. Returns (manifests dropped, data files
+    * deleted).
+    */
+  def expire(spark: SparkSession, table: String, keepLast: Int): (Long, Long) = {
+    require(keepLast >= 1, "keepLast must be >= 1")
+    val cur = requireVersion(table)
+    val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new Path(s"$table/_log"))
+      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+    val retained = versions.filter(v => v > cur - keepLast && v <= cur)
+    // live set: distributed union of retained manifests' paths, collected
+    // paths-only (the expire driver cost is O(live files), same as planning)
+    val live = retained.map(v => fileRows(spark, table, v).select("path"))
+      .reduceOption(_ union _)
+      .map(_.distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
+    var droppedManifests = 0L
+    versions.filterNot(retained.contains).foreach { v =>
+      fs.delete(new Path(vdir(table, v)), true); droppedManifests += 1
+    }
+    var deletedFiles = 0L
+    val dataRoot = new Path(s"$table/data")
+    def isMeta(name: String) = name.startsWith("_") || name.startsWith(".")
+    if (fs.exists(dataRoot)) {
+      val it = fs.listFiles(dataRoot, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !isMeta(st.getPath.getName)) {
+          val rel = st.getPath.toUri.getPath.stripPrefix(
+            new Path(table).toUri.getPath).stripPrefix("/")
+          if (!live.contains(rel)) { fs.delete(st.getPath, false); deletedFiles += 1 }
+        }
+      }
+      // drop commit dirs left with no data files (only _SUCCESS-style markers)
+      fs.listStatus(dataRoot).foreach { d =>
+        if (d.isDirectory && fs.listStatus(d.getPath).forall(s => isMeta(s.getPath.getName)))
+          fs.delete(d.getPath, true): Unit
+      }
+    }
+    (droppedManifests, deletedFiles)
+  }
+}
