@@ -730,6 +730,73 @@ object GraftCli {
             System.err.println("usage: drift <refParquet> <curParquet> [textCol] [--limit=buckets]")
             2
         }
+      // snapshot-* — the manifest-log table lifecycle (Snapshots.scala):
+      // versioned commits, time travel, CDC diffs, retention.
+      case "snapshot-create" :: table :: Nil =>
+        graft.operators.Snapshots.create(spark, table)
+        println(s"created=$table version=0")
+        0
+      case "snapshot-append" :: table :: parquetDir :: Nil =>
+        val v = graft.operators.Snapshots.append(spark, table, spark.read.parquet(parquetDir))
+        println(s"appended=$parquetDir version=$v")
+        0
+      case "snapshot-read" :: table :: rest if rest.size <= 1 =>
+        val version = rest.headOption.map(_.toLong)
+        val df = graft.operators.Snapshots.read(spark, table, version)
+        println(s"version=${version.getOrElse(graft.operators.Snapshots.currentVersion(table).get)} " +
+          s"rows=${df.count()} schema=${df.schema.simpleString}")
+        0
+      case "snapshot-history" :: table :: Nil =>
+        graft.operators.Snapshots.history(spark, table).collect().foreach { r =>
+          println(s"v=${r.getAs[Long]("version")} op=${r.getAs[String]("op")} " +
+            s"ts=${r.getAs[String]("ts")} files=${r.getAs[Long]("n_files")} " +
+            s"rows=${r.getAs[Long]("n_rows")} bytes=${r.getAs[Long]("n_bytes")}" +
+            (if (r.getAs[Boolean]("is_current")) " *" else ""))
+        }
+        0
+      case "snapshot-diff" :: table :: fromV :: toV :: Nil =>
+        graft.operators.Snapshots.diffAppended(spark, table, fromV.toLong, toV.toLong) match {
+          case Some(delta) =>
+            println(s"appended_rows=${if (delta.columns.isEmpty) 0L else delta.count()}")
+            0
+          case None =>
+            System.err.println(
+              s"range ($fromV,$toV] contains a non-append commit - full re-read required")
+            1
+        }
+      // snapshot-delete <table> "<sql predicate>" — copy-on-write: only
+      // files whose manifest stats intersect the predicate are rewritten
+      case "snapshot-delete" :: table :: predicate :: Nil =>
+        val (v, rewritten, untouched) = graft.operators.Snapshots.deleteWhere(
+          spark, table, org.apache.spark.sql.functions.expr(predicate))
+        println(s"version=$v files_rewritten=$rewritten files_untouched=$untouched")
+        0
+      case "snapshot-compact" :: rest0 =>
+        val (settings, positional) = Settings.fromArgs(rest0)
+        positional match {
+          case table :: Nil =>
+            val v = graft.operators.Snapshots.compact(spark, table,
+              targetRecordsPerFile = settings.limit.map(_.toLong).getOrElse(1000000L))
+            println(s"compacted=$table version=$v")
+            0
+          case _ =>
+            System.err.println("usage: snapshot-compact <table> [--limit=recordsPerFile]")
+            2
+        }
+      case "snapshot-expire" :: table :: keepLast :: Nil =>
+        val (manifests, files) =
+          graft.operators.Snapshots.expire(spark, table, keepLast.toInt)
+        println(s"manifests_dropped=$manifests data_files_deleted=$files")
+        0
+      // agg-refresh — bring a diff-maintained materialized rollup up to the
+      // snapshot table's current version (delta merge when insert-only)
+      case "agg-refresh" :: table :: aggPath :: keyCols :: sumCols :: Nil =>
+        val r = graft.operators.IncrementalAgg.refresh(
+          spark, table, aggPath,
+          keyCols.split(",").toSeq.filter(_.nonEmpty),
+          sumCols.split(",").toSeq.filter(_.nonEmpty))
+        println(s"refreshed_to=${r.tableVersion} mode=${r.mode}")
+        0
       case _ =>
         System.err.println(
           """usage: graft.cli.GraftCli <command>
@@ -753,6 +820,15 @@ object GraftCli {
             |  text-index-compact <indexPath>
             |  dedup-index-compact <indexPath>
             |  line-index-compact <indexPath>
+            |  snapshot-create <table>
+            |  snapshot-append <table> <parquetDir>
+            |  snapshot-read <table> [version]
+            |  snapshot-history <table>
+            |  snapshot-diff <table> <fromVersion> <toVersion>
+            |  snapshot-delete <table> "<sql predicate>"
+            |  snapshot-compact <table> [--limit=recordsPerFile]
+            |  snapshot-expire <table> <keepLast>
+            |  agg-refresh <table> <aggPath> <keyCol,...> <sumCol,...>
             |  lake-compact <dir> [partitionCol,...] [--limit=recordsPerFile]
             |  zorder <dir> <xCol> <yCol> [--limit=nFiles]
             |  drift <refParquet> <curParquet> [textCol] [--limit=buckets]
