@@ -172,6 +172,32 @@ object ExplainAudit {
     val checks = Seq(
       ("prepared graph-ann edges stay in place on the hop join (one Exchange: the frontier)",
         graphHopNoExchange),
+      // snapshot tables: a range predicate prunes files at PLAN time from
+      // manifest stats (no footer opens), and the physical scan reads
+      // exactly the surviving file set — the no-listing 100 TB read path
+      ("snapshot scanPlan prunes manifest-side; physical scan reads only survivors", {
+        val t = "/tmp/graft/audit/snap_audit"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(t))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t).getParent)
+        graft.operators.Snapshots.create(spark, t)
+        val docs = Tables.documents(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("n_chars"))
+        (0L until 4L).foreach { i =>
+          graft.operators.Snapshots.append(spark, t,
+            docs.filter(org.apache.spark.sql.functions.col("doc_id") % 4 === i &&
+              org.apache.spark.sql.functions.col("doc_id") >= i * 100 &&
+              org.apache.spark.sql.functions.col("doc_id") < (i + 1) * 100).coalesce(1))
+        }
+        val sp = graft.operators.Snapshots.scanPlan(spark, t,
+          org.apache.spark.sql.functions.col("doc_id") < 100)
+        sp.filesScanned == 1 && sp.filesTotal == 4 &&
+          sp.df.inputFiles.length.toLong == sp.filesScanned
+      }),
       ("j1 anti-join broadcasts a small ledger (size-adaptive, no hint)", j1SmallLedger),
       ("j1 anti-join shuffles when broadcast is unavailable (no forced hint)", j1ShuffleLedger),
       ("k3 delete anti-join broadcasts a small tombstone set (no hint)", k3SmallTombstones),

@@ -657,6 +657,80 @@ object ScaleProbe {
     require(sessStateRows == 1,
       s"expected only the sentinel's state row to survive, got $sessStateRows")
 
+    // Snapshot tables at scale: the laws that make the manifest log viable
+    // at 100 TB, gated exactly. (1) An append's cost is the delta write +
+    // delta stats + manifest rewrite — the table's data files are never
+    // read, so append 4 onto a 3-batch table must not cost a table scan.
+    // (2) diffAppended reads exactly the one added batch. (3) A range
+    // predicate prunes manifest-side to the one batch whose files cover it
+    // (spark.range slices are contiguous, so per-file min/max tile the id
+    // space). (4) The diff-driven rollup refresh equals a recompute.
+    val snapBase = "/tmp/graft/scaleprobe_snap"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(snapBase))
+    val snapTable = s"$snapBase/t"
+    val snapAgg = s"$snapBase/agg"
+    val snapWidth = nDocs // one corpus-sized batch per append
+    graft.operators.Snapshots.create(spark, snapTable)
+    def snapBatch(i: Long) =
+      spark.range(i * snapWidth, (i + 1) * snapWidth)
+        .select(col("id").as("doc_id"), (col("id") % 64).as("k"),
+          (col("id") * 7 % 1000).as("n_chars"))
+    val (_, tSnapAppendFirst) = timed { graft.operators.Snapshots.append(spark, snapTable, snapBatch(0)) }
+    graft.operators.IncrementalAgg.refresh(spark, snapTable, snapAgg, Seq("k"), Seq("n_chars"))
+    graft.operators.Snapshots.append(spark, snapTable, snapBatch(1)): Unit
+    graft.operators.Snapshots.append(spark, snapTable, snapBatch(2)): Unit
+    val (_, tSnapAppendLast) = timed { graft.operators.Snapshots.append(spark, snapTable, snapBatch(3)) }
+    val (nSnapDiff, tSnapDiff) = timed {
+      graft.operators.Snapshots.diffAppended(spark, snapTable, 3L, 4L).get.count()
+    }
+    require(nSnapDiff == snapWidth,
+      s"diff of the last append must be exactly its batch: $nSnapDiff vs $snapWidth")
+    val (snapPlan, tSnapScan) = timed {
+      // inclusive bounds: the box extractor closes strict comparisons
+      // conservatively, which would keep the next batch's boundary file
+      val p = graft.operators.Snapshots.scanPlan(spark, snapTable,
+        col("doc_id") >= snapWidth && col("doc_id") <= 2 * snapWidth - 1)
+      require(p.df.count() == snapWidth, "pruned scan must still answer exactly")
+      p
+    }
+    require(snapPlan.filesScanned * 4 == snapPlan.filesTotal,
+      s"range predicate must prune to one batch of four: ${snapPlan.filesScanned} of ${snapPlan.filesTotal}")
+    val (snapAggMode, tSnapAggInc) = timed {
+      graft.operators.IncrementalAgg.refresh(spark, snapTable, snapAgg, Seq("k"), Seq("n_chars")).mode
+    }
+    require(snapAggMode == "incremental", s"append-only lineage must merge: $snapAggMode")
+    val aggDrift = graft.operators.IncrementalAgg.read(spark, snapAgg)
+      .unionByName(graft.operators.Snapshots.read(spark, snapTable).groupBy(col("k"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_n_chars"))
+        .select(col("k"), (-col("n")).as("n"), (-col("sum_n_chars")).as("sum_n_chars")))
+      .groupBy(col("k")).agg(sum(col("n")).as("dn"), sum(col("sum_n_chars")).as("ds"))
+      .filter(col("dn") =!= 0 || col("ds") =!= 0).count()
+    require(aggDrift == 0, s"incremental rollup must equal recompute: $aggDrift keys differ")
+    // (5) COW merge: updates confined to a narrow key slice touch only the
+    // file(s) covering that slice — the other ~4×32 files carry by
+    // reference, so upsert cost is ∝ touched-files + source, not table.
+    // (spark.range slices are contiguous, so the slice lands in one file,
+    // two if it straddles a boundary.)
+    val mergeN = math.max(1L, snapWidth / 100)
+    val mergeSrc = spark.range(0L, mergeN)
+      .select(col("id").as("doc_id"), (col("id") % 64).as("k"), lit(-5L).as("n_chars"))
+    val (snapMerge, tSnapMerge) = timed {
+      graft.operators.Snapshots.merge(spark, snapTable, mergeSrc, Seq("doc_id"))
+    }
+    require(snapMerge.rowsUpdated == mergeN && snapMerge.rowsInserted == 0,
+      s"slice-confined merge must update exactly its keys: $snapMerge")
+    require(snapMerge.filesRewritten <= 2,
+      s"merge must rewrite only the file(s) covering the slice: $snapMerge")
+    require(graft.operators.Snapshots.read(spark, snapTable)
+      .filter(col("n_chars") === -5L).count() == mergeN,
+      "merged rows must carry the source values")
+    val (_, tSnapExpire) = timed {
+      graft.operators.Snapshots.compact(spark, snapTable, targetRecordsPerFile = 2_000_000L)
+      graft.operators.Snapshots.expire(spark, snapTable, keepLast = 1)
+    }
+    require(graft.operators.Snapshots.read(spark, snapTable).count() == 4 * snapWidth,
+      "compact + expire must preserve every row")
+
     println(
       s"""{"probe":"scale","sf":"$sfDir","multiplier":$mult,"docs":$nDocs,"chunks":$nChunks,"stored":$stored,""" +
         s""""chunk_sec":${f"$tChunk%.1f"},"embed_sec":${f"$tEmbed%.1f"},"store_sec":${f"$tStore%.1f"},""" +
@@ -687,6 +761,10 @@ object ScaleProbe {
         s""""ssj_events":$nEvents,"ssj_pairs":$nSsjPairs,"ssj_sec":${f"$tSsj%.1f"},""" +
         s""""ssj_outer_views":$nOuterViews,"ssj_outer_matched":$nOuterMatched,"ssj_outer_sec":${f"$tSsjOuter%.1f"},""" +
         s""""sess_keys":$nSessKeys,"sess_closed":$nSessClosed,"sess_state_rows":$sessStateRows,"sess_sec":${f"$tSession%.1f"},""" +
+        s""""snap_rows":${4 * snapWidth},"snap_append_first_sec":${f"$tSnapAppendFirst%.1f"},"snap_append_last_sec":${f"$tSnapAppendLast%.1f"},""" +
+        s""""snap_diff_sec":${f"$tSnapDiff%.1f"},"snap_scan_sec":${f"$tSnapScan%.1f"},"snap_files_scanned":${snapPlan.filesScanned},"snap_files_total":${snapPlan.filesTotal},""" +
+        s""""snap_agg_inc_sec":${f"$tSnapAggInc%.1f"},"snap_merge_files_rewritten":${snapMerge.filesRewritten},""" +
+        s""""snap_merge_sec":${f"$tSnapMerge%.1f"},"snap_gc_sec":${f"$tSnapExpire%.1f"},""" +
         s""""docs_per_sec_chunk":${(nDocs / tChunk).toLong},"chunks_per_sec_store":${(stored / tStore).toLong}}"""
     )
     spark.stop()

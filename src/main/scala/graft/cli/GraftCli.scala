@@ -771,16 +771,30 @@ object GraftCli {
           spark, table, org.apache.spark.sql.functions.expr(predicate))
         println(s"version=$v files_rewritten=$rewritten files_untouched=$untouched")
         0
+      // snapshot-merge <table> <parquetDir> <keyCols,comma-sep> — keyed
+      // COW upsert: only files holding a matched key rewrite
+      case "snapshot-merge" :: table :: parquetDir :: keys :: Nil =>
+        val m = graft.operators.Snapshots.merge(
+          spark, table, spark.read.parquet(parquetDir), keys.split(",").toSeq)
+        println(s"version=${m.version} files_rewritten=${m.filesRewritten} " +
+          s"files_untouched=${m.filesUntouched} rows_updated=${m.rowsUpdated} " +
+          s"rows_inserted=${m.rowsInserted}")
+        0
       case "snapshot-compact" :: rest0 =>
         val (settings, positional) = Settings.fromArgs(rest0)
         positional match {
-          case table :: Nil =>
+          case table :: rest if rest.size <= 1 =>
+            val cluster = rest.headOption.toSeq.flatMap(_.split(","))
+              .map(org.apache.spark.sql.functions.col)
             val v = graft.operators.Snapshots.compact(spark, table,
-              targetRecordsPerFile = settings.limit.map(_.toLong).getOrElse(1000000L))
-            println(s"compacted=$table version=$v")
+              targetRecordsPerFile = settings.limit.map(_.toLong).getOrElse(1000000L),
+              clusterBy = cluster)
+            println(s"compacted=$table version=$v" +
+              (if (cluster.nonEmpty) s" clustered_by=${rest.head}" else ""))
             0
           case _ =>
-            System.err.println("usage: snapshot-compact <table> [--limit=recordsPerFile]")
+            System.err.println(
+              "usage: snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]")
             2
         }
       case "snapshot-expire" :: table :: keepLast :: Nil =>
@@ -826,7 +840,8 @@ object GraftCli {
             |  snapshot-history <table>
             |  snapshot-diff <table> <fromVersion> <toVersion>
             |  snapshot-delete <table> "<sql predicate>"
-            |  snapshot-compact <table> [--limit=recordsPerFile]
+            |  snapshot-merge <table> <parquetDir> <keyCol,...>
+            |  snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]
             |  snapshot-expire <table> <keepLast>
             |  agg-refresh <table> <aggPath> <keyCol,...> <sumCol,...>
             |  lake-compact <dir> [partitionCol,...] [--limit=recordsPerFile]

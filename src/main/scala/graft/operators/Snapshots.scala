@@ -89,7 +89,10 @@ object Snapshots {
     StructField("rows", LongType),
     StructField("bytes", LongType),
     StructField("stats_min", MapType(StringType, DoubleType)),
-    StructField("stats_max", MapType(StringType, DoubleType))))
+    StructField("stats_max", MapType(StringType, DoubleType)),
+    StructField("txn_app", StringType),
+    StructField("txn_v", LongType),
+    StructField("schema_json", StringType)))
 
   private def vdir(table: String, v: Long) = f"$table/_log/v$v%08d"
   private def currentPath(table: String) = s"$table/_current"
@@ -112,6 +115,44 @@ object Snapshots {
 
   private def fileRows(spark: SparkSession, table: String, v: Long): DataFrame =
     manifest(spark, table, v).filter(col("kind") === "file")
+
+  /** The table schema RECORDED in a version's commit row — the reason a
+    * read never samples parquet footers for schema (at 10^6 files footer
+    * inference is an object-store read storm; the manifest already knows).
+    * None for a pre-schema-tracking manifest or an empty table — readers
+    * then fall back to footer inference.
+    */
+  def tableSchema(
+      spark: SparkSession, table: String, version: Option[Long] = None): Option[StructType] = {
+    val v = version.getOrElse(requireVersion(table))
+    val r = manifest(spark, table, v).filter(col("kind") === "commit")
+      .select("schema_json").head()
+    Option(r.getString(0)).map(j => DataType.fromJson(j).asInstanceOf[StructType])
+  }
+
+  /** Evolve the recorded table schema with an incoming batch's schema —
+    * the Delta `mergeSchema` rule: existing columns must match EXACTLY on
+    * type (no silent widening — a type conflict is an error, not a cast),
+    * new columns append as nullable (old files read them as null), and a
+    * batch MISSING columns is fine (its files read the absent columns as
+    * null). Column order: parent's fields first, new fields after, so a
+    * table's column order is stable under evolution.
+    */
+  private[operators] def evolveSchema(
+      parent: Option[StructType], next: StructType): StructType =
+    parent match {
+      case None => next
+      case Some(p) =>
+        next.fields.foreach { f =>
+          p.fields.find(_.name == f.name).foreach { pf =>
+            require(pf.dataType == f.dataType,
+              s"schema conflict on '${f.name}': table has ${pf.dataType.simpleString}, " +
+                s"batch has ${f.dataType.simpleString}")
+          }
+        }
+        StructType(p.fields ++
+          next.fields.filterNot(f => p.fieldNames.contains(f.name)).map(_.copy(nullable = true)))
+    }
 
   def commitInfo(spark: SparkSession, table: String, v: Long): CommitInfo = {
     val r = manifest(spark, table, v).filter(col("kind") === "commit")
@@ -190,7 +231,9 @@ object Snapshots {
       statsMap("__max").as("stats_max"))
   }
 
-  private def commitRow(spark: SparkSession, v: Long, parent: Long, op: String): DataFrame = {
+  private def commitRow(
+      spark: SparkSession, v: Long, parent: Long, op: String,
+      txn: Option[(String, Long)], schemaJson: Option[String]): DataFrame = {
     import spark.implicits._
     Seq((v, parent, op)).toDF("version", "parent", "op")
       .select(
@@ -199,7 +242,10 @@ object Snapshots {
         lit(null: String).as("path"), lit(null: java.lang.Long).cast(LongType).as("rows"),
         lit(null: java.lang.Long).cast(LongType).as("bytes"),
         typedLit(Map.empty[String, Double]).as("stats_min"),
-        typedLit(Map.empty[String, Double]).as("stats_max"))
+        typedLit(Map.empty[String, Double]).as("stats_max"),
+        lit(txn.map(_._1).orNull).as("txn_app"),
+        txn.map(t => lit(t._2)).getOrElse(lit(null: java.lang.Long)).cast(LongType).as("txn_v"),
+        lit(schemaJson.orNull).as("schema_json"))
   }
 
   /** Align a file-entry DataFrame to the manifest schema (file rows keep
@@ -209,18 +255,22 @@ object Snapshots {
     files.select(
       lit("file").as("kind"), col("version"), lit(-1L).as("parent"),
       lit(null: String).as("op"), lit(null: String).as("ts"),
-      col("path"), col("rows"), col("bytes"), col("stats_min"), col("stats_max"))
+      col("path"), col("rows"), col("bytes"), col("stats_min"), col("stats_max"),
+      lit(null: String).as("txn_app"),
+      lit(null: java.lang.Long).cast(LongType).as("txn_v"),
+      lit(null: String).as("schema_json"))
 
   private def writeManifest(
       spark: SparkSession, table: String, v: Long, parent: Long, op: String,
-      files: DataFrame): Unit = {
+      files: DataFrame, txn: Option[(String, Long)] = None,
+      schemaJson: Option[String] = None): Unit = {
     // a leftover _log/v<v> can only be a crashed or lost-race attempt
     // (anything committed has _current >= v, checked by swapCurrent before
     // we could get here with this v) — clear it so the retry proceeds
     val dir = new Path(vdir(table, v))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir) && currentVersion(table).forall(_ < v)) fs.delete(dir, true): Unit
-    commitRow(spark, v, parent, op).unionByName(asManifestRows(files))
+    commitRow(spark, v, parent, op, txn, schemaJson).unionByName(asManifestRows(files))
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).json(vdir(table, v))
   }
@@ -240,24 +290,135 @@ object Snapshots {
   /** Append `df` as a new commit; returns the new version. One job writes
     * the delta, one scans it for stats, one rewrites the manifest (parent
     * file list carried forward distributively). The table's existing data
-    * files are never read or touched.
+    * files are never read or touched. Commit conflicts retry WITHOUT
+    * rewriting data ([[stageAppend]]/[[commitStaged]]).
     */
   def append(
       spark: SparkSession,
       table: String,
       df: DataFrame,
       statsCols: Seq[String] = null,
-      maxRecordsPerFile: Long = 1000000L): Long = {
+      maxRecordsPerFile: Long = 1000000L,
+      txn: Option[(String, Long)] = None): Long =
+    commitStaged(spark, table,
+      stageAppend(spark, table, df, statsCols, maxRecordsPerFile), txn,
+      dataSchema = Some(df.schema))
+
+  /** Stage an append: write `df` as an immutable file group and return its
+    * manifest entries — NO table-visible change yet (the group dir is
+    * unreferenced until a commit; a crashed stage is garbage for
+    * [[expire]]). Staging is the expensive half (the data write); the
+    * commit half is a manifest rebuild + pointer swap, so a commit that
+    * loses an optimistic-concurrency race retries against the refreshed
+    * base by rebuilding ONLY the manifest — the staged data files are
+    * reused as-is. This is the table-format commit-retry discipline: data
+    * writes commute across appends, so a conflict never re-pays the write.
+    */
+  def stageAppend(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      statsCols: Seq[String] = null,
+      maxRecordsPerFile: Long = 1000000L): DataFrame = {
     val parent = requireVersion(table)
-    val v = parent + 1
     val stats = Option(statsCols).getOrElse(numericCols(df))
-    val entries = writeFileGroup(spark, table, v, df, stats, maxRecordsPerFile)
-    val carried = fileRows(spark, table, parent)
-    writeManifest(spark, table, v, parent, "append",
-      carried.select("version", "path", "rows", "bytes", "stats_min", "stats_max")
-        .unionByName(entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max")))
-    swapCurrent(table, parent, v)
-    v
+    writeFileGroup(spark, table, parent + 1, df, stats, maxRecordsPerFile)
+  }
+
+  /** Commit a staged append, retrying a lost optimistic-concurrency race
+    * against the refreshed base (up to `maxRetries` times). Each attempt:
+    * if the current manifest already carries the staged file group (an
+    * earlier attempt's manifest won the pointer race, or a duplicate
+    * commit call), return the current version — the group's random token
+    * makes its paths globally unique, so path-subset is an exact
+    * already-committed test. Otherwise rebuild the manifest against the
+    * CURRENT parent (staged entries re-tagged with the new version) and
+    * swap. Only genuine conflicts retry: an exception with the pointer
+    * still at our expected parent is a real failure and rethrows.
+    */
+  def commitStaged(
+      spark: SparkSession,
+      table: String,
+      entries: DataFrame,
+      txn: Option[(String, Long)] = None,
+      dataSchema: Option[StructType] = None,
+      maxRetries: Int = 4): Long = {
+    val entryCols = entries.select("path", "rows", "bytes", "stats_min", "stats_max")
+    val myPaths = entryCols.select("path").collect().map(_.getString(0)).toSet
+    var attempt = 0
+    while (true) {
+      val parent = requireVersion(table)
+      val carried = fileRows(spark, table, parent)
+        .select("version", "path", "rows", "bytes", "stats_min", "stats_max").cache()
+      try {
+        // an empty staged group (0-row batch) has no unique paths to detect
+        // an earlier winning attempt by; it just commits an empty append
+        val present =
+          if (myPaths.isEmpty) 0L
+          else carried.filter(col("path").isin(myPaths.toSeq: _*)).count()
+        if (present > 0) {
+          require(present == myPaths.size,
+            s"staged group partially referenced at v$parent: $present of ${myPaths.size}")
+          return parent
+        }
+        val v = parent + 1
+        // schema evolution happens per ATTEMPT: a retry evolves against the
+        // winner's schema, exactly like the manifest rebuild uses its files
+        val newSchema = dataSchema
+          .map(s => evolveSchema(tableSchema(spark, table, Some(parent)), s))
+          .orElse(tableSchema(spark, table, Some(parent)))
+        try {
+          writeManifest(spark, table, v, parent, "append",
+            carried.unionByName(entryCols.withColumn("version", lit(v))
+              .select("version", "path", "rows", "bytes", "stats_min", "stats_max")), txn,
+            newSchema.map(_.json))
+          swapCurrent(table, parent, v)
+          return v
+        } catch {
+          case _: Exception if attempt < maxRetries &&
+              !currentVersion(table).contains(parent) =>
+            attempt += 1 // a concurrent commit moved the base: retry against it
+        }
+      } finally carried.unpersist(): Unit
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Highest transaction version committed under `appId`, from the
+    * retained commit log (one distributed read over `_log/v*`). Only
+    * manifests at or below `_current` count: a crashed attempt can leave a
+    * manifest ABOVE the pointer whose rows never became visible — counting
+    * its txn marker would skip the replay of a batch that never landed
+    * (data loss). Bounded by retention: [[expire]] must keep at least the
+    * source's replay window — the same contract Delta documents for
+    * `txnAppId`/`txnVersion`.
+    */
+  def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
+    val cur = requireVersion(table)
+    val r = spark.read.schema(manifestSchema).json(s"$table/_log/v*")
+      .filter(col("kind") === "commit" && col("version") <= cur && col("txn_app") === appId)
+      .agg(max(col("txn_v"))).head()
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** Exactly-once append for replayable sources: commit `df` tagged with
+    * `(appId, txnV)`; a replay of an already-committed transaction (same
+    * appId, `txnV` ≤ the last committed) is detected from the commit log
+    * and skipped, returning None. This is what makes a restart-after-crash
+    * streaming microbatch land exactly once ([[graft.streaming
+    * .StreamingPipeline.snapshotWriter]] calls it per batch with the
+    * checkpoint's batchId).
+    */
+  def appendIdempotent(
+      spark: SparkSession,
+      table: String,
+      df: DataFrame,
+      appId: String,
+      txnV: Long,
+      statsCols: Seq[String] = null,
+      maxRecordsPerFile: Long = 1000000L): Option[Long] = {
+    if (lastTxn(spark, table, appId).exists(_ >= txnV)) None
+    else Some(append(spark, table, df, statsCols, maxRecordsPerFile, Some((appId, txnV))))
   }
 
   /** Replace the table's contents with `df` (op recorded as `overwrite`).
@@ -274,7 +435,8 @@ object Snapshots {
     val stats = Option(statsCols).getOrElse(numericCols(df))
     val entries = writeFileGroup(spark, table, v, df, stats, maxRecordsPerFile)
     writeManifest(spark, table, v, parent, "overwrite",
-      entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max"))
+      entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max"),
+      schemaJson = Some(df.schema.json)) // overwrite REPLACES the schema too
     swapCurrent(table, parent, v)
     v
   }
@@ -297,22 +459,33 @@ object Snapshots {
             element_at(col("stats_min"), c) <= lit(hi)))
     }
 
-  private def readFiles(spark: SparkSession, table: String, files: DataFrame): DataFrame = {
+  private def readFiles(
+      spark: SparkSession, table: String, files: DataFrame,
+      schema: Option[StructType] = None): DataFrame = {
     // paths-only collect of the post-pruning survivors — the same driver
     // cost Spark's own file index pays at plan time
     val paths = files.select("path").collect().map(r => s"$table/${r.getString(0)}")
     if (paths.isEmpty)
-      spark.emptyDataFrame
-    else spark.read.parquet(paths.toIndexedSeq: _*)
+      schema.map(s => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(spark.emptyDataFrame)
+    else {
+      // the manifest-recorded schema makes the scan footer-free AND lets
+      // files written before a column evolved in read it as null
+      val r = schema.map(spark.read.schema(_)).getOrElse(spark.read)
+      r.parquet(paths.toIndexedSeq: _*)
+    }
   }
 
   /** Read the table at `version` (default: current). Snapshot-isolated: the
     * returned frame lists its exact immutable files, so concurrent commits,
-    * compactions, or deletes cannot change what it reads.
+    * compactions, or deletes cannot change what it reads. The schema is the
+    * one RECORDED at that version (evolution travels with time travel); no
+    * parquet footer is opened for schema inference.
     */
   def read(spark: SparkSession, table: String, version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(requireVersion(table))
-    readFiles(spark, table, fileRows(spark, table, v))
+    readFiles(spark, table, fileRows(spark, table, v), tableSchema(spark, table, Some(v)))
   }
 
   /** Plan + execute a filtered scan with manifest-side file skipping. The
@@ -329,7 +502,8 @@ object Snapshots {
       val keep = pruned(files, box)
       val total = files.count()
       val kept = keep.count()
-      ScanPlan(total, kept, readFiles(spark, table, keep).filter(cond))
+      ScanPlan(total, kept,
+        readFiles(spark, table, keep, tableSchema(spark, table, Some(v))).filter(cond))
     } finally files.unpersist(): Unit
   }
 
@@ -348,13 +522,14 @@ object Snapshots {
     val parent = requireVersion(table)
     val v = parent + 1
     val files = fileRows(spark, table, parent).cache()
+    val schema = tableSchema(spark, table, Some(parent))
     try {
       val box = predicateBox(cond)
       val candidates = pruned(files, box).cache()
       val untouchedCount = files.count() - candidates.count()
       val untouched = files.join(candidates.select("path"), Seq("path"), "left_anti")
       val survivors = {
-        val cand = readFiles(spark, table, candidates)
+        val cand = readFiles(spark, table, candidates, schema)
         if (cand.columns.isEmpty) cand else cand.filter(!cond)
       }
       val stats = Option(statsCols).getOrElse(
@@ -368,12 +543,119 @@ object Snapshots {
             .select("version", "path", "rows", "bytes", "stats_min", "stats_max")
       writeManifest(spark, table, v, parent, "delete",
         untouched.select("version", "path", "rows", "bytes", "stats_min", "stats_max")
-          .unionByName(entries))
+          .unionByName(entries), schemaJson = schema.map(_.json))
       swapCurrent(table, parent, v)
       val rewritten = candidates.count()
       candidates.unpersist()
       (v, rewritten, untouchedCount)
     } finally { files.unpersist(); () }
+  }
+
+  /** Outcome of a [[merge]]: the new version, the copy-on-write file
+    * economics (rewritten vs carried-by-reference), and the row split
+    * (table rows replaced by a source row vs fresh inserts).
+    */
+  final case class MergeStats(
+      version: Long,
+      filesRewritten: Long,
+      filesUntouched: Long,
+      rowsUpdated: Long,
+      rowsInserted: Long)
+
+  /** Keyed MERGE (upsert) as a copy-on-write commit — the Delta/Iceberg
+    * `MERGE INTO` discipline on this table format: every table row whose
+    * key matches a source row is REPLACED by that source row, and source
+    * rows with no match are inserted. Source keys must be unique (the
+    * standard MERGE precondition; duplicate source keys make the result
+    * order-dependent).
+    *
+    * Scale shape (the reason this isn't read-all/rewrite-all):
+    *  1. **Stats prune.** Files whose numeric-key stats box can't intersect
+    *     the source's key bounds are dismissed from the MANIFEST alone.
+    *  2. **Key-column scan.** Surviving candidates are scanned on the key
+    *     columns ONLY (columnar projection) and semi-joined against the
+    *     source's key set — Spark broadcasts the small side unhinted — to
+    *     find the files that actually hold a matched key.
+    *  3. **COW rewrite.** Only those files rewrite (matched rows dropped,
+    *     source rows unioned in); everything else carries forward BY
+    *     REFERENCE, exactly like [[deleteWhere]].
+    * The commit is recorded as op `merge` — a non-append — so
+    * [[diffAppended]] signals fallback and [[IncrementalAgg]] recomputes,
+    * keeping the insert-only-lineage contract honest.
+    */
+  def merge(
+      spark: SparkSession,
+      table: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      statsCols: Seq[String] = null,
+      maxRecordsPerFile: Long = 1000000L): MergeStats = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val parent = requireVersion(table)
+    val v = parent + 1
+    val files = fileRows(spark, table, parent).cache()
+    val tblSchema = tableSchema(spark, table, Some(parent))
+    val newSchema = evolveSchema(tblSchema, source.schema)
+    val srcKeys = source.select(keyCols.map(col): _*).distinct().cache()
+    try {
+      // (1) manifest-side dismissal: numeric key bounds of the source
+      val numKeys = keyCols.filter(k =>
+        source.schema.fields.exists(f => f.name == k && f.dataType.isInstanceOf[NumericType]))
+      val box: Map[String, (Double, Double)] =
+        if (numKeys.isEmpty) Map.empty
+        else {
+          val aggs = numKeys.flatMap(k =>
+            Seq(min(col(k)).cast(DoubleType), max(col(k)).cast(DoubleType)))
+          val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+          numKeys.zipWithIndex.collect {
+            case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
+              k -> ((r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+          }.toMap
+        }
+      val candidates = pruned(files, box).cache()
+      // (2) key-only scan of the candidates: which files hold a matched key?
+      // (files are matched by part-file basename — globally unique, each
+      // carries its write job's UUID — so no path-prefix arithmetic)
+      val candScan = readFiles(spark, table, candidates, tblSchema)
+      val matchedKeys =
+        if (candScan.columns.isEmpty) srcKeys.limit(0)
+        else candScan.select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
+          .join(srcKeys, keyCols, "left_semi").cache()
+      val touchedNames: Set[String] =
+        if (candScan.columns.isEmpty) Set.empty
+        else matchedKeys.select("__file").distinct().collect()
+          .map(_.getString(0).split("/").last).toSet
+      val baseName = element_at(split(col("path"), "/"), -1)
+      val touched = candidates.filter(baseName.isin(touchedNames.toSeq: _*))
+      val untouched = files.join(touched.select("path"), Seq("path"), "left_anti")
+      // (3) rewrite only the touched files: matched rows out, source in
+      val kept =
+        if (touchedNames.isEmpty) source.limit(0)
+        else readFiles(spark, table, touched, tblSchema).join(srcKeys, keyCols, "left_anti")
+      // table rows replaced (≥ matched source keys if the table held
+      // duplicate keys) vs source rows landing with no prior match
+      val rowsUpdated =
+        if (touchedNames.isEmpty) 0L
+        else touched.agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0) - kept.count()
+      val matchedSrc =
+        if (candScan.columns.isEmpty) 0L
+        else matchedKeys.select(keyCols.map(col): _*).distinct().count()
+      val rowsInserted = source.count() - matchedSrc
+      matchedKeys.unpersist(): Unit
+      // allowMissingColumns: the source may evolve the schema (new columns
+      // null out in kept rows) or omit evolved columns (null in its rows)
+      val newContent = kept.unionByName(source, allowMissingColumns = true)
+      val stats = Option(statsCols).getOrElse(numericCols(newContent))
+      val entries =
+        writeFileGroup(spark, table, v, newContent, stats, maxRecordsPerFile)
+          .select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+      writeManifest(spark, table, v, parent, "merge",
+        untouched.select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+          .unionByName(entries), schemaJson = Some(newSchema.json))
+      swapCurrent(table, parent, v)
+      MergeStats(v, touchedNames.size.toLong,
+        files.count() - touchedNames.size, rowsUpdated, rowsInserted)
+    } finally { files.unpersist(); srcKeys.unpersist(); () }
   }
 
   /** Rows added by APPEND commits in `(fromV, toV]` — the incremental read:
@@ -389,17 +671,88 @@ object Snapshots {
     val ops = (fromV + 1).to(toV).map(v => commitInfo(spark, table, v).op)
     if (ops.exists(_ != "append")) None
     else Some(readFiles(spark, table,
-      fileRows(spark, table, toV).filter(col("version") > fromV)))
+      fileRows(spark, table, toV).filter(col("version") > fromV),
+      tableSchema(spark, table, Some(toV))))
   }
 
-  /** Commit history, newest first: one row per retained version with its
-    * op, parent, timestamp, and manifest totals.
+  /** One incremental-consumption round ([[readChangesSince]]): the rows to
+    * process, the version range they cover, and how they were derived —
+    * `incremental` (append-only delta), `full` (first read, or non-append
+    * lineage forced a reprocess), or `noop` (cursor already current).
+    */
+  final case class Changes(df: DataFrame, fromV: Long, toV: Long, mode: String)
+
+  /** Checkpointed incremental consumption — the change-data-feed contract
+    * that lets a downstream job keep up with a 100 TB table by reading
+    * deltas: the cursor file records the last version this consumer
+    * processed; each round reads exactly the files appended since
+    * ([[diffAppended]] — a manifest query, nothing else scanned), falling
+    * back to a FULL read when the range contains a non-append commit
+    * (delete/merge/overwrite invalidate insert-only consumption — the same
+    * precondition [[IncrementalAgg]] enforces). The consumer calls
+    * [[commitCursor]] AFTER landing its own output; a crash in between
+    * replays the round (at-least-once — pair with an idempotent sink such
+    * as [[appendIdempotent]] for exactly-once).
+    */
+  def readChangesSince(spark: SparkSession, table: String, cursorPath: String): Changes = {
+    val cur = requireVersion(table)
+    val p = JPaths.get(cursorPath)
+    val last: Option[Long] =
+      if (JFiles.exists(p))
+        Some(new String(JFiles.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+      else None
+    last match {
+      case None => Changes(read(spark, table), -1L, cur, "full")
+      case Some(v) if v >= cur =>
+        Changes(read(spark, table, Some(cur)).limit(0), v, cur, "noop")
+      case Some(v) =>
+        diffAppended(spark, table, v, cur) match {
+          case Some(d) => Changes(d, v, cur, "incremental")
+          case None => Changes(read(spark, table), v, cur, "full")
+        }
+    }
+  }
+
+  /** Atomically advance a consumer's cursor to `toV` (call after the
+    * round's output is durably landed).
+    */
+  def commitCursor(cursorPath: String, toV: Long): Unit = {
+    val p = JPaths.get(cursorPath)
+    Option(p.getParent).foreach(JFiles.createDirectories(_))
+    val tmp = JPaths.get(s"$cursorPath.swap")
+    JFiles.write(tmp, toV.toString.getBytes(StandardCharsets.UTF_8))
+    JFiles.move(tmp, p,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
+  }
+
+  /** Latest committed version whose commit timestamp is at or before `ts`
+    * (ISO-UTC seconds, the manifest's recorded format — string compare IS
+    * chronological). Timestamp-based time travel: bounded by retention
+    * like any version read. Same-second commits resolve to the LATEST
+    * version in that second. A crashed attempt's manifest above `_current`
+    * never wins (history only lists committed versions).
+    */
+  def versionAsOf(spark: SparkSession, table: String, ts: String): Long = {
+    val r = history(spark, table).filter(col("ts") <= lit(ts))
+      .agg(max(col("version"))).head()
+    require(!r.isNullAt(0), s"no retained commit at or before $ts in $table")
+    r.getLong(0)
+  }
+
+  /** Read the table as of a wall-clock instant ([[versionAsOf]]). */
+  def readAsOf(spark: SparkSession, table: String, ts: String): DataFrame =
+    read(spark, table, Some(versionAsOf(spark, table, ts)))
+
+  /** Commit history, newest first: one row per retained COMMITTED version
+    * with its op, parent, timestamp, and manifest totals. A manifest above
+    * `_current` (a crashed or lost-race attempt) is not history.
     */
   def history(spark: SparkSession, table: String): DataFrame = {
     val cur = requireVersion(table)
     val fs = new Path(s"$table/_log").getFileSystem(spark.sparkContext.hadoopConfiguration)
     val versions = fs.listStatus(new Path(s"$table/_log"))
-      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
+      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .filter(_ <= cur).sorted
     val frames = versions.map { v =>
       manifest(spark, table, v).groupBy().agg(
         lit(v).as("version"),
@@ -421,22 +774,36 @@ object Snapshots {
     * identical; old versions stay readable (time travel across a compaction
     * works) until [[expire]] reclaims them. The lake-level
     * [[Lake.compact]] rewrites in place; THIS one preserves history.
+    *
+    * With `clusterBy` keys the rewrite is a CLUSTERED layout — one range
+    * exchange (`repartitionByRange`) + per-file sort, never a global
+    * single-task sort — so every new file covers a contiguous key range
+    * and the manifest's min/max boxes turn a key predicate into a sharp
+    * file skip ([[scanPlan]]): the `OPTIMIZE ... ZORDER/ORDER BY`
+    * discipline on this table format (pass `Lake.zkey(x, y, bits)` as the
+    * key for two-dimensional locality).
     */
   def compact(
       spark: SparkSession,
       table: String,
       targetRecordsPerFile: Long = 1000000L,
-      statsCols: Seq[String] = null): Long = {
+      statsCols: Seq[String] = null,
+      clusterBy: Seq[Column] = Nil): Long = {
     val parent = requireVersion(table)
     val v = parent + 1
     val df = read(spark, table)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
     val stats = Option(statsCols).getOrElse(numericCols(df))
+    val laidOut =
+      if (clusterBy.isEmpty) df.repartition(nFiles.toInt)
+      else df.repartitionByRange(nFiles.toInt, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
     val entries = writeFileGroup(
-      spark, table, v, df.repartition(nFiles.toInt), stats, targetRecordsPerFile)
+      spark, table, v, laidOut, stats, targetRecordsPerFile)
     writeManifest(spark, table, v, parent, "replace",
-      entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max"))
+      entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max"),
+      schemaJson = tableSchema(spark, table, Some(parent)).map(_.json))
     swapCurrent(table, parent, v)
     v
   }

@@ -142,6 +142,156 @@ object SnapshotQueries {
       Seq("K1", "K5")
     ),
 
+    // Checkpointed change-data-feed consumption: a consumer processes the
+    // table in three rounds (initial full read, one incremental delta,
+    // one noop), committing its cursor between rounds; the accumulated
+    // per-lang rollup must equal the whole table's - and the three modes
+    // are pinned, so a silently-full second round (reading the corpus
+    // instead of the delta) fails the hash even though the sums would
+    // match.
+    "k_snapshot_cursor" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_cursor")
+        val cur = fresh(d, "snap_cursor_ckpt") + "/c1"
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 3 === 0))
+        val r1 = Snapshots.readChangesSince(s, t, cur)
+        val acc1 = r1.df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        Snapshots.commitCursor(cur, r1.toV)
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 3 =!= 0))
+        val r2 = Snapshots.readChangesSince(s, t, cur)
+        val acc2 = r2.df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        Snapshots.commitCursor(cur, r2.toV)
+        val r3 = Snapshots.readChangesSince(s, t, cur)
+        acc1.unionByName(acc2).groupBy(col("lang"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars"))
+          .withColumn("modes", lit(s"${r1.mode},${r2.mode},${r3.mode}"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       'full,incremental,noop' AS modes
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("S1", "J1", "K1")
+    ),
+
+    // Schema evolution under the manifest-recorded schema: batch 2 adds a
+    // `lang` column - batch-1 files (written before the column existed)
+    // must read it as null, the column count pins the evolved shape, and a
+    // far-future timestamp read resolves to the current version. Reads use
+    // the schema RECORDED in the manifest (no parquet footer inference), so
+    // the null-fill is the explicit-schema read path working, not a
+    // mergeSchema footer scan.
+    "k_snapshot_schema_evolution" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_evolve")
+        Snapshots.create(s, t)
+        val docs = documents(s, d)
+        Snapshots.append(s, t,
+          docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("n_chars")))
+        Snapshots.append(s, t,
+          docs.filter(col("doc_id") % 2 === 1)
+            .select(col("doc_id"), col("n_chars"), col("lang")))
+        val cur = Snapshots.read(s, t)
+        val asOf = Snapshots.readAsOf(s, t, "9999-12-31T00:00:00Z").count()
+        cur.agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("lang").isNull, 1)).as("n_lang_null"),
+          sum(col("n_chars")).as("sum_chars"),
+          lit(cur.columns.length.toLong).as("n_cols"),
+          lit(asOf).as("n_asof"))
+      },
+      Some("""SELECT count(*) AS n_total,
+             |       count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n_lang_null,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(3 AS BIGINT) AS n_cols,
+             |       count(*) AS n_asof
+             |FROM documents""".stripMargin),
+      Seq("K1", "C16")
+    ),
+
+    // Copy-on-write MERGE (keyed upsert): target = even docs in 4 range
+    // stripes (4 files); source = updates for the stripe-0 multiples of 10
+    // (+1,000,000 n_chars) plus inserts (doc_id % 10 = 5, all odd = no
+    // match). Only stripe 0 holds a matched key, so exactly 1 file
+    // rewrites and 3 carry by reference - the structural pins - and the
+    // oracle replays the upsert arithmetic for the content pins.
+    "k_snapshot_merge" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_merge")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        val even = docs.filter(col("doc_id") % 2 === 0)
+        val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+        val w = (n + 3) / 4
+        (0L until 4L).foreach { i =>
+          Snapshots.append(s, t,
+            even.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1))
+        }
+        val source = docs.filter(col("doc_id") % 10 === 0 && col("doc_id") < w)
+          .withColumn("n_chars", col("n_chars") + 1000000L)
+          .unionByName(docs.filter(col("doc_id") % 10 === 5))
+        val m = Snapshots.merge(s, t, source, Seq("doc_id"))
+        Snapshots.read(s, t).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          lit(m.filesRewritten).as("files_rewritten"),
+          lit(m.filesUntouched).as("files_untouched"),
+          lit(m.rowsUpdated).as("rows_updated"),
+          lit(m.rowsInserted).as("rows_inserted"))
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(ceil((max(doc_id)+1) / 4.0) AS BIGINT) AS w FROM documents
+             |)
+             |SELECT (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+             |     + (SELECT count(*) FROM documents WHERE doc_id % 10 = 5) AS n_rows,
+             |       CAST((SELECT sum(n_chars) FROM documents WHERE doc_id % 2 = 0)
+             |     + 1000000 * (SELECT count(*) FROM documents, p WHERE doc_id % 10 = 0 AND doc_id < w)
+             |     + (SELECT sum(n_chars) FROM documents WHERE doc_id % 10 = 5) AS BIGINT) AS sum_chars,
+             |       CAST(1 AS BIGINT) AS files_rewritten,
+             |       CAST(3 AS BIGINT) AS files_untouched,
+             |       (SELECT count(*) FROM documents, p
+             |        WHERE doc_id % 10 = 0 AND doc_id < w) AS rows_updated,
+             |       (SELECT count(*) FROM documents WHERE doc_id % 10 = 5) AS rows_inserted""".stripMargin),
+      Seq("K2", "J3", "K1")
+    ),
+
+    // Streaming -> snapshot sink with exactly-once microbatch commits: a
+    // JSON drop dir streams (AvailableNow) into a manifest-log table via
+    // the txn-tagged appendIdempotent; the stream runs TWICE on the same
+    // checkpoint and a batch is replayed by hand - both must land nothing
+    // (replay detected from the commit log), so the per-lang aggregate
+    // equals the drop exactly. This is the Delta txnAppId/txnVersion
+    // idempotent-writer discipline on the engine's own table format.
+    "s12_snapshot_stream" -> Q(
+      (s, d) => {
+        val inDir = fresh(d, "snapstream_in")
+        val ckpt = fresh(d, "snapstream_ckpt")
+        val table = fresh(d, "snapstream_tbl")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+        val sample = documents(s, d).filter(col("doc_id") % 25 === 3)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        sample.coalesce(1).write.mode("overwrite").json(inDir)
+        val src = s.readStream.schema(sample.schema).json(inDir)
+        def run(): Unit = {
+          val q = graft.streaming.StreamingPipeline
+            .snapshotWriter(src, table, ckpt, appId = "s12").start()
+          q.awaitTermination()
+        }
+        run(); run() // restart on the same checkpoint: nothing re-lands
+        // hand-replay of batch 0 under the same appId: detected, skipped
+        graft.operators.Snapshots.appendIdempotent(
+          s, table, sample.limit(3), "s12", 0L): Unit
+        graft.operators.Snapshots.read(s, table)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents WHERE doc_id % 25 = 3 GROUP BY lang""".stripMargin),
+      Seq("S6", "K1", "K2")
+    ),
+
     // Incrementally-maintained materialized aggregate: rollup refreshed
     // from the snapshot diff (merge of stored partials with the delta's)
     // must equal the from-scratch group-by - the incremental

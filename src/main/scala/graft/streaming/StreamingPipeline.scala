@@ -475,6 +475,36 @@ object StreamingPipeline {
               degree, hubs = hubs), graphPath)
       }
 
+  /** Stream into a [[graft.operators.Snapshots]] manifest-log table with
+    * EXACTLY-ONCE microbatch appends: each batch commits tagged
+    * `(appId, batchId)` in the manifest's transaction markers, so a batch
+    * replayed after a crash-restart (same checkpoint ⇒ same batchId) is
+    * detected from the commit log and skipped — the Delta
+    * `txnAppId`/`txnVersion` idempotent-writer discipline on this engine's
+    * own table format. Downstream consumers get the full snapshot
+    * contract over the stream's output: time travel across microbatches,
+    * [[graft.operators.Snapshots.diffAppended]] as the CDC hand-off to
+    * incremental jobs, and [[graft.operators.IncrementalAgg]] rollups that
+    * refresh per delta. Retention caveat: [[graft.operators.Snapshots
+    * .expire]] must keep at least the replay window of versions.
+    */
+  def snapshotWriter(
+      source: DataFrame,
+      table: String,
+      checkpointDir: String,
+      appId: String
+  ): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (graft.operators.Snapshots.currentVersion(table).isEmpty)
+          graft.operators.Snapshots.create(s, table)
+        graft.operators.Snapshots.appendIdempotent(s, table, batch, appId, batchId): Unit
+      }
+
   /** Streaming count-min maintenance — the frequency-summary twin of
     * [[indexingWriter]]/[[vectorIndexingWriter]]: each microbatch persists
     * its own fixed-size sketch segment keyed by BATCH ID (a replayed batch

@@ -68,6 +68,53 @@ class SnapshotSpec extends SparkSpec {
     assert(ids(Snapshots.read(spark, t)) == (0L until 15L).toSet)
   }
 
+  test("staged append commits against a moved base without rewriting data") {
+    val t = tmpDir("snap-stage")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10))
+    // stage the expensive half (the data write), then let an interloper
+    // move the base before our commit — the retry must rebuild ONLY the
+    // manifest against the new parent and reuse the staged files as-is
+    val staged = Snapshots.stageAppend(spark, t, docs(10, idFrom = 10))
+    val stagedPaths = staged.select("path").as[String].collect().toSet
+    Snapshots.append(spark, t, docs(10, idFrom = 100))
+    val filesBeforeCommit = Lake.dataFileCount(spark, s"$t/data")
+    val v = Snapshots.commitStaged(spark, t, staged)
+    assert(v == 3, s"commit lands on the interloper's child version: $v")
+    assert(Lake.dataFileCount(spark, s"$t/data") == filesBeforeCommit,
+      "conflict-retry commit must write zero data files")
+    assert(ids(Snapshots.read(spark, t)) ==
+      ((0L until 20L) ++ (100L until 110L)).toSet)
+    // the committed manifest references the staged group verbatim
+    val committed = Snapshots.read(spark, t, Some(3))
+      .filter(col("doc_id") >= 10 && col("doc_id") < 20)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(committed.map(p => p.substring(p.indexOf("data/"))) == stagedPaths)
+    // a duplicate commit of the same staged group is detected from the
+    // path set (globally unique token) and returns the current version
+    assert(Snapshots.commitStaged(spark, t, staged) == 3)
+    assert(Snapshots.read(spark, t).count() == 30)
+  }
+
+  test("a crashed txn-tagged commit does not poison the replay check") {
+    val t = tmpDir("snap-txn-crash")
+    Snapshots.create(spark, t)
+    assert(Snapshots.appendIdempotent(spark, t, docs(10), "app", 0L).contains(1L))
+    // batch 1 commits, then we roll the pointer back = crash AFTER the
+    // manifest write, BEFORE the swap: its rows never became visible
+    val cur = JPaths.get(s"$t/_current")
+    val saved = new String(JFiles.readAllBytes(cur)).trim
+    assert(Snapshots.appendIdempotent(spark, t, docs(10, idFrom = 10), "app", 1L).contains(2L))
+    JFiles.write(cur, saved.getBytes): Unit
+    assert(Snapshots.lastTxn(spark, t, "app").contains(0L),
+      "an un-swapped manifest's txn marker must not count as committed")
+    // the replay of batch 1 must LAND (skipping it would lose the batch)
+    assert(Snapshots.appendIdempotent(spark, t, docs(10, idFrom = 10), "app", 1L).contains(2L))
+    assert(ids(Snapshots.read(spark, t)) == (0L until 20L).toSet)
+    // and a second replay is now correctly skipped
+    assert(Snapshots.appendIdempotent(spark, t, docs(10, idFrom = 10), "app", 1L).isEmpty)
+  }
+
   test("copy-on-write delete rewrites only stats-candidate files") {
     val t = tmpDir("snap-cow")
     Snapshots.create(spark, t)
@@ -90,6 +137,137 @@ class SnapshotSpec extends SparkSpec {
     val p4 = Snapshots.read(spark, t, Some(4)).filter(col("doc_id") < 20)
       .select(input_file_name()).distinct().as[String].collect().toSet
     assert(p3 == p4, "untouched files must be carried forward by reference")
+  }
+
+  test("schema evolution: new columns null-fill old files; schema travels with the version") {
+    val t = tmpDir("snap-evolve")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10))
+    // evolve: a new column appends as nullable, in stable order
+    Snapshots.append(spark, t,
+      docs(10, idFrom = 10).withColumn("lang", lit("nb")))
+    val cur = Snapshots.read(spark, t)
+    assert(cur.columns.toSeq == Seq("doc_id", "source", "n_chars", "lang"),
+      "parent fields first, evolved fields after")
+    assert(cur.filter(col("lang").isNull).count() == 10,
+      "files written before the column evolved in read it as null")
+    assert(cur.filter(col("lang") === "nb").count() == 10)
+    // a batch MISSING evolved columns also null-fills
+    Snapshots.append(spark, t, docs(5, idFrom = 20).select("doc_id", "n_chars"))
+    val cur2 = Snapshots.read(spark, t)
+    assert(cur2.filter(col("doc_id") >= 20 && col("source").isNull).count() == 5)
+    assert(cur2.count() == 25)
+    // time travel returns the OLD schema
+    assert(Snapshots.read(spark, t, Some(1)).columns.toSeq == Seq("doc_id", "source", "n_chars"))
+    // a type conflict is an error, not a silent cast
+    intercept[IllegalArgumentException] {
+      Snapshots.append(spark, t,
+        docs(1, idFrom = 99).withColumn("n_chars", lit("oops")))
+    }
+    // merge can evolve too: its new column lands, kept rows null-fill
+    val m = Snapshots.merge(spark, t,
+      docs(2, idFrom = 0).withColumn("score", lit(0.5)), Seq("doc_id"))
+    assert(m.rowsUpdated == 2)
+    val cur3 = Snapshots.read(spark, t)
+    assert(cur3.columns.toSeq == Seq("doc_id", "source", "n_chars", "lang", "score"))
+    assert(cur3.filter(col("score").isNotNull).count() == 2)
+    assert(cur3.count() == 25)
+  }
+
+  test("timestamp time travel resolves to the latest committed version at the instant") {
+    val t = tmpDir("snap-asof")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10))
+    Snapshots.append(spark, t, docs(5, idFrom = 10))
+    val cur = Snapshots.currentVersion(t).get
+    val lastTs = Snapshots.history(spark, t).head().getAs[String]("ts")
+    assert(Snapshots.versionAsOf(spark, t, lastTs) == cur,
+      "same-second commits resolve to the latest version in that second")
+    assert(Snapshots.readAsOf(spark, t, "9999-12-31T00:00:00Z").count() == 15)
+    intercept[IllegalArgumentException](
+      Snapshots.versionAsOf(spark, t, "1970-01-01T00:00:00Z"))
+    // a crashed attempt's manifest above _current is not history and
+    // cannot be resolved to, even by a far-future instant
+    val curPath = JPaths.get(s"$t/_current")
+    val saved = new String(JFiles.readAllBytes(curPath)).trim
+    Snapshots.append(spark, t, docs(99, idFrom = 1000))
+    JFiles.write(curPath, saved.getBytes): Unit
+    assert(Snapshots.versionAsOf(spark, t, "9999-12-31T00:00:00Z") == cur)
+    assert(Snapshots.history(spark, t).collect()
+      .forall(_.getAs[Long]("version") <= cur))
+  }
+
+  test("cursor consumption: full, then deltas, then noop; non-append forces reprocess") {
+    val t = tmpDir("snap-cursor")
+    val cur = tmpDir("snap-cursor-ckpt") + "/consumer1"
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10))
+    val r1 = Snapshots.readChangesSince(spark, t, cur)
+    assert(r1.mode == "full" && ids(r1.df) == (0L until 10L).toSet)
+    Snapshots.commitCursor(cur, r1.toV)
+    // two more appends -> one incremental round covering both deltas
+    Snapshots.append(spark, t, docs(5, idFrom = 10))
+    Snapshots.append(spark, t, docs(5, idFrom = 15))
+    val r2 = Snapshots.readChangesSince(spark, t, cur)
+    assert(r2.mode == "incremental" && ids(r2.df) == (10L until 20L).toSet,
+      "a round reads exactly the files appended since the cursor")
+    Snapshots.commitCursor(cur, r2.toV)
+    // current cursor -> noop, empty but schema-typed
+    val r3 = Snapshots.readChangesSince(spark, t, cur)
+    assert(r3.mode == "noop" && r3.df.count() == 0)
+    assert(r3.df.columns.toSeq == Seq("doc_id", "source", "n_chars"))
+    // an uncommitted cursor replays the same round (at-least-once)
+    Snapshots.append(spark, t, docs(3, idFrom = 20))
+    assert(ids(Snapshots.readChangesSince(spark, t, cur).df) == (20L until 23L).toSet)
+    assert(ids(Snapshots.readChangesSince(spark, t, cur).df) == (20L until 23L).toSet)
+    Snapshots.commitCursor(cur, Snapshots.currentVersion(t).get)
+    // a delete breaks insert-only lineage -> detected, full reprocess
+    Snapshots.deleteWhere(spark, t, col("doc_id") < 5)
+    val r4 = Snapshots.readChangesSince(spark, t, cur)
+    assert(r4.mode == "full" && ids(r4.df) == (5L until 23L).toSet)
+  }
+
+  test("merge upserts by key, rewriting only files that hold a matched key") {
+    val t = tmpDir("snap-merge")
+    Snapshots.create(spark, t)
+    // three appends = three disjoint doc_id ranges = three files
+    Snapshots.append(spark, t, docs(10).coalesce(1))
+    Snapshots.append(spark, t, docs(10, idFrom = 10).coalesce(1))
+    Snapshots.append(spark, t, docs(10, idFrom = 20).coalesce(1))
+    // source: updates for ids 5..9 (file 1 only) + fresh inserts 100..104
+    val source = docs(5, idFrom = 5).withColumn("n_chars", lit(-1L))
+      .unionByName(docs(5, idFrom = 100).withColumn("n_chars", lit(-2L)))
+    val m = Snapshots.merge(spark, t, source, Seq("doc_id"))
+    assert(m.version == 4)
+    assert(m.filesRewritten == 1 && m.filesUntouched == 2,
+      s"only the [0,10) file holds matched keys: $m")
+    assert(m.rowsUpdated == 5 && m.rowsInserted == 5, s"row split: $m")
+    // oracle: target rows with unmatched keys + all source rows
+    val got = Snapshots.read(spark, t)
+    assert(got.count() == 35)
+    assert(got.filter(col("n_chars") === -1L).count() == 5)
+    assert(got.filter(col("n_chars") === -2L).count() == 5)
+    assert(ids(got) == ((0L until 30L) ++ (100L until 105L)).toSet)
+    // untouched files carried BY REFERENCE (same physical paths)
+    val before = Snapshots.read(spark, t, Some(3)).filter(col("doc_id") >= 10 && col("doc_id") < 30)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    val after = got.filter(col("doc_id") >= 10 && col("doc_id") < 30)
+      .select(input_file_name()).distinct().as[String].collect().toSet
+    assert(before == after, "files without matched keys must not rewrite")
+    // time travel: pre-merge version still shows the old rows
+    assert(Snapshots.read(spark, t, Some(3)).filter(col("n_chars") < 0).count() == 0)
+    // merge breaks insert-only lineage -> diff signals fallback
+    assert(Snapshots.diffAppended(spark, t, 3, 4).isEmpty)
+  }
+
+  test("merge with no matched keys is a pure insert: zero files rewritten") {
+    val t = tmpDir("snap-merge-ins")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10).coalesce(1))
+    val m = Snapshots.merge(spark, t, docs(5, idFrom = 50), Seq("doc_id"))
+    assert(m.filesRewritten == 0 && m.filesUntouched == 1)
+    assert(m.rowsUpdated == 0 && m.rowsInserted == 5)
+    assert(ids(Snapshots.read(spark, t)) == ((0L until 10L) ++ (50L until 55L)).toSet)
   }
 
   test("manifest-side pruning skips files soundly and keeps results exact") {
@@ -151,6 +329,24 @@ class SnapshotSpec extends SparkSpec {
     assert(filesDeleted == filesBefore - 1, "all pre-compaction files are unreferenced")
     assert(before == Snapshots.read(spark, t).agg(count(lit(1)), sum(col("n_chars"))).head())
     intercept[Exception](Snapshots.read(spark, t, Some(1)).count())
+  }
+
+  test("clustered compaction turns a key predicate into a sharp file skip") {
+    val t = tmpDir("snap-cluster")
+    Snapshots.create(spark, t)
+    // round-robin appends: every file spans the whole key range, so the
+    // manifest boxes can skip nothing
+    (0 until 4).foreach(i =>
+      Snapshots.append(spark, t, docs(100).filter(col("doc_id") % 4 === i).coalesce(1)))
+    val before = Snapshots.scanPlan(spark, t, col("doc_id") >= 10 && col("doc_id") < 20)
+    assert(before.filesScanned == before.filesTotal,
+      "interleaved layout: no file can be skipped")
+    Snapshots.compact(spark, t, targetRecordsPerFile = 25, clusterBy = Seq(col("doc_id")))
+    val after = Snapshots.scanPlan(spark, t, col("doc_id") >= 10 && col("doc_id") < 20)
+    assert(after.filesTotal >= 4, s"compaction target keeps ~4 files: ${after.filesTotal}")
+    assert(after.filesScanned <= 2,
+      s"contiguous key ranges: the 10-wide predicate fits 1-2 files, got ${after.filesScanned}")
+    assert(ids(after.df) == (10L until 20L).toSet, "pruning never changes the answer")
   }
 
   test("incremental aggregate refresh equals full recompute; idempotent") {

@@ -749,4 +749,41 @@ class StreamingSpec extends SparkSpec {
     assert(n.contains(2L))
     q.stop()
   }
+
+  test("snapshot writer commits each microbatch exactly once across restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, sum => fsum}
+    implicit val sqlCtx = spark.sqlContext
+    val table = tmpDir("snapsink") + "/t"
+    val ckpt = tmpDir("snapsink_ckpt")
+    val mem = MemoryStream[(Long, Long)]
+    def run(): Unit = {
+      val q = StreamingPipeline.snapshotWriter(
+        mem.toDF().toDF("doc_id", "n_chars"), table, ckpt, appId = "snapsink").start()
+      q.awaitTermination()
+    }
+    mem.addData((1L, 10L), (2L, 20L))
+    run()
+    mem.addData((3L, 30L))
+    run()
+    val g = graft.operators.Snapshots
+    assert(g.read(spark, table).agg(fsum(col("n_chars"))).head().getLong(0) == 60L)
+    // time travel: the table version after batch 0 holds only batch 0
+    val h = g.history(spark, table).collect()
+    assert(h.count(_.getAs[String]("op") == "append") == 2)
+
+    // crash-replay: committing batch 1 AGAIN under the same appId must be
+    // a detected no-op (the checkpoint replays the same batchId)
+    import spark.implicits._
+    val replay = Seq((3L, 30L)).toDF("doc_id", "n_chars")
+    assert(g.appendIdempotent(spark, table, replay, "snapsink", 1L).isEmpty,
+      "replayed (appId, batchId) must be skipped")
+    assert(g.read(spark, table).count() == 3)
+    // a NEW transaction still lands
+    assert(g.appendIdempotent(spark, table, replay, "snapsink", 2L).nonEmpty)
+    assert(g.read(spark, table).count() == 4)
+    // and an unrelated appId is not blocked by this one's history
+    assert(g.appendIdempotent(spark, table,
+      Seq((9L, 90L)).toDF("doc_id", "n_chars"), "other-app", 0L).nonEmpty)
+  }
 }
