@@ -92,7 +92,14 @@ object Snapshots {
     StructField("stats_max", MapType(StringType, DoubleType)),
     StructField("txn_app", StringType),
     StructField("txn_v", LongType),
-    StructField("schema_json", StringType)))
+    StructField("schema_json", StringType),
+    StructField("stats_min_str", MapType(StringType, StringType)),
+    StructField("stats_max_str", MapType(StringType, StringType))))
+
+  /** The per-file manifest columns, in canonical order. */
+  private val fileColNames = Seq(
+    "version", "path", "rows", "bytes",
+    "stats_min", "stats_max", "stats_min_str", "stats_max_str")
 
   private def vdir(table: String, v: Long) = f"$table/_log/v$v%08d"
   private def currentPath(table: String) = s"$table/_current"
@@ -176,6 +183,16 @@ object Snapshots {
   }
 
   /** Numeric top-level columns — the default stats set. */
+  /** Default stats set: numeric + string top-level columns (string bounds
+    * are truncated at write; pass explicit `statsCols` to exclude long
+    * text columns from stats collection).
+    */
+  private def defaultStatsCols(df: DataFrame): Seq[String] =
+    df.schema.fields.collect {
+      case StructField(n, _: NumericType, _, _) => n
+      case StructField(n, StringType, _, _) => n
+    }.toSeq
+
   private def numericCols(df: DataFrame): Seq[String] =
     df.schema.fields.collect { case StructField(n, _: NumericType, _, _) => n }.toSeq
 
@@ -199,13 +216,32 @@ object Snapshots {
     df.write.option("maxRecordsPerFile", maxRecordsPerFile)
       .mode(SaveMode.ErrorIfExists).parquet(dir)
 
-    val stats = statsCols.filter(df.columns.contains)
+    val requested = statsCols.filter(df.columns.contains)
+    def isNum(c: String) = df.schema(c).dataType.isInstanceOf[NumericType]
+    def isStr(c: String) = df.schema(c).dataType == StringType
+    val stats = requested.filter(isNum)
+    val strStats = requested.filter(isStr)
     val written = spark.read.parquet(dir)
+    // string bounds are TRUNCATED to bound manifest size, soundly: a
+    // 16-char prefix is a valid lower bound as-is; an upper bound keeps
+    // the full value unless its cut character is plain ASCII, where
+    // prefix15 + (char+1) majorizes every string sharing the 16-prefix
+    def truncLower(c: Column) = substring(c, 1, 16)
+    def truncUpper(c: Column) = {
+      val cut = ascii(substring(c, 16, 1))
+      when(length(c) <= 16, c)
+        .when(cut.between(32, 125),
+          concat(substring(c, 1, 15), chr(cut + 1)))
+        .otherwise(c)
+    }
     val aggs =
       count(lit(1)).cast(LongType).as("rows") +:
-        stats.flatMap(c => Seq(
+        (stats.flatMap(c => Seq(
           min(col(c)).cast(DoubleType).as(s"__min_$c"),
-          max(col(c)).cast(DoubleType).as(s"__max_$c")))
+          max(col(c)).cast(DoubleType).as(s"__max_$c"))) ++
+          strStats.flatMap(c => Seq(
+            truncLower(min(col(c))).as(s"__smin_$c"),
+            truncUpper(max(col(c))).as(s"__smax_$c"))))
     val perFile = written.groupBy(input_file_name().as("__file")).agg(aggs.head, aggs.tail: _*)
 
     // file sizes from one listing of the JUST-WRITTEN group dir (bounded by
@@ -222,13 +258,20 @@ object Snapshots {
       else map_filter(
         map(stats.flatMap(c => Seq(lit(c), col(s"${prefix}_$c"))): _*),
         (_, mv) => mv.isNotNull)
+    def strStatsMap(prefix: String) =
+      if (strStats.isEmpty) typedLit(Map.empty[String, String])
+      else map_filter(
+        map(strStats.flatMap(c => Seq(lit(c), col(s"${prefix}_$c"))): _*),
+        (_, mv) => mv.isNotNull)
     perFile.select(
       lit(v).as("version"),
       concat(lit(rel + "/"), element_at(split(col("__file"), "/"), -1)).as("path"),
       col("rows"),
       element_at(sizeLookup, element_at(split(col("__file"), "/"), -1)).as("bytes"),
       statsMap("__min").as("stats_min"),
-      statsMap("__max").as("stats_max"))
+      statsMap("__max").as("stats_max"),
+      strStatsMap("__smin").as("stats_min_str"),
+      strStatsMap("__smax").as("stats_max_str"))
   }
 
   private def commitRow(
@@ -245,7 +288,9 @@ object Snapshots {
         typedLit(Map.empty[String, Double]).as("stats_max"),
         lit(txn.map(_._1).orNull).as("txn_app"),
         txn.map(t => lit(t._2)).getOrElse(lit(null: java.lang.Long)).cast(LongType).as("txn_v"),
-        lit(schemaJson.orNull).as("schema_json"))
+        lit(schemaJson.orNull).as("schema_json"),
+        typedLit(Map.empty[String, String]).as("stats_min_str"),
+        typedLit(Map.empty[String, String]).as("stats_max_str"))
   }
 
   /** Align a file-entry DataFrame to the manifest schema (file rows keep
@@ -258,7 +303,8 @@ object Snapshots {
       col("path"), col("rows"), col("bytes"), col("stats_min"), col("stats_max"),
       lit(null: String).as("txn_app"),
       lit(null: java.lang.Long).cast(LongType).as("txn_v"),
-      lit(null: String).as("schema_json"))
+      lit(null: String).as("schema_json"),
+      col("stats_min_str"), col("stats_max_str"))
 
   private def writeManifest(
       spark: SparkSession, table: String, v: Long, parent: Long, op: String,
@@ -321,7 +367,7 @@ object Snapshots {
       statsCols: Seq[String] = null,
       maxRecordsPerFile: Long = 1000000L): DataFrame = {
     val parent = requireVersion(table)
-    val stats = Option(statsCols).getOrElse(numericCols(df))
+    val stats = Option(statsCols).getOrElse(defaultStatsCols(df))
     writeFileGroup(spark, table, parent + 1, df, stats, maxRecordsPerFile)
   }
 
@@ -343,13 +389,13 @@ object Snapshots {
       txn: Option[(String, Long)] = None,
       dataSchema: Option[StructType] = None,
       maxRetries: Int = 4): Long = {
-    val entryCols = entries.select("path", "rows", "bytes", "stats_min", "stats_max")
+    val entryCols = entries.select(fileColNames.filterNot(_ == "version").map(col): _*)
     val myPaths = entryCols.select("path").collect().map(_.getString(0)).toSet
     var attempt = 0
     while (true) {
       val parent = requireVersion(table)
       val carried = fileRows(spark, table, parent)
-        .select("version", "path", "rows", "bytes", "stats_min", "stats_max").cache()
+        .select(fileColNames.head, fileColNames.tail: _*).cache()
       try {
         // an empty staged group (0-row batch) has no unique paths to detect
         // an earlier winning attempt by; it just commits an empty append
@@ -370,7 +416,7 @@ object Snapshots {
         try {
           writeManifest(spark, table, v, parent, "append",
             carried.unionByName(entryCols.withColumn("version", lit(v))
-              .select("version", "path", "rows", "bytes", "stats_min", "stats_max")), txn,
+              .select(fileColNames.head, fileColNames.tail: _*)), txn,
             newSchema.map(_.json))
           swapCurrent(table, parent, v)
           return v
@@ -432,10 +478,10 @@ object Snapshots {
       maxRecordsPerFile: Long = 1000000L): Long = {
     val parent = requireVersion(table)
     val v = parent + 1
-    val stats = Option(statsCols).getOrElse(numericCols(df))
+    val stats = Option(statsCols).getOrElse(defaultStatsCols(df))
     val entries = writeFileGroup(spark, table, v, df, stats, maxRecordsPerFile)
     writeManifest(spark, table, v, parent, "overwrite",
-      entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max"),
+      entries.select(fileColNames.head, fileColNames.tail: _*),
       schemaJson = Some(df.schema.json)) // overwrite REPLACES the schema too
     swapCurrent(table, parent, v)
     v
@@ -447,17 +493,38 @@ object Snapshots {
   private[operators] def predicateBox(c: Column): Map[String, (Double, Double)] =
     org.apache.spark.sql.graft.PredicateBox.extract(c)
 
-  /** File entries of `v` that survive stats pruning for `box`: a file is
-    * skipped iff for SOME constrained column its recorded [min,max] misses
-    * the box (missing stats keep the file — conservative).
+  /** String twin of [[predicateBox]] ([[org.apache.spark.sql.graft
+    * .PredicateBox.extractStr]]): equality/range constraints on string
+    * columns prune against the manifest's truncated string bounds — the
+    * partition-by-language layout's skip path without hive partitioning.
     */
-  private def pruned(files: DataFrame, box: Map[String, (Double, Double)]): DataFrame =
-    box.foldLeft(files) { case (df, (c, (lo, hi))) =>
+  private[operators] def predicateStrBox(
+      c: Column): Map[String, (Option[String], Option[String])] =
+    org.apache.spark.sql.graft.PredicateBox.extractStr(c)
+
+  /** File entries of `v` that survive stats pruning for `box` (numeric)
+    * and `strBox` (string): a file is skipped iff for SOME constrained
+    * column its recorded [min,max] misses the box (missing stats keep the
+    * file — conservative; string bounds are write-truncated, which only
+    * widens the recorded interval, so skipping stays sound).
+    */
+  private def pruned(
+      files: DataFrame,
+      box: Map[String, (Double, Double)],
+      strBox: Map[String, (Option[String], Option[String])] = Map.empty): DataFrame = {
+    val afterNum = box.foldLeft(files) { case (df, (c, (lo, hi))) =>
       df.filter(
         element_at(col("stats_min"), c).isNull ||
           (element_at(col("stats_max"), c) >= lit(lo) &&
             element_at(col("stats_min"), c) <= lit(hi)))
     }
+    strBox.foldLeft(afterNum) { case (df, (c, (lo, hi))) =>
+      df.filter(
+        element_at(col("stats_min_str"), c).isNull ||
+          (lo.map(l => element_at(col("stats_max_str"), c) >= lit(l)).getOrElse(lit(true)) &&
+            hi.map(h => element_at(col("stats_min_str"), c) <= lit(h)).getOrElse(lit(true))))
+    }
+  }
 
   private def readFiles(
       spark: SparkSession, table: String, files: DataFrame,
@@ -499,7 +566,7 @@ object Snapshots {
     val files = fileRows(spark, table, v).cache()
     try {
       val box = predicateBox(cond)
-      val keep = pruned(files, box)
+      val keep = pruned(files, box, predicateStrBox(cond))
       val total = files.count()
       val kept = keep.count()
       ScanPlan(total, kept,
@@ -525,7 +592,7 @@ object Snapshots {
     val schema = tableSchema(spark, table, Some(parent))
     try {
       val box = predicateBox(cond)
-      val candidates = pruned(files, box).cache()
+      val candidates = pruned(files, box, predicateStrBox(cond)).cache()
       val untouchedCount = files.count() - candidates.count()
       val untouched = files.join(candidates.select("path"), Seq("path"), "left_anti")
       val survivors = {
@@ -533,16 +600,16 @@ object Snapshots {
         if (cand.columns.isEmpty) cand else cand.filter(!cond)
       }
       val stats = Option(statsCols).getOrElse(
-        if (survivors.columns.isEmpty) Nil else numericCols(survivors))
+        if (survivors.columns.isEmpty) Nil else defaultStatsCols(survivors))
       val entries =
         if (survivors.columns.isEmpty)
           asManifestRows(untouched.limit(0))
-            .select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+            .select(fileColNames.head, fileColNames.tail: _*)
         else
           writeFileGroup(spark, table, v, survivors, stats, maxRecordsPerFile)
-            .select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+            .select(fileColNames.head, fileColNames.tail: _*)
       writeManifest(spark, table, v, parent, "delete",
-        untouched.select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+        untouched.select(fileColNames.head, fileColNames.tail: _*)
           .unionByName(entries), schemaJson = schema.map(_.json))
       swapCurrent(table, parent, v)
       val rewritten = candidates.count()
@@ -612,7 +679,20 @@ object Snapshots {
               k -> ((r.getDouble(2 * i), r.getDouble(2 * i + 1)))
           }.toMap
         }
-      val candidates = pruned(files, box).cache()
+      // string keys dismiss files the same way, via truncated string bounds
+      val strKeys = keyCols.filter(k =>
+        source.schema.fields.exists(f => f.name == k && f.dataType == StringType))
+      val strBox: Map[String, (Option[String], Option[String])] =
+        if (strKeys.isEmpty) Map.empty
+        else {
+          val aggs = strKeys.flatMap(k => Seq(min(col(k)), max(col(k))))
+          val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+          strKeys.zipWithIndex.collect {
+            case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
+              k -> ((Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
+          }.toMap
+        }
+      val candidates = pruned(files, box, strBox).cache()
       // (2) key-only scan of the candidates: which files hold a matched key?
       // (files are matched by part-file basename — globally unique, each
       // carries its write job's UUID — so no path-prefix arithmetic)
@@ -645,12 +725,12 @@ object Snapshots {
       // allowMissingColumns: the source may evolve the schema (new columns
       // null out in kept rows) or omit evolved columns (null in its rows)
       val newContent = kept.unionByName(source, allowMissingColumns = true)
-      val stats = Option(statsCols).getOrElse(numericCols(newContent))
+      val stats = Option(statsCols).getOrElse(defaultStatsCols(newContent))
       val entries =
         writeFileGroup(spark, table, v, newContent, stats, maxRecordsPerFile)
-          .select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+          .select(fileColNames.head, fileColNames.tail: _*)
       writeManifest(spark, table, v, parent, "merge",
-        untouched.select("version", "path", "rows", "bytes", "stats_min", "stats_max")
+        untouched.select(fileColNames.head, fileColNames.tail: _*)
           .unionByName(entries), schemaJson = Some(newSchema.json))
       swapCurrent(table, parent, v)
       MergeStats(v, touchedNames.size.toLong,
@@ -794,7 +874,7 @@ object Snapshots {
     val df = read(spark, table)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
-    val stats = Option(statsCols).getOrElse(numericCols(df))
+    val stats = Option(statsCols).getOrElse(defaultStatsCols(df))
     val laidOut =
       if (clusterBy.isEmpty) df.repartition(nFiles.toInt)
       else df.repartitionByRange(nFiles.toInt, clusterBy: _*)
@@ -802,7 +882,7 @@ object Snapshots {
     val entries = writeFileGroup(
       spark, table, v, laidOut, stats, targetRecordsPerFile)
     writeManifest(spark, table, v, parent, "replace",
-      entries.select("version", "path", "rows", "bytes", "stats_min", "stats_max"),
+      entries.select(fileColNames.head, fileColNames.tail: _*),
       schemaJson = tableSchema(spark, table, Some(parent)).map(_.json))
     swapCurrent(table, parent, v)
     v

@@ -142,6 +142,39 @@ object SnapshotQueries {
       Seq("K1", "K5")
     ),
 
+    // String-column file skipping: one append per lang = one file whose
+    // manifest string bounds pin that lang exactly; an equality predicate
+    // must plan to ONE file of count(DISTINCT lang) without opening a
+    // parquet footer - the partition-by-language layout's skip path with
+    // no hive partitioning, driven purely by truncated string min/max in
+    // the manifest. The oracle replays both the answer and the skip
+    // arithmetic.
+    "k_snapshot_prune_string" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_strprune")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        import s.implicits._
+        val langs = docs.select(col("lang")).distinct()
+          .orderBy(col("lang")).as[String].collect()
+        langs.foreach { l =>
+          Snapshots.append(s, t, docs.filter(col("lang") === l).coalesce(1))
+        }
+        val plan = Snapshots.scanPlan(s, t, col("lang") === langs.head)
+        plan.df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          lit(plan.filesTotal).as("files_total"),
+          lit(plan.filesScanned).as("files_scanned"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents) AS files_total,
+             |       CAST(1 AS BIGINT) AS files_scanned
+             |FROM documents WHERE lang = (SELECT min(lang) FROM documents)""".stripMargin),
+      Seq("F6", "F8", "K1")
+    ),
+
     // Checkpointed change-data-feed consumption: a consumer processes the
     // table in three rounds (initial full read, one incremental delta,
     // one noop), committing its cursor between rounds; the accumulated

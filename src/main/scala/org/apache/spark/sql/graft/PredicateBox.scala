@@ -69,12 +69,82 @@ object PredicateBox {
   private def walk(n: ColumnNode): Map[String, (Double, Double)] = n match {
     case f: NodeFn if f.functionName == "and" && f.arguments.size == 2 =>
       merge(walk(f.arguments.head), walk(f.arguments(1)))
+    // attr IN (v1..vk) -> [min, max] of the list: the span keeps any file
+    // whose range touches it (maybe more than the exact values — sound)
+    case f: NodeFn if f.functionName == "in" && f.arguments.size >= 2 =>
+      (name(f.arguments.head), f.arguments.tail.map(num)) match {
+        case (Some(a), vs) if vs.forall(_.isDefined) =>
+          val xs = vs.flatten
+          Map(a -> ((xs.min, xs.max)))
+        case _ => Map.empty
+      }
     case f: NodeFn if cmps.contains(f.functionName) && f.arguments.size == 2 =>
       val l = f.arguments.head
       val r = f.arguments(1)
       (name(l), num(r), name(r), num(l)) match {
         case (Some(a), Some(v), _, _) => Map(a -> range(f.functionName, v))
         case (_, _, Some(a), Some(v)) => Map(a -> range(flip(f.functionName), v))
+        case _ => Map.empty
+      }
+    case _ => Map.empty
+  }
+
+  /** Per-column string `[lo, hi]` bounds implied by `c` — the string twin
+    * of [[extract]], with `None` as the open end. Only conjunctions of
+    * `attr (=|<|<=|>|>=) string-literal` contribute; everything else
+    * yields no constraint (sound for pruning). Comparisons downstream run
+    * in Spark SQL (binary collation), matching the min/max the stats
+    * writer computed with the same engine.
+    */
+  def extractStr(c: Column): Map[String, (Option[String], Option[String])] = walkStr(c.node)
+
+  private def str(n: ColumnNode): Option[String] = n match {
+    case l: NodeLiteral => l.value match {
+      case v: String => Some(v)
+      case v: org.apache.spark.unsafe.types.UTF8String => Some(v.toString)
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def rangeStr(op: String, v: String): (Option[String], Option[String]) = op match {
+    case "=" | "==" => (Some(v), Some(v))
+    case ">" | ">=" => (Some(v), None)
+    case "<" | "<=" => (None, Some(v))
+    case _ => (None, None)
+  }
+
+  private def mergeStr(
+      a: Map[String, (Option[String], Option[String])],
+      b: Map[String, (Option[String], Option[String])]): Map[String, (Option[String], Option[String])] =
+    (a.keySet ++ b.keySet).map { k =>
+      val (alo, ahi) = a.getOrElse(k, (None, None))
+      val (blo, bhi) = b.getOrElse(k, (None, None))
+      val lo = (alo.toSeq ++ blo.toSeq).sorted.lastOption
+      val hi = (ahi.toSeq ++ bhi.toSeq).sorted.headOption
+      k -> ((lo, hi))
+    }.toMap
+
+  private def walkStr(n: ColumnNode): Map[String, (Option[String], Option[String])] = n match {
+    case f: NodeFn if f.functionName == "and" && f.arguments.size == 2 =>
+      mergeStr(walkStr(f.arguments.head), walkStr(f.arguments(1)))
+    // ASCII-only lists: JVM min/max ordering matches Spark's UTF-8 binary
+    // ordering there; a non-ASCII value could make the JVM-chosen span
+    // unsound, so such a list contributes no constraint
+    case f: NodeFn if f.functionName == "in" && f.arguments.size >= 2 =>
+      (name(f.arguments.head), f.arguments.tail.map(str)) match {
+        case (Some(a), vs) if vs.forall(_.isDefined) &&
+            vs.flatten.forall(_.forall(_ < 128)) =>
+          val xs = vs.flatten
+          Map(a -> ((Some(xs.min), Some(xs.max))))
+        case _ => Map.empty
+      }
+    case f: NodeFn if cmps.contains(f.functionName) && f.arguments.size == 2 =>
+      val l = f.arguments.head
+      val r = f.arguments(1)
+      (name(l), str(r), name(r), str(l)) match {
+        case (Some(a), Some(v), _, _) => Map(a -> rangeStr(f.functionName, v))
+        case (_, _, Some(a), Some(v)) => Map(a -> rangeStr(flip(f.functionName), v))
         case _ => Map.empty
       }
     case _ => Map.empty

@@ -284,6 +284,36 @@ class SnapshotSpec extends SparkSpec {
     assert(noPrune.df.count() == Snapshots.read(spark, t).filter(col("source") === "src1").count())
   }
 
+  test("string stats prune files; write-truncated bounds stay sound") {
+    val t = tmpDir("snap-strprune")
+    Snapshots.create(spark, t)
+    // one file per source value = tight string bounds per file
+    (0 until 3).foreach(i =>
+      Snapshots.append(spark, t, docs(30).filter(col("source") === s"src$i").coalesce(1)))
+    val eq = Snapshots.scanPlan(spark, t, col("source") === "src1")
+    assert(eq.filesTotal == 3 && eq.filesScanned == 1,
+      s"equality on a string column prunes to its file: ${eq.filesScanned}")
+    assert(eq.df.count() == 10)
+    val rng = Snapshots.scanPlan(spark, t, col("source") >= "src1")
+    assert(rng.filesScanned == 2, "string range keeps src1+src2 files")
+    assert(rng.df.count() == 20)
+    // bounds longer than the 16-char truncation: two prefix families, the
+    // stored min is a prefix (sound lower) and the stored max majorizes
+    // (incremented cut char) — equality on one family skips the other and
+    // still answers exactly
+    val t2 = tmpDir("snap-strtrunc")
+    Snapshots.create(spark, t2)
+    def fam(p: String) = spark.range(0, 10).select(
+      col("id").as("doc_id"),
+      concat(lit(p), lpad(col("id").cast("string"), 4, "0")).as("k"))
+    Snapshots.append(spark, t2, fam("aaaaaaaaaaaaaaaaaaaa-").coalesce(1))
+    Snapshots.append(spark, t2, fam("bbbbbbbbbbbbbbbbbbbb-").coalesce(1))
+    val probe = "aaaaaaaaaaaaaaaaaaaa-0005"
+    val tp = Snapshots.scanPlan(spark, t2, col("k") === probe)
+    assert(tp.filesScanned == 1, s"the other prefix family must be skipped: ${tp.filesScanned}")
+    assert(tp.df.count() == 1)
+  }
+
   test("predicateBox extracts conjunctive numeric ranges conservatively") {
     import graft.operators.Snapshots.predicateBox
     val b1 = predicateBox(col("a") >= 3 && col("a") < 7 && col("b") === 5)
@@ -293,6 +323,19 @@ class SnapshotSpec extends SparkSpec {
     assert(predicateBox(col("s") === "x").isEmpty)
     val b2 = predicateBox(lit(10) >= col("a") && col("s") === "x")
     assert(b2 == Map("a" -> ((Double.NegativeInfinity, 10.0))))
+    // IN-lists contribute their span
+    assert(predicateBox(col("a").isin(5, 2, 9)) == Map("a" -> ((2.0, 9.0))))
+    // string twin: equality, ranges, conjunctions, ASCII-guarded IN spans
+    import graft.operators.Snapshots.predicateStrBox
+    assert(predicateStrBox(col("s") === "x" && col("a") > 3) ==
+      Map("s" -> ((Some("x"), Some("x")))))
+    assert(predicateStrBox(col("s") >= "m" && col("s") < "q") ==
+      Map("s" -> ((Some("m"), Some("q")))))
+    assert(predicateStrBox(col("s").isin("b", "a")) ==
+      Map("s" -> ((Some("a"), Some("b")))))
+    assert(predicateStrBox(col("s").isin("a", "å")).isEmpty,
+      "non-ASCII IN values must contribute no constraint")
+    assert(predicateStrBox(col("s") === "x" || col("s") === "y").isEmpty)
   }
 
   test("diffAppended returns exactly the delta, or None across non-appends") {
