@@ -771,6 +771,15 @@ object GraftCli {
           spark, table, org.apache.spark.sql.functions.expr(predicate))
         println(s"version=$v files_rewritten=$rewritten files_untouched=$untouched")
         0
+      // snapshot-delete-mor <table> "<sql predicate>" — merge-on-read:
+      // rewrites NO data file; matching rows land in a position-delete
+      // dataset every read applies (compaction absorbs the vectors)
+      case "snapshot-delete-mor" :: table :: predicate :: Nil =>
+        val st = graft.operators.Snapshots.deleteWhereMor(
+          spark, table, org.apache.spark.sql.functions.expr(predicate))
+        println(s"version=${st.version} rows_deleted=${st.rowsDeleted} " +
+          s"files_with_dv=${st.filesWithDv} files_untouched=${st.filesUntouched}")
+        0
       // snapshot-merge <table> <parquetDir> <keyCols,comma-sep> — keyed
       // COW upsert: only files holding a matched key rewrite
       case "snapshot-merge" :: table :: parquetDir :: keys :: Nil =>
@@ -840,6 +849,7 @@ object GraftCli {
             |  snapshot-history <table>
             |  snapshot-diff <table> <fromVersion> <toVersion>
             |  snapshot-delete <table> "<sql predicate>"
+            |  snapshot-delete-mor <table> "<sql predicate>"
             |  snapshot-merge <table> <parquetDir> <keyCol,...>
             |  snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]
             |  snapshot-expire <table> <keepLast>

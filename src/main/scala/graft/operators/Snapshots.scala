@@ -94,12 +94,20 @@ object Snapshots {
     StructField("txn_v", LongType),
     StructField("schema_json", StringType),
     StructField("stats_min_str", MapType(StringType, StringType)),
-    StructField("stats_max_str", MapType(StringType, StringType))))
+    StructField("stats_max_str", MapType(StringType, StringType)),
+    StructField("dv_path", StringType),
+    StructField("dv_rows", LongType)))
 
-  /** The per-file manifest columns, in canonical order. */
+  /** The per-file manifest columns, in canonical order. `dv_path`/`dv_rows`
+    * are the merge-on-read delete state: the table-relative dir of the
+    * position-delete dataset this file's deleted rows live in (null = no
+    * deletes), and how many of the file's physical rows it marks deleted.
+    * Pre-DV manifests read them as null (schema-on-read).
+    */
   private val fileColNames = Seq(
     "version", "path", "rows", "bytes",
-    "stats_min", "stats_max", "stats_min_str", "stats_max_str")
+    "stats_min", "stats_max", "stats_min_str", "stats_max_str",
+    "dv_path", "dv_rows")
 
   private def vdir(table: String, v: Long) = f"$table/_log/v$v%08d"
   private def currentPath(table: String) = s"$table/_current"
@@ -271,7 +279,9 @@ object Snapshots {
       statsMap("__min").as("stats_min"),
       statsMap("__max").as("stats_max"),
       strStatsMap("__smin").as("stats_min_str"),
-      strStatsMap("__smax").as("stats_max_str"))
+      strStatsMap("__smax").as("stats_max_str"),
+      lit(null: String).as("dv_path"),
+      lit(0L).as("dv_rows"))
   }
 
   private def commitRow(
@@ -290,7 +300,9 @@ object Snapshots {
         txn.map(t => lit(t._2)).getOrElse(lit(null: java.lang.Long)).cast(LongType).as("txn_v"),
         lit(schemaJson.orNull).as("schema_json"),
         typedLit(Map.empty[String, String]).as("stats_min_str"),
-        typedLit(Map.empty[String, String]).as("stats_max_str"))
+        typedLit(Map.empty[String, String]).as("stats_max_str"),
+        lit(null: String).as("dv_path"),
+        lit(null: java.lang.Long).cast(LongType).as("dv_rows"))
   }
 
   /** Align a file-entry DataFrame to the manifest schema (file rows keep
@@ -304,7 +316,8 @@ object Snapshots {
       lit(null: String).as("txn_app"),
       lit(null: java.lang.Long).cast(LongType).as("txn_v"),
       lit(null: String).as("schema_json"),
-      col("stats_min_str"), col("stats_max_str"))
+      col("stats_min_str"), col("stats_max_str"),
+      col("dv_path"), col("dv_rows"))
 
   private def writeManifest(
       spark: SparkSession, table: String, v: Long, parent: Long, op: String,
@@ -526,22 +539,53 @@ object Snapshots {
     }
   }
 
-  private def readFiles(
+  /** Read a manifest file set WITH provenance columns `__file` (parquet
+    * basename) and `__pos` (row index within the file, from the scan's
+    * metadata column — the position-delete key), applying any referenced
+    * deletion vectors: rows listed in a file's DV dataset are dropped by
+    * ONE anti-join on (basename, position). Basenames are globally unique
+    * (each carries its write job's UUID), so the union of every referenced
+    * DV dataset joins soundly — a dataset can only ever name positions of
+    * files whose CURRENT reference is it or a merged superset of it.
+    * Tables with no DVs skip the join entirely (the metadata columns are
+    * pruned away by Catalyst when the caller drops them).
+    */
+  private def readFilesMeta(
       spark: SparkSession, table: String, files: DataFrame,
       schema: Option[StructType] = None): DataFrame = {
     // paths-only collect of the post-pruning survivors — the same driver
     // cost Spark's own file index pays at plan time
-    val paths = files.select("path").collect().map(r => s"$table/${r.getString(0)}")
+    val rows = files.select("path", "dv_path").collect()
+    val paths = rows.map(r => s"$table/${r.getString(0)}")
+    val dvPaths = rows.flatMap(r => Option(r.getString(1))).distinct.map(p => s"$table/$p")
     if (paths.isEmpty)
       schema.map(s => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.add("__file", StringType).add("__pos", LongType)))
         .getOrElse(spark.emptyDataFrame)
     else {
       // the manifest-recorded schema makes the scan footer-free AND lets
       // files written before a column evolved in read it as null
       val r = schema.map(spark.read.schema(_)).getOrElse(spark.read)
-      r.parquet(paths.toIndexedSeq: _*)
+      val base = r.parquet(paths.toIndexedSeq: _*)
+        .withColumn("__file", col("_metadata.file_name"))
+        .withColumn("__pos", col("_metadata.row_index"))
+      if (dvPaths.isEmpty) base
+      else {
+        // DV side ∝ deleted rows of the files scanned — broadcast-small
+        // for point deletes, hash-join at worst; never a data rewrite
+        val dv = spark.read.parquet(dvPaths.toIndexedSeq: _*)
+          .select(col("file").as("__file"), col("pos").as("__pos"))
+        base.join(dv, Seq("__file", "__pos"), "left_anti")
+      }
     }
+  }
+
+  private def readFiles(
+      spark: SparkSession, table: String, files: DataFrame,
+      schema: Option[StructType] = None): DataFrame = {
+    val m = readFilesMeta(spark, table, files, schema)
+    if (m.columns.contains("__file")) m.drop("__file", "__pos") else m
   }
 
   /** Read the table at `version` (default: current). Snapshot-isolated: the
@@ -615,6 +659,111 @@ object Snapshots {
       val rewritten = candidates.count()
       candidates.unpersist()
       (v, rewritten, untouchedCount)
+    } finally { files.unpersist(); () }
+  }
+
+  /** Outcome of a [[deleteWhereMor]]: the new version, how many files
+    * gained a (new or re-merged) deletion vector vs carried forward
+    * untouched, and the rows newly marked deleted.
+    */
+  final case class MorDeleteStats(
+      version: Long, filesWithDv: Long, filesUntouched: Long, rowsDeleted: Long)
+
+  /** Merge-on-read delete: NO data file is rewritten — matching rows are
+    * recorded as (file basename, row position) in a position-delete
+    * dataset under `data/c<v>-<token>.dv/`, and the affected manifest file
+    * rows point at it via `dv_path`. Every read applies the vectors with
+    * one anti-join ([[readFilesMeta]]). This is the Iceberg-v2
+    * position-delete / Delta deletion-vector discipline, and the reason a
+    * 0.1% delete on a 100 TB table costs megabytes, not terabytes:
+    *
+    *  - **Write cost ∝ rows deleted.** Stats-pruned candidates are scanned
+    *    once (predicate pushed to parquet); only matching (file, pos)
+    *    pairs are written. [[deleteWhere]] (copy-on-write) instead
+    *    rewrites every candidate FILE — right when deletes cluster, wrong
+    *    when they scatter across the whole table.
+    *  - **Read cost**: one anti-join against a deleted-fraction-sized
+    *    side. [[compact]] absorbs the vectors back into clean files when
+    *    the fraction grows (reads apply DVs, rewrites reference none).
+    *  - **Monotone merge.** A file deleted against twice gets ONE merged
+    *    vector: the new positions (computed on a DV-applied read, so
+    *    already-deleted rows can't re-match) unioned with its old
+    *    vector's. Its `dv_path` moves to the merged dataset; files
+    *    untouched by this delete keep their old reference. Time travel
+    *    stays exact: each version's file rows name each file's vector AS
+    *    OF that version.
+    *  - **Fully-deleted files stay referenced** (dv_rows == rows; the
+    *    anti-join drops everything) until a [[compact]]/[[deleteWhere]]
+    *    rewrite retires them; [[expire]] GCs DV datasets no retained
+    *    version references.
+    *
+    * Recorded as op `delete` — a non-append — so incremental consumers
+    * ([[diffAppended]]/[[IncrementalAgg]]) correctly fall back to a full
+    * recompute across it.
+    */
+  def deleteWhereMor(
+      spark: SparkSession,
+      table: String,
+      cond: Column): MorDeleteStats = {
+    val parent = requireVersion(table)
+    val v = parent + 1
+    val files = fileRows(spark, table, parent).cache()
+    val schema = tableSchema(spark, table, Some(parent))
+    try {
+      val candidates = pruned(files, predicateBox(cond), predicateStrBox(cond))
+      val cand = readFilesMeta(spark, table, candidates, schema)
+      val newPos =
+        if (cand.columns.isEmpty) null
+        else cand.filter(cond)
+          .select(col("__file").as("file"), col("__pos").as("pos")).cache()
+      val deleted = if (newPos == null) 0L else newPos.count()
+      if (deleted == 0L) {
+        // no matches: an empty delete still commits (history records it)
+        writeManifest(spark, table, v, parent, "delete",
+          files.select(fileColNames.head, fileColNames.tail: _*),
+          schemaJson = schema.map(_.json))
+        swapCurrent(table, parent, v)
+        if (newPos != null) newPos.unpersist(): Unit
+        return MorDeleteStats(v, 0L, files.count(), 0L)
+      }
+      val hitFiles = newPos.select("file").distinct()
+      val bn = element_at(split(col("path"), "/"), -1)
+      // files gaining a vector, matched relationally by basename (never an
+      // isin — the hit set is unbounded at scale)
+      val touched = files.withColumn("__bn", bn)
+        .join(hitFiles.withColumnRenamed("file", "__bn"), Seq("__bn"), "inner").cache()
+      // old vectors of the touched files fold into the merged dataset;
+      // distinct dv dirs are bounded by the table's delete-commit count
+      val oldDvPaths = touched.filter(col("dv_path").isNotNull)
+        .select("dv_path").distinct().collect().map(r => s"$table/${r.getString(0)}")
+      val oldPos =
+        if (oldDvPaths.isEmpty) newPos.limit(0)
+        else spark.read.parquet(oldDvPaths.toIndexedSeq: _*)
+          .select(col("file"), col("pos"))
+          .join(hitFiles, Seq("file"), "left_semi")
+      // disjoint by construction: newPos was computed on a DV-applied read
+      val allPos = newPos.unionByName(oldPos)
+      val token = java.util.UUID.randomUUID().toString.take(8)
+      val rel = f"data/c$v%08d-$token.dv"
+      val nDvFiles = math.max(1L, (deleted + 9999999L) / 10000000L).toInt
+      allPos.coalesce(nDvFiles).write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
+      // per-file merged counts from ONE scan of the just-written dataset
+      val counts = spark.read.parquet(s"$table/$rel")
+        .groupBy(col("file")).agg(count(lit(1)).as("__n"))
+      val touchedNew = touched
+        .join(counts.withColumnRenamed("file", "__bn"), Seq("__bn"))
+        .withColumn("dv_path", lit(rel))
+        .withColumn("dv_rows", col("__n"))
+        .select(fileColNames.head, fileColNames.tail: _*)
+      val untouched = files.join(touched.select("path"), Seq("path"), "left_anti")
+      writeManifest(spark, table, v, parent, "delete",
+        untouched.select(fileColNames.head, fileColNames.tail: _*)
+          .unionByName(touchedNew), schemaJson = schema.map(_.json))
+      swapCurrent(table, parent, v)
+      val nTouched = touched.count()
+      touched.unpersist()
+      newPos.unpersist()
+      MorDeleteStats(v, nTouched, files.count() - nTouched, deleted)
     } finally { files.unpersist(); () }
   }
 
@@ -695,16 +844,18 @@ object Snapshots {
       val candidates = pruned(files, box, strBox).cache()
       // (2) key-only scan of the candidates: which files hold a matched key?
       // (files are matched by part-file basename — globally unique, each
-      // carries its write job's UUID — so no path-prefix arithmetic)
-      val candScan = readFiles(spark, table, candidates, tblSchema)
+      // carries its write job's UUID — so no path-prefix arithmetic; the
+      // metadata-sourced __file is join-stable, where input_file_name()
+      // would blank after the deletion-vector anti-join's shuffle)
+      val candScan = readFilesMeta(spark, table, candidates, tblSchema)
       val matchedKeys =
         if (candScan.columns.isEmpty) srcKeys.limit(0)
-        else candScan.select((keyCols.map(col) :+ input_file_name().as("__file")): _*)
+        else candScan.select((keyCols.map(col) :+ col("__file")): _*)
           .join(srcKeys, keyCols, "left_semi").cache()
       val touchedNames: Set[String] =
         if (candScan.columns.isEmpty) Set.empty
         else matchedKeys.select("__file").distinct().collect()
-          .map(_.getString(0).split("/").last).toSet
+          .map(_.getString(0)).toSet
       val baseName = element_at(split(col("path"), "/"), -1)
       val touched = candidates.filter(baseName.isin(touchedNames.toSeq: _*))
       val untouched = files.join(touched.select("path"), Seq("path"), "left_anti")
@@ -713,10 +864,13 @@ object Snapshots {
         if (touchedNames.isEmpty) source.limit(0)
         else readFiles(spark, table, touched, tblSchema).join(srcKeys, keyCols, "left_anti")
       // table rows replaced (≥ matched source keys if the table held
-      // duplicate keys) vs source rows landing with no prior match
+      // duplicate keys) vs source rows landing with no prior match;
+      // LIVE rows = physical minus deletion-vector-marked
       val rowsUpdated =
         if (touchedNames.isEmpty) 0L
-        else touched.agg(coalesce(sum(col("rows")), lit(0L))).head().getLong(0) - kept.count()
+        else touched.agg(coalesce(
+          sum(col("rows") - coalesce(col("dv_rows"), lit(0L))), lit(0L)))
+          .head().getLong(0) - kept.count()
       val matchedSrc =
         if (candScan.columns.isEmpty) 0L
         else matchedKeys.select(keyCols.map(col): _*).distinct().count()
@@ -840,7 +994,8 @@ object Snapshots {
         max(when(col("kind") === "commit", col("parent"))).as("parent"),
         max(when(col("kind") === "commit", col("ts"))).as("ts"),
         sum(when(col("kind") === "file", 1L).otherwise(0L)).as("n_files"),
-        coalesce(sum(col("rows")), lit(0L)).as("n_rows"),
+        // LIVE rows: physical minus deletion-vector-marked
+        coalesce(sum(col("rows") - coalesce(col("dv_rows"), lit(0L))), lit(0L)).as("n_rows"),
         coalesce(sum(col("bytes")), lit(0L)).as("n_bytes"))
         .select("version", "op", "parent", "ts", "n_files", "n_rows", "n_bytes")
     }
@@ -909,6 +1064,13 @@ object Snapshots {
       .reduceOption(_ union _)
       .map(_.distinct().collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty[String])
+    // deletion-vector datasets any retained version references: every file
+    // under a live dv DIR is live (the reference is to the dataset dir)
+    val liveDvDirs = retained.map(v =>
+      fileRows(spark, table, v).filter(col("dv_path").isNotNull).select("dv_path"))
+      .reduceOption(_ union _)
+      .map(_.distinct().collect().map(_.getString(0)).toSet)
+      .getOrElse(Set.empty[String])
     var droppedManifests = 0L
     versions.filterNot(retained.contains).foreach { v =>
       fs.delete(new Path(vdir(table, v)), true); droppedManifests += 1
@@ -923,7 +1085,10 @@ object Snapshots {
         if (st.isFile && !isMeta(st.getPath.getName)) {
           val rel = st.getPath.toUri.getPath.stripPrefix(
             new Path(table).toUri.getPath).stripPrefix("/")
-          if (!live.contains(rel)) { fs.delete(st.getPath, false); deletedFiles += 1 }
+          val parentRel = rel.take(rel.lastIndexOf('/').max(0))
+          if (!live.contains(rel) && !liveDvDirs.contains(parentRel)) {
+            fs.delete(st.getPath, false); deletedFiles += 1
+          }
         }
       }
       // drop commit dirs left with no data files (only _SUCCESS-style markers)

@@ -325,6 +325,56 @@ object SnapshotQueries {
       Seq("S6", "K1", "K2")
     ),
 
+    // Merge-on-read delete (position deletion vectors): two scattered
+    // deletes that copy-on-write would answer by rewriting every file must
+    // rewrite ZERO data files (files_delta pins it structurally, with the
+    // dv datasets excluded from the count) - matching rows are marked in
+    // position-delete datasets that every read applies by anti-join, the
+    // second delete merges per-file vectors on a DV-applied read (so
+    // already-deleted rows can't re-match - deleted_2 pins that), and time
+    // travel to the pre-delete version still sees every row.
+    "k_snapshot_mor_delete" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_mor")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        (0 until 4).foreach { i =>
+          Snapshots.append(s, t, docs.filter(col("doc_id") % 4 === i).coalesce(1))
+        }
+        def dataFiles(): Long = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data"))
+            .iterator().asScala.count { p =>
+              val n = p.getFileName.toString
+              java.nio.file.Files.isRegularFile(p) &&
+                !n.startsWith("_") && !n.startsWith(".") &&
+                !p.getParent.getFileName.toString.endsWith(".dv")
+            }
+        }
+        val before = dataFiles()
+        val st1 = Snapshots.deleteWhereMor(s, t, col("doc_id") % 7 === 3)
+        val st2 = Snapshots.deleteWhereMor(s, t, col("n_chars") < 120)
+        val delta = dataFiles() - before
+        val nV4 = Snapshots.read(s, t, Some(4L)).count()
+        val cur = Snapshots.read(s, t)
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars")).head()
+        import s.implicits._
+        Seq((nV4, st1.rowsDeleted, st2.rowsDeleted,
+          cur.getLong(0), cur.getLong(1), delta))
+          .toDF("n_v4", "deleted_1", "deleted_2", "n_rows", "sum_chars", "files_delta")
+      },
+      Some("""SELECT (SELECT count(*) FROM documents) AS n_v4,
+             |       (SELECT count(*) FROM documents WHERE doc_id % 7 = 3) AS deleted_1,
+             |       (SELECT count(*) FROM documents
+             |        WHERE n_chars < 120 AND doc_id % 7 <> 3) AS deleted_2,
+             |       (SELECT count(*) FROM documents
+             |        WHERE doc_id % 7 <> 3 AND n_chars >= 120) AS n_rows,
+             |       (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents
+             |        WHERE doc_id % 7 <> 3 AND n_chars >= 120) AS sum_chars,
+             |       CAST(0 AS BIGINT) AS files_delta""".stripMargin),
+      Seq("K3", "K1", "F6")
+    ),
+
     // Incrementally-maintained materialized aggregate: rollup refreshed
     // from the snapshot diff (merge of stored partials with the delta's)
     // must equal the from-scratch group-by - the incremental

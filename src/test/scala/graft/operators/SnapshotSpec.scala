@@ -421,4 +421,128 @@ class SnapshotSpec extends SparkSpec {
     assert(r3.mode == "full" && r3.tableVersion == 4)
     assert(asMap(IncrementalAgg.read(spark, a)) == asMap(recompute()))
   }
+
+  // --- merge-on-read deletes (position deletion vectors) ---
+
+  private def fileEntries(v: Long, t: String): Array[org.apache.spark.sql.Row] = {
+    val raw = spark.read.json(f"$t/_log/v$v%08d").filter(col("kind") === "file")
+    // JSON inference drops all-null columns; restore them for the asserts
+    val df = Seq("dv_path" -> "string", "dv_rows" -> "bigint").foldLeft(raw) {
+      case (d, (c, ty)) =>
+        if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast(ty))
+    }
+    df.select("path", "rows", "dv_path", "dv_rows").collect()
+  }
+
+  private def dvDirsOnDisk(t: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    JFiles.list(JPaths.get(s"$t/data")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".dv")).toSet
+  }
+
+  /** Data files on disk EXCLUDING position-delete datasets. */
+  private def realDataFiles(t: String): Long = {
+    import scala.jdk.CollectionConverters._
+    JFiles.walk(JPaths.get(s"$t/data")).iterator().asScala.count { p =>
+      val n = p.getFileName.toString
+      JFiles.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
+        !p.getParent.getFileName.toString.endsWith(".dv")
+    }
+  }
+
+  test("merge-on-read delete marks positions without rewriting any data file") {
+    val t = tmpDir("snap-mor")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10).coalesce(1))
+    Snapshots.append(spark, t, docs(10, idFrom = 10).coalesce(1))
+    Snapshots.append(spark, t, docs(10, idFrom = 20).coalesce(1))
+    val dataFilesBefore = realDataFiles(t)
+    // a SCATTERED predicate (hits every file) — the case where copy-on-write
+    // would rewrite the whole table and merge-on-read must not
+    val st = Snapshots.deleteWhereMor(spark, t, col("doc_id") % 7 === 0)
+    assert(st.version == 4 && st.rowsDeleted == 5, s"30 ids, %7==0 -> 0,7,14,21,28: $st")
+    assert(st.filesWithDv == 3 && st.filesUntouched == 0)
+    assert(realDataFiles(t) == dataFilesBefore,
+      "merge-on-read must rewrite ZERO data files")
+    assert(dvDirsOnDisk(t).size == 1, "one position-delete dataset per commit")
+    assert(ids(Snapshots.read(spark, t)) ==
+      (0L until 30L).filterNot(_ % 7 == 0).toSet)
+    // time travel still sees the deleted rows; history counts LIVE rows
+    assert(ids(Snapshots.read(spark, t, Some(3))) == (0L until 30L).toSet)
+    val h = Snapshots.history(spark, t).collect()
+    assert(h.find(_.getAs[Long]("version") == 4L).get.getAs[Long]("n_rows") == 25L)
+    assert(h.find(_.getAs[Long]("version") == 3L).get.getAs[Long]("n_rows") == 30L)
+    // the file entries are the SAME paths, now carrying a dv reference
+    val e3 = fileEntries(3, t).map(_.getAs[String]("path")).toSet
+    val e4 = fileEntries(4, t)
+    assert(e4.map(_.getAs[String]("path")).toSet == e3, "paths carried by reference")
+    assert(e4.forall(r => Option(r.getAs[String]("dv_path")).isDefined))
+    assert(e4.map(_.getAs[Long]("dv_rows")).sum == 5L)
+  }
+
+  test("a second merge-on-read delete merges each file's vector; filters apply on top") {
+    val t = tmpDir("snap-mor2")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(20).coalesce(1))
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") < 3)
+    val st2 = Snapshots.deleteWhereMor(spark, t, col("doc_id") >= 17)
+    assert(st2.rowsDeleted == 3, "rows already deleted cannot re-match")
+    val e = fileEntries(3, t)
+    assert(e.length == 1 && e.head.getAs[Long]("dv_rows") == 6L,
+      s"merged vector counts both deletes: ${e.toSeq}")
+    assert(ids(Snapshots.read(spark, t)) == (3L until 17L).toSet)
+    // a filtered scan applies predicate AND vectors
+    val plan = Snapshots.scanPlan(spark, t, col("doc_id") <= 4)
+    assert(ids(plan.df) == Set(3L, 4L))
+    // a zero-match delete still commits (empty delete, history records it)
+    val st3 = Snapshots.deleteWhereMor(spark, t, col("doc_id") > 1000)
+    assert(st3.version == 4 && st3.rowsDeleted == 0 && st3.filesWithDv == 0)
+    assert(Snapshots.read(spark, t).count() == 14)
+  }
+
+  test("compaction absorbs deletion vectors; expire reclaims unreferenced dv datasets") {
+    val t = tmpDir("snap-mor-gc")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(30).coalesce(1))
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") % 3 === 1)
+    assert(dvDirsOnDisk(t).size == 1)
+    // expire with the dv-bearing version retained: the dv dataset survives
+    Snapshots.append(spark, t, docs(5, idFrom = 100))
+    Snapshots.expire(spark, t, keepLast = 1)
+    assert(dvDirsOnDisk(t).size == 1, "a referenced dv dataset must survive expire")
+    assert(ids(Snapshots.read(spark, t)) ==
+      ((0L until 30L).filterNot(_ % 3 == 1) ++ (100L until 105L)).toSet)
+    // compaction reads with vectors applied and writes clean files
+    Snapshots.compact(spark, t)
+    assert(fileEntries(Snapshots.currentVersion(t).get, t)
+      .forall(r => Option(r.getAs[String]("dv_path")).isEmpty),
+      "compacted files reference no vectors")
+    Snapshots.expire(spark, t, keepLast = 1)
+    assert(dvDirsOnDisk(t).isEmpty, "unreferenced dv dataset must be reclaimed")
+    assert(ids(Snapshots.read(spark, t)) ==
+      ((0L until 30L).filterNot(_ % 3 == 1) ++ (100L until 105L)).toSet)
+  }
+
+  test("copy-on-write delete and merge do not resurrect vector-deleted rows") {
+    val t = tmpDir("snap-mor-cow")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(20).coalesce(1))
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") < 5)
+    // COW delete rewrites the file: the rewrite must apply the vector
+    Snapshots.deleteWhere(spark, t, col("doc_id") >= 18)
+    assert(ids(Snapshots.read(spark, t)) == (5L until 18L).toSet)
+    assert(fileEntries(Snapshots.currentVersion(t).get, t)
+      .forall(r => Option(r.getAs[String]("dv_path")).isEmpty))
+    // merge against a vector-carrying file: deleted keys are NOT matches
+    val t2 = tmpDir("snap-mor-merge")
+    Snapshots.create(spark, t2)
+    Snapshots.append(spark, t2, docs(20).coalesce(1))
+    Snapshots.deleteWhereMor(spark, t2, col("doc_id") < 5)
+    val src = docs(8).withColumn("n_chars", lit(7777L))
+    val m = Snapshots.merge(spark, t2, src, Seq("doc_id"))
+    assert(m.rowsUpdated == 3 && m.rowsInserted == 5,
+      s"ids 0-4 are deleted -> 5,6,7 update and 0-4 re-insert: $m")
+    val r = Snapshots.read(spark, t2)
+    assert(r.count() == 20 && r.filter(col("n_chars") === 7777L).count() == 8)
+  }
 }
