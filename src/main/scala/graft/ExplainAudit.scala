@@ -198,6 +198,34 @@ object ExplainAudit {
         sp.filesScanned == 1 && sp.filesTotal == 4 &&
           sp.df.inputFiles.length.toLong == sp.filesScanned
       }),
+      // merge-on-read deletes: a dv-free table reads as a bare scan (the
+      // vector machinery costs NOTHING until a vector exists); after a
+      // deleteWhereMor the read adds exactly one anti-join against the
+      // position-delete dataset and still scans the SAME data files —
+      // zero rewrites, the 0.1%-of-100TB delete economics
+      ("snapshot dv-free read is a bare scan; merge-on-read delete adds one anti-join, zero rewrites", {
+        import org.apache.spark.sql.functions.col
+        val t = "/tmp/graft/audit/snap_mor_audit"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(t))
+        graft.operators.Snapshots.create(spark, t)
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+        graft.operators.Snapshots.append(spark, t, docs.filter(col("doc_id") % 2 === 0))
+        graft.operators.Snapshots.append(spark, t, docs.filter(col("doc_id") % 2 === 1))
+        val before = graft.operators.Snapshots.read(spark, t)
+        val pBefore = before.queryExecution.executedPlan.toString
+        val filesBefore = before.inputFiles.toSet
+        graft.operators.Snapshots.deleteWhereMor(spark, t, col("doc_id") % 5 === 0)
+        val after = graft.operators.Snapshots.read(spark, t)
+        val pAfter = after.queryExecution.executedPlan.toString
+        println(s"\n===== snapshot read AFTER a merge-on-read delete (dv anti-join) =====")
+        println(pAfter)
+        !pBefore.contains("Join") && pAfter.contains("LeftAnti") &&
+          after.inputFiles.filterNot(_.contains(".dv")).toSet == filesBefore
+      }),
       ("j1 anti-join broadcasts a small ledger (size-adaptive, no hint)", j1SmallLedger),
       ("j1 anti-join shuffles when broadcast is unavailable (no forced hint)", j1ShuffleLedger),
       ("k3 delete anti-join broadcasts a small tombstone set (no hint)", k3SmallTombstones),
