@@ -780,6 +780,15 @@ object GraftCli {
         println(s"version=${st.version} rows_deleted=${st.rowsDeleted} " +
           s"files_with_dv=${st.filesWithDv} files_untouched=${st.filesUntouched}")
         0
+      // snapshot-changes <table> <fromV> <toV> — row-level changelog
+      // (inserts + deletes; updates are delete/insert pairs) per commit
+      case "snapshot-changes" :: table :: fromV :: toV :: Nil =>
+        val ch = graft.operators.Snapshots.rowChanges(
+          spark, table, fromV.toLong, toV.toLong)
+        ch.groupBy("_commit_version", "_change_type").count()
+          .orderBy("_commit_version", "_change_type").collect()
+          .foreach(r => println(s"v=${r.get(0)} ${r.get(1)}=${r.get(2)}"))
+        0
       // snapshot-merge <table> <parquetDir> <keyCols,comma-sep> — keyed
       // COW upsert: only files holding a matched key rewrite
       case "snapshot-merge" :: table :: parquetDir :: keys :: Nil =>
@@ -850,6 +859,7 @@ object GraftCli {
             |  snapshot-diff <table> <fromVersion> <toVersion>
             |  snapshot-delete <table> "<sql predicate>"
             |  snapshot-delete-mor <table> "<sql predicate>"
+            |  snapshot-changes <table> <fromVersion> <toVersion>
             |  snapshot-merge <table> <parquetDir> <keyCol,...>
             |  snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]
             |  snapshot-expire <table> <keepLast>

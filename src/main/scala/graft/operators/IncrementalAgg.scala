@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   * view-maintenance result for distributive aggregates, driven here by the
   * manifest's `added_v` file lineage ([[Snapshots.diffAppended]]).
   *
-  * Correctness contract: incremental merge applies only while every commit
-  * since the last refresh is an APPEND (pure inserts). Any
-  * overwrite/delete/replace in the range makes the diff non-insert-only, and
-  * `refresh` detects that from the commit ops and falls back to a full
-  * recompute — same result, append-scan price. Either way
-  * `refresh` is idempotent (a second call is a no-op) and the refreshed
-  * state always equals the from-scratch aggregate of the table version it
-  * records (`IncrementalAggSpec` pins the law).
+  * Correctness contract: the cheap delta merge applies while every commit
+  * since the last refresh is an APPEND (pure inserts). A range containing
+  * deletes/merges/compactions switches to CHANGELOG maintenance — signed
+  * partials over [[Snapshots.rowChanges]] (inserts +1/+value, deletes
+  * -1/-value; count/sum are abelian, so this is exact), cost ∝ the
+  * commits' churn. Only an OVERWRITE falls back to a full recompute (its
+  * churn is the whole table — the rescan is cheaper than the diff).
+  * Either way `refresh` is idempotent (a second call is a no-op) and the
+  * refreshed state always equals the from-scratch aggregate of the table
+  * version it records (`SnapshotSpec` pins the law).
   *
   * Layout under `aggPath`: versioned state dirs (`state-v<N>/` parquet) and
   * an atomically-swapped `_meta` pointer naming the table version the state
@@ -76,9 +78,25 @@ object IncrementalAgg {
       sum(col("n")).as("n"),
       sums.map(c => sum(col(s"sum_$c")).as(s"sum_$c")): _*)
 
+  /** Signed per-key partials of a changelog batch: inserts count +1 and
+    * add their values, deletes count -1 and subtract — count/sum are
+    * abelian-group aggregates, so delete maintenance is exact.
+    */
+  private def signedPartials(
+      ch: DataFrame, keys: Seq[String], sums: Seq[String]): DataFrame = {
+    val ins = col("_change_type") === "insert"
+    ch.groupBy(keys.map(col): _*).agg(
+      sum(when(ins, 1L).otherwise(-1L)).as("n"),
+      sums.map(c => sum(when(ins, col(c)).otherwise(-col(c))).as(s"sum_$c")): _*)
+  }
+
   /** Bring the materialized aggregate up to the table's current version.
-    * Incremental (delta-only) when every commit since the last refresh is an
-    * append; full recompute otherwise; no-op when already current.
+    * Incremental (delta-only) when every commit since the last refresh is
+    * an append; CHANGELOG maintenance (signed partials over
+    * [[Snapshots.rowChanges]] — cost ∝ churn) when the range contains
+    * deletes/merges/compactions; full recompute only across an overwrite
+    * (where the churn diff would cost more than the rescan); no-op when
+    * already current.
     */
   def refresh(
       spark: SparkSession,
@@ -92,6 +110,7 @@ object IncrementalAgg {
     val last = refreshedVersion(aggPath)
     if (last.contains(cur)) return Refresh(cur, "noop")
 
+    val maintainable = Set("create", "append", "delete", "merge", "replace")
     val (state, mode) = last match {
       case Some(from) =>
         Snapshots.diffAppended(spark, tablePath, from, cur) match {
@@ -102,6 +121,13 @@ object IncrementalAgg {
           case Some(delta) =>
             (merge(read(spark, aggPath), partials(delta, keys, sums), keys, sums),
               "incremental")
+          case None if ((from + 1) to cur).forall(v =>
+              maintainable(Snapshots.commitInfo(spark, tablePath, v).op)) =>
+            val ch = Snapshots.rowChanges(spark, tablePath, from, cur)
+            // keys whose rows all died fold to n == 0 and drop, matching
+            // the from-scratch group-by exactly
+            (merge(read(spark, aggPath), signedPartials(ch, keys, sums), keys, sums)
+              .filter(col("n") =!= 0L), "changelog")
           case None =>
             (partials(Snapshots.read(spark, tablePath), keys, sums), "full")
         }

@@ -805,7 +805,8 @@ object Snapshots {
       source: DataFrame,
       keyCols: Seq[String],
       statsCols: Seq[String] = null,
-      maxRecordsPerFile: Long = 1000000L): MergeStats = {
+      maxRecordsPerFile: Long = 1000000L,
+      txn: Option[(String, Long)] = None): MergeStats = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val parent = requireVersion(table)
     val v = parent + 1
@@ -885,11 +886,145 @@ object Snapshots {
           .select(fileColNames.head, fileColNames.tail: _*)
       writeManifest(spark, table, v, parent, "merge",
         untouched.select(fileColNames.head, fileColNames.tail: _*)
-          .unionByName(entries), schemaJson = Some(newSchema.json))
+          .unionByName(entries), txn, schemaJson = Some(newSchema.json))
       swapCurrent(table, parent, v)
       MergeStats(v, touchedNames.size.toLong,
         files.count() - touchedNames.size, rowsUpdated, rowsInserted)
     } finally { files.unpersist(); srcKeys.unpersist(); () }
+  }
+
+  /** Conform `df` to `schema`: schema's columns in order, missing ones
+    * null-filled, extra ones dropped, types cast (a no-op unless an
+    * overwrite replaced a column's type) — so multiset diffs
+    * (`exceptAll`) across schema evolution compare like with like.
+    */
+  private def conform(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.toIndexedSeq.map { f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+
+  /** Row-level changelog of `(fromV, toV]` — the change-data-feed that
+    * keeps consumers incremental ACROSS deletes and merges, where
+    * [[diffAppended]] must signal fallback. Returns the table's rows plus
+    * `_change_type` (`insert` | `delete`; an update is its delete+insert
+    * pair — position-level changelogs carry no row lineage) and
+    * `_commit_version`. Cost is proportional to each commit's CHURN,
+    * never the table:
+    *
+    *  - `append`: the added files scan as inserts (delta-only, like
+    *    [[diffAppended]]).
+    *  - `delete`/`merge`/`overwrite`: the file-set diff vs the parent —
+    *    removed files' live rows `exceptAll` added files' rows are the
+    *    deletes, the reverse are the inserts (COW bounds removed+added to
+    *    the touched files; a merge-on-read delete changes no files at
+    *    all and is read as its DELTA of deletion-vector positions joined
+    *    back to the rows they name).
+    *  - `replace` (compaction) is row-preserving by contract and emits
+    *    nothing — a layout change is not a data change.
+    *
+    * Each commit's rows conform to ITS version's recorded schema and the
+    * union null-fills across evolution. [[IncrementalAgg]] consumes this
+    * to maintain rollups through deletes with signed partials.
+    */
+  def rowChanges(
+      spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"changelog range reversed: $fromV > $toV")
+    val frames: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
+      val op = commitInfo(spark, table, v).op
+      val schemaV = tableSchema(spark, table, Some(v))
+      def tag(df: DataFrame, t: String): DataFrame =
+        df.withColumn("_change_type", lit(t)).withColumn("_commit_version", lit(v))
+      op match {
+        case "create" | "replace" => Nil
+        case "append" =>
+          val added = fileRows(spark, table, v).filter(col("version") === v)
+          Seq(tag(readFiles(spark, table, added, schemaV), "insert"))
+        case _ =>
+          val prev = fileRows(spark, table, v - 1)
+          val curr = fileRows(spark, table, v)
+          val schemaPrev = tableSchema(spark, table, Some(v - 1))
+          // (a) file-set diff: removed files' LIVE rows (their v-1 vectors
+          // applied) vs added files' rows — the COW churn, multiset-diffed
+          val removed = prev.join(curr.select("path"), Seq("path"), "left_anti")
+          val added = curr.join(prev.select("path"), Seq("path"), "left_anti")
+          val oldLive = readFiles(spark, table, removed, schemaPrev)
+          val newRows = readFiles(spark, table, added, schemaV)
+          val target: Option[StructType] = schemaV.orElse(schemaPrev)
+            .orElse(if (newRows.columns.nonEmpty) Some(newRows.schema) else None)
+            .orElse(if (oldLive.columns.nonEmpty) Some(oldLive.schema) else None)
+          target match {
+            case None => Nil // empty-to-empty commit: nothing changed
+            case Some(ts) =>
+              val o = conform(oldLive, ts)
+              val n = conform(newRows, ts)
+              val fileDels = o.exceptAll(n)
+              val fileIns = n.exceptAll(o)
+              // (b) deletion-vector delta on files carried in BOTH
+              // versions: the new positions joined back to their rows
+              val changed = curr
+                .join(prev.select(col("path"), col("dv_path").as("__old_dv")), Seq("path"))
+                .filter(col("dv_path").isNotNull && !(col("dv_path") <=> col("__old_dv")))
+                .cache()
+              val newDvP = changed.select("dv_path").distinct()
+                .collect().map(r => s"$table/${r.getString(0)}")
+              val dvDels: Option[DataFrame] =
+                if (newDvP.isEmpty) None
+                else {
+                  val bns = changed
+                    .select(element_at(split(col("path"), "/"), -1).as("file"))
+                  val newPos = spark.read.parquet(newDvP.toIndexedSeq: _*)
+                    .select(col("file"), col("pos"))
+                    .join(bns, Seq("file"), "left_semi")
+                  val oldDvP = changed.filter(col("__old_dv").isNotNull)
+                    .select("__old_dv").distinct()
+                    .collect().map(r => s"$table/${r.getString(0)}")
+                  val oldPos =
+                    if (oldDvP.isEmpty) newPos.limit(0)
+                    else spark.read.parquet(oldDvP.toIndexedSeq: _*)
+                      .select(col("file"), col("pos"))
+                      .join(bns, Seq("file"), "left_semi")
+                  val delta = newPos.exceptAll(oldPos)
+                  val raw = readFilesMeta(spark, table,
+                    changed.withColumn("dv_path", lit(null: String)), schemaPrev)
+                  Some(conform(
+                    raw.join(delta.select(col("file").as("__file"), col("pos").as("__pos")),
+                      Seq("__file", "__pos")), ts))
+                }
+              changed.unpersist(): Unit
+              Seq(tag(fileDels, "delete"), tag(fileIns, "insert")) ++
+                dvDels.map(tag(_, "delete"))
+          }
+      }
+    }
+    frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+      val s = tableSchema(spark, table, Some(toV)).getOrElse(new StructType())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        s.add("_change_type", StringType).add("_commit_version", LongType))
+    }
+  }
+
+  /** Exactly-once keyed MERGE for replayable sources — [[merge]] tagged
+    * `(appId, txnV)`, with a replay of an already-committed transaction
+    * detected from the commit log and skipped (returns None), exactly
+    * like [[appendIdempotent]]. This is what makes a restart-after-crash
+    * streaming CDC-upsert microbatch land exactly once
+    * ([[graft.streaming.StreamingPipeline.snapshotUpsertWriter]] calls it
+    * per batch with the checkpoint's batchId).
+    */
+  def mergeIdempotent(
+      spark: SparkSession,
+      table: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      appId: String,
+      txnV: Long,
+      statsCols: Seq[String] = null,
+      maxRecordsPerFile: Long = 1000000L): Option[MergeStats] = {
+    if (lastTxn(spark, table, appId).exists(_ >= txnV)) None
+    else Some(merge(spark, table, source, keyCols, statsCols, maxRecordsPerFile,
+      Some((appId, txnV))))
   }
 
   /** Rows added by APPEND commits in `(fromV, toV]` — the incremental read:

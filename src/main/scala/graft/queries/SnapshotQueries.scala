@@ -375,6 +375,105 @@ object SnapshotQueries {
       Seq("K3", "K1", "F6")
     ),
 
+    // Row-level changelog (change data feed): appends read back as inserts
+    // from exactly the added files, a merge-on-read delete reads back as
+    // its deletion-vector DELTA joined to the rows it names, and a
+    // compaction emits NOTHING (row-preserving layout change) - so the
+    // per-change-type rollup over the whole commit range equals the
+    // oracle's direct insert/delete arithmetic. This is what keeps
+    // downstream consumers incremental ACROSS deletes, where the
+    // insert-only diff must signal fallback.
+    "k_snapshot_changelog" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_cdf")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 0))
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 1))
+        Snapshots.deleteWhereMor(s, t, col("n_chars") < 150)
+        Snapshots.compact(s, t)
+        Snapshots.rowChanges(s, t, 0L, 4L)
+          .groupBy(col("_change_type").as("change_type"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT 'insert' AS change_type, count(*) AS n,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM documents
+             |UNION ALL
+             |SELECT 'delete', count(*), CAST(sum(n_chars) AS BIGINT)
+             |FROM documents WHERE n_chars < 150""".stripMargin),
+      Seq("S1", "K3", "K1")
+    ),
+
+    // Changelog-maintained materialized aggregate: a refresh range holding
+    // a merge-on-read delete AND an append maintains the rollup from
+    // SIGNED partials over the row changelog (inserts +, deletes -; cost
+    // ∝ churn) instead of rescanning - the modes pin that the second
+    // refresh really took the changelog path, and the result must equal
+    // the from-scratch group-by the oracle computes.
+    "k_incremental_agg_changelog" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_cdfagg_tbl")
+        val a = fresh(d, "snap_cdfagg_mat")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 0))
+        val r1 = IncrementalAgg.refresh(s, t, a, Seq("source"), Seq("n_chars"))
+        Snapshots.deleteWhereMor(s, t, col("n_chars") < 150)
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 1))
+        val r2 = IncrementalAgg.refresh(s, t, a, Seq("source"), Seq("n_chars"))
+        IncrementalAgg.read(s, a)
+          .select(col("source"), col("n"), col("sum_n_chars"),
+            lit(r1.mode).as("first_mode"), lit(r2.mode).as("second_mode"))
+      },
+      Some("""SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+             |       'full' AS first_mode, 'changelog' AS second_mode
+             |FROM documents WHERE NOT (doc_id % 2 = 0 AND n_chars < 150)
+             |GROUP BY source""".stripMargin),
+      Seq("A1", "A2", "K3")
+    ),
+
+    // Streaming CDC upsert -> snapshot table with exactly-once microbatch
+    // MERGE commits: the table is seeded with the even docs, a JSON drop
+    // dir streams updates (+1,000,000 n_chars for doc_id % 4 = 0 - keyed
+    // UPDATES, not appends) plus the odd docs (inserts); the stream runs
+    // TWICE on one checkpoint and a batch is hand-replayed - the txn
+    // markers must land the merge exactly once, so the per-lang aggregate
+    // equals the oracle's upsert arithmetic precisely.
+    "s13_snapshot_upsert_stream" -> Q(
+      (s, d) => {
+        val inDir = fresh(d, "upstream_in")
+        val ckpt = fresh(d, "upstream_ckpt")
+        val table = fresh(d, "upstream_tbl")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.create(s, table)
+        Snapshots.append(s, table, docs.filter(col("doc_id") % 2 === 0))
+        val updates = docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000000L)
+          .unionByName(docs.filter(col("doc_id") % 2 === 1))
+        updates.coalesce(1).write.mode("overwrite").json(inDir)
+        val src = s.readStream.schema(updates.schema).json(inDir)
+        def run(): Unit = {
+          val q = graft.streaming.StreamingPipeline.snapshotUpsertWriter(
+            src, table, ckpt, appId = "s13", keyCols = Seq("doc_id")).start()
+          q.awaitTermination()
+        }
+        run(); run() // restart on the same checkpoint: nothing re-merges
+        // hand-replay of batch 0 under the same appId: detected, skipped
+        Snapshots.mergeIdempotent(
+          s, table, updates.limit(3), Seq("doc_id"), "s13", 0L): Unit
+        Snapshots.read(s, table)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT lang, count(*) AS n,
+             |       CAST(sum(n_chars)
+             |            + 1000000 * count(CASE WHEN doc_id % 4 = 0 THEN 1 END)
+             |         AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("S6", "K2", "J3")
+    ),
+
     // Incrementally-maintained materialized aggregate: rollup refreshed
     // from the snapshot diff (merge of stored partials with the delta's)
     // must equal the from-scratch group-by - the incremental

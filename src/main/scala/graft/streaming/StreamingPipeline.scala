@@ -505,6 +505,34 @@ object StreamingPipeline {
         graft.operators.Snapshots.appendIdempotent(s, table, batch, appId, batchId): Unit
       }
 
+  /** Exactly-once streaming keyed UPSERT into a snapshot table — the
+    * CDC-upsert twin of [[snapshotWriter]]: each microbatch MERGEs by key
+    * (copy-on-write: only files holding a matched key rewrite; manifest
+    * stats dismiss the rest), tagged `(appId, batchId)` in the commit's
+    * transaction markers so a crash-restart replay is detected from the
+    * commit log and skipped ([[graft.operators.Snapshots.mergeIdempotent]]).
+    * Duplicate keys WITHIN a microbatch violate the MERGE precondition —
+    * reduce upstream to latest-wins (e.g. max-by sequence column) first.
+    */
+  def snapshotUpsertWriter(
+      source: DataFrame,
+      table: String,
+      checkpointDir: String,
+      appId: String,
+      keyCols: Seq[String]
+  ): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (graft.operators.Snapshots.currentVersion(table).isEmpty)
+          graft.operators.Snapshots.create(s, table)
+        graft.operators.Snapshots.mergeIdempotent(
+          s, table, batch, keyCols, appId, batchId): Unit
+      }
+
   /** Streaming count-min maintenance — the frequency-summary twin of
     * [[indexingWriter]]/[[vectorIndexingWriter]]: each microbatch persists
     * its own fixed-size sketch segment keyed by BATCH ID (a replayed batch

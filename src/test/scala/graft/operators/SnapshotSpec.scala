@@ -415,10 +415,17 @@ class SnapshotSpec extends SparkSpec {
 
     assert(IncrementalAgg.refresh(spark, t, a, Seq("source"), Seq("n_chars")).mode == "noop")
 
-    // a delete breaks insert-only lineage -> detected, full recompute, still exact
+    // a delete breaks insert-only lineage -> maintained from the CHANGELOG
+    // (signed partials, cost ∝ churn), still exact
     Snapshots.deleteWhere(spark, t, col("doc_id") % 5 === 0)
     val r3 = IncrementalAgg.refresh(spark, t, a, Seq("source"), Seq("n_chars"))
-    assert(r3.mode == "full" && r3.tableVersion == 4)
+    assert(r3.mode == "changelog" && r3.tableVersion == 4)
+    assert(asMap(IncrementalAgg.read(spark, a)) == asMap(recompute()))
+
+    // an overwrite's churn is the whole table -> full recompute
+    Snapshots.overwrite(spark, t, docs(9))
+    val r4 = IncrementalAgg.refresh(spark, t, a, Seq("source"), Seq("n_chars"))
+    assert(r4.mode == "full" && r4.tableVersion == 5)
     assert(asMap(IncrementalAgg.read(spark, a)) == asMap(recompute()))
   }
 
@@ -521,6 +528,75 @@ class SnapshotSpec extends SparkSpec {
     assert(dvDirsOnDisk(t).isEmpty, "unreferenced dv dataset must be reclaimed")
     assert(ids(Snapshots.read(spark, t)) ==
       ((0L until 30L).filterNot(_ % 3 == 1) ++ (100L until 105L)).toSet)
+  }
+
+  test("rowChanges: per-commit changelog across append, MOR delete, COW delete, merge, compact") {
+    val t = tmpDir("snap-cdf")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10).coalesce(1)) // v1
+    Snapshots.append(spark, t, docs(10, idFrom = 10).coalesce(1)) // v2
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") % 3 === 0) // v3
+    Snapshots.deleteWhere(spark, t, col("doc_id") >= 15) // v4 (COW)
+    val src = docs(3).withColumn("n_chars", lit(9999L))
+    Snapshots.merge(spark, t, src, Seq("doc_id")) // v5: 0 re-inserts, 1+2 update
+    Snapshots.compact(spark, t) // v6
+
+    def ch(a: Long, b: Long) = Snapshots.rowChanges(spark, t, a, b)
+    def idsBy(df: DataFrame, tpe: String): Set[Long] =
+      df.filter(col("_change_type") === tpe).select("doc_id").as[Long].collect().toSet
+
+    val c1 = ch(0, 1)
+    assert(idsBy(c1, "insert") == (0L until 10L).toSet && idsBy(c1, "delete").isEmpty)
+    assert(c1.select("_commit_version").distinct().as[Long].collect().toSeq == Seq(1L))
+    // MOR delete: the deletion-vector DELTA joined back to its rows
+    val c3 = ch(2, 3)
+    assert(idsBy(c3, "delete") == (0L until 20L).filter(_ % 3 == 0).toSet)
+    assert(idsBy(c3, "insert").isEmpty)
+    // COW delete: already-vector-deleted rows (15, 18) must NOT re-delete
+    val c4 = ch(3, 4)
+    assert(idsBy(c4, "delete") == Set(16L, 17L, 19L), s"got ${idsBy(c4, "delete")}")
+    // merge: update = delete old image + insert new image; fresh key inserts
+    val c5 = ch(4, 5)
+    assert(idsBy(c5, "delete") == Set(1L, 2L))
+    assert(idsBy(c5, "insert") == Set(0L, 1L, 2L))
+    assert(c5.filter(col("_change_type") === "insert")
+      .select("n_chars").as[Long].collect().forall(_ == 9999L))
+    // compaction is row-preserving: no changes
+    assert(ch(5, 6).count() == 0)
+    // conservation: replaying the full changelog reproduces the table
+    val all = ch(0, 6)
+    val cols = Snapshots.read(spark, t).columns.map(col).toIndexedSeq
+    val ins = all.filter(col("_change_type") === "insert").select(cols: _*)
+    val del = all.filter(col("_change_type") === "delete").select(cols: _*)
+    val replay = ins.exceptAll(del)
+    val table = Snapshots.read(spark, t)
+    assert(replay.exceptAll(table).count() == 0 && table.exceptAll(replay).count() == 0,
+      "inserts minus deletes must reproduce the table exactly")
+  }
+
+  test("changelog-maintained aggregate equals recompute across MOR deletes and merges") {
+    val t = tmpDir("snap-cdf-agg")
+    val a = tmpDir("snap-cdf-agg-m") + "/rollup"
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(20))
+    assert(IncrementalAgg.refresh(spark, t, a, Seq("source"), Seq("n_chars")).mode == "full")
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") % 4 === 1)
+    Snapshots.append(spark, t, docs(6, idFrom = 50))
+    Snapshots.merge(spark, t, docs(4).withColumn("n_chars", lit(1000L)), Seq("doc_id"))
+    val r = IncrementalAgg.refresh(spark, t, a, Seq("source"), Seq("n_chars"))
+    assert(r.mode == "changelog", s"mixed delete/append/merge range: ${r.mode}")
+    def asMap(df: DataFrame) = df.collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("n"), r.getAs[Long]("sum_n_chars"))))
+      .toMap
+    val want = asMap(Snapshots.read(spark, t).groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_n_chars")))
+    assert(asMap(IncrementalAgg.read(spark, a)) == want)
+    // deleting a whole key group drops it from the maintained state
+    Snapshots.deleteWhereMor(spark, t, col("source") === "src0")
+    assert(IncrementalAgg.refresh(spark, t, a, Seq("source"), Seq("n_chars")).mode == "changelog")
+    assert(!asMap(IncrementalAgg.read(spark, a)).contains("src0"))
+    assert(asMap(IncrementalAgg.read(spark, a)) == asMap(Snapshots.read(spark, t)
+      .groupBy("source").agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_n_chars"))))
   }
 
   test("copy-on-write delete and merge do not resurrect vector-deleted rows") {
