@@ -789,6 +789,17 @@ object GraftCli {
           .orderBy("_commit_version", "_change_type").collect()
           .foreach(r => println(s"v=${r.get(0)} ${r.get(1)}=${r.get(2)}"))
         0
+      // snapshot-count <table> — exact row count from the manifest alone
+      case "snapshot-count" :: table :: Nil =>
+        println(s"rows=${graft.operators.Snapshots.fastCount(spark, table)}")
+        0
+      // snapshot-compact-small <table> <smallBytes> — fold only small and
+      // vector-bearing files; healthy files carry by reference
+      case "snapshot-compact-small" :: table :: smallBytes :: Nil =>
+        val (v, folded, carried) = graft.operators.Snapshots.compactSmallFiles(
+          spark, table, smallBytes.toLong)
+        println(s"version=$v files_folded=$folded files_carried=$carried")
+        0
       // snapshot-merge <table> <parquetDir> <keyCols,comma-sep> — keyed
       // COW upsert: only files holding a matched key rewrite
       case "snapshot-merge" :: table :: parquetDir :: keys :: Nil =>
@@ -860,6 +871,8 @@ object GraftCli {
             |  snapshot-delete <table> "<sql predicate>"
             |  snapshot-delete-mor <table> "<sql predicate>"
             |  snapshot-changes <table> <fromVersion> <toVersion>
+            |  snapshot-count <table>
+            |  snapshot-compact-small <table> <smallBytes>
             |  snapshot-merge <table> <parquetDir> <keyCol,...>
             |  snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]
             |  snapshot-expire <table> <keepLast>

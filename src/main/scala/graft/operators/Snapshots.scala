@@ -1178,6 +1178,92 @@ object Snapshots {
     v
   }
 
+  /** Exact row count from the manifest ALONE — zero data files opened:
+    * physical rows minus deletion-vector-marked rows, both recorded per
+    * file at commit time. The O(manifest) answer to `count(*)` that a
+    * bare parquet directory pays a full scan for.
+    */
+  def fastCount(spark: SparkSession, table: String, version: Option[Long] = None): Long = {
+    val v = version.getOrElse(requireVersion(table))
+    val r = fileRows(spark, table, v)
+      .agg(coalesce(sum(col("rows") - coalesce(col("dv_rows"), lit(0L))), lit(0L)))
+      .head()
+    r.getLong(0)
+  }
+
+  /** Manifest-side min/max of a numeric column — zero data files opened.
+    * Returns `(min, max, exact)`; None when some file lacks recorded
+    * stats for the column (all-null file, or the column wasn't in
+    * `statsCols`). `exact=false` when any counted file carries a deletion
+    * vector (a deleted row may have held the extremum, so the value is a
+    * conservative BOUND — still sound for pruning, not for reporting).
+    */
+  def fastMinMax(
+      spark: SparkSession, table: String, column: String,
+      version: Option[Long] = None): Option[(Double, Double, Boolean)] = {
+    val v = version.getOrElse(requireVersion(table))
+    val files = fileRows(spark, table, v)
+    val r = files.agg(
+      min(element_at(col("stats_min"), column)),
+      max(element_at(col("stats_max"), column)),
+      sum(when(element_at(col("stats_min"), column).isNull, 1L).otherwise(0L)),
+      sum(when(coalesce(col("dv_rows"), lit(0L)) > 0L, 1L).otherwise(0L)),
+      count(lit(1))).head()
+    if (r.getLong(4) == 0L || r.isNullAt(0) || r.getLong(2) > 0L) None
+    else Some((r.getDouble(0), r.getDouble(1), r.getLong(3) == 0L))
+  }
+
+  /** Incremental compaction: fold ONLY the files smaller than
+    * `smallBytes` — plus any vector-bearing file, absorbing its deletion
+    * vector — into fresh right-sized files as a `replace` commit; every
+    * healthy file carries forward BY REFERENCE. The `OPTIMIZE` a 100 TB
+    * table can actually afford: cost ∝ the small-file debt (typically
+    * streaming-commit residue), never the table. Row-preserving on LIVE
+    * rows, so the changelog correctly emits nothing. Returns
+    * (version, filesFolded, filesCarried); a table with fewer than 2
+    * foldable files and no vectors to absorb is left untouched (version
+    * unchanged, 0 folded).
+    */
+  def compactSmallFiles(
+      spark: SparkSession,
+      table: String,
+      smallBytes: Long,
+      targetRecordsPerFile: Long = 1000000L,
+      statsCols: Seq[String] = null): (Long, Long, Long) = {
+    val parent = requireVersion(table)
+    val v = parent + 1
+    val files = fileRows(spark, table, parent).cache()
+    val schema = tableSchema(spark, table, Some(parent))
+    try {
+      val foldable = files.filter(
+        col("bytes") < lit(smallBytes) || coalesce(col("dv_rows"), lit(0L)) > 0L).cache()
+      val nFold = foldable.count()
+      val hasDv = foldable.filter(coalesce(col("dv_rows"), lit(0L)) > 0L).count() > 0L
+      if (nFold < 2 && !hasDv) { foldable.unpersist(); return (parent, 0L, files.count()) }
+      val carried = files.join(foldable.select("path"), Seq("path"), "left_anti")
+      val content = readFiles(spark, table, foldable, schema) // vectors applied
+      val liveRows = foldable
+        .agg(coalesce(sum(col("rows") - coalesce(col("dv_rows"), lit(0L))), lit(0L)))
+        .head().getLong(0)
+      val nFiles = math.max(1L, (liveRows + targetRecordsPerFile - 1) / targetRecordsPerFile)
+      val stats = Option(statsCols).getOrElse(
+        if (content.columns.isEmpty) Nil else defaultStatsCols(content))
+      val entries =
+        if (content.columns.isEmpty || liveRows == 0L)
+          asManifestRows(files.limit(0)).select(fileColNames.head, fileColNames.tail: _*)
+        else writeFileGroup(spark, table, v, content.repartition(nFiles.toInt),
+          stats, targetRecordsPerFile)
+          .select(fileColNames.head, fileColNames.tail: _*)
+      writeManifest(spark, table, v, parent, "replace",
+        carried.select(fileColNames.head, fileColNames.tail: _*).unionByName(entries),
+        schemaJson = schema.map(_.json))
+      swapCurrent(table, parent, v)
+      val nCarried = files.count() - nFold
+      foldable.unpersist()
+      (v, nFold, nCarried)
+    } finally { files.unpersist(); () }
+  }
+
   /** Retention: keep the last `keepLast` versions (always including the
     * current one), drop older manifests, and delete every data file no
     * retained manifest references — including garbage from crashed or lost

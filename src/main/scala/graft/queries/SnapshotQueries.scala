@@ -474,6 +474,76 @@ object SnapshotQueries {
       Seq("S6", "K2", "J3")
     ),
 
+    // Manifest-only aggregates: count(*) and min/max answered from the
+    // manifest ALONE (zero data files opened) - and the count stays EXACT
+    // through a merge-on-read delete (physical rows minus vector-marked),
+    // which the oracle replays as the filtered count. The O(manifest)
+    // answer a bare parquet directory pays a full scan for.
+    "k_snapshot_fast_agg" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_fast")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        (0 until 4).foreach { i =>
+          Snapshots.append(s, t, docs.filter(col("doc_id") % 4 === i).coalesce(1))
+        }
+        val nBefore = Snapshots.fastCount(s, t)
+        val mm = Snapshots.fastMinMax(s, t, "doc_id").get
+        Snapshots.deleteWhereMor(s, t, col("n_chars") < 150)
+        val nAfter = Snapshots.fastCount(s, t)
+        import s.implicits._
+        Seq((nBefore, mm._1, mm._2, if (mm._3) 1L else 0L, nAfter))
+          .toDF("n_before", "min_id", "max_id", "exact_before", "n_after")
+      },
+      Some("""SELECT count(*) AS n_before,
+             |       CAST(min(doc_id) AS DOUBLE) AS min_id,
+             |       CAST(max(doc_id) AS DOUBLE) AS max_id,
+             |       CAST(1 AS BIGINT) AS exact_before,
+             |       count(CASE WHEN n_chars >= 150 THEN 1 END) AS n_after
+             |FROM documents""".stripMargin),
+      Seq("A2", "K1", "F6")
+    ),
+
+    // Incremental small-file compaction: four streaming-residue small
+    // files (one vector-bearing) fold into ONE right-sized file while the
+    // healthy big file carries BY REFERENCE - the OPTIMIZE a 100 TB table
+    // can afford, cost ∝ small-file debt, never the table. The fold
+    // absorbs the deletion vector, so rows equal the oracle's
+    // delete-filtered arithmetic, and the structural pins (folded /
+    // carried / files after) prove only the debt was rewritten.
+    "k_snapshot_small_compact" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_smallc")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 20 >= 4).coalesce(1))
+        (0 until 4).foreach { i =>
+          Snapshots.append(s, t, docs.filter(col("doc_id") % 20 === i).coalesce(1))
+        }
+        val bigBytes = Snapshots.history(s, t)
+          .filter(col("version") === 1L).head().getAs[Long]("n_bytes")
+        Snapshots.deleteWhereMor(s, t, col("doc_id") % 20 === 2)
+        val (v, folded, carried) =
+          Snapshots.compactSmallFiles(s, t, smallBytes = bigBytes / 2,
+            targetRecordsPerFile = 10000000L)
+        val filesAfter = Snapshots.history(s, t)
+          .filter(col("version") === v).head().getAs[Long]("n_files")
+        Snapshots.read(s, t).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          lit(folded).as("files_folded"),
+          lit(carried).as("files_carried"),
+          lit(filesAfter).as("files_after"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(4 AS BIGINT) AS files_folded,
+             |       CAST(1 AS BIGINT) AS files_carried,
+             |       CAST(2 AS BIGINT) AS files_after
+             |FROM documents WHERE doc_id % 20 <> 2""".stripMargin),
+      Seq("K5", "K3", "K1")
+    ),
+
     // Incrementally-maintained materialized aggregate: rollup refreshed
     // from the snapshot diff (merge of stored partials with the delta's)
     // must equal the from-scratch group-by - the incremental

@@ -599,6 +599,65 @@ class SnapshotSpec extends SparkSpec {
       .groupBy("source").agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_n_chars"))))
   }
 
+  test("manifest-only aggregates: exact count through deletes; min/max exactness tracks vectors") {
+    val t = tmpDir("snap-fast")
+    Snapshots.create(spark, t)
+    assert(Snapshots.fastCount(spark, t) == 0L)
+    Snapshots.append(spark, t, docs(30).coalesce(2))
+    assert(Snapshots.fastCount(spark, t) == 30L)
+    val mm1 = Snapshots.fastMinMax(spark, t, "doc_id")
+    assert(mm1.contains((0.0, 29.0, true)), s"clean table: exact bounds, got $mm1")
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") >= 25)
+    assert(Snapshots.fastCount(spark, t) == 25L,
+      "count stays EXACT through merge-on-read deletes (rows - dv_rows)")
+    val mm2 = Snapshots.fastMinMax(spark, t, "doc_id")
+    assert(mm2.exists(m => m._1 == 0.0 && m._2 == 29.0 && !m._3),
+      s"vector-bearing file: bounds still sound but flagged inexact, got $mm2")
+    // time travel: the pre-delete version still fast-counts 30
+    assert(Snapshots.fastCount(spark, t, Some(1L)) == 30L)
+    assert(Snapshots.fastMinMax(spark, t, "no_such_col").isEmpty)
+  }
+
+  test("compactSmallFiles folds only small and vector-bearing files; healthy files carry") {
+    val t = tmpDir("snap-smallc")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(2000).coalesce(1)) // the one healthy big file
+    (0 until 4).foreach { i =>
+      Snapshots.append(spark, t, docs(5, idFrom = 3000 + i * 10).coalesce(1))
+    }
+    val bigBytes = Snapshots.history(spark, t)
+      .filter(col("version") === 1L).head().getAs[Long]("n_bytes")
+    // vector the big file too: absorbed by the fold even though it's large
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") < 10)
+    val (v, folded, carriedN) = Snapshots.compactSmallFiles(spark, t, smallBytes = bigBytes / 2)
+    assert(folded == 5 && carriedN == 0,
+      s"4 small + 1 vector-bearing fold, none carried: folded=$folded carried=$carriedN")
+    assert(ids(Snapshots.read(spark, t)) ==
+      ((10L until 2000L) ++ (0 until 4).flatMap(i => (3000 + i * 10).toLong until (3005 + i * 10).toLong)).toSet)
+    assert(fileEntries(v, t).forall(r => Option(r.getAs[String]("dv_path")).isEmpty),
+      "the fold absorbs deletion vectors")
+    // second pass: one healthy file, nothing foldable -> untouched, version unchanged
+    val (v2, folded2, carried2) = Snapshots.compactSmallFiles(spark, t, smallBytes = 10L)
+    assert(v2 == v && folded2 == 0 && carried2 >= 1)
+    // a mixed table folds smalls and carries the big file BY REFERENCE
+    val t2 = tmpDir("snap-smallc2")
+    Snapshots.create(spark, t2)
+    Snapshots.append(spark, t2, docs(2000).coalesce(1))
+    (0 until 3).foreach { i =>
+      Snapshots.append(spark, t2, docs(5, idFrom = 5000 + i * 10).coalesce(1))
+    }
+    val big2 = Snapshots.history(spark, t2)
+      .filter(col("version") === 1L).head().getAs[Long]("n_bytes")
+    val pathsBefore = fileEntries(4, t2).map(_.getAs[String]("path")).toSet
+    val (v3, folded3, carried3) = Snapshots.compactSmallFiles(spark, t2, smallBytes = big2 / 2)
+    assert(folded3 == 3 && carried3 == 1)
+    val after = fileEntries(v3, t2).map(_.getAs[String]("path")).toSet
+    assert(after.intersect(pathsBefore).size == 1, "the healthy file is the SAME path")
+    assert(Snapshots.read(spark, t2).count() == 2015)
+    // replace commit: the changelog emits nothing for a row-preserving fold
+    assert(Snapshots.rowChanges(spark, t2, v3 - 1, v3).count() == 0)
+  }
+
   test("copy-on-write delete and merge do not resurrect vector-deleted rows") {
     val t = tmpDir("snap-mor-cow")
     Snapshots.create(spark, t)
