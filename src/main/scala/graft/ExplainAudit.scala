@@ -198,6 +198,46 @@ object ExplainAudit {
         sp.filesScanned == 1 && sp.filesTotal == 4 &&
           sp.df.inputFiles.length.toLong == sp.filesScanned
       }),
+      // planner-integrated snapshot scan: the optimizer's pushed filter
+      // must reach the manifest-backed FileIndex (PushedFilters on the
+      // scan) AND prune there — 1 of 4 stripe files read, measured from
+      // the executed plan's scan metrics, with no explicit scanPlan call
+      ("snapshot table() prunes through Catalyst: pushed filter reaches the manifest FileIndex", {
+        import org.apache.spark.sql.functions.col
+        val t = "/tmp/graft/audit/snap_cat_audit"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(t))
+        graft.operators.Snapshots.create(spark, t)
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+        val n = docs.agg(org.apache.spark.sql.functions.max(col("doc_id"))).head().getLong(0) + 1
+        val w = (n + 3) / 4
+        (0L until 4L).foreach { i =>
+          graft.operators.Snapshots.append(spark, t,
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1))
+        }
+        val q = graft.operators.Snapshots.table(spark, t).filter(col("doc_id") < w / 2)
+        // collect() so metrics land on THIS dataset's QueryExecution
+        val rows = q.collect().length
+        def scans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            scans(a.executedPlan)
+          case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(qs.plan)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case other => other.children.flatMap(scans)
+        }
+        val scan = scans(q.queryExecution.executedPlan).head
+        val p = q.queryExecution.executedPlan.toString
+        println(s"\n===== snapshot table() scan through Catalyst (manifest FileIndex) =====")
+        println(p)
+        rows > 0 && p.contains("PushedFilters") &&
+          scan.metrics("numFiles").value == 1L &&
+          scan.relation.location
+            .isInstanceOf[org.apache.spark.sql.graft.SnapshotRelation.SnapshotFileIndex]
+      }),
       // merge-on-read deletes: a dv-free table reads as a bare scan (the
       // vector machinery costs NOTHING until a vector exists); after a
       // deleteWhereMor the read adds exactly one anti-join against the

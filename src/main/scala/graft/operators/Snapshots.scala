@@ -599,6 +599,55 @@ object Snapshots {
     readFiles(spark, table, fileRows(spark, table, v), tableSchema(spark, table, Some(v)))
   }
 
+  /** Planner-integrated read: a DataFrame over a manifest-backed Catalyst
+    * [[org.apache.spark.sql.graft.SnapshotRelation.SnapshotFileIndex]],
+    * so any filter the OPTIMIZER pushes down prunes files against the
+    * manifest stats automatically — `table(spark, t).filter(col("id") <
+    * 100)` skips non-intersecting files with no explicit `scanPlan`
+    * plumbing, joins see the manifest's byte totals for broadcast
+    * decisions, and the pruning itself runs as a Spark job (the driver
+    * holds only the survivors, same as Spark's own file-index planning
+    * cost). Deletion vectors layer on top exactly as in [[read]]: the
+    * anti-join sits above the relation, and Catalyst pushes data filters
+    * through its left side down to the manifest-pruned scan. [[read]]
+    * stays the collected-paths reference path; `table` is what a query
+    * layer should hand out. Falls back to [[read]] for a pre-schema
+    * manifest (nothing records the shape to plan with).
+    */
+  def table(spark: SparkSession, tablePath: String, version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(requireVersion(tablePath))
+    val schema = tableSchema(spark, tablePath, Some(v)) match {
+      case Some(s) => s
+      case None => return read(spark, tablePath, Some(v))
+    }
+    def files = fileRows(spark, tablePath, v)
+    val agg = files.agg(
+      coalesce(sum(col("bytes")), lit(0L)),
+      sum(when(col("dv_path").isNotNull, 1L).otherwise(0L))).head()
+    val totalBytes = agg.getLong(0)
+    val dvPaths =
+      if (agg.isNullAt(1) || agg.getLong(1) == 0L) Array.empty[String]
+      else files.filter(col("dv_path").isNotNull).select("dv_path")
+        .distinct().collect().map(r => s"$tablePath/${r.getString(0)}")
+    def collectFiles(df: DataFrame): Array[(String, Long)] =
+      df.select("path", "bytes").collect()
+        .map(r => (s"$tablePath/${r.getString(0)}", r.getLong(1)))
+    val base = org.apache.spark.sql.graft.SnapshotRelation.frame(
+      spark, tablePath, schema, totalBytes,
+      () => collectFiles(files),
+      (box, strBox) => collectFiles(pruned(files, box, strBox)))
+    if (dvPaths.isEmpty) base
+    else {
+      val dv = spark.read.parquet(dvPaths.toIndexedSeq: _*)
+        .select(col("file").as("__file"), col("pos").as("__pos"))
+      base
+        .withColumn("__file", col("_metadata.file_name"))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dv, Seq("__file", "__pos"), "left_anti")
+        .drop("__file", "__pos")
+    }
+  }
+
   /** Plan + execute a filtered scan with manifest-side file skipping. The
     * predicate still applies in full to the surviving files (pruning is an
     * optimization, never a semantic filter).

@@ -17,6 +17,26 @@ object SnapshotQueries {
 
   private def fresh(d: String, name: String): String = QueryScratch.fresh(d, name)
 
+  /** Post-execution file count of the manifest-backed snapshot scans in
+    * `df`'s executed plan (descending AQE stage boundaries) — the
+    * structural proof that the OPTIMIZER's pushed filters pruned
+    * manifest-side.
+    */
+  private def snapshotScanFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location
+        .isInstanceOf[org.apache.spark.sql.graft.SnapshotRelation.SnapshotFileIndex])
+      .map(_.metrics("numFiles").value).sum
+  }
+
   val all: Map[String, Q] = Map(
 
     // Time travel + copy-on-write delete. v1 = even docs, v2 = +odd docs,
@@ -542,6 +562,53 @@ object SnapshotQueries {
              |       CAST(2 AS BIGINT) AS files_after
              |FROM documents WHERE doc_id % 20 <> 2""".stripMargin),
       Seq("K5", "K3", "K1")
+    ),
+
+    // Planner-integrated snapshot scan: the same 8-stripe layout as
+    // k_snapshot_prune, but the range predicate reaches the manifest
+    // through CATALYST - table() is a DataFrame over a manifest-backed
+    // FileIndex, the optimizer pushes the filter, and listFiles prunes
+    // with it. files_scanned comes from the executed plan's scan metrics
+    // (post-AQE), so the pin proves the planner path actually skipped,
+    // with zero explicit predicate plumbing.
+    "k_snapshot_catalyst_prune" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_cat")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+        val n = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+        val w = (n + 7) / 8
+        (0L until 8L).foreach { i =>
+          Snapshots.append(s, t,
+            docs.filter(col("doc_id") >= i * w && col("doc_id") < (i + 1) * w).coalesce(1))
+        }
+        val lo = 2 * w + w / 2
+        val hi = 5 * w + w / 3
+        val q = Snapshots.table(s, t)
+          .filter(col("doc_id") >= lo && col("doc_id") <= hi)
+          .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"))
+        // collect() (not head()) so the metrics land on THIS dataset's
+        // QueryExecution — head() runs a separate limit-optimized plan
+        val row = q.collect().head
+        import s.implicits._
+        Seq((row.getLong(0), row.getLong(1), 8L, snapshotScanFiles(q)))
+          .toDF("n_rows", "sum_chars", "files_total", "files_scanned")
+      },
+      Some("""WITH p AS (
+             |  SELECT CAST(ceil((max(doc_id)+1) / 8.0) AS BIGINT) AS w FROM documents
+             |), b AS (
+             |  SELECT 2*w + w//2 AS lo, 5*w + w//3 AS hi, w FROM p
+             |), s AS (
+             |  SELECT doc_id // (SELECT w FROM p) AS fid, min(doc_id) AS mn, max(doc_id) AS mx
+             |  FROM documents GROUP BY fid
+             |)
+             |SELECT (SELECT count(*) FROM documents, b WHERE doc_id BETWEEN lo AND hi) AS n_rows,
+             |       (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, b
+             |        WHERE doc_id BETWEEN lo AND hi) AS sum_chars,
+             |       CAST(8 AS BIGINT) AS files_total,
+             |       (SELECT CAST(count(*) AS BIGINT) FROM s, b
+             |        WHERE mx >= lo AND mn <= hi) AS files_scanned""".stripMargin),
+      Seq("F6", "K1")
     ),
 
     // Incrementally-maintained materialized aggregate: rollup refreshed

@@ -658,6 +658,73 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.rowChanges(spark, t2, v3 - 1, v3).count() == 0)
   }
 
+  private def snapshotScanFiles(df: DataFrame): Long = {
+    df.collect()
+    // descend AQE stage boundaries: collect() does not cross QueryStageExec
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scans(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .filter(_.relation.location
+        .isInstanceOf[org.apache.spark.sql.graft.SnapshotRelation.SnapshotFileIndex])
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("planner-integrated table(): optimizer-pushed filters prune manifest-side") {
+    val t = tmpDir("snap-cat")
+    Snapshots.create(spark, t)
+    // four disjoint doc_id stripes = four files with tiling stats boxes
+    (0 until 4).foreach { i =>
+      Snapshots.append(spark, t, docs(10, idFrom = i * 10).coalesce(1))
+    }
+    // no filter: all four files scan; content equals the reference read
+    val full = Snapshots.table(spark, t)
+    assert(ids(full) == ids(Snapshots.read(spark, t)))
+    assert(snapshotScanFiles(full) == 4)
+    // a range filter prunes to the single intersecting stripe — pushed by
+    // the OPTIMIZER, no explicit scanPlan plumbing
+    val one = Snapshots.table(spark, t).filter(col("doc_id") >= 12 && col("doc_id") <= 17)
+    assert(ids(one) == (12L to 17L).toSet)
+    assert(snapshotScanFiles(one) == 1, "planner-pushed range must scan ONE file")
+    // equality on a string column prunes via the truncated string bounds
+    val t2 = tmpDir("snap-cat-str")
+    Snapshots.create(spark, t2)
+    Seq("aa", "bb", "cc").foreach { s2 =>
+      Snapshots.append(spark, t2,
+        docs(10).withColumn("source", lit(s2)).coalesce(1))
+    }
+    val sOne = Snapshots.table(spark, t2).filter(col("source") === "bb")
+    assert(sOne.count() == 10)
+    assert(snapshotScanFiles(sOne) == 1, "string equality must scan ONE file")
+    // join sizing comes from the manifest: the logical stats are real bytes
+    val stats = Snapshots.table(spark, t).queryExecution.optimizedPlan.stats.sizeInBytes
+    val manifestBytes = Snapshots.history(spark, t).head().getAs[Long]("n_bytes")
+    assert(stats.toLong == manifestBytes, s"stats $stats != manifest $manifestBytes")
+  }
+
+  test("planner-integrated table() applies deletion vectors and still prunes") {
+    val t = tmpDir("snap-cat-dv")
+    Snapshots.create(spark, t)
+    (0 until 4).foreach { i =>
+      Snapshots.append(spark, t, docs(10, idFrom = i * 10).coalesce(1))
+    }
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") % 5 === 3)
+    val df = Snapshots.table(spark, t)
+    assert(ids(df) == (0L until 40L).filterNot(_ % 5 == 3).toSet)
+    // data filters push THROUGH the anti-join's left side to the manifest
+    val one = df.filter(col("doc_id") >= 12 && col("doc_id") <= 17)
+    assert(ids(one) == (12L to 17L).filterNot(_ % 5 == 3).toSet)
+    assert(snapshotScanFiles(one) == 1,
+      "pruning must survive the deletion-vector anti-join")
+    // time travel through the planner path
+    assert(ids(Snapshots.table(spark, t, Some(4L))) == (0L until 40L).toSet)
+  }
+
   test("copy-on-write delete and merge do not resurrect vector-deleted rows") {
     val t = tmpDir("snap-mor-cow")
     Snapshots.create(spark, t)
