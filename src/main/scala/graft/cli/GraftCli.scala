@@ -789,6 +789,14 @@ object GraftCli {
           .orderBy("_commit_version", "_change_type").collect()
           .foreach(r => println(s"v=${r.get(0)} ${r.get(1)}=${r.get(2)}"))
         0
+      // snapshot-delete-keys <table> <parquetDir> <keyCols,comma-sep> —
+      // keyed merge-on-read delete (CDC retirement; zero file rewrites)
+      case "snapshot-delete-keys" :: table :: parquetDir :: keys :: Nil =>
+        val st = graft.operators.Snapshots.deleteKeysMor(
+          spark, table, spark.read.parquet(parquetDir), keys.split(",").toSeq)
+        println(s"version=${st.version} rows_deleted=${st.rowsDeleted} " +
+          s"files_with_dv=${st.filesWithDv} files_untouched=${st.filesUntouched}")
+        0
       // snapshot-count <table> — exact row count from the manifest alone
       case "snapshot-count" :: table :: Nil =>
         println(s"rows=${graft.operators.Snapshots.fastCount(spark, table)}")
@@ -871,6 +879,7 @@ object GraftCli {
             |  snapshot-delete <table> "<sql predicate>"
             |  snapshot-delete-mor <table> "<sql predicate>"
             |  snapshot-changes <table> <fromVersion> <toVersion>
+            |  snapshot-delete-keys <table> <parquetDir> <keyCols,comma-sep>
             |  snapshot-count <table>
             |  snapshot-compact-small <table> <smallBytes>
             |  snapshot-merge <table> <parquetDir> <keyCol,...>

@@ -755,7 +755,6 @@ object Snapshots {
       table: String,
       cond: Column): MorDeleteStats = {
     val parent = requireVersion(table)
-    val v = parent + 1
     val files = fileRows(spark, table, parent).cache()
     val schema = tableSchema(spark, table, Some(parent))
     try {
@@ -764,8 +763,54 @@ object Snapshots {
       val newPos =
         if (cand.columns.isEmpty) null
         else cand.filter(cond)
-          .select(col("__file").as("file"), col("__pos").as("pos")).cache()
-      val deleted = if (newPos == null) 0L else newPos.count()
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+      commitMorDelete(spark, table, parent, files, newPos, schema)
+    } finally { files.unpersist(); () }
+  }
+
+  /** Keyed merge-on-read delete — the CDC-delete face of
+    * [[deleteWhereMor]]: rows whose key columns match a row of `keys`
+    * mark as deleted positions; no data file rewrites. Candidates are
+    * dismissed from the manifest by the key set's numeric/string bounds
+    * (exactly [[merge]]'s step 1), scanned once on a DV-applied read, and
+    * semi-joined against the distinct key set (broadcast when small).
+    */
+  def deleteKeysMor(
+      spark: SparkSession,
+      table: String,
+      keys: DataFrame,
+      keyCols: Seq[String]): MorDeleteStats = {
+    require(keyCols.nonEmpty, "deleteKeysMor needs at least one key column")
+    val parent = requireVersion(table)
+    val files = fileRows(spark, table, parent).cache()
+    val schema = tableSchema(spark, table, Some(parent))
+    val keySet = keys.select(keyCols.map(col): _*).distinct().cache()
+    try {
+      val (box, strBox) = keyBounds(keySet, keyCols)
+      val candidates = pruned(files, box, strBox)
+      val cand = readFilesMeta(spark, table, candidates, schema)
+      val newPos =
+        if (cand.columns.isEmpty) null
+        else cand.join(keySet, keyCols, "left_semi")
+          .select(col("__file").as("file"), col("__pos").as("pos"))
+      commitMorDelete(spark, table, parent, files, newPos, schema)
+    } finally { files.unpersist(); keySet.unpersist(); () }
+  }
+
+  /** Shared commit half of the merge-on-read deletes: write the merged
+    * position-delete dataset for `newPos` (null = no candidate files) and
+    * commit the re-referenced manifest.
+    */
+  private def commitMorDelete(
+      spark: SparkSession,
+      table: String,
+      parent: Long,
+      files: DataFrame,
+      newPos0: DataFrame,
+      schema: Option[StructType]): MorDeleteStats = {
+    val v = parent + 1
+    val newPos = if (newPos0 == null) null else newPos0.cache()
+    val deleted = if (newPos == null) 0L else newPos.count()
       if (deleted == 0L) {
         // no matches: an empty delete still commits (history records it)
         writeManifest(spark, table, v, parent, "delete",
@@ -809,11 +854,44 @@ object Snapshots {
         untouched.select(fileColNames.head, fileColNames.tail: _*)
           .unionByName(touchedNew), schemaJson = schema.map(_.json))
       swapCurrent(table, parent, v)
-      val nTouched = touched.count()
-      touched.unpersist()
-      newPos.unpersist()
-      MorDeleteStats(v, nTouched, files.count() - nTouched, deleted)
-    } finally { files.unpersist(); () }
+    val nTouched = touched.count()
+    touched.unpersist()
+    newPos.unpersist()
+    MorDeleteStats(v, nTouched, files.count() - nTouched, deleted)
+  }
+
+  /** Per-key-column numeric + string min/max of a key set — the
+    * manifest-side dismissal boxes [[merge]] and [[deleteKeysMor]] prune
+    * candidate files with (two tiny aggregates over the distinct keys).
+    */
+  private def keyBounds(srcKeys: DataFrame, keyCols: Seq[String])
+      : (Map[String, (Double, Double)], Map[String, (Option[String], Option[String])]) = {
+    val numKeys = keyCols.filter(k =>
+      srcKeys.schema.fields.exists(f => f.name == k && f.dataType.isInstanceOf[NumericType]))
+    val box: Map[String, (Double, Double)] =
+      if (numKeys.isEmpty) Map.empty
+      else {
+        val aggs = numKeys.flatMap(k =>
+          Seq(min(col(k)).cast(DoubleType), max(col(k)).cast(DoubleType)))
+        val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+        numKeys.zipWithIndex.collect {
+          case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
+            k -> ((r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+        }.toMap
+      }
+    val strKeys = keyCols.filter(k =>
+      srcKeys.schema.fields.exists(f => f.name == k && f.dataType == StringType))
+    val strBox: Map[String, (Option[String], Option[String])] =
+      if (strKeys.isEmpty) Map.empty
+      else {
+        val aggs = strKeys.flatMap(k => Seq(min(col(k)), max(col(k))))
+        val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+        strKeys.zipWithIndex.collect {
+          case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
+            k -> ((Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
+        }.toMap
+      }
+    (box, strBox)
   }
 
   /** Outcome of a [[merge]]: the new version, the copy-on-write file
@@ -864,33 +942,8 @@ object Snapshots {
     val newSchema = evolveSchema(tblSchema, source.schema)
     val srcKeys = source.select(keyCols.map(col): _*).distinct().cache()
     try {
-      // (1) manifest-side dismissal: numeric key bounds of the source
-      val numKeys = keyCols.filter(k =>
-        source.schema.fields.exists(f => f.name == k && f.dataType.isInstanceOf[NumericType]))
-      val box: Map[String, (Double, Double)] =
-        if (numKeys.isEmpty) Map.empty
-        else {
-          val aggs = numKeys.flatMap(k =>
-            Seq(min(col(k)).cast(DoubleType), max(col(k)).cast(DoubleType)))
-          val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
-          numKeys.zipWithIndex.collect {
-            case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
-              k -> ((r.getDouble(2 * i), r.getDouble(2 * i + 1)))
-          }.toMap
-        }
-      // string keys dismiss files the same way, via truncated string bounds
-      val strKeys = keyCols.filter(k =>
-        source.schema.fields.exists(f => f.name == k && f.dataType == StringType))
-      val strBox: Map[String, (Option[String], Option[String])] =
-        if (strKeys.isEmpty) Map.empty
-        else {
-          val aggs = strKeys.flatMap(k => Seq(min(col(k)), max(col(k))))
-          val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
-          strKeys.zipWithIndex.collect {
-            case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
-              k -> ((Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
-          }.toMap
-        }
+      // (1) manifest-side dismissal by the source's key bounds
+      val (box, strBox) = keyBounds(srcKeys, keyCols)
       val candidates = pruned(files, box, strBox).cache()
       // (2) key-only scan of the candidates: which files hold a matched key?
       // (files are matched by part-file basename — globally unique, each
@@ -1074,6 +1127,46 @@ object Snapshots {
     if (lastTxn(spark, table, appId).exists(_ >= txnV)) None
     else Some(merge(spark, table, source, keyCols, statsCols, maxRecordsPerFile,
       Some((appId, txnV))))
+  }
+
+  /** Outcome of an [[applyCdcIdempotent]]: the final table version, rows
+    * marked deleted, and the merge's row split.
+    */
+  final case class CdcStats(
+      version: Long, rowsDeleted: Long, rowsUpdated: Long, rowsInserted: Long)
+
+  /** Apply one CDC batch — keyed upserts AND deletes — exactly once: rows
+    * whose `opCol` value is `delete` retire by key (merge-on-read: zero
+    * file rewrites, [[deleteKeysMor]]); every other row MERGEs by key.
+    * One state per key per batch (the standard CDC-apply precondition —
+    * reduce a multi-event stream to latest-per-key upstream).
+    *
+    * Exactly-once discipline: the MERGE (the batch's LAST commit)
+    * carries the `(appId, txnV)` transaction marker, so a replayed batch
+    * is detected and skipped ENTIRELY (returns None). A crash BETWEEN
+    * the delete and the merge replays both: the delete re-runs
+    * idempotently (its keys are already gone — a DV-applied scan finds
+    * no positions, committing an empty delete), then the merge lands.
+    * A delete-only batch merges an empty upsert set purely to carry the
+    * marker.
+    */
+  def applyCdcIdempotent(
+      spark: SparkSession,
+      table: String,
+      batch: DataFrame,
+      keyCols: Seq[String],
+      opCol: String,
+      appId: String,
+      txnV: Long): Option[CdcStats] = {
+    require(batch.columns.contains(opCol), s"batch lacks op column '$opCol'")
+    if (lastTxn(spark, table, appId).exists(_ >= txnV)) return None
+    val dels = batch.filter(col(opCol) === "delete").select(keyCols.map(col): _*)
+    val d =
+      if (dels.isEmpty) MorDeleteStats(requireVersion(table), 0L, 0L, 0L)
+      else deleteKeysMor(spark, table, dels, keyCols)
+    val ups = batch.filter(col(opCol) =!= "delete").drop(opCol)
+    val m = merge(spark, table, ups, keyCols, txn = Some((appId, txnV)))
+    Some(CdcStats(m.version, d.rowsDeleted, m.rowsUpdated, m.rowsInserted))
   }
 
   /** Rows added by APPEND commits in `(fromV, toV]` — the incremental read:

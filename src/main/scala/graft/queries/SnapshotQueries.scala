@@ -611,6 +611,51 @@ object SnapshotQueries {
       Seq("F6", "K1")
     ),
 
+    // Streaming CDC apply (upserts + keyed deletes) -> snapshot table
+    // with exactly-once batches: seeded with the even docs, the stream
+    // carries per-key latest states - op=delete retires doc_id % 4 = 2
+    // via deletion vectors (zero rewrites), op=u bumps doc_id % 4 = 0 and
+    // inserts the odds. Runs TWICE on one checkpoint plus a hand-replayed
+    // batch; the per-lang rollup must equal the oracle's apply
+    // arithmetic exactly - the full Debezium-shaped sink discipline.
+    "s14_snapshot_cdc_stream" -> Q(
+      (s, d) => {
+        val inDir = fresh(d, "cdcstream_in")
+        val ckpt = fresh(d, "cdcstream_ckpt")
+        val table = fresh(d, "cdcstream_tbl")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inDir))
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.create(s, table)
+        Snapshots.append(s, table, docs.filter(col("doc_id") % 2 === 0))
+        val events = docs.filter(col("doc_id") % 4 === 0)
+          .withColumn("n_chars", col("n_chars") + 1000000L)
+          .unionByName(docs.filter(col("doc_id") % 2 === 1))
+          .withColumn("op", lit("u"))
+          .unionByName(docs.filter(col("doc_id") % 4 === 2).withColumn("op", lit("delete")))
+        events.coalesce(1).write.mode("overwrite").json(inDir)
+        val src = s.readStream.schema(events.schema).json(inDir)
+        def run(): Unit = {
+          val q = graft.streaming.StreamingPipeline.snapshotCdcWriter(
+            src, table, ckpt, appId = "s14", keyCols = Seq("doc_id"), opCol = "op").start()
+          q.awaitTermination()
+        }
+        run(); run() // restart on the same checkpoint: nothing re-applies
+        // hand-replay of batch 0 under the same appId: detected, skipped
+        Snapshots.applyCdcIdempotent(
+          s, table, events.limit(5), Seq("doc_id"), "op", "s14", 0L): Unit
+        Snapshots.read(s, table)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""SELECT lang,
+             |       count(CASE WHEN doc_id % 4 <> 2 THEN 1 END) AS n,
+             |       CAST(sum(CASE WHEN doc_id % 4 <> 2 THEN n_chars END)
+             |            + 1000000 * count(CASE WHEN doc_id % 4 = 0 THEN 1 END)
+             |         AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("S6", "K2", "K3")
+    ),
+
     // Incrementally-maintained materialized aggregate: rollup refreshed
     // from the snapshot diff (merge of stored partials with the delta's)
     // must equal the from-scratch group-by - the incremental

@@ -514,6 +514,35 @@ object StreamingPipeline {
     * Duplicate keys WITHIN a microbatch violate the MERGE precondition —
     * reduce upstream to latest-wins (e.g. max-by sequence column) first.
     */
+  /** Exactly-once streaming CDC APPLY into a snapshot table — the full
+    * Debezium-shaped sink: each microbatch carries per-key latest states
+    * with an op column (`delete` retires the key via merge-on-read
+    * deletion vectors — zero file rewrites; anything else MERGEs by
+    * key), applied by [[graft.operators.Snapshots.applyCdcIdempotent]]
+    * under the txn-marker discipline, so a crash-restart replays the
+    * whole batch exactly once (the delete half replays as a no-op, the
+    * merge half is skipped from the commit log).
+    */
+  def snapshotCdcWriter(
+      source: DataFrame,
+      table: String,
+      checkpointDir: String,
+      appId: String,
+      keyCols: Seq[String],
+      opCol: String
+  ): DataStreamWriter[Row] =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        if (graft.operators.Snapshots.currentVersion(table).isEmpty)
+          graft.operators.Snapshots.create(s, table)
+        graft.operators.Snapshots.applyCdcIdempotent(
+          s, table, batch, keyCols, opCol, appId, batchId): Unit
+      }
+
   def snapshotUpsertWriter(
       source: DataFrame,
       table: String,

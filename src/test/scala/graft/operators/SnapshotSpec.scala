@@ -725,6 +725,57 @@ class SnapshotSpec extends SparkSpec {
     assert(ids(Snapshots.table(spark, t, Some(4L))) == (0L until 40L).toSet)
   }
 
+  test("deleteKeysMor retires keys without rewriting files; CDC apply is exactly-once") {
+    val t = tmpDir("snap-keydel")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(20).coalesce(1))
+    val files0 = realDataFiles(t)
+    val st = Snapshots.deleteKeysMor(spark, t,
+      Seq(1L, 5L, 9L, 999L).toDF("doc_id"), Seq("doc_id"))
+    assert(st.rowsDeleted == 3, s"unknown key 999 deletes nothing: $st")
+    assert(realDataFiles(t) == files0, "keyed MOR delete rewrites nothing")
+    assert(ids(Snapshots.read(spark, t)) == (0L until 20L).toSet -- Set(1L, 5L, 9L))
+    // re-deleting the same keys is a no-op (DV-applied scan finds no positions)
+    assert(Snapshots.deleteKeysMor(spark, t,
+      Seq(1L, 5L).toDF("doc_id"), Seq("doc_id")).rowsDeleted == 0)
+
+    // full CDC batch: delete 2 keys, update 2, insert 1 — exactly once
+    val t2 = tmpDir("snap-cdc")
+    Snapshots.create(spark, t2)
+    Snapshots.append(spark, t2, docs(10).coalesce(1))
+    val batch = Seq(
+      (2L, 0L, "delete"), (4L, 0L, "delete"),
+      (0L, 7777L, "u"), (3L, 7777L, "u"), (100L, 7777L, "u"))
+      .toDF("doc_id", "n_chars", "op")
+      .withColumn("source", lit("srcX"))
+      .select("doc_id", "source", "n_chars", "op")
+    val r1 = Snapshots.applyCdcIdempotent(
+      spark, t2, batch, Seq("doc_id"), "op", "cdc", 0L)
+    assert(r1.exists(s => s.rowsDeleted == 2 && s.rowsUpdated == 2 && s.rowsInserted == 1), s"$r1")
+    assert(ids(Snapshots.read(spark, t2)) ==
+      ((0L until 10L).toSet -- Set(2L, 4L)) + 100L)
+    assert(Snapshots.read(spark, t2).filter(col("n_chars") === 7777L).count() == 3)
+    // replay of the whole batch: detected from the txn marker, skipped
+    assert(Snapshots.applyCdcIdempotent(
+      spark, t2, batch, Seq("doc_id"), "op", "cdc", 0L).isEmpty)
+    assert(Snapshots.read(spark, t2).count() == 9)
+    // crash BETWEEN delete and merge: delete landed, marker didn't — the
+    // replay re-runs the delete as a no-op and the merge lands once
+    val batch2 = Seq((0L, 0L, "delete"), (5L, 8888L, "u"))
+      .toDF("doc_id", "n_chars", "op")
+      .withColumn("source", lit("srcX"))
+      .select("doc_id", "source", "n_chars", "op")
+    Snapshots.deleteKeysMor(spark, t2,
+      batch2.filter(col("op") === "delete").select("doc_id"), Seq("doc_id")): Unit
+    val r2 = Snapshots.applyCdcIdempotent(
+      spark, t2, batch2, Seq("doc_id"), "op", "cdc", 1L)
+    assert(r2.exists(s => s.rowsDeleted == 0 && s.rowsUpdated == 1), s"$r2")
+    assert(ids(Snapshots.read(spark, t2)) ==
+      ((1L until 10L).toSet -- Set(2L, 4L)) + 100L)
+    assert(Snapshots.read(spark, t2).filter(col("doc_id") === 5L)
+      .head().getAs[Long]("n_chars") == 8888L)
+  }
+
   test("copy-on-write delete and merge do not resurrect vector-deleted rows") {
     val t = tmpDir("snap-mor-cow")
     Snapshots.create(spark, t)
