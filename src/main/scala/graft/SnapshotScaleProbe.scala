@@ -123,8 +123,29 @@ object SnapshotScaleProbe {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("s")).collect()
     }
 
+    // commit-protocol fixed cost: sequential small appends (the streaming-
+    // sink regime) — stage (data write) vs commit (manifest + swap) split
+    val tRate = {
+      val t = "/tmp/graft/snapprobe/rate"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      Snapshots.create(spark, t)
+      val small = corpus.limit(1000).coalesce(1)
+      Snapshots.append(spark, t, small) // warm
+      var tStage = 0.0; var tCommit = 0.0
+      (0 until 10).foreach { _ =>
+        val a = System.nanoTime()
+        val staged = Snapshots.stageAppend(spark, t, small)
+        val b = System.nanoTime()
+        Snapshots.commitStaged(spark, t, staged, dataSchema = Some(small.schema))
+        tStage += (b - a) / 1e9; tCommit += (System.nanoTime() - b) / 1e9
+      }
+      (tStage / 10, tCommit / 10)
+    }
+
     println(f"[snapshot-probe] rows=$nRows table_mb=${tableBytes / 1e6}%.1f " +
       f"deleted=${morStats.rowsDeleted}")
+    println(f"[snapshot-probe] commit_protocol: stage_s=${tRate._1}%.2f " +
+      f"commit_s=${tRate._2}%.2f per small append (scheduler-bound fixed cost)")
     println(f"[snapshot-probe] cow_delete_s=$tCowDel%.1f cow_files_rewritten=$cowRewritten " +
       f"cow_bytes_written_mb=${cowBytes / 1e6}%.1f")
     println(f"[snapshot-probe] mor_delete_s=$tMorDel%.1f mor_files_with_dv=${morStats.filesWithDv} " +

@@ -131,6 +131,43 @@ object Snapshots {
   private def fileRows(spark: SparkSession, table: String, v: Long): DataFrame =
     manifest(spark, table, v).filter(col("kind") === "file")
 
+  private lazy val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Driver-side fast path for a manifest's COMMIT row: the manifest is
+    * one coalesced JSON file whose commit row leads by construction, so
+    * table METADATA (op, parent, schema, txn markers) parses from one
+    * line without a Spark job — the Iceberg/Delta discipline (metadata is
+    * driver-parsed; only the FILE LIST stays a distributed dataset).
+    * Cuts two scheduler round-trips from every commit and every read.
+    * Returns None on any surprise (multi-part manifest, reordered rows,
+    * remote-FS hiccup, parse failure) — callers then fall back to the
+    * distributed read, so this is only ever an optimization.
+    */
+  private def commitRowLocal(
+      spark: SparkSession, table: String, v: Long)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
+    try {
+      val dir = new Path(vdir(table, v))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith("part-") && n.endsWith(".json")
+      }
+      if (parts.length != 1) return None
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(parts.head.getPath), StandardCharsets.UTF_8))
+      try {
+        var i = 0
+        var line = in.readLine()
+        while (line != null && i < 64) {
+          val n = jsonMapper.readTree(line)
+          if (n.path("kind").asText() == "commit") return Some(n)
+          i += 1; line = in.readLine()
+        }
+        None
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The table schema RECORDED in a version's commit row — the reason a
     * read never samples parquet footers for schema (at 10^6 files footer
     * inference is an object-store read storm; the manifest already knows).
@@ -140,9 +177,16 @@ object Snapshots {
   def tableSchema(
       spark: SparkSession, table: String, version: Option[Long] = None): Option[StructType] = {
     val v = version.getOrElse(requireVersion(table))
-    val r = manifest(spark, table, v).filter(col("kind") === "commit")
-      .select("schema_json").head()
-    Option(r.getString(0)).map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    commitRowLocal(spark, table, v) match {
+      case Some(n) =>
+        val sj = n.path("schema_json")
+        if (sj.isMissingNode || sj.isNull || sj.asText().isEmpty) None
+        else Some(DataType.fromJson(sj.asText()).asInstanceOf[StructType])
+      case None =>
+        val r = manifest(spark, table, v).filter(col("kind") === "commit")
+          .select("schema_json").head()
+        Option(r.getString(0)).map(j => DataType.fromJson(j).asInstanceOf[StructType])
+    }
   }
 
   /** Evolve the recorded table schema with an incoming batch's schema —
@@ -169,11 +213,16 @@ object Snapshots {
           next.fields.filterNot(f => p.fieldNames.contains(f.name)).map(_.copy(nullable = true)))
     }
 
-  def commitInfo(spark: SparkSession, table: String, v: Long): CommitInfo = {
-    val r = manifest(spark, table, v).filter(col("kind") === "commit")
-      .select("version", "parent", "op", "ts").head()
-    CommitInfo(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
-  }
+  def commitInfo(spark: SparkSession, table: String, v: Long): CommitInfo =
+    commitRowLocal(spark, table, v) match {
+      case Some(n) =>
+        CommitInfo(n.path("version").asLong(), n.path("parent").asLong(),
+          n.path("op").asText(), n.path("ts").asText())
+      case None =>
+        val r = manifest(spark, table, v).filter(col("kind") === "commit")
+          .select("version", "parent", "op", "ts").head()
+        CommitInfo(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+    }
 
   /** Atomically swap `_current` from `expectedParent` to `v`. Optimistic
     * concurrency: a committer that lost the race fails here, with its data
@@ -454,10 +503,26 @@ object Snapshots {
     */
   def lastTxn(spark: SparkSession, table: String, appId: String): Option[Long] = {
     val cur = requireVersion(table)
-    val r = spark.read.schema(manifestSchema).json(s"$table/_log/v*")
-      .filter(col("kind") === "commit" && col("version") <= cur && col("txn_app") === appId)
-      .agg(max(col("txn_v"))).head()
-    if (r.isNullAt(0)) None else Some(r.getLong(0))
+    // driver-side walk of the retained commit rows (one JSON line each);
+    // any version the fast path can't parse falls the WHOLE check back to
+    // the distributed read — a missed marker must never cause a replay skip
+    val fs = new Path(s"$table/_log").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(new Path(s"$table/_log"))
+      .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong)
+      .filter(_ <= cur)
+    val local = versions.map(v => commitRowLocal(spark, table, v))
+    if (local.forall(_.isDefined)) {
+      val hits = local.flatten.filter(n =>
+        n.path("txn_app").asText() == appId && !n.path("txn_v").isMissingNode &&
+          !n.path("txn_v").isNull)
+        .map(_.path("txn_v").asLong())
+      if (hits.isEmpty) None else Some(hits.max)
+    } else {
+      val r = spark.read.schema(manifestSchema).json(s"$table/_log/v*")
+        .filter(col("kind") === "commit" && col("version") <= cur && col("txn_app") === appId)
+        .agg(max(col("txn_v"))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
   }
 
   /** Exactly-once append for replayable sources: commit `df` tagged with
