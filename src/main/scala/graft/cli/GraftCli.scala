@@ -834,9 +834,10 @@ object GraftCli {
               "usage: snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]")
             2
         }
-      case "snapshot-expire" :: table :: keepLast :: Nil =>
-        val (manifests, files) =
-          graft.operators.Snapshots.expire(spark, table, keepLast.toInt)
+      case "snapshot-expire" :: table :: keepLast :: rest if rest.size <= 1 =>
+        val (manifests, files) = graft.operators.Snapshots.expire(
+          spark, table, keepLast.toInt,
+          orphanGraceMs = rest.headOption.map(_.toLong).getOrElse(0L))
         println(s"manifests_dropped=$manifests data_files_deleted=$files")
         0
       // agg-refresh — bring a diff-maintained materialized rollup up to the

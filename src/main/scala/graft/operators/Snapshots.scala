@@ -46,8 +46,10 @@ import org.apache.spark.sql.types._
   * the post-pruning file set are collected at plan time (the same driver
   * cost Spark's own `InMemoryFileIndex` pays).
   *
-  * Commit protocol (single-writer-per-table discipline, same staged-write +
-  * checked-swap family as `ChunkStore`/`TextSearch.compactIndex`):
+  * Commit protocol (multi-writer appends; same staged-write +
+  * checked-swap family as `ChunkStore`/`TextSearch.compactIndex`, with
+  * commit sections serialized on `_commit_lock` — see the commit
+  * serialization notes below):
   * data files land under a fresh `data/c<version>-<token>/` dir, the new
   * manifest lands under `_log/v<version>/`, and only then does `_current`
   * swap via an atomic rename. A crash before the swap leaves the table
@@ -224,6 +226,80 @@ object Snapshots {
         CommitInfo(r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
     }
 
+  // ---- commit serialization --------------------------------------------
+  // Commit sections (leftover-manifest cleanup + manifest write + pointer
+  // swap) serialize on `_commit_lock`. Without it, two committers
+  // targeting the same version can interleave: B's leftover cleanup
+  // deletes A's just-FINISHED manifest dir, B writes its own, and A's
+  // pointer swap then publishes B's manifest as A's commit — A reports
+  // success while its data is referenced nowhere (silent loss). Under the
+  // lock, A is either fully committed when B enters (B sees the moved
+  // pointer and retries/fails) or hasn't started its commit section.
+  // The lock covers ONLY the cheap commit half — staging (the data write)
+  // stays fully concurrent — and a stale lock (crashed committer) is
+  // broken after [[staleLockMs]], same discipline as `ChunkStore`.
+  // Atomic create-if-absent arbitrates: POSIX O_EXCL locally, create(
+  // overwrite=false) on HDFS; object stores need an external coordinator.
+
+  @volatile var lockWaitMs: Long = 30000L
+  @volatile var staleLockMs: Long = 600000L
+
+  private def lockPath(table: String) = new Path(s"$table/_commit_lock")
+
+  private def tryAcquire(
+      f: org.apache.hadoop.fs.FileSystem, table: String, token: String): Boolean =
+    try {
+      f match {
+        case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          // Hadoop's local create(overwrite=false) is check-then-act —
+          // POSIX O_CREAT|O_EXCL (CREATE_NEW) arbitrates atomically
+          JFiles.write(
+            JPaths.get(f.makeQualified(lockPath(table)).toUri.getPath),
+            token.getBytes(StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+        case _ =>
+          val out = f.create(lockPath(table), /* overwrite = */ false)
+          try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
+      }
+      true
+    } catch { case _: java.io.IOException => false }
+
+  private def heldToken(
+      f: org.apache.hadoop.fs.FileSystem, table: String): Option[String] =
+    try {
+      val in = f.open(lockPath(table))
+      try Some(new String(
+        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  private def breakIfStale(f: org.apache.hadoop.fs.FileSystem, table: String): Unit =
+    try {
+      val st = f.getFileStatus(lockPath(table))
+      if (System.currentTimeMillis() - st.getModificationTime > staleLockMs)
+        f.delete(lockPath(table), false): Unit
+    } catch { case _: java.io.IOException => () } // already gone
+
+  private def withCommitLock[T](spark: SparkSession, table: String)(body: => T): T = {
+    val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val token = java.util.UUID.randomUUID().toString
+    val deadline = System.currentTimeMillis() + lockWaitMs
+    breakIfStale(f, table)
+    var acquired = tryAcquire(f, table, token)
+    while (!acquired && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100)
+      breakIfStale(f, table)
+      acquired = tryAcquire(f, table, token)
+    }
+    if (!acquired)
+      throw new IllegalStateException(
+        s"another committer holds ${lockPath(table)} — commits serialize; " +
+          "retry later, raise Snapshots.lockWaitMs, or remove a stale lock")
+    try body
+    finally if (heldToken(f, table).contains(token)) f.delete(lockPath(table), false): Unit
+  }
+
   /** Atomically swap `_current` from `expectedParent` to `v`. Optimistic
     * concurrency: a committer that lost the race fails here, with its data
     * + manifest left as unreferenced garbage for [[expire]].
@@ -390,9 +466,11 @@ object Snapshots {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(manifestSchema.filterNot(_.name == "kind").toSeq))
-    writeManifest(spark, table, 0L, -1L, "create",
-      empty.withColumn("version", lit(0L)))
-    swapCurrent(table, -1L, 0L)
+    withCommitLock(spark, table) {
+      writeManifest(spark, table, 0L, -1L, "create",
+        empty.withColumn("version", lit(0L)))
+      swapCurrent(table, -1L, 0L)
+    }
   }
 
   /** Append `df` as a new commit; returns the new version. One job writes
@@ -455,39 +533,47 @@ object Snapshots {
     val myPaths = entryCols.select("path").collect().map(_.getString(0)).toSet
     var attempt = 0
     while (true) {
-      val parent = requireVersion(table)
-      val carried = fileRows(spark, table, parent)
-        .select(fileColNames.head, fileColNames.tail: _*).cache()
-      try {
-        // an empty staged group (0-row batch) has no unique paths to detect
-        // an earlier winning attempt by; it just commits an empty append
-        val present =
-          if (myPaths.isEmpty) 0L
-          else carried.filter(col("path").isin(myPaths.toSeq: _*)).count()
-        if (present > 0) {
-          require(present == myPaths.size,
-            s"staged group partially referenced at v$parent: $present of ${myPaths.size}")
-          return parent
-        }
-        val v = parent + 1
-        // schema evolution happens per ATTEMPT: a retry evolves against the
-        // winner's schema, exactly like the manifest rebuild uses its files
-        val newSchema = dataSchema
-          .map(s => evolveSchema(tableSchema(spark, table, Some(parent)), s))
-          .orElse(tableSchema(spark, table, Some(parent)))
+      // the whole attempt holds the commit lock: the base cannot move under
+      // us, so the optimistic retry below only ever fires after a BROKEN
+      // stale lock let another committer through mid-attempt
+      val res: Option[Long] = withCommitLock(spark, table) {
+        val parent = requireVersion(table)
+        val carried = fileRows(spark, table, parent)
+          .select(fileColNames.head, fileColNames.tail: _*).cache()
         try {
-          writeManifest(spark, table, v, parent, "append",
-            carried.unionByName(entryCols.withColumn("version", lit(v))
-              .select(fileColNames.head, fileColNames.tail: _*)), txn,
-            newSchema.map(_.json))
-          swapCurrent(table, parent, v)
-          return v
-        } catch {
-          case _: Exception if attempt < maxRetries &&
-              !currentVersion(table).contains(parent) =>
-            attempt += 1 // a concurrent commit moved the base: retry against it
-        }
-      } finally carried.unpersist(): Unit
+          // an empty staged group (0-row batch) has no unique paths to detect
+          // an earlier winning attempt by; it just commits an empty append
+          val present =
+            if (myPaths.isEmpty) 0L
+            else carried.filter(col("path").isin(myPaths.toSeq: _*)).count()
+          if (present > 0) {
+            require(present == myPaths.size,
+              s"staged group partially referenced at v$parent: $present of ${myPaths.size}")
+            Some(parent)
+          } else {
+            val v = parent + 1
+            // schema evolution happens per ATTEMPT: a retry evolves against
+            // the winner's schema, like the manifest rebuild uses its files
+            val newSchema = dataSchema
+              .map(s => evolveSchema(tableSchema(spark, table, Some(parent)), s))
+              .orElse(tableSchema(spark, table, Some(parent)))
+            try {
+              writeManifest(spark, table, v, parent, "append",
+                carried.unionByName(entryCols.withColumn("version", lit(v))
+                  .select(fileColNames.head, fileColNames.tail: _*)), txn,
+                newSchema.map(_.json))
+              swapCurrent(table, parent, v)
+              Some(v)
+            } catch {
+              case _: Exception if attempt < maxRetries &&
+                  !currentVersion(table).contains(parent) =>
+                attempt += 1 // the base moved: retry against it
+                None
+            }
+          }
+        } finally carried.unpersist(): Unit
+      }
+      res.foreach(v => return v)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -558,10 +644,12 @@ object Snapshots {
     val v = parent + 1
     val stats = Option(statsCols).getOrElse(defaultStatsCols(df))
     val entries = writeFileGroup(spark, table, v, df, stats, maxRecordsPerFile)
-    writeManifest(spark, table, v, parent, "overwrite",
-      entries.select(fileColNames.head, fileColNames.tail: _*),
-      schemaJson = Some(df.schema.json)) // overwrite REPLACES the schema too
-    swapCurrent(table, parent, v)
+    withCommitLock(spark, table) {
+      writeManifest(spark, table, v, parent, "overwrite",
+        entries.select(fileColNames.head, fileColNames.tail: _*),
+        schemaJson = Some(df.schema.json)) // overwrite REPLACES the schema too
+      swapCurrent(table, parent, v)
+    }
     v
   }
 
@@ -766,10 +854,12 @@ object Snapshots {
         else
           writeFileGroup(spark, table, v, survivors, stats, maxRecordsPerFile)
             .select(fileColNames.head, fileColNames.tail: _*)
-      writeManifest(spark, table, v, parent, "delete",
-        untouched.select(fileColNames.head, fileColNames.tail: _*)
-          .unionByName(entries), schemaJson = schema.map(_.json))
-      swapCurrent(table, parent, v)
+      withCommitLock(spark, table) {
+        writeManifest(spark, table, v, parent, "delete",
+          untouched.select(fileColNames.head, fileColNames.tail: _*)
+            .unionByName(entries), schemaJson = schema.map(_.json))
+        swapCurrent(table, parent, v)
+      }
       val rewritten = candidates.count()
       candidates.unpersist()
       (v, rewritten, untouchedCount)
@@ -878,10 +968,12 @@ object Snapshots {
     val deleted = if (newPos == null) 0L else newPos.count()
       if (deleted == 0L) {
         // no matches: an empty delete still commits (history records it)
-        writeManifest(spark, table, v, parent, "delete",
-          files.select(fileColNames.head, fileColNames.tail: _*),
-          schemaJson = schema.map(_.json))
-        swapCurrent(table, parent, v)
+        withCommitLock(spark, table) {
+          writeManifest(spark, table, v, parent, "delete",
+            files.select(fileColNames.head, fileColNames.tail: _*),
+            schemaJson = schema.map(_.json))
+          swapCurrent(table, parent, v)
+        }
         if (newPos != null) newPos.unpersist(): Unit
         return MorDeleteStats(v, 0L, files.count(), 0L)
       }
@@ -915,10 +1007,12 @@ object Snapshots {
         .withColumn("dv_rows", col("__n"))
         .select(fileColNames.head, fileColNames.tail: _*)
       val untouched = files.join(touched.select("path"), Seq("path"), "left_anti")
-      writeManifest(spark, table, v, parent, "delete",
-        untouched.select(fileColNames.head, fileColNames.tail: _*)
-          .unionByName(touchedNew), schemaJson = schema.map(_.json))
-      swapCurrent(table, parent, v)
+      withCommitLock(spark, table) {
+        writeManifest(spark, table, v, parent, "delete",
+          untouched.select(fileColNames.head, fileColNames.tail: _*)
+            .unionByName(touchedNew), schemaJson = schema.map(_.json))
+        swapCurrent(table, parent, v)
+      }
     val nTouched = touched.count()
     touched.unpersist()
     newPos.unpersist()
@@ -1051,10 +1145,12 @@ object Snapshots {
       val entries =
         writeFileGroup(spark, table, v, newContent, stats, maxRecordsPerFile)
           .select(fileColNames.head, fileColNames.tail: _*)
-      writeManifest(spark, table, v, parent, "merge",
-        untouched.select(fileColNames.head, fileColNames.tail: _*)
-          .unionByName(entries), txn, schemaJson = Some(newSchema.json))
-      swapCurrent(table, parent, v)
+      withCommitLock(spark, table) {
+        writeManifest(spark, table, v, parent, "merge",
+          untouched.select(fileColNames.head, fileColNames.tail: _*)
+            .unionByName(entries), txn, schemaJson = Some(newSchema.json))
+        swapCurrent(table, parent, v)
+      }
       MergeStats(v, touchedNames.size.toLong,
         files.count() - touchedNames.size, rowsUpdated, rowsInserted)
     } finally { files.unpersist(); srcKeys.unpersist(); () }
@@ -1378,10 +1474,12 @@ object Snapshots {
         .sortWithinPartitions(clusterBy: _*)
     val entries = writeFileGroup(
       spark, table, v, laidOut, stats, targetRecordsPerFile)
-    writeManifest(spark, table, v, parent, "replace",
-      entries.select(fileColNames.head, fileColNames.tail: _*),
-      schemaJson = tableSchema(spark, table, Some(parent)).map(_.json))
-    swapCurrent(table, parent, v)
+    withCommitLock(spark, table) {
+      writeManifest(spark, table, v, parent, "replace",
+        entries.select(fileColNames.head, fileColNames.tail: _*),
+        schemaJson = tableSchema(spark, table, Some(parent)).map(_.json))
+      swapCurrent(table, parent, v)
+    }
     v
   }
 
@@ -1461,10 +1559,12 @@ object Snapshots {
         else writeFileGroup(spark, table, v, content.repartition(nFiles.toInt),
           stats, targetRecordsPerFile)
           .select(fileColNames.head, fileColNames.tail: _*)
-      writeManifest(spark, table, v, parent, "replace",
-        carried.select(fileColNames.head, fileColNames.tail: _*).unionByName(entries),
-        schemaJson = schema.map(_.json))
-      swapCurrent(table, parent, v)
+      withCommitLock(spark, table) {
+        writeManifest(spark, table, v, parent, "replace",
+          carried.select(fileColNames.head, fileColNames.tail: _*).unionByName(entries),
+          schemaJson = schema.map(_.json))
+        swapCurrent(table, parent, v)
+      }
       val nCarried = files.count() - nFold
       foldable.unpersist()
       (v, nFold, nCarried)
@@ -1478,8 +1578,20 @@ object Snapshots {
     * any retained version is unaffected; this is the Iceberg
     * `expire_snapshots` contract. Returns (manifests dropped, data files
     * deleted).
+    *
+    * `orphanGraceMs` protects CONCURRENT writers: a file referenced by NO
+    * manifest at scan time is either crash garbage or another writer's
+    * in-flight staged group — indistinguishable by reference alone — so
+    * orphans younger than the grace window survive (files referenced by a
+    * DROPPED manifest were committed-then-superseded and reclaim
+    * immediately regardless of age). Single-writer deployments can leave
+    * it 0; multi-writer ones should set it well above their longest
+    * staging time. Runs under the commit lock so a commit cannot publish
+    * a manifest referencing files mid-sweep.
     */
-  def expire(spark: SparkSession, table: String, keepLast: Int): (Long, Long) = {
+  def expire(
+      spark: SparkSession, table: String, keepLast: Int,
+      orphanGraceMs: Long = 0L): (Long, Long) = withCommitLock(spark, table) {
     require(keepLast >= 1, "keepLast must be >= 1")
     val cur = requireVersion(table)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1499,10 +1611,20 @@ object Snapshots {
       .reduceOption(_ union _)
       .map(_.distinct().collect().map(_.getString(0)).toSet)
       .getOrElse(Set.empty[String])
+    // paths the DROPPED manifests referenced: committed-then-superseded,
+    // reclaimable immediately regardless of the orphan grace window
+    val droppedRefs =
+      if (orphanGraceMs <= 0L) Set.empty[String]
+      else versions.filterNot(retained.contains).toSeq
+        .map(v => fileRows(spark, table, v).select("path"))
+        .reduceOption(_ union _)
+        .map(_.distinct().collect().map(_.getString(0)).toSet)
+        .getOrElse(Set.empty[String])
     var droppedManifests = 0L
     versions.filterNot(retained.contains).foreach { v =>
       fs.delete(new Path(vdir(table, v)), true); droppedManifests += 1
     }
+    val now = System.currentTimeMillis()
     var deletedFiles = 0L
     val dataRoot = new Path(s"$table/data")
     def isMeta(name: String) = name.startsWith("_") || name.startsWith(".")
@@ -1514,7 +1636,12 @@ object Snapshots {
           val rel = st.getPath.toUri.getPath.stripPrefix(
             new Path(table).toUri.getPath).stripPrefix("/")
           val parentRel = rel.take(rel.lastIndexOf('/').max(0))
-          if (!live.contains(rel) && !liveDvDirs.contains(parentRel)) {
+          // a pure orphan (referenced by NO manifest) younger than the
+          // grace window may be another writer's in-flight staged group
+          val youngOrphan = orphanGraceMs > 0L &&
+            !droppedRefs.contains(rel) &&
+            now - st.getModificationTime < orphanGraceMs
+          if (!live.contains(rel) && !liveDvDirs.contains(parentRel) && !youngOrphan) {
             fs.delete(st.getPath, false); deletedFiles += 1
           }
         }

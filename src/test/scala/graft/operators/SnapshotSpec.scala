@@ -776,6 +776,67 @@ class SnapshotSpec extends SparkSpec {
       .head().getAs[Long]("n_chars") == 8888L)
   }
 
+  test("concurrent committers serialize on the commit lock; no append is lost") {
+    val t = tmpDir("snap-race")
+    Snapshots.create(spark, t)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val results = (0 until 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long =
+            Snapshots.append(spark, t, docs(10, idFrom = i * 100).coalesce(1))
+        })
+      }
+      val versions = results.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(versions.toSet.size == 8, s"each append lands its own version: $versions")
+      assert(Snapshots.currentVersion(t).contains(8L))
+      assert(ids(Snapshots.read(spark, t)) ==
+        (0 until 8).flatMap(i => (i * 100).toLong until (i * 100 + 10).toLong).toSet,
+        "every concurrent append's rows are present — none lost to the manifest race")
+    } finally { pool.shutdownNow(); () }
+    // a leftover lock from a crashed committer is broken once stale
+    JFiles.write(JPaths.get(s"$t/_commit_lock"), "dead-owner".getBytes)
+    val prevStale = Snapshots.staleLockMs
+    Snapshots.staleLockMs = 1L
+    try {
+      Thread.sleep(5)
+      assert(Snapshots.append(spark, t, docs(3, idFrom = 5000)) == 9L,
+        "stale lock must break and the commit proceed")
+    } finally Snapshots.staleLockMs = prevStale
+    // a HELD (fresh) lock blocks a committer past lockWaitMs, loudly
+    JFiles.write(JPaths.get(s"$t/_commit_lock"), "live-owner".getBytes)
+    val prevWait = Snapshots.lockWaitMs
+    Snapshots.lockWaitMs = 300L
+    try intercept[IllegalStateException] {
+      Snapshots.append(spark, t, docs(3, idFrom = 6000))
+    } finally {
+      Snapshots.lockWaitMs = prevWait
+      JFiles.delete(JPaths.get(s"$t/_commit_lock"))
+    }
+  }
+
+  test("expire with an orphan grace window spares in-flight staged groups") {
+    val t = tmpDir("snap-grace")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10))
+    // another writer's staged-but-uncommitted group: referenced by NO manifest
+    val staged = Snapshots.stageAppend(spark, t, docs(5, idFrom = 100))
+    Snapshots.append(spark, t, docs(10, idFrom = 10))
+    // graceless expire would reap the staged group as garbage...
+    val (_, reaped) = Snapshots.expire(spark, t, keepLast = 1, orphanGraceMs = 3600000L)
+    assert(reaped == 0L, s"young orphans must survive a graced expire, reaped=$reaped")
+    // ...and the staged group still commits after the sweep
+    val v = Snapshots.commitStaged(spark, t, staged)
+    assert(ids(Snapshots.read(spark, t, Some(v))) ==
+      ((0L until 20L) ++ (100L until 105L)).toSet)
+    // once superseded (referenced by a DROPPED manifest), files reclaim
+    // immediately despite the grace window
+    Snapshots.compact(spark, t)
+    val (_, reaped2) = Snapshots.expire(spark, t, keepLast = 1, orphanGraceMs = 3600000L)
+    assert(reaped2 > 0L, "committed-then-superseded files reclaim regardless of age")
+    assert(ids(Snapshots.read(spark, t)) == ((0L until 20L) ++ (100L until 105L)).toSet)
+  }
+
   test("copy-on-write delete and merge do not resurrect vector-deleted rows") {
     val t = tmpDir("snap-mor-cow")
     Snapshots.create(spark, t)
