@@ -797,6 +797,12 @@ object GraftCli {
         println(s"version=${st.version} rows_deleted=${st.rowsDeleted} " +
           s"files_with_dv=${st.filesWithDv} files_untouched=${st.filesUntouched}")
         0
+      // snapshot-clone <src> <dst> — zero-copy shallow clone (manifest
+      // only; the clone evolves independently in its own data dir)
+      case "snapshot-clone" :: src :: dst :: Nil =>
+        graft.operators.Snapshots.shallowClone(spark, src, dst)
+        println(s"cloned=$src dst=$dst rows=${graft.operators.Snapshots.fastCount(spark, dst)}")
+        0
       // snapshot-count <table> — exact row count from the manifest alone
       case "snapshot-count" :: table :: Nil =>
         println(s"rows=${graft.operators.Snapshots.fastCount(spark, table)}")
@@ -881,6 +887,7 @@ object GraftCli {
             |  snapshot-delete-mor <table> "<sql predicate>"
             |  snapshot-changes <table> <fromVersion> <toVersion>
             |  snapshot-delete-keys <table> <parquetDir> <keyCols,comma-sep>
+            |  snapshot-clone <srcTable> <dstTable>
             |  snapshot-count <table>
             |  snapshot-compact-small <table> <smallBytes>
             |  snapshot-merge <table> <parquetDir> <keyCol,...>

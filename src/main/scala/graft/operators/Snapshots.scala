@@ -114,6 +114,13 @@ object Snapshots {
   private def vdir(table: String, v: Long) = f"$table/_log/v$v%08d"
   private def currentPath(table: String) = s"$table/_current"
 
+  /** Manifest paths are table-relative (tables move/copy wholesale) EXCEPT
+    * absolute paths, which a [[shallowClone]] writes to reference the
+    * source table's immutable files in place — zero data copied.
+    */
+  private def absPath(table: String, p: String): String =
+    if (p.startsWith("/")) p else s"$table/$p"
+
   /** The committed version, or None for a non-table / pre-create path. */
   def currentVersion(table: String): Option[Long] = {
     val p = JPaths.get(currentPath(table))
@@ -709,8 +716,8 @@ object Snapshots {
     // paths-only collect of the post-pruning survivors — the same driver
     // cost Spark's own file index pays at plan time
     val rows = files.select("path", "dv_path").collect()
-    val paths = rows.map(r => s"$table/${r.getString(0)}")
-    val dvPaths = rows.flatMap(r => Option(r.getString(1))).distinct.map(p => s"$table/$p")
+    val paths = rows.map(r => absPath(table, r.getString(0)))
+    val dvPaths = rows.flatMap(r => Option(r.getString(1))).distinct.map(p => absPath(table, p))
     if (paths.isEmpty)
       schema.map(s => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -781,10 +788,10 @@ object Snapshots {
     val dvPaths =
       if (agg.isNullAt(1) || agg.getLong(1) == 0L) Array.empty[String]
       else files.filter(col("dv_path").isNotNull).select("dv_path")
-        .distinct().collect().map(r => s"$tablePath/${r.getString(0)}")
+        .distinct().collect().map(r => absPath(tablePath, r.getString(0)))
     def collectFiles(df: DataFrame): Array[(String, Long)] =
       df.select("path", "bytes").collect()
-        .map(r => (s"$tablePath/${r.getString(0)}", r.getLong(1)))
+        .map(r => (absPath(tablePath, r.getString(0)), r.getLong(1)))
     val base = org.apache.spark.sql.graft.SnapshotRelation.frame(
       spark, tablePath, schema, totalBytes,
       () => collectFiles(files),
@@ -986,7 +993,7 @@ object Snapshots {
       // old vectors of the touched files fold into the merged dataset;
       // distinct dv dirs are bounded by the table's delete-commit count
       val oldDvPaths = touched.filter(col("dv_path").isNotNull)
-        .select("dv_path").distinct().collect().map(r => s"$table/${r.getString(0)}")
+        .select("dv_path").distinct().collect().map(r => absPath(table, r.getString(0)))
       val oldPos =
         if (oldDvPaths.isEmpty) newPos.limit(0)
         else spark.read.parquet(oldDvPaths.toIndexedSeq: _*)
@@ -1199,7 +1206,7 @@ object Snapshots {
       def tag(df: DataFrame, t: String): DataFrame =
         df.withColumn("_change_type", lit(t)).withColumn("_commit_version", lit(v))
       op match {
-        case "create" | "replace" => Nil
+        case "create" | "replace" | "clone" => Nil
         case "append" =>
           val added = fileRows(spark, table, v).filter(col("version") === v)
           Seq(tag(readFiles(spark, table, added, schemaV), "insert"))
@@ -1230,7 +1237,7 @@ object Snapshots {
                 .filter(col("dv_path").isNotNull && !(col("dv_path") <=> col("__old_dv")))
                 .cache()
               val newDvP = changed.select("dv_path").distinct()
-                .collect().map(r => s"$table/${r.getString(0)}")
+                .collect().map(r => absPath(table, r.getString(0)))
               val dvDels: Option[DataFrame] =
                 if (newDvP.isEmpty) None
                 else {
@@ -1241,7 +1248,7 @@ object Snapshots {
                     .join(bns, Seq("file"), "left_semi")
                   val oldDvP = changed.filter(col("__old_dv").isNotNull)
                     .select("__old_dv").distinct()
-                    .collect().map(r => s"$table/${r.getString(0)}")
+                    .collect().map(r => absPath(table, r.getString(0)))
                   val oldPos =
                     if (oldDvP.isEmpty) newPos.limit(0)
                     else spark.read.parquet(oldDvP.toIndexedSeq: _*)
@@ -1481,6 +1488,41 @@ object Snapshots {
       swapCurrent(table, parent, v)
     }
     v
+  }
+
+  /** Zero-copy SHALLOW CLONE: initialize `dst` as a new snapshot table
+    * whose v0 manifest references `src`'s current files IN PLACE (paths
+    * absolutized; no data copied) — the Delta `CLONE TABLE` discipline
+    * for dev/test branching and safe experiments against a production
+    * corpus. The clone then evolves independently: appends/deletes/merges
+    * write into ITS data dir; a COW rewrite of a shared file writes a
+    * private copy and the source stays untouched; [[expire]] on the clone
+    * sweeps only the clone's own data root, so shared source files are
+    * never reclaimed by the clone. CAVEAT (same as Delta/Iceberg):
+    * expiring the SOURCE can reclaim files a clone still references —
+    * the source is blind to clones; retire sources only after their
+    * clones are compacted (`compact` rewrites every referenced row into
+    * the clone's own files, deep-copying it on demand).
+    */
+  def shallowClone(spark: SparkSession, src: String, dst: String): Unit = {
+    require(currentVersion(dst).isEmpty, s"snapshot table already exists: $dst")
+    val srcAbs = JPaths.get(src).toAbsolutePath.toString
+    val v = requireVersion(srcAbs)
+    JFiles.createDirectories(JPaths.get(dst))
+    val files = fileRows(spark, srcAbs, v)
+      .withColumn("path",
+        when(col("path").startsWith("/"), col("path"))
+          .otherwise(concat(lit(srcAbs + "/"), col("path"))))
+      .withColumn("dv_path",
+        when(col("dv_path").isNull || col("dv_path").startsWith("/"), col("dv_path"))
+          .otherwise(concat(lit(srcAbs + "/"), col("dv_path"))))
+      .withColumn("version", lit(0L))
+      .select(fileColNames.head, fileColNames.tail: _*)
+    withCommitLock(spark, dst) {
+      writeManifest(spark, dst, 0L, -1L, "clone", files,
+        schemaJson = tableSchema(spark, srcAbs, Some(v)).map(_.json))
+      swapCurrent(dst, -1L, 0L)
+    }
   }
 
   /** Exact row count from the manifest ALONE — zero data files opened:

@@ -656,6 +656,45 @@ object SnapshotQueries {
       Seq("S6", "K2", "K3")
     ),
 
+    // Zero-copy shallow clone: dst's v0 manifest references src's files
+    // IN PLACE (clone_files_before pins zero data files copied, with the
+    // source's deletion vector carried), the clone then evolves
+    // independently (odds appended to dst only), and the source is
+    // untouched (src_rows pins it) - the CLONE TABLE discipline for
+    // dev/test branching at 100 TB.
+    "k_snapshot_clone" -> Q(
+      (s, d) => {
+        val src = fresh(d, "snap_clsrc")
+        val dst = fresh(d, "snap_cldst")
+        Snapshots.create(s, src)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.append(s, src, docs.filter(col("doc_id") % 2 === 0))
+        Snapshots.deleteWhereMor(s, src, col("n_chars") < 150)
+        Snapshots.shallowClone(s, src, dst)
+        val cloneFiles =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/data")))
+            graft.operators.Lake.dataFileCount(s, s"$dst/data")
+          else 0L
+        Snapshots.append(s, dst, docs.filter(col("doc_id") % 2 === 1))
+        val srcRows = Snapshots.fastCount(s, src)
+        Snapshots.read(s, dst)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("src_rows", lit(srcRows))
+          .withColumn("clone_files_before", lit(cloneFiles))
+      },
+      Some("""SELECT lang,
+             |       count(CASE WHEN (doc_id % 2 = 0 AND n_chars >= 150)
+             |                    OR doc_id % 2 = 1 THEN 1 END) AS n,
+             |       CAST(sum(CASE WHEN (doc_id % 2 = 0 AND n_chars >= 150)
+             |                      OR doc_id % 2 = 1 THEN n_chars END) AS BIGINT) AS sum_chars,
+             |       (SELECT count(*) FROM documents
+             |        WHERE doc_id % 2 = 0 AND n_chars >= 150) AS src_rows,
+             |       CAST(0 AS BIGINT) AS clone_files_before
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("K5", "K1", "S4")
+    ),
+
     // Incrementally-maintained materialized aggregate: rollup refreshed
     // from the snapshot diff (merge of stored partials with the delta's)
     // must equal the from-scratch group-by - the incremental

@@ -450,6 +450,7 @@ class SnapshotSpec extends SparkSpec {
   /** Data files on disk EXCLUDING position-delete datasets. */
   private def realDataFiles(t: String): Long = {
     import scala.jdk.CollectionConverters._
+    if (!JFiles.exists(JPaths.get(s"$t/data"))) return 0L
     JFiles.walk(JPaths.get(s"$t/data")).iterator().asScala.count { p =>
       val n = p.getFileName.toString
       JFiles.isRegularFile(p) && !n.startsWith("_") && !n.startsWith(".") &&
@@ -835,6 +836,37 @@ class SnapshotSpec extends SparkSpec {
     val (_, reaped2) = Snapshots.expire(spark, t, keepLast = 1, orphanGraceMs = 3600000L)
     assert(reaped2 > 0L, "committed-then-superseded files reclaim regardless of age")
     assert(ids(Snapshots.read(spark, t)) == ((0L until 20L) ++ (100L until 105L)).toSet)
+  }
+
+  test("shallow clone: zero data copied; the clone evolves independently of the source") {
+    val src = tmpDir("snap-clone-src")
+    val dst = tmpDir("snap-clone-dst") + "/t"
+    Snapshots.create(spark, src)
+    Snapshots.append(spark, src, docs(20).coalesce(1))
+    Snapshots.deleteWhereMor(spark, src, col("doc_id") < 2) // clone carries the vector too
+    Snapshots.shallowClone(spark, src, dst)
+    assert(realDataFiles(dst) == 0, "a shallow clone copies NO data")
+    assert(ids(Snapshots.table(spark, dst)) == (2L until 20L).toSet,
+      "clone reads the source's files in place, vectors applied")
+    // clone-side mutations never touch the source
+    Snapshots.append(spark, dst, docs(5, idFrom = 100))
+    Snapshots.deleteWhere(spark, dst, col("doc_id") >= 15 && col("doc_id") < 20)
+    Snapshots.merge(spark, dst,
+      docs(3, idFrom = 2).withColumn("n_chars", lit(4242L)), Seq("doc_id"))
+    assert(ids(Snapshots.read(spark, dst)) ==
+      ((2L until 15L) ++ (100L until 105L)).toSet)
+    assert(ids(Snapshots.read(spark, src)) == (2L until 20L).toSet,
+      "the source is untouched by clone mutations")
+    // expire on the clone must not reclaim shared source files
+    Snapshots.expire(spark, dst, keepLast = 1)
+    assert(ids(Snapshots.read(spark, src)) == (2L until 20L).toSet)
+    assert(ids(Snapshots.read(spark, dst)) ==
+      ((2L until 15L) ++ (100L until 105L)).toSet)
+    // compact deep-copies on demand: afterwards the clone is self-contained
+    Snapshots.compact(spark, dst)
+    val absLeft = fileEntries(Snapshots.currentVersion(dst).get, dst)
+      .count(_.getAs[String]("path").startsWith("/"))
+    assert(absLeft == 0, "post-compact the clone references only its own files")
   }
 
   test("copy-on-write delete and merge do not resurrect vector-deleted rows") {
