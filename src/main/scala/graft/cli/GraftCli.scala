@@ -797,6 +797,15 @@ object GraftCli {
         println(s"version=${st.version} rows_deleted=${st.rowsDeleted} " +
           s"files_with_dv=${st.filesWithDv} files_untouched=${st.filesUntouched}")
         0
+      // snapshot-maintain <table> [smallBytes] [keepLast] — fold small-file
+      // debt (absorbing deletion vectors) then expire old history
+      case "snapshot-maintain" :: table :: rest if rest.size <= 2 =>
+        val (folded, manifests, files) = graft.operators.Snapshots.maintain(
+          spark, table,
+          smallBytes = rest.headOption.map(_.toLong).getOrElse(32L * 1024 * 1024),
+          keepLast = rest.lift(1).map(_.toInt).getOrElse(7))
+        println(s"files_folded=$folded manifests_dropped=$manifests data_files_deleted=$files")
+        0
       // snapshot-clone <src> <dst> — zero-copy shallow clone (manifest
       // only; the clone evolves independently in its own data dir)
       case "snapshot-clone" :: src :: dst :: Nil =>
@@ -888,6 +897,7 @@ object GraftCli {
             |  snapshot-changes <table> <fromVersion> <toVersion>
             |  snapshot-delete-keys <table> <parquetDir> <keyCols,comma-sep>
             |  snapshot-clone <srcTable> <dstTable>
+            |  snapshot-maintain <table> [smallBytes] [keepLast]
             |  snapshot-count <table>
             |  snapshot-compact-small <table> <smallBytes>
             |  snapshot-merge <table> <parquetDir> <keyCol,...>

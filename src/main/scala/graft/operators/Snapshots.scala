@@ -1392,6 +1392,47 @@ object Snapshots {
     }
   }
 
+  /** One row-changelog consumption round ([[readRowChangesSince]]): the
+    * change rows (table schema + `_change_type` + `_commit_version`), the
+    * version range, and how they were derived — `changelog` (exact
+    * insert/delete feed at churn cost), `full` (first read, or an
+    * overwrite in the range forced a reset: the df is the CURRENT table
+    * tagged as inserts, and the consumer should rebuild), or `noop`.
+    */
+  final case class ChangeFeed(df: DataFrame, fromV: Long, toV: Long, mode: String)
+
+  /** Checkpointed CHANGELOG consumption — the row-level upgrade of
+    * [[readChangesSince]]: where the insert-only contract must fall back
+    * to a full re-read across ANY delete/merge, this feed stays
+    * incremental ([[rowChanges]] — inserts and deletes at churn cost,
+    * compactions free) and resets only across an OVERWRITE (whose churn
+    * is the table). Same cursor discipline: [[commitCursor]] after the
+    * consumer's output lands; at-least-once on crash (pair with an
+    * idempotent sink for exactly-once).
+    */
+  def readRowChangesSince(
+      spark: SparkSession, table: String, cursorPath: String): ChangeFeed = {
+    val cur = requireVersion(table)
+    def asInserts(df: DataFrame, v: Long): DataFrame =
+      df.withColumn("_change_type", lit("insert"))
+        .withColumn("_commit_version", lit(v))
+    val p = JPaths.get(cursorPath)
+    val last: Option[Long] =
+      if (JFiles.exists(p))
+        Some(new String(JFiles.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+      else None
+    last match {
+      case None => ChangeFeed(asInserts(read(spark, table), cur), -1L, cur, "full")
+      case Some(v) if v >= cur =>
+        ChangeFeed(asInserts(read(spark, table, Some(cur)), cur).limit(0), v, cur, "noop")
+      case Some(v) =>
+        val ops = ((v + 1) to cur).map(x => commitInfo(spark, table, x).op)
+        if (ops.contains("overwrite"))
+          ChangeFeed(asInserts(read(spark, table), cur), v, cur, "full")
+        else ChangeFeed(rowChanges(spark, table, v, cur), v, cur, "changelog")
+    }
+  }
+
   /** Atomically advance a consumer's cursor to `toV` (call after the
     * round's output is durably landed).
     */
@@ -1611,6 +1652,24 @@ object Snapshots {
       foldable.unpersist()
       (v, nFold, nCarried)
     } finally { files.unpersist(); () }
+  }
+
+  /** One-call table maintenance: fold small-file debt (absorbing deletion
+    * vectors) then reclaim history past `keepLast` — the routine a
+    * scheduler runs nightly against every table a streaming sink feeds.
+    * Returns (filesFolded, manifestsDropped, dataFilesDeleted).
+    */
+  def maintain(
+      spark: SparkSession,
+      table: String,
+      smallBytes: Long = 32L * 1024 * 1024,
+      targetRecordsPerFile: Long = 1000000L,
+      keepLast: Int = 7,
+      orphanGraceMs: Long = 3600000L): (Long, Long, Long) = {
+    val (_, folded, _) =
+      compactSmallFiles(spark, table, smallBytes, targetRecordsPerFile)
+    val (manifests, files) = expire(spark, table, keepLast, orphanGraceMs)
+    (folded, manifests, files)
   }
 
   /** Retention: keep the last `keepLast` versions (always including the

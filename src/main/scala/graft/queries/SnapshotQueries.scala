@@ -695,6 +695,48 @@ object SnapshotQueries {
       Seq("K5", "K1", "S4")
     ),
 
+    // Checkpointed CHANGELOG-cursor consumption: where the insert-only
+    // cursor (k_snapshot_cursor) must fall back to a full re-read across
+    // a delete, the row-changelog feed stays incremental - round 2 reads
+    // the delete's vector delta plus the append's files, never the
+    // corpus. The accumulated signed per-lang rollup must equal the final
+    // table's, and the three round modes are pinned, so a silently-full
+    // second round fails the hash even though the sums would match.
+    "k_snapshot_changelog_cursor" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_cdfeed")
+        val cur = fresh(d, "snap_cdfeed_ckpt") + "/c1"
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 0))
+        def signed(df: org.apache.spark.sql.DataFrame) = {
+          val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+          df.groupBy(col("lang")).agg(
+            sum(sgn).as("n"),
+            sum(col("n_chars") * sgn).as("sum_chars"))
+        }
+        val r1 = Snapshots.readRowChangesSince(s, t, cur)
+        val acc1 = signed(r1.df)
+        Snapshots.commitCursor(cur, r1.toV)
+        Snapshots.deleteWhereMor(s, t, col("n_chars") < 150)
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 1))
+        val r2 = Snapshots.readRowChangesSince(s, t, cur)
+        val acc2 = signed(r2.df)
+        Snapshots.commitCursor(cur, r2.toV)
+        val r3 = Snapshots.readRowChangesSince(s, t, cur)
+        acc1.unionByName(acc2).groupBy(col("lang"))
+          .agg(sum(col("n")).as("n"), sum(col("sum_chars")).as("sum_chars"))
+          .filter(col("n") =!= 0L)
+          .withColumn("modes", lit(s"${r1.mode},${r2.mode},${r3.mode}"))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       'full,changelog,noop' AS modes
+             |FROM documents
+             |WHERE NOT (doc_id % 2 = 0 AND n_chars < 150)
+             |GROUP BY lang""".stripMargin),
+      Seq("S1", "K3", "J1")
+    ),
+
     // Incrementally-maintained materialized aggregate: rollup refreshed
     // from the snapshot diff (merge of stored partials with the delta's)
     // must equal the from-scratch group-by - the incremental

@@ -869,6 +869,50 @@ class SnapshotSpec extends SparkSpec {
     assert(absLeft == 0, "post-compact the clone references only its own files")
   }
 
+  test("row-changelog cursor stays incremental across deletes; resets only on overwrite") {
+    val t = tmpDir("snap-cdfeed")
+    val cur = tmpDir("snap-cdfeed-ckpt") + "/c"
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10))
+    val r1 = Snapshots.readRowChangesSince(spark, t, cur)
+    assert(r1.mode == "full" && r1.df.count() == 10)
+    Snapshots.commitCursor(cur, r1.toV)
+    // a delete + an append: the insert-only cursor would be forced to a
+    // full re-read here; the changelog cursor stays incremental
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") < 3)
+    Snapshots.append(spark, t, docs(5, idFrom = 100))
+    val r2 = Snapshots.readRowChangesSince(spark, t, cur)
+    assert(r2.mode == "changelog", s"delete in range must NOT force a reset: ${r2.mode}")
+    assert(ids(r2.df.filter(col("_change_type") === "delete")) == Set(0L, 1L, 2L))
+    assert(ids(r2.df.filter(col("_change_type") === "insert")) == (100L until 105L).toSet)
+    Snapshots.commitCursor(cur, r2.toV)
+    assert(Snapshots.readRowChangesSince(spark, t, cur).mode == "noop")
+    // an overwrite's churn is the table: the feed resets to a full round
+    Snapshots.overwrite(spark, t, docs(4))
+    val r4 = Snapshots.readRowChangesSince(spark, t, cur)
+    assert(r4.mode == "full" && r4.df.count() == 4)
+    assert(r4.df.select("_change_type").distinct().as[String].collect().toSeq == Seq("insert"))
+  }
+
+  test("maintain folds small-file debt and expires history in one call") {
+    val t = tmpDir("snap-maint")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(2000).coalesce(1))
+    (0 until 3).foreach { i =>
+      Snapshots.append(spark, t, docs(5, idFrom = 3000 + i * 10).coalesce(1))
+    }
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") < 5)
+    val big = Snapshots.history(spark, t)
+      .filter(col("version") === 1L).head().getAs[Long]("n_bytes")
+    val (folded, manifests, reclaimed) =
+      Snapshots.maintain(spark, t, smallBytes = big / 2, keepLast = 1, orphanGraceMs = 0L)
+    assert(folded == 4, s"3 smalls + the vector-bearing big file fold: $folded")
+    assert(manifests > 0 && reclaimed > 0, s"history reclaimed: $manifests/$reclaimed")
+    assert(ids(Snapshots.read(spark, t)) ==
+      ((5L until 2000L) ++ (0 until 3).flatMap(i =>
+        (3000 + i * 10).toLong until (3005 + i * 10).toLong)).toSet)
+  }
+
   test("copy-on-write delete and merge do not resurrect vector-deleted rows") {
     val t = tmpDir("snap-mor-cow")
     Snapshots.create(spark, t)
