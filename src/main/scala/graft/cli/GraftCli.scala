@@ -797,6 +797,13 @@ object GraftCli {
         println(s"version=${st.version} rows_deleted=${st.rowsDeleted} " +
           s"files_with_dv=${st.filesWithDv} files_untouched=${st.filesUntouched}")
         0
+      // snapshot-sql <table> <viewName> "<query>" — run ANSI SQL against
+      // the PLANNER-INTEGRATED table (manifest pruning rides the
+      // optimizer's pushed filters; deletion vectors applied)
+      case "snapshot-sql" :: table :: view :: query :: Nil =>
+        graft.operators.Snapshots.table(spark, table).createOrReplaceTempView(view)
+        spark.sql(query).show(100, truncate = false)
+        0
       // snapshot-maintain <table> [smallBytes] [keepLast] — fold small-file
       // debt (absorbing deletion vectors) then expire old history
       case "snapshot-maintain" :: table :: rest if rest.size <= 2 =>
@@ -898,6 +905,7 @@ object GraftCli {
             |  snapshot-delete-keys <table> <parquetDir> <keyCols,comma-sep>
             |  snapshot-clone <srcTable> <dstTable>
             |  snapshot-maintain <table> [smallBytes] [keepLast]
+            |  snapshot-sql <table> <viewName> "<query>"
             |  snapshot-count <table>
             |  snapshot-compact-small <table> <smallBytes>
             |  snapshot-merge <table> <parquetDir> <keyCol,...>

@@ -706,6 +706,12 @@ class SnapshotSpec extends SparkSpec {
     val stats = Snapshots.table(spark, t).queryExecution.optimizedPlan.stats.sizeInBytes
     val manifestBytes = Snapshots.history(spark, t).head().getAs[Long]("n_bytes")
     assert(stats.toLong == manifestBytes, s"stats $stats != manifest $manifestBytes")
+    // ANSI SQL over a registered view rides the same manifest pruning
+    Snapshots.table(spark, t).createOrReplaceTempView("snap_cat_sql")
+    val viaSql = spark.sql(
+      "SELECT doc_id FROM snap_cat_sql WHERE doc_id >= 12 AND doc_id <= 17")
+    assert(viaSql.as[Long].collect().toSet == (12L to 17L).toSet)
+    assert(snapshotScanFiles(viaSql) == 1, "SQL path must prune manifest-side too")
   }
 
   test("planner-integrated table() applies deletion vectors and still prunes") {
