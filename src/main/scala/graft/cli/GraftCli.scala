@@ -797,6 +797,16 @@ object GraftCli {
         println(s"version=${st.version} rows_deleted=${st.rowsDeleted} " +
           s"files_with_dv=${st.filesWithDv} files_untouched=${st.filesUntouched}")
         0
+      // warc-ingest <warcGlob> <table> — land a crawl (WARC/WARC.gz) into
+      // a snapshot table as (doc_id, url, fetched_at, content_type,
+      // n_bytes, text) rows
+      case "warc-ingest" :: glob :: table :: Nil =>
+        if (graft.operators.Snapshots.currentVersion(table).isEmpty)
+          graft.operators.Snapshots.create(spark, table)
+        val docs = graft.sources.Warc.responses(graft.sources.Warc.read(spark, glob))
+        val v = graft.operators.Snapshots.append(spark, table, docs)
+        println(s"version=$v rows=${graft.operators.Snapshots.fastCount(spark, table)}")
+        0
       // snapshot-sql <table> <viewName> "<query>" — run ANSI SQL against
       // the PLANNER-INTEGRATED table (manifest pruning rides the
       // optimizer's pushed filters; deletion vectors applied)
@@ -906,6 +916,7 @@ object GraftCli {
             |  snapshot-clone <srcTable> <dstTable>
             |  snapshot-maintain <table> [smallBytes] [keepLast]
             |  snapshot-sql <table> <viewName> "<query>"
+            |  warc-ingest <warcGlob> <table>
             |  snapshot-count <table>
             |  snapshot-compact-small <table> <smallBytes>
             |  snapshot-merge <table> <parquetDir> <keyCol,...>

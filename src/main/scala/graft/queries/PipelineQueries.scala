@@ -371,6 +371,37 @@ object PipelineQueries {
       Seq("S4", "K5")
     ),
 
+    // WARC ingestion (the Common Crawl container, ISO 28500): documents
+    // serialize as gzipped conversion records, the streaming per-file
+    // parser reads them back (no shuffle; Content-Length framing), and the
+    // aggregate - including the UTF-8 BYTE length the record envelope
+    // carries vs the CHARACTER length of the decoded text - must equal
+    // DuckDB's arithmetic on the original rows. Web-scale pipelines start
+    // from this format; the torn-tail and HTTP-strip laws live in WarcSpec.
+    "s_warc_ingest" -> Q(
+      (s, d) => {
+        val out = tmpDir(d, "warc_docs")
+        cleanDir(out)
+        graft.sources.Warc.write(
+          documents(s, d).select(
+            concat(lit("https://crawl.test/"), col("doc_id")).as("url"),
+            lit("2024-01-01T00:00:00Z").as("date"),
+            col("text")), out): Unit
+        graft.sources.Warc.responses(
+          graft.sources.Warc.read(s, s"$out/*.warc.gz"))
+          .agg(
+            count(lit(1)).as("n"),
+            count_distinct(col("doc_id")).as("n_ids"),
+            sum(col("n_bytes")).as("sum_bytes"),
+            sum(length(col("text"))).as("sum_chars"))
+      },
+      Some("""SELECT count(*) AS n, count(*) AS n_ids,
+             |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+             |       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+             |FROM documents""".stripMargin),
+      Seq("S2", "S4", "C13")
+    ),
+
     // ORC roundtrip (Spark's other bundled columnar format): write → read →
     // aggregate. DuckDB cannot read ORC, so the oracle aggregates the SAME
     // rows from the parquet table — a lossless roundtrip must match it.
