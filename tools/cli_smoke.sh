@@ -1,0 +1,39 @@
+#!/usr/bin/env bash
+# End-to-end smoke of the snapshot-table CLI surface against real testdata:
+# create -> append -> merge-on-read delete -> manifest count -> changelog ->
+# shallow clone -> maintain -> SQL over the planner-integrated view ->
+# WARC ingest (externally-written gzip WARC). Exercises the command paths
+# the ScalaTest specs reach only as library calls.
+#
+# Usage: bash tools/cli_smoke.sh   (after `sbt compile`; ~1 min)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+W=/tmp/graft/cli_smoke
+rm -rf "$W" && mkdir -p "$W"
+CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+G() { java -cp "$CP" -Xmx4g graft.cli.GraftCli "$@" 2>/dev/null; }
+T=$W/tbl
+
+python3 - << 'PY'
+import duckdb, gzip
+duckdb.sql("COPY (SELECT * FROM '/root/testdata/sf0.001/documents.parquet') TO '/tmp/graft/cli_smoke/docs.parquet'")
+rows = duckdb.sql("SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 50").fetchall()
+with gzip.open('/tmp/graft/cli_smoke/crawl.warc.gz', 'wb') as f:
+    for doc_id, text in rows:
+        body = text.encode()
+        f.write((f"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://t/{doc_id}\r\n"
+                 f"WARC-Date: 2024-01-01T00:00:00Z\r\nContent-Type: text/plain\r\n"
+                 f"Content-Length: {len(body)}\r\n\r\n").encode())
+        f.write(body); f.write(b"\r\n\r\n")
+PY
+
+G snapshot-create "$T"
+G snapshot-append "$T" "$W/docs.parquet"
+G snapshot-delete-mor "$T" "n_chars < 150"
+G snapshot-count "$T"
+G snapshot-changes "$T" 0 2
+G snapshot-clone "$T" "$W/clone"
+G snapshot-maintain "$T" 1000000 1
+G snapshot-sql "$T" docs "SELECT count(*) AS n FROM docs WHERE n_chars >= 150" | tail -4
+G warc-ingest "$W/*.warc.gz" "$W/crawl_tbl"
+echo "cli_smoke: OK"
