@@ -322,6 +322,95 @@ object Snapshots {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
   }
 
+  /** Commit a non-append (COW delete/merge, MOR delete, replace) whose base
+    * may have MOVED since the op planned its rewrite — the conflict rule
+    * that lets a nightly `maintain()` coexist with a streaming append sink:
+    *
+    * Inside the commit lock, commits that landed in `(plannedParent, cur]`
+    * are re-validated. When every one is an APPEND whose files CANNOT hold
+    * a row the op should have seen (their manifest stats boxes miss the
+    * op's predicate/key box — or the op is a row-preserving replace, which
+    * commutes with any append), the appended files carry forward untouched
+    * and the op commits against the refreshed base: all commits land, none
+    * retries its data write. A genuine overlap — an appended file that
+    * might match, or an intervening non-append — still throws
+    * ConcurrentModificationException (the op's rewrite is stale). This is
+    * the Delta/Iceberg conflict-resolution discipline: appends commute
+    * with a replace of files they don't contain.
+    *
+    * `preserved` rows keep their recorded `version` (carried references +
+    * re-referenced MOR entries); `entries` are fresh files retagged to the
+    * committing version. Returns None iff `txn` was already committed by a
+    * concurrent writer (re-checked INSIDE the lock — the exactly-once
+    * guard under concurrency).
+    */
+  private def commitRebase(
+      spark: SparkSession,
+      table: String,
+      plannedParent: Long,
+      op: String,
+      preserved: DataFrame,
+      entries: DataFrame,
+      box: Map[String, (Double, Double)],
+      strBox: Map[String, (Option[String], Option[String])],
+      allowOverlap: Boolean,
+      txn: Option[(String, Long)],
+      schemaJson: Option[String]): Option[Long] = {
+    preCommitHook()
+    withCommitLock(spark, table) {
+    if (txn.exists { case (a, tv) => lastTxn(spark, table, a).exists(_ >= tv) })
+      return None
+    val cur = requireVersion(table)
+    val appended: DataFrame =
+      if (cur == plannedParent) preserved.limit(0)
+      else {
+        val ops = ((plannedParent + 1) to cur).map(x => (x, commitInfo(spark, table, x).op))
+        val nonAppend = ops.filter(_._2 != "append")
+        if (nonAppend.nonEmpty)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot $op at $table planned against v$plannedParent but " +
+              s"v${nonAppend.head._1} (${nonAppend.head._2}) intervened — " +
+              "non-append commits do not commute; re-run against the current version")
+        val extra = fileRows(spark, table, cur)
+          .filter(col("version") > plannedParent)
+          .select(fileColNames.head, fileColNames.tail: _*)
+        if (!allowOverlap && pruned(extra, box, strBox).limit(1).count() > 0)
+          throw new java.util.ConcurrentModificationException(
+            s"snapshot $op at $table planned against v$plannedParent but a " +
+              s"concurrent append through v$cur wrote files its predicate/key " +
+              "bounds may match — the planned rewrite is stale; re-run")
+        extra
+      }
+    // a rebased-over append may itself have EVOLVED the schema — the
+    // recorded schema must be the union, or the appended files' new
+    // column would vanish from every subsequent read
+    val effSchema: Option[String] =
+      if (cur == plannedParent) schemaJson
+      else {
+        val planned = schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+        val current = tableSchema(spark, table, Some(cur))
+        (planned, current) match {
+          case (Some(p), c) => Some(evolveSchema(c, p).json)
+          case (None, c) => c.map(_.json)
+        }
+      }
+    val v = cur + 1
+    writeManifest(spark, table, v, cur, op,
+      preserved.unionByName(appended)
+        .unionByName(entries.withColumn("version", lit(v))
+          .select(fileColNames.head, fileColNames.tail: _*)),
+      txn, effSchema)
+    swapCurrent(table, cur, v)
+    Some(v)
+    }
+  }
+
+  /** Test seam: runs after an op has staged/planned its rewrite, just
+    * before its commit section takes the lock — lets specs interleave a
+    * concurrent commit DETERMINISTICALLY (production value is a no-op).
+    */
+  private[operators] var preCommitHook: () => Unit = () => ()
+
   /** Numeric top-level columns — the default stats set. */
   /** Default stats set: numeric + string top-level columns (string bounds
     * are truncated at write; pass explicit `statsCols` to exclude long
@@ -535,15 +624,38 @@ object Snapshots {
       entries: DataFrame,
       txn: Option[(String, Long)] = None,
       dataSchema: Option[StructType] = None,
-      maxRetries: Int = 4): Long = {
+      maxRetries: Int = 4): Long =
+    commitStagedOpt(spark, table, entries, txn, dataSchema, maxRetries).getOrElse(
+      throw new java.util.ConcurrentModificationException(
+        s"transaction ${txn.get} already committed at $table by a concurrent writer"))
+
+  /** [[commitStaged]] with the exactly-once guard CLOSED under concurrency:
+    * when `txn` is set, the transaction marker is re-checked INSIDE the
+    * commit lock — two writers replaying the same `(appId, txnV)` can both
+    * pass a caller's unlocked pre-check, but only one passes here; the
+    * other returns None with its staged files left as unreferenced garbage
+    * for [[expire]]. This is what lets [[appendIdempotent]] hold its
+    * exactly-once claim for CONCURRENT same-appId writers, not just
+    * sequential replays.
+    */
+  def commitStagedOpt(
+      spark: SparkSession,
+      table: String,
+      entries: DataFrame,
+      txn: Option[(String, Long)] = None,
+      dataSchema: Option[StructType] = None,
+      maxRetries: Int = 4): Option[Long] = {
     val entryCols = entries.select(fileColNames.filterNot(_ == "version").map(col): _*)
     val myPaths = entryCols.select("path").collect().map(_.getString(0)).toSet
     var attempt = 0
     while (true) {
+      preCommitHook()
       // the whole attempt holds the commit lock: the base cannot move under
       // us, so the optimistic retry below only ever fires after a BROKEN
       // stale lock let another committer through mid-attempt
       val res: Option[Long] = withCommitLock(spark, table) {
+        if (txn.exists { case (a, tv) => lastTxn(spark, table, a).exists(_ >= tv) })
+          return None // replay raced in since the caller's pre-check
         val parent = requireVersion(table)
         val carried = fileRows(spark, table, parent)
           .select(fileColNames.head, fileColNames.tail: _*).cache()
@@ -580,7 +692,7 @@ object Snapshots {
           }
         } finally carried.unpersist(): Unit
       }
-      res.foreach(v => return v)
+      res.foreach(v => return Some(v))
     }
     throw new IllegalStateException("unreachable")
   }
@@ -634,8 +746,13 @@ object Snapshots {
       txnV: Long,
       statsCols: Seq[String] = null,
       maxRecordsPerFile: Long = 1000000L): Option[Long] = {
+    // cheap unlocked pre-check skips the data write on a plain replay; the
+    // race window it leaves (two live writers on one appId) is closed by
+    // commitStagedOpt's re-check INSIDE the commit lock
     if (lastTxn(spark, table, appId).exists(_ >= txnV)) None
-    else Some(append(spark, table, df, statsCols, maxRecordsPerFile, Some((appId, txnV))))
+    else commitStagedOpt(spark, table,
+      stageAppend(spark, table, df, statsCols, maxRecordsPerFile),
+      Some((appId, txnV)), dataSchema = Some(df.schema))
   }
 
   /** Replace the table's contents with `df` (op recorded as `overwrite`).
@@ -680,7 +797,21 @@ object Snapshots {
     * column its recorded [min,max] misses the box (missing stats keep the
     * file — conservative; string bounds are write-truncated, which only
     * widens the recorded interval, so skipping stays sound).
+    *
+    * The comparison widens the box by ~2 double ulps each side: both the
+    * per-file stats (cast to Double at write) and the box endpoints
+    * (extracted from long/decimal predicates or key sets) can each be off
+    * by up to 1 ulp of rounding for values beyond 2^53, and an UNWIDENED
+    * compare could then skip a file that actually holds a matching row —
+    * an unsound skip (for [[deleteWhere]], a row that should die would
+    * survive). Widening only ever keeps extra files: pruning stays an
+    * optimization, never a semantic filter.
     */
+  private def widenLo(lo: Double): Double =
+    lo - math.max(math.abs(lo) * 5e-16, java.lang.Double.MIN_NORMAL)
+  private def widenHi(hi: Double): Double =
+    hi + math.max(math.abs(hi) * 5e-16, java.lang.Double.MIN_NORMAL)
+
   private def pruned(
       files: DataFrame,
       box: Map[String, (Double, Double)],
@@ -688,8 +819,8 @@ object Snapshots {
     val afterNum = box.foldLeft(files) { case (df, (c, (lo, hi))) =>
       df.filter(
         element_at(col("stats_min"), c).isNull ||
-          (element_at(col("stats_max"), c) >= lit(lo) &&
-            element_at(col("stats_min"), c) <= lit(hi)))
+          (element_at(col("stats_max"), c) >= lit(widenLo(lo)) &&
+            element_at(col("stats_min"), c) <= lit(widenHi(hi))))
     }
     strBox.foldLeft(afterNum) { case (df, (c, (lo, hi))) =>
       df.filter(
@@ -845,12 +976,17 @@ object Snapshots {
     val schema = tableSchema(spark, table, Some(parent))
     try {
       val box = predicateBox(cond)
-      val candidates = pruned(files, box, predicateStrBox(cond)).cache()
+      val strBox = predicateStrBox(cond)
+      val candidates = pruned(files, box, strBox).cache()
       val untouchedCount = files.count() - candidates.count()
       val untouched = files.join(candidates.select("path"), Seq("path"), "left_anti")
       val survivors = {
         val cand = readFiles(spark, table, candidates, schema)
-        if (cand.columns.isEmpty) cand else cand.filter(!cond)
+        // SQL DELETE semantics: only rows where the predicate is TRUE die.
+        // A NULL-evaluating predicate (null column in a comparison) keeps
+        // the row — bare filter(!cond) would drop it (!NULL is NULL), and
+        // the MOR path (which filters cond to find victims) would diverge.
+        if (cand.columns.isEmpty) cand else cand.filter(!coalesce(cond, lit(false)))
       }
       val stats = Option(statsCols).getOrElse(
         if (survivors.columns.isEmpty) Nil else defaultStatsCols(survivors))
@@ -861,15 +997,13 @@ object Snapshots {
         else
           writeFileGroup(spark, table, v, survivors, stats, maxRecordsPerFile)
             .select(fileColNames.head, fileColNames.tail: _*)
-      withCommitLock(spark, table) {
-        writeManifest(spark, table, v, parent, "delete",
-          untouched.select(fileColNames.head, fileColNames.tail: _*)
-            .unionByName(entries), schemaJson = schema.map(_.json))
-        swapCurrent(table, parent, v)
-      }
+      val vc = commitRebase(spark, table, parent, "delete",
+        untouched.select(fileColNames.head, fileColNames.tail: _*), entries,
+        box, strBox, allowOverlap = false, txn = None,
+        schemaJson = schema.map(_.json)).get
       val rewritten = candidates.count()
       candidates.unpersist()
-      (v, rewritten, untouchedCount)
+      (vc, rewritten, untouchedCount)
     } finally { files.unpersist(); () }
   }
 
@@ -920,13 +1054,15 @@ object Snapshots {
     val files = fileRows(spark, table, parent).cache()
     val schema = tableSchema(spark, table, Some(parent))
     try {
-      val candidates = pruned(files, predicateBox(cond), predicateStrBox(cond))
+      val box = predicateBox(cond)
+      val strBox = predicateStrBox(cond)
+      val candidates = pruned(files, box, strBox)
       val cand = readFilesMeta(spark, table, candidates, schema)
       val newPos =
         if (cand.columns.isEmpty) null
         else cand.filter(cond)
           .select(col("__file").as("file"), col("__pos").as("pos"))
-      commitMorDelete(spark, table, parent, files, newPos, schema)
+      commitMorDelete(spark, table, parent, files, newPos, schema, box, strBox)
     } finally { files.unpersist(); () }
   }
 
@@ -955,7 +1091,7 @@ object Snapshots {
         if (cand.columns.isEmpty) null
         else cand.join(keySet, keyCols, "left_semi")
           .select(col("__file").as("file"), col("__pos").as("pos"))
-      commitMorDelete(spark, table, parent, files, newPos, schema)
+      commitMorDelete(spark, table, parent, files, newPos, schema, box, strBox)
     } finally { files.unpersist(); keySet.unpersist(); () }
   }
 
@@ -969,20 +1105,23 @@ object Snapshots {
       parent: Long,
       files: DataFrame,
       newPos0: DataFrame,
-      schema: Option[StructType]): MorDeleteStats = {
+      schema: Option[StructType],
+      box: Map[String, (Double, Double)],
+      strBox: Map[String, (Option[String], Option[String])]): MorDeleteStats = {
     val v = parent + 1
+    val noEntries = files.limit(0).select(fileColNames.head, fileColNames.tail: _*)
     val newPos = if (newPos0 == null) null else newPos0.cache()
     val deleted = if (newPos == null) 0L else newPos.count()
       if (deleted == 0L) {
-        // no matches: an empty delete still commits (history records it)
-        withCommitLock(spark, table) {
-          writeManifest(spark, table, v, parent, "delete",
-            files.select(fileColNames.head, fileColNames.tail: _*),
-            schemaJson = schema.map(_.json))
-          swapCurrent(table, parent, v)
-        }
+        // no matches: an empty delete still commits (history records it);
+        // a concurrent append whose files might match is still a conflict
+        // (those rows should have died in this delete)
+        val vc = commitRebase(spark, table, parent, "delete",
+          files.select(fileColNames.head, fileColNames.tail: _*), noEntries,
+          box, strBox, allowOverlap = false, txn = None,
+          schemaJson = schema.map(_.json)).get
         if (newPos != null) newPos.unpersist(): Unit
-        return MorDeleteStats(v, 0L, files.count(), 0L)
+        return MorDeleteStats(vc, 0L, files.count(), 0L)
       }
       val hitFiles = newPos.select("file").distinct()
       val bn = element_at(split(col("path"), "/"), -1)
@@ -1014,16 +1153,17 @@ object Snapshots {
         .withColumn("dv_rows", col("__n"))
         .select(fileColNames.head, fileColNames.tail: _*)
       val untouched = files.join(touched.select("path"), Seq("path"), "left_anti")
-      withCommitLock(spark, table) {
-        writeManifest(spark, table, v, parent, "delete",
-          untouched.select(fileColNames.head, fileColNames.tail: _*)
-            .unionByName(touchedNew), schemaJson = schema.map(_.json))
-        swapCurrent(table, parent, v)
-      }
+      // touchedNew rows keep their recorded added_v (only the dv reference
+      // changed), so they ride `preserved`, not `entries`
+      val vc = commitRebase(spark, table, parent, "delete",
+        untouched.select(fileColNames.head, fileColNames.tail: _*)
+          .unionByName(touchedNew), noEntries,
+        box, strBox, allowOverlap = false, txn = None,
+        schemaJson = schema.map(_.json)).get
     val nTouched = touched.count()
     touched.unpersist()
     newPos.unpersist()
-    MorDeleteStats(v, nTouched, files.count() - nTouched, deleted)
+    MorDeleteStats(vc, nTouched, files.count() - nTouched, deleted)
   }
 
   /** Per-key-column numeric + string min/max of a key set — the
@@ -1099,7 +1239,24 @@ object Snapshots {
       keyCols: Seq[String],
       statsCols: Seq[String] = null,
       maxRecordsPerFile: Long = 1000000L,
-      txn: Option[(String, Long)] = None): MergeStats = {
+      txn: Option[(String, Long)] = None): MergeStats =
+    mergeOpt(spark, table, source, keyCols, statsCols, maxRecordsPerFile, txn).getOrElse(
+      throw new java.util.ConcurrentModificationException(
+        s"transaction ${txn.get} already committed at $table by a concurrent writer"))
+
+  /** [[merge]] returning None iff `txn` was already committed by a
+    * concurrent writer (re-checked inside the commit lock, like
+    * [[commitStagedOpt]]) — the path [[mergeIdempotent]] and
+    * [[applyCdcIdempotent]] ride.
+    */
+  def mergeOpt(
+      spark: SparkSession,
+      table: String,
+      source: DataFrame,
+      keyCols: Seq[String],
+      statsCols: Seq[String] = null,
+      maxRecordsPerFile: Long = 1000000L,
+      txn: Option[(String, Long)] = None): Option[MergeStats] = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val parent = requireVersion(table)
     val v = parent + 1
@@ -1152,14 +1309,12 @@ object Snapshots {
       val entries =
         writeFileGroup(spark, table, v, newContent, stats, maxRecordsPerFile)
           .select(fileColNames.head, fileColNames.tail: _*)
-      withCommitLock(spark, table) {
-        writeManifest(spark, table, v, parent, "merge",
-          untouched.select(fileColNames.head, fileColNames.tail: _*)
-            .unionByName(entries), txn, schemaJson = Some(newSchema.json))
-        swapCurrent(table, parent, v)
-      }
-      MergeStats(v, touchedNames.size.toLong,
-        files.count() - touchedNames.size, rowsUpdated, rowsInserted)
+      commitRebase(spark, table, parent, "merge",
+        untouched.select(fileColNames.head, fileColNames.tail: _*), entries,
+        box, strBox, allowOverlap = false, txn,
+        schemaJson = Some(newSchema.json))
+        .map(vc => MergeStats(vc, touchedNames.size.toLong,
+          files.count() - touchedNames.size, rowsUpdated, rowsInserted))
     } finally { files.unpersist(); srcKeys.unpersist(); () }
   }
 
@@ -1292,9 +1447,11 @@ object Snapshots {
       txnV: Long,
       statsCols: Seq[String] = null,
       maxRecordsPerFile: Long = 1000000L): Option[MergeStats] = {
+    // unlocked pre-check skips the rewrite on a plain replay; the in-lock
+    // re-check inside mergeOpt closes the concurrent-same-appId window
     if (lastTxn(spark, table, appId).exists(_ >= txnV)) None
-    else Some(merge(spark, table, source, keyCols, statsCols, maxRecordsPerFile,
-      Some((appId, txnV))))
+    else mergeOpt(spark, table, source, keyCols, statsCols, maxRecordsPerFile,
+      Some((appId, txnV)))
   }
 
   /** Outcome of an [[applyCdcIdempotent]]: the final table version, rows
@@ -1333,8 +1490,11 @@ object Snapshots {
       if (dels.isEmpty) MorDeleteStats(requireVersion(table), 0L, 0L, 0L)
       else deleteKeysMor(spark, table, dels, keyCols)
     val ups = batch.filter(col(opCol) =!= "delete").drop(opCol)
-    val m = merge(spark, table, ups, keyCols, txn = Some((appId, txnV)))
-    Some(CdcStats(m.version, d.rowsDeleted, m.rowsUpdated, m.rowsInserted))
+    // None here means a concurrent same-appId writer landed this txn while
+    // we ran: our delete half re-ran idempotently (keys already gone) and
+    // the winner's merge carried the marker — the batch is applied once
+    mergeOpt(spark, table, ups, keyCols, txn = Some((appId, txnV)))
+      .map(m => CdcStats(m.version, d.rowsDeleted, m.rowsUpdated, m.rowsInserted))
   }
 
   /** Rows added by APPEND commits in `(fromV, toV]` — the incremental read:
@@ -1522,13 +1682,14 @@ object Snapshots {
         .sortWithinPartitions(clusterBy: _*)
     val entries = writeFileGroup(
       spark, table, v, laidOut, stats, targetRecordsPerFile)
-    withCommitLock(spark, table) {
-      writeManifest(spark, table, v, parent, "replace",
-        entries.select(fileColNames.head, fileColNames.tail: _*),
-        schemaJson = tableSchema(spark, table, Some(parent)).map(_.json))
-      swapCurrent(table, parent, v)
-    }
-    v
+      .select(fileColNames.head, fileColNames.tail: _*)
+    // a replace is row-preserving on the files it planned against, so it
+    // commutes with ANY concurrent append (allowOverlap): the appended
+    // files carry forward and every commit lands
+    commitRebase(spark, table, parent, "replace",
+      entries.limit(0), entries,
+      Map.empty, Map.empty, allowOverlap = true, txn = None,
+      schemaJson = tableSchema(spark, table, Some(parent)).map(_.json)).get
   }
 
   /** Zero-copy SHALLOW CLONE: initialize `dst` as a new snapshot table
@@ -1642,15 +1803,15 @@ object Snapshots {
         else writeFileGroup(spark, table, v, content.repartition(nFiles.toInt),
           stats, targetRecordsPerFile)
           .select(fileColNames.head, fileColNames.tail: _*)
-      withCommitLock(spark, table) {
-        writeManifest(spark, table, v, parent, "replace",
-          carried.select(fileColNames.head, fileColNames.tail: _*).unionByName(entries),
-          schemaJson = schema.map(_.json))
-        swapCurrent(table, parent, v)
-      }
+      // row-preserving replace: commutes with concurrent appends (their
+      // small files just wait for the next maintenance round)
+      val vc = commitRebase(spark, table, parent, "replace",
+        carried.select(fileColNames.head, fileColNames.tail: _*), entries,
+        Map.empty, Map.empty, allowOverlap = true, txn = None,
+        schemaJson = schema.map(_.json)).get
       val nCarried = files.count() - nFold
       foldable.unpersist()
-      (v, nFold, nCarried)
+      (vc, nFold, nCarried)
     } finally { files.unpersist(); () }
   }
 

@@ -941,4 +941,139 @@ class SnapshotSpec extends SparkSpec {
     val r = Snapshots.read(spark, t2)
     assert(r.count() == 20 && r.filter(col("n_chars") === 7777L).count() == 8)
   }
+
+  test("deleteWhere keeps NULL-evaluating rows (SQL DELETE semantics); COW == MOR") {
+    val data = Seq((1L, Some(10L)), (2L, None), (3L, Some(99L)), (4L, None))
+      .toDF("doc_id", "score")
+    val t = tmpDir("snap-nulldel-cow")
+    val t2 = tmpDir("snap-nulldel-mor")
+    Seq(t, t2).foreach { p => Snapshots.create(spark, p); Snapshots.append(spark, p, data) }
+    Snapshots.deleteWhere(spark, t, col("score") > 50)
+    Snapshots.deleteWhereMor(spark, t2, col("score") > 50)
+    assert(ids(Snapshots.read(spark, t)) == Set(1L, 2L, 4L),
+      "rows where the predicate evaluates to NULL must survive a DELETE")
+    assert(ids(Snapshots.read(spark, t)) == ids(Snapshots.read(spark, t2)),
+      "copy-on-write and merge-on-read deletes must agree on null semantics")
+  }
+
+  test("pruning and keyed ops stay sound for long keys beyond double precision") {
+    val t = tmpDir("snap-bigkeys")
+    Snapshots.create(spark, t)
+    val big = 1L << 62 // double ulp here is 1024: every stat is rounded
+    Snapshots.append(spark, t,
+      Seq(big + 1L, big + 513L, big + 900L).toDF("doc_id").coalesce(1))
+    val probe = big + 513L
+    val plan = Snapshots.scanPlan(spark, t, col("doc_id") === probe)
+    assert(plan.filesScanned == 1 && plan.df.count() == 1,
+      "a file holding the key must never be skipped by double rounding")
+    val m = Snapshots.merge(spark, t,
+      Seq((probe, 1L)).toDF("doc_id", "flag"), Seq("doc_id"))
+    assert(m.rowsUpdated == 1, s"merge by a beyond-2^53 key must find its row: $m")
+    val (_, deleted, _) = Snapshots.deleteWhere(spark, t, col("doc_id") === (big + 1L))
+    assert(deleted >= 1 && Snapshots.read(spark, t).count() == 2,
+      "deleteWhere must rewrite the file holding the rounded key")
+  }
+
+  test("a merge commits over concurrent disjoint appends: every commit lands") {
+    val t = tmpDir("snap-rebase-merge")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10).coalesce(1)) // v1
+    // 4 appends land AFTER the merge plans its rewrite, BEFORE it commits;
+    // their key ranges are disjoint from the merge's, so all 6 commits land
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.preCommitHook = () =>
+      if (once.compareAndSet(false, true))
+        (0 until 4).foreach { i =>
+          Snapshots.append(spark, t, docs(5, idFrom = 1000 + i * 10).coalesce(1)): Unit
+        }
+    val m =
+      try Snapshots.merge(spark, t,
+        docs(3).withColumn("n_chars", lit(7777L)), Seq("doc_id"))
+      finally Snapshots.preCommitHook = () => ()
+    assert(m.version == 6L, s"the merge rebases onto the appends' child version: $m")
+    assert(Snapshots.currentVersion(t).contains(6L))
+    val got = Snapshots.read(spark, t)
+    assert(got.filter(col("n_chars") === 7777L).count() == 3, "the merge's updates landed")
+    assert(ids(got) == ((0L until 10L) ++
+      (0 until 4).flatMap(i => (1000 + i * 10).toLong until (1005 + i * 10).toLong)).toSet,
+      "no concurrent append's rows were lost to the merge's rebase")
+  }
+
+  test("a delete racing an append that may match its predicate is a genuine conflict") {
+    val t = tmpDir("snap-rebase-conflict")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10).coalesce(1))
+    // ids 3..7 intersect the delete's (-inf, 5) predicate box
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.preCommitHook = () =>
+      if (once.compareAndSet(false, true))
+        Snapshots.append(spark, t, docs(5, idFrom = 3).coalesce(1)): Unit
+    try intercept[java.util.ConcurrentModificationException] {
+      Snapshots.deleteWhere(spark, t, col("doc_id") < 5)
+    } finally Snapshots.preCommitHook = () => ()
+    assert(Snapshots.currentVersion(t).contains(2L),
+      "the conflicting delete must not commit; the append stands")
+    assert(Snapshots.read(spark, t).count() == 15)
+    // re-run against the refreshed base: sees BOTH files' matching rows
+    Snapshots.deleteWhere(spark, t, col("doc_id") < 5)
+    assert(ids(Snapshots.read(spark, t)) == (5L until 10L).toSet)
+
+    // an intervening NON-append never commutes, even when disjoint
+    val once2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.preCommitHook = () =>
+      if (once2.compareAndSet(false, true))
+        Snapshots.deleteWhereMor(spark, t, col("doc_id") === 9L): Unit
+    try intercept[java.util.ConcurrentModificationException] {
+      Snapshots.deleteWhere(spark, t, col("doc_id") === 5L)
+    } finally Snapshots.preCommitHook = () => ()
+    assert(ids(Snapshots.read(spark, t)) == (5L until 9L).toSet)
+  }
+
+  test("a replace commutes with a concurrent append (maintain vs streaming sink)") {
+    val t = tmpDir("snap-rebase-replace")
+    Snapshots.create(spark, t)
+    (0 until 3).foreach(i => Snapshots.append(spark, t, docs(5, idFrom = i * 10).coalesce(1)))
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.preCommitHook = () =>
+      if (once.compareAndSet(false, true))
+        Snapshots.append(spark, t, docs(5, idFrom = 500).coalesce(1)): Unit
+    val (v, folded, _) =
+      try Snapshots.compactSmallFiles(spark, t, smallBytes = Long.MaxValue)
+      finally Snapshots.preCommitHook = () => ()
+    assert(v == 5L && folded == 3L, s"replace lands after the racing append: v=$v folded=$folded")
+    assert(ids(Snapshots.read(spark, t)) ==
+      ((0 until 3).flatMap(i => (i * 10).toLong until (i * 10 + 5).toLong) ++
+        (500L until 505L)).toSet,
+      "the racing append's rows survive the replace")
+    // the appended small file just waits for the next maintenance round
+    val (_, folded2, _) = Snapshots.compactSmallFiles(spark, t, smallBytes = Long.MaxValue)
+    assert(folded2 == 2L, s"compacted output + the raced-in file fold next round: $folded2")
+  }
+
+  test("exactly-once holds for CONCURRENT same-appId writers (in-lock txn re-check)") {
+    val t = tmpDir("snap-txn-race")
+    Snapshots.create(spark, t)
+    // the rival writer lands the SAME (appId, txnV) after our unlocked
+    // pre-check passed but before our commit section takes the lock
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.preCommitHook = () =>
+      if (once.compareAndSet(false, true))
+        Snapshots.append(spark, t, docs(10), txn = Some(("app", 0L))): Unit
+    val r =
+      try Snapshots.appendIdempotent(spark, t, docs(10), "app", 0L)
+      finally Snapshots.preCommitHook = () => ()
+    assert(r.isEmpty, "the loser must detect the rival's marker inside the lock and skip")
+    assert(Snapshots.read(spark, t).count() == 10, "the batch landed exactly once")
+    // same guard on the merge path
+    val once2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.preCommitHook = () =>
+      if (once2.compareAndSet(false, true))
+        Snapshots.merge(spark, t, docs(3, idFrom = 50), Seq("doc_id"),
+          txn = Some(("app", 1L))): Unit
+    val r2 =
+      try Snapshots.mergeIdempotent(spark, t, docs(3, idFrom = 50), Seq("doc_id"), "app", 1L)
+      finally Snapshots.preCommitHook = () => ()
+    assert(r2.isEmpty, "the losing merge must skip inside the lock")
+    assert(Snapshots.read(spark, t).count() == 13)
+  }
 }
