@@ -54,10 +54,17 @@ import org.apache.spark.sql.types._
   * manifest lands under `_log/v<version>/`, and only then does `_current`
   * swap via an atomic rename. A crash before the swap leaves the table
   * bit-for-bit at the old version with only unreferenced garbage behind
-  * (reclaimed by [[expire]]); a concurrent committer is detected by
-  * re-reading `_current` before the swap (optimistic concurrency). The
-  * pointer swap uses `java.nio` ATOMIC_MOVE — atomic on POSIX and HDFS-style
-  * stores; an S3-class store would substitute a conditional PUT here.
+  * (reclaimed by [[expire]]); a concurrent committer is detected by the
+  * conditional pointer swap (optimistic concurrency), and non-append
+  * commits REBASE over concurrent appends whose stats boxes cannot match
+  * their predicate/key bounds ([[commitRebase]]) instead of failing.
+  *
+  * The atomic primitives (pointer swap, commit lock, consumer cursors)
+  * live behind [[CommitStore]]: local paths use `java.nio` atomics,
+  * `hdfs://`-class paths use FileContext rename / exclusive create, and an
+  * S3-class deployment implements the trait with conditional PUTs — the
+  * law suite runs the whole protocol over the [[MemoryCommitStore]]
+  * conditional-PUT fake to pin that nothing stronger is assumed.
   */
 object Snapshots {
 
@@ -121,13 +128,32 @@ object Snapshots {
   private def absPath(table: String, p: String): String =
     if (p.startsWith("/")) p else s"$table/$p"
 
+  /** Test/deployment seam: substitute the commit primitives (pointer swap,
+    * commit lock, consumer cursors) for EVERY table — e.g. a
+    * [[MemoryCommitStore]] conditional-PUT fake, or a real object-store
+    * impl. None (production default) dispatches per table-path scheme:
+    * local paths → [[LocalCommitStore]] (java.nio atomics), remote schemes
+    * → [[HadoopCommitStore]] (FileContext rename / exclusive create).
+    */
+  @volatile var commitStoreOverride: Option[CommitStore] = None
+
+  private def store(table: String): CommitStore =
+    commitStoreOverride.getOrElse {
+      if (!table.contains("://")) LocalCommitStore
+      else {
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        new Path(table).getFileSystem(conf) match {
+          case _: org.apache.hadoop.fs.LocalFileSystem |
+               _: org.apache.hadoop.fs.RawLocalFileSystem => LocalCommitStore
+          case _ => new HadoopCommitStore(conf)
+        }
+      }
+    }
+
   /** The committed version, or None for a non-table / pre-create path. */
-  def currentVersion(table: String): Option[Long] = {
-    val p = JPaths.get(currentPath(table))
-    if (JFiles.exists(p))
-      Some(new String(JFiles.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-    else None
-  }
+  def currentVersion(table: String): Option[Long] = store(table).readPointer(table)
 
   private def requireVersion(table: String): Long =
     currentVersion(table).getOrElse(
@@ -251,76 +277,35 @@ object Snapshots {
   @volatile var lockWaitMs: Long = 30000L
   @volatile var staleLockMs: Long = 600000L
 
-  private def lockPath(table: String) = new Path(s"$table/_commit_lock")
-
-  private def tryAcquire(
-      f: org.apache.hadoop.fs.FileSystem, table: String, token: String): Boolean =
-    try {
-      f match {
-        case _: org.apache.hadoop.fs.LocalFileSystem | _: org.apache.hadoop.fs.RawLocalFileSystem =>
-          // Hadoop's local create(overwrite=false) is check-then-act —
-          // POSIX O_CREAT|O_EXCL (CREATE_NEW) arbitrates atomically
-          JFiles.write(
-            JPaths.get(f.makeQualified(lockPath(table)).toUri.getPath),
-            token.getBytes(StandardCharsets.UTF_8),
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
-        case _ =>
-          val out = f.create(lockPath(table), /* overwrite = */ false)
-          try out.write(token.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      }
-      true
-    } catch { case _: java.io.IOException => false }
-
-  private def heldToken(
-      f: org.apache.hadoop.fs.FileSystem, table: String): Option[String] =
-    try {
-      val in = f.open(lockPath(table))
-      try Some(new String(
-        org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8))
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
-
-  private def breakIfStale(f: org.apache.hadoop.fs.FileSystem, table: String): Unit =
-    try {
-      val st = f.getFileStatus(lockPath(table))
-      if (System.currentTimeMillis() - st.getModificationTime > staleLockMs)
-        f.delete(lockPath(table), false): Unit
-    } catch { case _: java.io.IOException => () } // already gone
-
   private def withCommitLock[T](spark: SparkSession, table: String)(body: => T): T = {
-    val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val _ = spark
+    val s = store(table)
     val token = java.util.UUID.randomUUID().toString
     val deadline = System.currentTimeMillis() + lockWaitMs
-    breakIfStale(f, table)
-    var acquired = tryAcquire(f, table, token)
+    def breakIfStale(): Unit =
+      if (s.lockAgeMs(table).exists(_ > staleLockMs)) s.breakLock(table)
+    breakIfStale()
+    var acquired = s.tryLock(table, token)
     while (!acquired && System.currentTimeMillis() < deadline) {
       Thread.sleep(100)
-      breakIfStale(f, table)
-      acquired = tryAcquire(f, table, token)
+      breakIfStale()
+      acquired = s.tryLock(table, token)
     }
     if (!acquired)
       throw new IllegalStateException(
-        s"another committer holds ${lockPath(table)} — commits serialize; " +
+        s"another committer holds $table/_commit_lock — commits serialize; " +
           "retry later, raise Snapshots.lockWaitMs, or remove a stale lock")
     try body
-    finally if (heldToken(f, table).contains(token)) f.delete(lockPath(table), false): Unit
+    finally s.unlock(table, token)
   }
 
-  /** Atomically swap `_current` from `expectedParent` to `v`. Optimistic
-    * concurrency: a committer that lost the race fails here, with its data
-    * + manifest left as unreferenced garbage for [[expire]].
+  /** Conditionally swap the version pointer `expectedParent` → `v`
+    * ([[CommitStore.swapPointer]]). Optimistic concurrency: a committer
+    * that lost the race fails here, with its data + manifest left as
+    * unreferenced garbage for [[expire]].
     */
-  private def swapCurrent(table: String, expectedParent: Long, v: Long): Unit = {
-    val seen = currentVersion(table).getOrElse(-1L)
-    if (seen != expectedParent)
-      throw new java.util.ConcurrentModificationException(
-        s"snapshot commit conflict at $table: expected parent $expectedParent, found $seen")
-    val tmp = JPaths.get(s"${currentPath(table)}.swap-$v")
-    JFiles.write(tmp, v.toString.getBytes(StandardCharsets.UTF_8))
-    JFiles.move(tmp, JPaths.get(currentPath(table)),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
-  }
+  private def swapCurrent(table: String, expectedParent: Long, v: Long): Unit =
+    store(table).swapPointer(table, expectedParent, v)
 
   /** Commit a non-append (COW delete/merge, MOR delete, replace) whose base
     * may have MOVED since the op planned its rewrite — the conflict rule
@@ -558,7 +543,7 @@ object Snapshots {
   /** Initialize an empty snapshot table at version 0. */
   def create(spark: SparkSession, table: String): Unit = {
     require(currentVersion(table).isEmpty, s"snapshot table already exists: $table")
-    JFiles.createDirectories(JPaths.get(table))
+    store(table).prepareTable(table)
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(manifestSchema.filterNot(_.name == "kind").toSeq))
@@ -1535,11 +1520,7 @@ object Snapshots {
     */
   def readChangesSince(spark: SparkSession, table: String, cursorPath: String): Changes = {
     val cur = requireVersion(table)
-    val p = JPaths.get(cursorPath)
-    val last: Option[Long] =
-      if (JFiles.exists(p))
-        Some(new String(JFiles.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-      else None
+    val last: Option[Long] = store(cursorPath).readCursor(cursorPath)
     last match {
       case None => Changes(read(spark, table), -1L, cur, "full")
       case Some(v) if v >= cur =>
@@ -1576,11 +1557,7 @@ object Snapshots {
     def asInserts(df: DataFrame, v: Long): DataFrame =
       df.withColumn("_change_type", lit("insert"))
         .withColumn("_commit_version", lit(v))
-    val p = JPaths.get(cursorPath)
-    val last: Option[Long] =
-      if (JFiles.exists(p))
-        Some(new String(JFiles.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
-      else None
+    val last: Option[Long] = store(cursorPath).readCursor(cursorPath)
     last match {
       case None => ChangeFeed(asInserts(read(spark, table), cur), -1L, cur, "full")
       case Some(v) if v >= cur =>
@@ -1596,14 +1573,8 @@ object Snapshots {
   /** Atomically advance a consumer's cursor to `toV` (call after the
     * round's output is durably landed).
     */
-  def commitCursor(cursorPath: String, toV: Long): Unit = {
-    val p = JPaths.get(cursorPath)
-    Option(p.getParent).foreach(JFiles.createDirectories(_))
-    val tmp = JPaths.get(s"$cursorPath.swap")
-    JFiles.write(tmp, toV.toString.getBytes(StandardCharsets.UTF_8))
-    JFiles.move(tmp, p,
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING): Unit
-  }
+  def commitCursor(cursorPath: String, toV: Long): Unit =
+    store(cursorPath).writeCursor(cursorPath, toV)
 
   /** Latest committed version whose commit timestamp is at or before `ts`
     * (ISO-UTC seconds, the manifest's recorded format — string compare IS
@@ -1708,9 +1679,10 @@ object Snapshots {
     */
   def shallowClone(spark: SparkSession, src: String, dst: String): Unit = {
     require(currentVersion(dst).isEmpty, s"snapshot table already exists: $dst")
-    val srcAbs = JPaths.get(src).toAbsolutePath.toString
+    val srcAbs =
+      if (src.contains("://")) src else JPaths.get(src).toAbsolutePath.toString
     val v = requireVersion(srcAbs)
-    JFiles.createDirectories(JPaths.get(dst))
+    store(dst).prepareTable(dst)
     val files = fileRows(spark, srcAbs, v)
       .withColumn("path",
         when(col("path").startsWith("/"), col("path"))
