@@ -760,6 +760,126 @@ object SnapshotQueries {
              |       'full' AS first_mode, 'incremental' AS second_mode
              |FROM documents GROUP BY source""".stripMargin),
       Seq("A1", "A2", "K1")
+    ),
+
+    // Structured Streaming SOURCE over the snapshot changelog: offsets ARE
+    // table versions, so a microbatch is a commit range replayed from the
+    // manifest log. Round 1 streams the starting snapshot as inserts; the
+    // table then takes a merge-on-read delete and an append, and a RESTART
+    // on the same checkpoint streams exactly the unconsumed commits' row
+    // changes (never the corpus); a third idle restart emits nothing. The
+    // signed rollup over the accumulated feed must equal the oracle's
+    // direct arithmetic - the read-side twin of the s12-s14 sinks.
+    "s15_snapshot_changelog_stream" -> Q(
+      (s, d) => {
+        val t = fresh(d, "cdfstream_tbl")
+        val ckpt = fresh(d, "cdfstream_ckpt")
+        val acc = fresh(d, "cdfstream_acc")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 0))
+        def run(): Unit = {
+          val q = graft.sources.SnapshotStream.reader(s, t, mode = "changelog")
+            .writeStream.option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+              b.write.mode("append").parquet(acc)
+            }
+            .start()
+          q.awaitTermination()
+        }
+        run() // initial snapshot as inserts
+        Snapshots.deleteWhereMor(s, t, col("n_chars") < 150)
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 1))
+        run() // restart mid-stream: exactly the unconsumed changelog
+        run() // idle restart: nothing
+        val sgn = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+        s.read.parquet(acc)
+          .groupBy(col("lang"))
+          .agg(sum(sgn).as("n"), sum(col("n_chars") * sgn).as("sum_chars"))
+          .filter(col("n") =!= 0L)
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE NOT (doc_id % 2 = 0 AND n_chars < 150)
+             |GROUP BY lang""".stripMargin),
+      Seq("S6", "S1", "K3")
+    ),
+
+    // Nightly maintenance RACING a streaming sink: a background appender
+    // lands exactly-once microbatches while maintain() folds small files
+    // and expires history, twice - the replace commits REBASE over the
+    // concurrent appends (appends commute with a fold of files they don't
+    // touch), so every batch's rows survive and a hand-replayed batch is
+    // still detected from the txn log. The final per-lang rollup equals
+    // the oracle over ALL docs regardless of interleaving.
+    "k_snapshot_maintain_concurrent" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_maintc")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.appendIdempotent(s, t,
+          docs.filter(col("doc_id") % 4 === 0), "maintc", 0L): Unit
+        val appender = new Thread(() =>
+          (1 to 3).foreach { i =>
+            Snapshots.appendIdempotent(s, t,
+              docs.filter(col("doc_id") % 4 === i).coalesce(1), "maintc", i.toLong): Unit
+          })
+        appender.start()
+        // retention must cover the sink's replay window (the documented
+        // lastTxn contract) - keepLast stays above the total commit count
+        Snapshots.maintain(s, t, smallBytes = Long.MaxValue,
+          keepLast = 10, orphanGraceMs = 3600000L): Unit
+        appender.join()
+        Snapshots.maintain(s, t, smallBytes = Long.MaxValue,
+          keepLast = 10, orphanGraceMs = 3600000L): Unit
+        val replay = Snapshots.appendIdempotent(s, t,
+          docs.filter(col("doc_id") % 4 === 1).limit(3), "maintc", 1L)
+        Snapshots.read(s, t)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("replay_skipped", lit(if (replay.isEmpty) 1L else 0L))
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+             |       CAST(1 AS BIGINT) AS replay_skipped
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("K1", "K2", "S6")
+    ),
+
+    // SQL DELETE null semantics: a predicate that evaluates to NULL keeps
+    // the row, on BOTH the copy-on-write and merge-on-read paths - the
+    // oracle recomputes the survivors with explicit IS NULL arithmetic, so
+    // a !cond filter that silently drops null rows fails the hash.
+    "k_snapshot_delete_null" -> Q(
+      (s, d) => {
+        val docs = documents(s, d).select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars")).as("score"))
+        def build(name: String): String = {
+          val t = fresh(d, name)
+          Snapshots.create(s, t)
+          Snapshots.append(s, t, docs)
+          t
+        }
+        val cow = build("snap_nulldel_cow")
+        val mor = build("snap_nulldel_mor")
+        Snapshots.deleteWhere(s, cow, col("score") > 200): Unit
+        Snapshots.deleteWhereMor(s, mor, col("score") > 200): Unit
+        def agg(t: String, p: String) = Snapshots.read(s, t)
+          .agg(lit(p).as("path"), count(lit(1)).as("n"),
+            coalesce(sum(col("score")), lit(0L)).as("sum_score"))
+        agg(cow, "cow").unionByName(agg(mor, "mor"))
+      },
+      Some("""WITH x AS (
+             |  SELECT CASE WHEN doc_id % 3 = 0 THEN NULL ELSE n_chars END AS score
+             |  FROM documents)
+             |SELECT 'cow' AS path, count(*) AS n,
+             |       CAST(coalesce(sum(score), 0) AS BIGINT) AS sum_score
+             |FROM x WHERE score IS NULL OR score <= 200
+             |UNION ALL
+             |SELECT 'mor', count(*), CAST(coalesce(sum(score), 0) AS BIGINT)
+             |FROM x WHERE score IS NULL OR score <= 200""".stripMargin),
+      Seq("K3", "F9", "C16")
     )
   )
 }
