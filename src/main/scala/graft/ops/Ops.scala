@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Identify
-import graft.sources.ChunkStore
+import graft.sources.{ChunkStore, KeyedChunkStore}
 import graft.state.PipelineState
 
 /** The thin job entry points mirroring the reference CLI (`cli.py`):
@@ -17,7 +17,7 @@ object Ops {
   /** `lg status`: ledger + store counts (A2; reference `cli.py:333-347`). */
   final case class Status(processed: Long, failed: Long, storeChunks: Long, storeDocs: Long)
 
-  def status(spark: SparkSession, statePath: String, store: ChunkStore): Status = {
+  def status(spark: SparkSession, statePath: String, store: KeyedChunkStore): Status = {
     val state = new PipelineState(statePath).load(spark)
     val byStatus = state.groupBy(col("status")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -34,7 +34,7 @@ object Ops {
     */
   final case class Validation(isConsistent: Boolean, stateOnly: Seq[String], storeOnly: Seq[String])
 
-  def validate(spark: SparkSession, statePath: String, store: ChunkStore, reportLimit: Int = 10): Validation = {
+  def validate(spark: SparkSession, statePath: String, store: KeyedChunkStore, reportLimit: Int = 10): Validation = {
     val stateIds = new PipelineState(statePath).load(spark)
       .filter(col("status") === "processed").select(col("docId"))
     val diff = Identify.validate(stateIds, store.distinctDocumentIds(spark)).cache()
@@ -49,7 +49,7 @@ object Ops {
   }
 
   /** `lg migrate`: store → store copy (K5; reference `cli.py:166-329`). */
-  def migrate(spark: SparkSession, source: ChunkStore, target: ChunkStore): Long =
+  def migrate(spark: SparkSession, source: KeyedChunkStore, target: KeyedChunkStore): Long =
     ChunkStore.migrate(spark, source, target)
 
   /** Hadoop-Configuration holder that survives task serialization: the

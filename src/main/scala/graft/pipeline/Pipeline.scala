@@ -7,7 +7,7 @@ import graft.chunker.LovdataChunker
 import graft.embed.{Embedding, EmbeddingProvider}
 import graft.model.ChunkRow
 import graft.operators.Identify
-import graft.sources.ChunkStore
+import graft.sources.{ChunkStore, KeyedChunkStore}
 import graft.state.PipelineState
 
 /** The end-to-end incremental pipeline (reference
@@ -110,7 +110,7 @@ object Pipeline {
       spark: SparkSession,
       changed: DataFrame,
       removed: DataFrame,
-      store: ChunkStore,
+      store: KeyedChunkStore,
       statePath: String,
       chunker: LovdataChunker,
       provider: EmbeddingProvider,

@@ -199,6 +199,59 @@ object PipelineQueries {
       Seq("K1", "K3", "J3", "A1", "A2", "S4", "F6")
     ),
 
+    // The SAME keyed-store protocol over the snapshot-table backend
+    // (SnapshotChunkStore): upsert = MERGE by chunkId (COW rewrite of only
+    // the files holding matched keys), delete-by-document = keyed
+    // merge-on-read delete (zero rewrites), and — free on this backend —
+    // TIME TRAVEL: n_v1 pins the store's exact pre-overlay contents. The
+    // final rollup must equal k1_k3's oracle arithmetic identically, which
+    // is the interchangeability proof for the two backends.
+    "k_snapshot_store_roundtrip" -> Q(
+      (s, d) => {
+        val storePath = tmpDir(d, "snap_store")
+        cleanDir(storePath)
+        val store = new graft.sources.SnapshotChunkStore(storePath)
+        def chunkify(df: DataFrame): DataFrame = df.select(
+          concat(lit("doc"), col("doc_id"), lit("_chunk_0")).as("chunkId"),
+          concat(lit("doc"), col("doc_id")).as("documentId"),
+          col("source").as("datasetName"),
+          col("text").as("content"),
+          TextFunctions.tokenCount(col("text")).cast("int").as("tokenCount"),
+          col("lang").as("sectionHeading"),
+          lit("").as("absoluteAddress"),
+          lit("none").as("splitReason"),
+          lit(null).cast("string").as("parentChunkId"),
+          sha2(col("text"), 256).as("sourceHash"),
+          array().cast("array<string>").as("crossRefs"),
+          lit(0).as("chunkIndex"),
+          lit(null).cast("array<float>").as("embedding"),
+          lit("none").as("embeddingModel"),
+          lit("").as("embeddedAt")
+        )
+        val docs = documents(s, d)
+        store.upsert(s, chunkify(docs)) // v1: MERGE into the empty table
+        store.upsert(s, chunkify( // v2: keyed overlay of the %7 docs
+          docs.filter(col("doc_id") % 7 === 0)
+            .withColumn("text", concat(col("text"), lit(" v2extra")))))
+        store.deleteByDocuments(s, // v3: MOR delete of the %10 docs
+          docs.filter(col("doc_id") % 10 === 0)
+            .select(concat(lit("doc"), col("doc_id")).as("docId")))
+        val nV1 = store.readAt(s, 1L).count() // time travel: pre-overlay
+        store.read(s)
+          .groupBy(col("datasetName"))
+          .agg(count(lit(1)).as("n"), sum(col("tokenCount")).as("sum_toks"))
+          .withColumn("n_v1", lit(nV1))
+      },
+      Some("""SELECT source AS datasetName, count(*) AS n,
+             |CAST(sum(toks + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sum_toks,
+             |(SELECT count(*) FROM documents) AS n_v1
+             |FROM (SELECT doc_id, source,
+             |      CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\sA-Za-z0-9]')) AS BIGINT) AS toks
+             |      FROM documents)
+             |WHERE doc_id % 10 <> 0 GROUP BY source""".stripMargin),
+      Seq("K1", "K2", "K3", "J3", "A2")
+    ),
+
     // S2/W1-W4/A4/A5/C17: the chunker over synthesized Lovdata XML, all
     // three tiers. The fold semantics are not SQL-expressible, but the
     // chunker is a pure function of the documents table, so its aggregate

@@ -6,6 +6,38 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.Overlay
 
+/** The keyed chunk-store protocol (reference `domain/vector_store.py:11-63`):
+  * upsert by chunkId, delete by documentId, full scan, counts — the surface
+  * every pipeline stage programs against, with two interchangeable backends:
+  * the bucket-swap [[ChunkStore]] (parquet/JSONL, reference-shaped) and the
+  * snapshot-table [[SnapshotChunkStore]] (MERGE + keyed merge-on-read
+  * deletes, with time travel and a changelog for free).
+  */
+trait KeyedChunkStore extends Serializable {
+  def path: String
+  def exists(spark: SparkSession): Boolean
+  /** S4/S5: full store scan (chunk columns, no partition internals). */
+  def read(spark: SparkSession): DataFrame
+  /** K1/J3: upsert — new chunks replace stored chunks with equal chunkId. */
+  def upsert(spark: SparkSession, chunks: DataFrame): Unit
+  /** K3: delete all chunks of the documents in `docs` (a `docId` column);
+    * returns the number of chunks deleted.
+    */
+  def deleteByDocuments(spark: SparkSession, docs: DataFrame): Long
+  /** K3 convenience for small id lists. */
+  def deleteByDocumentIds(spark: SparkSession, docIds: Seq[String]): Long = {
+    if (docIds.isEmpty) return 0L
+    val s = spark
+    import s.implicits._
+    deleteByDocuments(spark, docIds.toDF("docId"))
+  }
+  /** A2: chunk count. */
+  def count(spark: SparkSession): Long = read(spark).count()
+  /** A3: distinct document ids. */
+  def distinctDocumentIds(spark: SparkSession): DataFrame =
+    read(spark).select(col("documentId").as("docId")).distinct()
+}
+
 /** The chunk store: a keyed sink with upsert / delete-by-document semantics
   * (reference protocol `domain/vector_store.py:11-63`; JSONL backend
   * `infrastructure/jsonl_vector_store.py:41-121,197-248`).
@@ -39,7 +71,7 @@ final class ChunkStore(
       * broken. Must comfortably exceed the longest expected mutation.
       */
     val staleLockMs: Long = 10 * 60 * 1000L
-) extends Serializable {
+) extends KeyedChunkStore {
 
   import ChunkStore._
 
@@ -51,7 +83,7 @@ final class ChunkStore(
   private def docPrefix(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     substring(sha2(c, 256), 1, prefixLen)
 
-  def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
+  override def exists(spark: SparkSession): Boolean = fs(spark).exists(new Path(path))
 
   // ---- write serialization -------------------------------------------------
   // The store's mutation paths (upsert, delete) are safe for ONE writer:
@@ -190,7 +222,7 @@ final class ChunkStore(
     * dropped, mirroring the reference's skip-with-warning
     * (`jsonl_vector_store.py:197-226`).
     */
-  def read(spark: SparkSession): DataFrame =
+  override def read(spark: SparkSession): DataFrame =
     if (!exists(spark)) emptyChunks(spark)
     else readRaw(spark).drop("doc_prefix")
 
@@ -219,7 +251,7 @@ final class ChunkStore(
   /** K1/J3: upsert — new chunks replace stored chunks with equal `chunkId`.
     * Touches only the document buckets present in the incoming batch.
     */
-  def upsert(spark: SparkSession, chunks: DataFrame): Unit = withWriteLock(spark) {
+  override def upsert(spark: SparkSession, chunks: DataFrame): Unit = withWriteLock(spark) {
     val incoming = withPrefix(chunks.select(chunkCols.map(col): _*))
     if (dataFileCount(spark) == 0) write(spark, incoming)
     else {
@@ -248,7 +280,7 @@ final class ChunkStore(
   /** K3: delete every chunk of the given document ids; returns deleted count.
     * Convenience wrapper over [[deleteByDocuments]] for small id lists.
     */
-  def deleteByDocumentIds(spark: SparkSession, docIds: Seq[String]): Long = {
+  override def deleteByDocumentIds(spark: SparkSession, docIds: Seq[String]): Long = {
     if (docIds.isEmpty) return 0L
     import spark.implicits._
     deleteByDocuments(spark, docIds.toDF("docId"))
@@ -261,7 +293,7 @@ final class ChunkStore(
     * `jsonl_vector_store.py:82-121` incl. empty-file removal). Only the
     * bucket list (bounded by the bucket count) ever reaches the driver.
     */
-  def deleteByDocuments(spark: SparkSession, docs: DataFrame): Long = {
+  override def deleteByDocuments(spark: SparkSession, docs: DataFrame): Long = {
     if (!exists(spark)) 0L
     else withWriteLock(spark) {
       import spark.implicits._
@@ -339,10 +371,10 @@ final class ChunkStore(
   }
 
   /** A2: chunk count. */
-  def count(spark: SparkSession): Long = read(spark).count()
+  override def count(spark: SparkSession): Long = read(spark).count()
 
   /** A3: distinct document ids. */
-  def distinctDocumentIds(spark: SparkSession): DataFrame =
+  override def distinctDocumentIds(spark: SparkSession): DataFrame =
     read(spark).select(col("documentId").as("docId")).distinct()
 }
 
@@ -391,7 +423,7 @@ object ChunkStore {
     * reference (`cli.py:241-321`, `models.py:115-116`) is only needed at
     * foreign boundaries — see [[graft.functions.TextFunctions.crossRefsToCsv]].
     */
-  def migrate(spark: SparkSession, source: ChunkStore, target: ChunkStore): Long = {
+  def migrate(spark: SparkSession, source: KeyedChunkStore, target: KeyedChunkStore): Long = {
     val rows = source.read(spark)
     target.upsert(spark, rows)
     rows.count()

@@ -8,7 +8,7 @@ import org.apache.spark.sql.Row
 import graft.chunker.LovdataChunker
 import graft.embed.{Embedding, EmbeddingProvider}
 import graft.pipeline.Pipeline
-import graft.sources.ChunkStore
+import graft.sources.{ChunkStore, KeyedChunkStore}
 
 /** Streaming face of the engine (SURVEY §2.11): the reference is an
   * incremental batch loop (sync → identify → process); its streaming
@@ -37,7 +37,7 @@ object StreamingPipeline {
   def writer(
       spark: SparkSession,
       source: DataFrame,
-      store: ChunkStore,
+      store: KeyedChunkStore,
       chunker: LovdataChunker,
       provider: EmbeddingProvider,
       checkpointDir: String

@@ -183,4 +183,64 @@ class ChunkStoreSpec extends SparkSpec {
     assert(store.count(spark) == 17, "both writers' rows must survive")
     assert(!new java.io.File(dir, "_lock").exists())
   }
+
+  // --- the shared protocol, parameterized over BOTH backends -------------
+
+  private def protocolLaws(mk: String => KeyedChunkStore, label: String): Unit = {
+    val store = mk(tmpDir(s"kstore-$label"))
+    assert(store.count(spark) == 0, "a missing store reads empty")
+    store.upsert(spark, chunks(("d1_c0", "d1", "v1", 0), ("d1_c1", "d1", "v1b", 1),
+      ("d2_c0", "d2", "x", 0)))
+    assert(store.count(spark) == 3)
+    // overlay by chunkId, including a within-batch duplicate (chunkIndex
+    // tie-break keeps the later row — the Overlay discipline)
+    store.upsert(spark, chunks(("d1_c0", "d1", "stale", 0), ("d1_c0", "d1", "v2", 1)))
+    val rows = store.read(spark).select("chunkId", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows == Map("d1_c0" -> "v2", "d1_c1" -> "v1b", "d2_c0" -> "x"),
+      s"[$label] overlay semantics must match: $rows")
+    // idempotent replay
+    store.upsert(spark, chunks(("d1_c0", "d1", "v2", 1)))
+    assert(store.count(spark) == 3)
+    // delete by document; unknown ids are a no-op
+    assert(store.deleteByDocumentIds(spark, Seq("d1", "nope")) == 2)
+    assert(store.distinctDocumentIds(spark).collect().map(_.getString(0)).toSeq == Seq("d2"))
+    assert(store.deleteByDocumentIds(spark, Seq("d2")) == 1)
+    assert(store.count(spark) == 0)
+  }
+
+  test("the keyed-store protocol holds over the bucket-swap backend") {
+    protocolLaws(p => new ChunkStore(p), "bucket")
+  }
+
+  test("the keyed-store protocol holds over the snapshot-table backend") {
+    protocolLaws(p => new SnapshotChunkStore(p + "/t"), "snapshot")
+  }
+
+  test("snapshot-backed store adds time travel and zero-rewrite deletes") {
+    val store = new SnapshotChunkStore(tmpDir("kstore-tt") + "/t")
+    store.upsert(spark, chunks(("d1_c0", "d1", "v1", 0), ("d2_c0", "d2", "y", 0)))
+    store.upsert(spark, chunks(("d1_c0", "d1", "v2", 0)))
+    val dataFilesBefore = graft.operators.Lake.dataFileCount(spark, s"${store.path}/data")
+    assert(store.deleteByDocumentIds(spark, Seq("d2")) == 1)
+    // MOR delete: the .dv dataset is new, but no DATA file rewrote
+    val nonDv = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"${store.path}/data"))
+        .iterator().asScala.count { p =>
+          val n = p.getFileName.toString
+          java.nio.file.Files.isRegularFile(p) && !n.startsWith("_") &&
+            !n.startsWith(".") && !p.getParent.getFileName.toString.endsWith(".dv")
+        }
+    }
+    assert(nonDv == dataFilesBefore, "delete-by-document must rewrite zero data files")
+    // time travel: v1 still shows the pre-overlay content and both docs
+    val v1 = store.readAt(spark, 1L).select("chunkId", "content").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(v1 == Map("d1_c0" -> "v1", "d2_c0" -> "y"))
+    // migration between backends rides the shared trait
+    val bucket = new ChunkStore(tmpDir("kstore-mig"))
+    assert(ChunkStore.migrate(spark, store, bucket) == 1L)
+    assert(bucket.read(spark).select("content").head().getString(0) == "v2")
+  }
 }
