@@ -105,7 +105,8 @@ object Snapshots {
     StructField("stats_min_str", MapType(StringType, StringType)),
     StructField("stats_max_str", MapType(StringType, StringType)),
     StructField("dv_path", StringType),
-    StructField("dv_rows", LongType)))
+    StructField("dv_rows", LongType),
+    StructField("cluster_by", StringType)))
 
   /** The per-file manifest columns, in canonical order. `dv_path`/`dv_rows`
     * are the merge-on-read delete state: the table-relative dir of the
@@ -340,7 +341,8 @@ object Snapshots {
       strBox: Map[String, (Option[String], Option[String])],
       allowOverlap: Boolean,
       txn: Option[(String, Long)],
-      schemaJson: Option[String]): Option[Long] = {
+      schemaJson: Option[String],
+      clusterBy: Option[String] = None): Option[Long] = {
     preCommitHook()
     withCommitLock(spark, table) {
     if (txn.exists { case (a, tv) => lastTxn(spark, table, a).exists(_ >= tv) })
@@ -384,7 +386,7 @@ object Snapshots {
       preserved.unionByName(appended)
         .unionByName(entries.withColumn("version", lit(v))
           .select(fileColNames.head, fileColNames.tail: _*)),
-      txn, effSchema)
+      txn, effSchema, clusterBy)
     swapCurrent(table, cur, v)
     Some(v)
     }
@@ -492,7 +494,8 @@ object Snapshots {
 
   private def commitRow(
       spark: SparkSession, v: Long, parent: Long, op: String,
-      txn: Option[(String, Long)], schemaJson: Option[String]): DataFrame = {
+      txn: Option[(String, Long)], schemaJson: Option[String],
+      clusterBy: Option[String]): DataFrame = {
     import spark.implicits._
     Seq((v, parent, op)).toDF("version", "parent", "op")
       .select(
@@ -508,7 +511,8 @@ object Snapshots {
         typedLit(Map.empty[String, String]).as("stats_min_str"),
         typedLit(Map.empty[String, String]).as("stats_max_str"),
         lit(null: String).as("dv_path"),
-        lit(null: java.lang.Long).cast(LongType).as("dv_rows"))
+        lit(null: java.lang.Long).cast(LongType).as("dv_rows"),
+        lit(clusterBy.orNull).as("cluster_by"))
   }
 
   /** Align a file-entry DataFrame to the manifest schema (file rows keep
@@ -523,21 +527,77 @@ object Snapshots {
       lit(null: java.lang.Long).cast(LongType).as("txn_v"),
       lit(null: String).as("schema_json"),
       col("stats_min_str"), col("stats_max_str"),
-      col("dv_path"), col("dv_rows"))
+      col("dv_path"), col("dv_rows"),
+      lit(null: String).as("cluster_by"))
 
   private def writeManifest(
       spark: SparkSession, table: String, v: Long, parent: Long, op: String,
       files: DataFrame, txn: Option[(String, Long)] = None,
-      schemaJson: Option[String] = None): Unit = {
+      schemaJson: Option[String] = None,
+      clusterBy: Option[String] = None): Unit = {
     // a leftover _log/v<v> can only be a crashed or lost-race attempt
     // (anything committed has _current >= v, checked by swapCurrent before
     // we could get here with this v) — clear it so the retry proceeds
     val dir = new Path(vdir(table, v))
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(dir) && currentVersion(table).forall(_ < v)) fs.delete(dir, true): Unit
-    commitRow(spark, v, parent, op, txn, schemaJson).unionByName(asManifestRows(files))
+    // the recorded clustering discipline travels with every commit: an
+    // explicit spec (re)sets it, everything else inherits the parent's
+    val effCluster =
+      clusterBy.orElse(if (parent < 0) None else clusterSpec(spark, table, Some(parent)))
+        .filter(_.nonEmpty)
+    commitRow(spark, v, parent, op, txn, schemaJson, effCluster)
+      .unionByName(asManifestRows(files))
       .coalesce(1)
       .write.mode(SaveMode.ErrorIfExists).json(vdir(table, v))
+  }
+
+  /** The CLUSTERING DISCIPLINE recorded for a version (commit row
+    * `cluster_by`): `"c1,c2"` = range-cluster by those columns,
+    * `"z:x,y:bits"` = z-order the two numeric columns. Set by a
+    * [[compact]]/[[append]] passing `clusterBy`; inherited by every
+    * subsequent commit, so [[maintain]]/[[compactSmallFiles]] re-cluster
+    * folds and appends lay out their delta without re-stating it.
+    */
+  def clusterSpec(
+      spark: SparkSession, table: String, version: Option[Long] = None): Option[String] = {
+    val v = version.getOrElse(requireVersion(table))
+    commitRowLocal(spark, table, v) match {
+      case Some(n) =>
+        val c = n.path("cluster_by")
+        if (c.isMissingNode || c.isNull || c.asText().isEmpty) None else Some(c.asText())
+      case None =>
+        val r = manifest(spark, table, v).filter(col("kind") === "commit")
+          .select("cluster_by").head()
+        Option(r.getString(0)).filter(_.nonEmpty)
+    }
+  }
+
+  /** The plain column names a [[clusterSpec]] references. */
+  private def specColNames(spec: String): Seq[String] =
+    if (spec.startsWith("z:")) spec.drop(2).split(":")(0).split(",").map(_.trim).toSeq
+    else spec.split(",").map(_.trim).toSeq
+
+  /** Parse a [[clusterSpec]] string to layout columns. */
+  private[operators] def clusterCols(spec: String): Seq[Column] =
+    if (spec.startsWith("z:")) {
+      val parts = spec.drop(2).split(":")
+      require(parts.length == 2, s"z-order spec must be z:x,y:bits — got $spec")
+      val dims = parts(0).split(",").map(_.trim)
+      require(dims.length == 2, s"z-order spec needs exactly two columns — got $spec")
+      Seq(Lake.zkey(col(dims(0)), col(dims(1)), parts(1).trim.toInt))
+    } else spec.split(",").toSeq.map(c => col(c.trim))
+
+  /** Range-cluster `df` into ~`nFiles` files by a [[clusterSpec]]: one
+    * range exchange + per-file sort (never a global single-task sort), so
+    * every output file covers a contiguous key range and its manifest
+    * min/max box is tight — [[Lake.writeClustered]]'s layout on the
+    * snapshot write path.
+    */
+  private def clusterLayout(df: DataFrame, spec: String, nFiles: Int): DataFrame = {
+    val cols = clusterCols(spec)
+    df.repartitionByRange(math.max(1, nFiles), cols: _*)
+      .sortWithinPartitions(cols: _*)
   }
 
   /** Initialize an empty snapshot table at version 0. */
@@ -566,10 +626,11 @@ object Snapshots {
       df: DataFrame,
       statsCols: Seq[String] = null,
       maxRecordsPerFile: Long = 1000000L,
-      txn: Option[(String, Long)] = None): Long =
+      txn: Option[(String, Long)] = None,
+      clusterBy: String = null): Long =
     commitStaged(spark, table,
-      stageAppend(spark, table, df, statsCols, maxRecordsPerFile), txn,
-      dataSchema = Some(df.schema))
+      stageAppend(spark, table, df, statsCols, maxRecordsPerFile, clusterBy), txn,
+      dataSchema = Some(df.schema), clusterBy = Option(clusterBy))
 
   /** Stage an append: write `df` as an immutable file group and return its
     * manifest entries — NO table-visible change yet (the group dir is
@@ -586,10 +647,26 @@ object Snapshots {
       table: String,
       df: DataFrame,
       statsCols: Seq[String] = null,
-      maxRecordsPerFile: Long = 1000000L): DataFrame = {
+      maxRecordsPerFile: Long = 1000000L,
+      clusterBy: String = null): DataFrame = {
     val parent = requireVersion(table)
     val stats = Option(statsCols).getOrElse(defaultStatsCols(df))
-    writeFileGroup(spark, table, parent + 1, df, stats, maxRecordsPerFile)
+    // CLUSTERED APPEND: an explicit spec — or the table's recorded
+    // discipline — range-lays-out the DELTA (one delta-sized exchange +
+    // an extra delta count; never touches the table), so even streaming
+    // appends land with tight per-file key boxes
+    val spec = Option(clusterBy).filter(_.nonEmpty)
+      .orElse(clusterSpec(spark, table, Some(parent)))
+      // a batch missing a cluster column (schema evolution) appends
+      // un-clustered rather than failing; the next fold re-clusters it
+      .filter(sp => specColNames(sp).forall(df.columns.contains))
+    val laidOut = spec match {
+      case Some(sp) =>
+        val n = df.count()
+        clusterLayout(df, sp, ((n + maxRecordsPerFile - 1) / maxRecordsPerFile).toInt)
+      case None => df
+    }
+    writeFileGroup(spark, table, parent + 1, laidOut, stats, maxRecordsPerFile)
   }
 
   /** Commit a staged append, retrying a lost optimistic-concurrency race
@@ -609,8 +686,9 @@ object Snapshots {
       entries: DataFrame,
       txn: Option[(String, Long)] = None,
       dataSchema: Option[StructType] = None,
-      maxRetries: Int = 4): Long =
-    commitStagedOpt(spark, table, entries, txn, dataSchema, maxRetries).getOrElse(
+      maxRetries: Int = 4,
+      clusterBy: Option[String] = None): Long =
+    commitStagedOpt(spark, table, entries, txn, dataSchema, maxRetries, clusterBy).getOrElse(
       throw new java.util.ConcurrentModificationException(
         s"transaction ${txn.get} already committed at $table by a concurrent writer"))
 
@@ -629,7 +707,8 @@ object Snapshots {
       entries: DataFrame,
       txn: Option[(String, Long)] = None,
       dataSchema: Option[StructType] = None,
-      maxRetries: Int = 4): Option[Long] = {
+      maxRetries: Int = 4,
+      clusterBy: Option[String] = None): Option[Long] = {
     val entryCols = entries.select(fileColNames.filterNot(_ == "version").map(col): _*)
     val myPaths = entryCols.select("path").collect().map(_.getString(0)).toSet
     var attempt = 0
@@ -665,7 +744,7 @@ object Snapshots {
               writeManifest(spark, table, v, parent, "append",
                 carried.unionByName(entryCols.withColumn("version", lit(v))
                   .select(fileColNames.head, fileColNames.tail: _*)), txn,
-                newSchema.map(_.json))
+                newSchema.map(_.json), clusterBy.filter(_.nonEmpty))
               swapCurrent(table, parent, v)
               Some(v)
             } catch {
@@ -1640,17 +1719,25 @@ object Snapshots {
       table: String,
       targetRecordsPerFile: Long = 1000000L,
       statsCols: Seq[String] = null,
-      clusterBy: Seq[Column] = Nil): Long = {
+      clusterBy: Seq[Column] = Nil,
+      clusterBySpec: String = null): Long = {
     val parent = requireVersion(table)
     val v = parent + 1
     val df = read(spark, table)
     val rows = df.count()
     val nFiles = math.max(1L, (rows + targetRecordsPerFile - 1) / targetRecordsPerFile)
     val stats = Option(statsCols).getOrElse(defaultStatsCols(df))
-    val laidOut =
-      if (clusterBy.isEmpty) df.repartition(nFiles.toInt)
-      else df.repartitionByRange(nFiles.toInt, clusterBy: _*)
-        .sortWithinPartitions(clusterBy: _*)
+    // layout priority: an explicit RECORDED spec (persists — appends and
+    // maintenance re-cluster by it from now on) > ad-hoc Columns (one-shot)
+    // > the already-recorded discipline > plain rebalance
+    val spec = Option(clusterBySpec).filter(_.nonEmpty)
+      .orElse(if (clusterBy.nonEmpty) None else clusterSpec(spark, table, Some(parent)))
+    val laidOut = (spec, clusterBy) match {
+      case (Some(sp), _) => clusterLayout(df, sp, nFiles.toInt)
+      case (None, cs) if cs.nonEmpty =>
+        df.repartitionByRange(nFiles.toInt, cs: _*).sortWithinPartitions(cs: _*)
+      case _ => df.repartition(nFiles.toInt)
+    }
     val entries = writeFileGroup(
       spark, table, v, laidOut, stats, targetRecordsPerFile)
       .select(fileColNames.head, fileColNames.tail: _*)
@@ -1660,7 +1747,8 @@ object Snapshots {
     commitRebase(spark, table, parent, "replace",
       entries.limit(0), entries,
       Map.empty, Map.empty, allowOverlap = true, txn = None,
-      schemaJson = tableSchema(spark, table, Some(parent)).map(_.json)).get
+      schemaJson = tableSchema(spark, table, Some(parent)).map(_.json),
+      clusterBy = Option(clusterBySpec).filter(_.nonEmpty)).get
   }
 
   /** Zero-copy SHALLOW CLONE: initialize `dst` as a new snapshot table
@@ -1769,10 +1857,16 @@ object Snapshots {
       val nFiles = math.max(1L, (liveRows + targetRecordsPerFile - 1) / targetRecordsPerFile)
       val stats = Option(statsCols).getOrElse(
         if (content.columns.isEmpty) Nil else defaultStatsCols(content))
+      // folds honor the table's recorded clustering discipline, so
+      // maintenance RESTORES tight min/max boxes over streaming-append debt
+      val laidOut = clusterSpec(spark, table, Some(parent)) match {
+        case Some(sp) => clusterLayout(content, sp, nFiles.toInt)
+        case None => content.repartition(nFiles.toInt)
+      }
       val entries =
         if (content.columns.isEmpty || liveRows == 0L)
           asManifestRows(files.limit(0)).select(fileColNames.head, fileColNames.tail: _*)
-        else writeFileGroup(spark, table, v, content.repartition(nFiles.toInt),
+        else writeFileGroup(spark, table, v, laidOut,
           stats, targetRecordsPerFile)
           .select(fileColNames.head, fileColNames.tail: _*)
       // row-preserving replace: commutes with concurrent appends (their

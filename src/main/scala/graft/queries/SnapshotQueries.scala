@@ -880,6 +880,62 @@ object SnapshotQueries {
              |SELECT 'mor', count(*), CAST(coalesce(sum(score), 0) AS BIGINT)
              |FROM x WHERE score IS NULL OR score <= 200""".stripMargin),
       Seq("K3", "F9", "C16")
+    ),
+
+    // Recorded clustering discipline on the snapshot commit path: a
+    // scattered-key table (interleaved appends - no file can skip) takes
+    // ONE compact(clusterBySpec) and the spec then travels in every commit
+    // row, so (a) the re-clustered layout turns a key range into a sharp
+    // manifest-side skip, (b) subsequent APPENDS lay their delta out by
+    // the inherited spec, and (c) maintenance folds RESTORE tight boxes
+    // over streaming-append debt. Skip sharpness is pinned as ratios
+    // (range-boundary sampling makes exact counts sf-dependent); the row
+    // answers pin exactness.
+    "k_snapshot_clustered" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_clusterspec")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+        (0 until 4).foreach { i =>
+          Snapshots.append(s, t, docs.filter(col("doc_id") % 4 === i).coalesce(1))
+        }
+        val n = docs.count()
+        val lo = n / 4
+        val hi = lo + n / 8
+        def plan(l: Long, h: Long) =
+          Snapshots.scanPlan(s, t, col("doc_id") >= l && col("doc_id") < h)
+        val before = plan(lo, hi)
+        val target = (n + 7) / 8
+        Snapshots.compact(s, t, targetRecordsPerFile = target, clusterBySpec = "doc_id")
+        val after = plan(lo, hi)
+        // streaming-shaped debt: 4 interleaved re-appends (ids shifted by
+        // n), each clustered within itself but scattered across files...
+        (0 until 4).foreach { i =>
+          Snapshots.append(s, t,
+            docs.filter(col("doc_id") % 4 === i)
+              .withColumn("doc_id", col("doc_id") + n).coalesce(1))
+        }
+        // ...then ONE maintenance fold re-clusters everything by the spec
+        Snapshots.compactSmallFiles(s, t,
+          smallBytes = Long.MaxValue, targetRecordsPerFile = target): Unit
+        val ap = plan(lo + n, hi + n)
+        val cur = plan(lo, hi)
+        cur.df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("n_chars")).as("sum_chars"),
+          lit(if (before.filesScanned == before.filesTotal) 1L else 0L).as("before_all"),
+          lit(if (after.filesScanned * 2 <= after.filesTotal) 1L else 0L).as("after_sharp"),
+          lit(if (ap.filesScanned * 2 <= ap.filesTotal) 1L else 0L).as("fold_sharp"))
+      },
+      Some("""WITH p AS (SELECT count(*) AS n FROM documents)
+             |SELECT (SELECT count(*) FROM documents, p
+             |        WHERE doc_id >= n // 4 AND doc_id < n // 4 + n // 8) AS n_rows,
+             |       (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents, p
+             |        WHERE doc_id >= n // 4 AND doc_id < n // 4 + n // 8) AS sum_chars,
+             |       CAST(1 AS BIGINT) AS before_all,
+             |       CAST(1 AS BIGINT) AS after_sharp,
+             |       CAST(1 AS BIGINT) AS fold_sharp""".stripMargin),
+      Seq("K1", "F6", "A2")
     )
   )
 }

@@ -1076,4 +1076,39 @@ class SnapshotSpec extends SparkSpec {
     assert(r2.isEmpty, "the losing merge must skip inside the lock")
     assert(Snapshots.read(spark, t).count() == 13)
   }
+
+  test("recorded clustering discipline: appends and maintenance re-cluster automatically") {
+    val t = tmpDir("snap-cspec")
+    Snapshots.create(spark, t)
+    // interleaved appends: every file spans the whole key range
+    (0 until 4).foreach(i =>
+      Snapshots.append(spark, t, docs(100).filter(col("doc_id") % 4 === i).coalesce(1)))
+    def plan(lo: Long, hi: Long) =
+      Snapshots.scanPlan(spark, t, col("doc_id") >= lo && col("doc_id") < hi)
+    val before = plan(10, 20)
+    assert(before.filesScanned == before.filesTotal, "interleaved: nothing skips")
+    // ONE compact records the discipline; the layout turns sharp
+    Snapshots.compact(spark, t, targetRecordsPerFile = 25, clusterBySpec = "doc_id"): Unit
+    assert(Snapshots.clusterSpec(spark, t).contains("doc_id"))
+    val after = plan(10, 20)
+    assert(after.filesScanned <= 2, s"clustered: ${after.filesScanned}/${after.filesTotal}")
+    // a subsequent append INHERITS the spec: its delta lands clustered
+    Snapshots.append(spark, t, docs(100, idFrom = 1000), maxRecordsPerFile = 25L)
+    assert(Snapshots.clusterSpec(spark, t).contains("doc_id"), "spec carries forward")
+    val ap = plan(1010, 1020)
+    assert(ap.filesScanned <= 2,
+      s"clustered append delta must prune: ${ap.filesScanned}/${ap.filesTotal}")
+    assert(ids(ap.df) == (1010L until 1020L).toSet)
+    // maintenance folds re-cluster by the recorded spec
+    val (_, folded, _) = Snapshots.compactSmallFiles(
+      spark, t, smallBytes = Long.MaxValue, targetRecordsPerFile = 25)
+    assert(folded >= 2)
+    val m = plan(30, 40)
+    assert(m.filesScanned <= 2, s"post-fold: ${m.filesScanned}/${m.filesTotal}")
+    assert(ids(m.df) == (30L until 40L).toSet)
+    // z-order spec parses to one interleaved key; a bad spec is loud
+    assert(Snapshots.clusterCols("z:a,b:8").length == 1)
+    assert(Snapshots.clusterCols("a, b").length == 2)
+    intercept[IllegalArgumentException](Snapshots.clusterCols("z:a:8"))
+  }
 }
