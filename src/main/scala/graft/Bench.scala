@@ -88,10 +88,23 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"shuffle_mb":$shuffles,"runs":$runs,"sf":"$sfDir","failed":${failures.length}}"""
-    println(line)
-    // The driver captures only the tail of stdout, which truncates the first
-    // ~70 query timings; persist the full line so the committed artifact is
-    // always complete.
+    // The driver keeps only a ~2,000-char TAIL of stdout, so a full-battery
+    // line never parses (round-11/12 artifact gap: parsed=null). Stdout
+    // therefore carries a compact line — the SLOWEST queries, which are the
+    // ones a regression check reads — sized under the tail window, with the
+    // complete per-query/spread/shuffle maps persisted to target/bench.json.
+    val budget = 1900
+    val byCost = results.sortBy { case (_, v, _, _) => -math.abs(v) }
+    def render(k: Int): String = {
+      val top = byCost.take(k).map { case (n, v, _, _) => "\"" + n + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$top,""" +
+        s""""queries_omitted":${results.size - k},"artifact":"target/bench.json",""" +
+        s""""runs":$runs,"sf":"$sfDir","failed":${failures.length}}"""
+    }
+    var k = results.size
+    while (k > 1 && render(k).length > budget) k -= 1
+    println(if (line.length <= budget) line else render(k))
     try {
       val out = java.nio.file.Paths.get("target/bench.json")
       java.nio.file.Files.createDirectories(out.getParent)

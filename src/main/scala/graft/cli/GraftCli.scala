@@ -11,7 +11,7 @@ import graft.embed.{DeterministicProvider, EmbeddingProvider}
 import graft.operators.{GraphAnn, Similarity}
 import graft.ops.Ops
 import graft.pipeline.Pipeline
-import graft.sources.{ChunkStore, LovligState, XmlFiles}
+import graft.sources.{ChunkStore, KeyedChunkStore, LovligState, SnapshotChunkStore, XmlFiles}
 
 /** The user-facing entry points, one per reference CLI command (`lg process`
   * / `status` / `validate` / `migrate`; reference `cli.py`). Methods are
@@ -22,6 +22,15 @@ import graft.sources.{ChunkStore, LovligState, XmlFiles}
 object GraftCli {
 
   final case class ProcessResult(summary: Pipeline.RunSummary, exitCode: Int)
+
+  /** Store constructor dispatching on the configured backend:
+    * `--storage-type=snapshot` selects the snapshot-table store (MERGE
+    * upserts, merge-on-read deletes, time travel); parquet|json select the
+    * reference-shaped bucket store.
+    */
+  def mkStore(path: String, settings: Settings): KeyedChunkStore =
+    if (settings.storageType == "snapshot") new SnapshotChunkStore(path)
+    else new ChunkStore(path, settings.storageType, settings.storePrefixLen)
 
   /** `lg process`: sync state → identify → chunk → embed → store → cleanup.
     * @param stateJson   lovlig state.json path (S1 CDC feed)
@@ -44,7 +53,7 @@ object GraftCli {
       /** pre-configured store (format/prefixLen); defaults to parquet at
         * `storePath`.
         */
-      store: ChunkStore = null
+      store: KeyedChunkStore = null
   ): ProcessResult = {
     val fullScan = LovligState.scan(spark, stateJson, extractedDir)
     // dataset pattern gates which datasets the run touches at all (reference
@@ -92,7 +101,7 @@ object GraftCli {
       provider = Option(provider)
         .getOrElse(new DeterministicProvider(settings.embeddingDimensions)),
       datasetFilter = settings.datasetLikePattern,
-      store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+      store = mkStore(storePath, settings)
     )
     if (settings.progress)
       graft.ops.ProgressReporter.withProgress(spark, "process", progressSink)(run())
@@ -108,7 +117,7 @@ object GraftCli {
     */
   def search(
       spark: SparkSession,
-      store: ChunkStore,
+      store: KeyedChunkStore,
       query: String,
       k: Int = 10,
       provider: EmbeddingProvider = new DeterministicProvider(64)
@@ -127,7 +136,7 @@ object GraftCli {
     * directly comparable for hybrid retrieval.
     */
   def textIndex(
-      spark: SparkSession, store: ChunkStore, indexPath: String, nBuckets: Int = 64): Unit =
+      spark: SparkSession, store: KeyedChunkStore, indexPath: String, nBuckets: Int = 64): Unit =
     graft.operators.TextSearch.writeIndex(
       spark, store.read(spark), "content", "chunkId", indexPath, nBuckets)
 
@@ -136,7 +145,7 @@ object GraftCli {
     * limits the batch to those documents' chunks (bucket-pruned store read).
     */
   def textIndexAppend(
-      spark: SparkSession, store: ChunkStore, indexPath: String, docIds: Seq[String]): Unit = {
+      spark: SparkSession, store: KeyedChunkStore, indexPath: String, docIds: Seq[String]): Unit = {
     val chunks = store.read(spark)
     val batch =
       if (docIds.isEmpty) chunks
@@ -165,7 +174,7 @@ object GraftCli {
     * pruning, and [[vectorIndexAppend]] keeps ingest incremental.
     */
   def vectorIndex(
-      spark: SparkSession, store: ChunkStore, indexPath: String, kCells: Int = 64): Unit =
+      spark: SparkSession, store: KeyedChunkStore, indexPath: String, kCells: Int = 64): Unit =
     Similarity.writeIvf(spark,
       Similarity.buildIvf(
         // project BEFORE indexing: buildIvf keeps every input column under
@@ -182,7 +191,7 @@ object GraftCli {
     * `docIds` limits the batch to those documents' chunks.
     */
   def vectorIndexAppend(
-      spark: SparkSession, store: ChunkStore, indexPath: String, docIds: Seq[String]): Unit = {
+      spark: SparkSession, store: KeyedChunkStore, indexPath: String, docIds: Seq[String]): Unit = {
     val chunks = store.read(spark).filter(col("embedding").isNotNull)
     val batch =
       if (docIds.isEmpty) chunks
@@ -213,7 +222,7 @@ object GraftCli {
     * discipline as the IVF path: only (chunkId, embedding) enter the index.
     */
   def graphIndex(
-      spark: SparkSession, store: ChunkStore, graphPath: String,
+      spark: SparkSession, store: KeyedChunkStore, graphPath: String,
       dim: Int = 64, degree: Int = 8, hubs: Int = 64): Unit =
     GraphAnn.writeGraph(
       GraphAnn.buildGraph(
@@ -229,7 +238,7 @@ object GraftCli {
     * Returns the plan it used (logged by the CLI for the audit trail).
     */
   def graphIndexPlanned(
-      spark: SparkSession, store: ChunkStore, graphPath: String,
+      spark: SparkSession, store: KeyedChunkStore, graphPath: String,
       dim: Int = 64, targetRecall: Double = 0.9): GraphAnn.GraphBuildPlan = {
     val vecs = store.read(spark).filter(col("embedding").isNotNull)
       .select(col("chunkId"), col("embedding"))
@@ -243,7 +252,7 @@ object GraftCli {
     * [[graft.operators.GraphAnn.appendToGraph]]); `docIds` limits the batch.
     */
   def graphIndexAppend(
-      spark: SparkSession, store: ChunkStore, graphPath: String,
+      spark: SparkSession, store: KeyedChunkStore, graphPath: String,
       docIds: Seq[String], dim: Int = 64, degree: Int = 8, hubs: Int = 64): Unit = {
     val chunks = store.read(spark).filter(col("embedding").isNotNull)
     val batch =
@@ -291,7 +300,7 @@ object GraftCli {
     *
     * @return (dropped document count, deleted chunk count)
     */
-  def dedupStore(spark: SparkSession, store: ChunkStore): (Long, Long) = {
+  def dedupStore(spark: SparkSession, store: KeyedChunkStore): (Long, Long) = {
     val docsText = store.read(spark)
       .groupBy(col("documentId"))
       .agg(concat_ws("\n\n",
@@ -322,7 +331,7 @@ object GraftCli {
     */
   def decontaminate(
       spark: SparkSession,
-      store: ChunkStore,
+      store: KeyedChunkStore,
       benchmark: DataFrame,
       benchTextCol: String,
       n: Int = 13,
@@ -391,7 +400,7 @@ object GraftCli {
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
           case storePath :: query :: Nil =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             val provider = new DeterministicProvider(settings.embeddingDimensions)
             search(spark, store, query, settings.limit.getOrElse(10), provider)
               .collect().foreach { r =>
@@ -407,7 +416,7 @@ object GraftCli {
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
           case storePath :: Nil =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             val (docs, chunksDeleted) = dedupStore(spark, store)
             println(s"duplicate_docs=$docs deleted_chunks=$chunksDeleted")
             0
@@ -424,7 +433,7 @@ object GraftCli {
           case storePath :: benchPath :: tail
               if tail.lengthIs <= 1 &&
                 tail.forall(t => t.nonEmpty && t.length <= 4 && t.forall(_.isDigit)) =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             val n = tail.headOption.map(_.toInt).getOrElse(13)
             if (report) {
               // read-only leakage ranking: which eval items leaked, worst
@@ -457,7 +466,7 @@ object GraftCli {
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
           case storePath :: indexPath :: Nil =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             vectorIndex(spark, store, indexPath)
             println(s"indexed=$indexPath")
             0
@@ -469,7 +478,7 @@ object GraftCli {
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
           case storePath :: indexPath :: docIds =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             vectorIndexAppend(spark, store, indexPath, docIds)
             println(s"appended=$indexPath")
             0
@@ -510,7 +519,7 @@ object GraftCli {
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
           case storePath :: graphPath :: Nil =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             graphIndex(spark, store, graphPath, dim = settings.embeddingDimensions)
             println(s"graph-indexed=$graphPath")
             0
@@ -522,7 +531,7 @@ object GraftCli {
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
           case storePath :: graphPath :: Nil =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             val plan = graphIndexPlanned(spark, store, graphPath,
               dim = settings.embeddingDimensions)
             println(s"graph-indexed=$graphPath plan=nPlanes:${plan.nPlanes}," +
@@ -537,7 +546,7 @@ object GraftCli {
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
           case storePath :: graphPath :: docIds =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             graphIndexAppend(spark, store, graphPath, docIds,
               dim = settings.embeddingDimensions)
             println(s"graph-appended=$graphPath")
@@ -566,7 +575,7 @@ object GraftCli {
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
           case storePath :: indexPath :: Nil =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             textIndex(spark, store, indexPath)
             println(s"indexed=$indexPath")
             0
@@ -578,7 +587,7 @@ object GraftCli {
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
           case storePath :: indexPath :: docIds =>
-            val store = new ChunkStore(storePath, settings.storageType, settings.storePrefixLen)
+            val store = mkStore(storePath, settings)
             textIndexAppend(spark, store, indexPath, docIds)
             println(s"appended=$indexPath")
             0
@@ -866,6 +875,39 @@ object GraftCli {
               "usage: snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]")
             2
         }
+      // snapshot-cluster <table> <spec> [--limit=recordsPerFile] — compact
+      // AND record the clustering discipline ("c1,c2" or "z:x,y:bits");
+      // appends and maintenance re-cluster by it from then on
+      case "snapshot-cluster" :: rest0 =>
+        val (settings, positional) = Settings.fromArgs(rest0)
+        positional match {
+          case table :: spec :: Nil =>
+            val v = graft.operators.Snapshots.compact(spark, table,
+              targetRecordsPerFile = settings.limit.map(_.toLong).getOrElse(1000000L),
+              clusterBySpec = spec)
+            println(s"clustered=$table version=$v spec=$spec")
+            0
+          case _ =>
+            System.err.println(
+              "usage: snapshot-cluster <table> <spec> [--limit=recordsPerFile]")
+            2
+        }
+      // snapshot-stream <table> <outDir> <checkpoint> [append|changelog] —
+      // drain the table's unconsumed commits (AvailableNow) into parquet;
+      // re-running continues from the checkpoint's offset (version)
+      case "snapshot-stream" :: table :: outDir :: ckpt :: rest if rest.size <= 1 =>
+        val mode = rest.headOption.getOrElse("changelog")
+        val q = graft.sources.SnapshotStream.reader(spark, table, mode)
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            b.write.mode("append").parquet(outDir)
+            Console.err.println(s"[snapshot-stream] batch=$id rows=${spark.read.parquet(outDir).count()}")
+          }
+          .start()
+        q.awaitTermination()
+        println(s"streamed=$table mode=$mode out=$outDir")
+        0
       case "snapshot-expire" :: table :: keepLast :: rest if rest.size <= 1 =>
         val (manifests, files) = graft.operators.Snapshots.expire(
           spark, table, keepLast.toInt,
@@ -887,7 +929,7 @@ object GraftCli {
             |  process <state.json> <extractedDir> <storePath> <ledgerPath> [flags]
             |    flags (override GRAFT_* env vars): --force --progress --limit=N
             |      --target-tokens=N --max-tokens=N --min-tokens=N --overlap-ratio=R
-            |      --dataset=GLOB --storage-type=parquet|json --prefix-len=N
+            |      --dataset=GLOB --storage-type=parquet|json|snapshot --prefix-len=N
             |      --embedding-model=NAME --embedding-dim=N --api-key=sk-...
             |      --tokenizer=word|bpe:<rank-file>
             |  search <storePath> <query> [--limit=K --embedding-dim=N]
@@ -921,6 +963,8 @@ object GraftCli {
             |  snapshot-compact-small <table> <smallBytes>
             |  snapshot-merge <table> <parquetDir> <keyCol,...>
             |  snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]
+            |  snapshot-cluster <table> <spec> [--limit=recordsPerFile]
+            |  snapshot-stream <table> <outDir> <checkpoint> [append|changelog]
             |  snapshot-expire <table> <keepLast>
             |  agg-refresh <table> <aggPath> <keyCol,...> <sumCol,...>
             |  lake-compact <dir> [partitionCol,...] [--limit=recordsPerFile]

@@ -52,8 +52,8 @@ final case class Settings(
 ) {
   require(embeddingDimensions >= 1 && embeddingDimensions <= 3072,
     s"embeddingDimensions must be 1..3072, got $embeddingDimensions")
-  require(storageType == "parquet" || storageType == "json",
-    s"storageType must be 'parquet' or 'json', got '$storageType'")
+  require(storageType == "parquet" || storageType == "json" || storageType == "snapshot",
+    s"storageType must be 'parquet', 'json' or 'snapshot', got '$storageType'")
   require(storePrefixLen >= 1 && storePrefixLen <= 8,
     s"storePrefixLen must be 1..8, got $storePrefixLen")
   require(chunkMaxTokens >= 100 && chunkMaxTokens <= 10000,

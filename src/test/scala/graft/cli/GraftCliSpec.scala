@@ -392,4 +392,40 @@ class GraftCliSpec extends SparkSpec {
     assert(chunks.count() > 1, "configured token bounds must drive chunk splitting")
     assert(chunks.select("embedding").head().getSeq[Float](0).length == 8)
   }
+
+  test("process over the snapshot store backend (--storage-type=snapshot) matches parquet") {
+    val root = tmpDir("clisnap")
+    val extracted = s"$root/extracted"
+    Files.createDirectories(Paths.get(extracted, "ds1"))
+    writeXml(s"$extracted/ds1", "doc_a.xml", "Alpha beta gamma delta.")
+    writeXml(s"$extracted/ds1", "doc_b.xml", "Epsilon zeta eta theta.")
+    val stateJson = s"$root/state.json"
+    Files.write(Paths.get(stateJson),
+      """{"raw_datasets":{"ds1.tar.bz2":{"files":{
+        |"doc_a.xml":{"status":"added","sha256":"ha"},
+        |"doc_b.xml":{"status":"modified","sha256":"hb"}}}}}"""
+        .stripMargin.replace("\n", "").getBytes("UTF-8"))
+    import spark.implicits._
+    def contents(storageType: String): Map[String, String] = {
+      val storePath = s"$root/store-$storageType"
+      val settings = Settings(storageType = storageType, embeddingDimensions = 8)
+      val r = GraftCli.processConfigured(
+        spark, stateJson, extracted, storePath, s"$root/ledger-$storageType", settings)
+      assert(r.exitCode == 0 && r.summary.processed == 2)
+      // idempotent re-run over the same backend
+      assert(GraftCli.processConfigured(spark, stateJson, extracted, storePath,
+        s"$root/ledger-$storageType", settings).summary.processed == 0)
+      GraftCli.mkStore(storePath, settings).read(spark)
+        .select("chunkId", "content").as[(String, String)].collect().toMap
+    }
+    val viaSnapshot = contents("snapshot")
+    val viaParquet = contents("parquet")
+    assert(viaSnapshot == viaParquet && viaSnapshot.nonEmpty,
+      "both backends must store identical chunks")
+    // the snapshot backend exposes status/validate through the same trait
+    val settings = Settings(storageType = "snapshot", embeddingDimensions = 8)
+    val st = Ops.status(spark, s"$root/ledger-snapshot",
+      GraftCli.mkStore(s"$root/store-snapshot", settings))
+    assert(st.processed == 2 && st.storeDocs == 2)
+  }
 }

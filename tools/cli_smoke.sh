@@ -36,4 +36,18 @@ G snapshot-clone "$T" "$W/clone"
 G snapshot-maintain "$T" 1000000 1
 G snapshot-sql "$T" docs "SELECT count(*) AS n FROM docs WHERE n_chars >= 150" | tail -4
 G warc-ingest "$W/*.warc.gz" "$W/crawl_tbl"
+# record a clustering discipline, then stream the table's changelog twice
+# (second run must be a no-op continuation from the checkpoint's offset)
+G snapshot-cluster "$T" doc_id --limit=200
+G snapshot-stream "$T" "$W/feed" "$W/feed_ckpt"
+G snapshot-append "$T" "$W/docs.parquet"
+G snapshot-stream "$T" "$W/feed" "$W/feed_ckpt"
+python3 - << 'PY'
+import duckdb
+n = duckdb.sql("SELECT count(*) FROM '/tmp/graft/cli_smoke/feed/*.parquet'").fetchone()[0]
+t = duckdb.sql("SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet'").fetchone()[0]
+kept = duckdb.sql("SELECT count(*) FROM '/root/testdata/sf0.001/documents.parquet' WHERE n_chars >= 150").fetchone()[0]
+# feed = initial snapshot (kept rows, clustered replace emits nothing) + second append as changelog
+assert n == kept + t, f"feed rows {n} != {kept}+{t}"
+PY
 echo "cli_smoke: OK"
