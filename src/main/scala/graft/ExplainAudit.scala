@@ -50,7 +50,9 @@ object ExplainAudit {
       "q_lateral_topk", "dd_url_dedup", "e2_pq_recall_gate",
       "e2_binary_topk", "e2_mih_radius",
       "dd_line_dedup", "ta_epoch_shuffle", "dd_semantic_contamination",
-      "c_lambda_funcs", "c_generator_funcs", "c_map_funcs", "a_agg_pushdown"
+      "c_lambda_funcs", "c_generator_funcs", "c_map_funcs", "a_agg_pushdown",
+      "k_snapshot_clustered", "k_snapshot_store_roundtrip",
+      "s15_snapshot_changelog_stream"
     )
 
     var bad = 0
@@ -172,6 +174,37 @@ object ExplainAudit {
     val checks = Seq(
       ("prepared graph-ann edges stay in place on the hop join (one Exchange: the frontier)",
         graphHopNoExchange),
+      // recorded clustering discipline: after ONE clustered compact, an
+      // APPEND's delta inherits the layout, so a key-range predicate over
+      // the appended region still prunes manifest-side — streaming-append
+      // debt cannot silently erode the skip path
+      ("recorded clustering keeps append deltas prunable (inherited delta layout)", {
+        import org.apache.spark.sql.functions.col
+        val t = "/tmp/graft/audit/snap_cluster_audit"
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(new java.io.File(t))
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(t).getParent)
+        graft.operators.Snapshots.create(spark, t)
+        val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+        val n = docs.count()
+        val target = (n + 7) / 8
+        (0 until 4).foreach { i =>
+          graft.operators.Snapshots.append(spark, t,
+            docs.filter(col("doc_id") % 4 === i).coalesce(1))
+        }
+        graft.operators.Snapshots.compact(spark, t,
+          targetRecordsPerFile = target, clusterBySpec = "doc_id"): Unit
+        // the appended delta (ids shifted by n) inherits the spec
+        graft.operators.Snapshots.append(spark, t,
+          docs.withColumn("doc_id", col("doc_id") + n), maxRecordsPerFile = target)
+        val sp = graft.operators.Snapshots.scanPlan(spark, t,
+          col("doc_id") >= n + n / 4 && col("doc_id") < n + n / 4 + n / 8)
+        sp.filesScanned * 2 <= sp.filesTotal &&
+          sp.df.inputFiles.length.toLong == sp.filesScanned
+      }),
       // snapshot tables: a range predicate prunes files at PLAN time from
       // manifest stats (no footer opens), and the physical scan reads
       // exactly the surviving file set — the no-listing 100 TB read path

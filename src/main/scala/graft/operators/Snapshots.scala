@@ -1486,7 +1486,17 @@ object Snapshots {
           }
       }
     }
-    frames.reduceOption(_.unionByName(_, allowMissingColumns = true)).getOrElse {
+    // balanced tree union: a catch-up consumer's range can span hundreds
+    // of commits, and a LINEAR unionByName chain that deep makes analysis/
+    // optimization time quadratic-ish — the tree keeps plan depth O(log n)
+    def treeUnion(fs: Seq[DataFrame]): DataFrame =
+      if (fs.size == 1) fs.head
+      else {
+        val (l, r) = fs.splitAt(fs.size / 2)
+        treeUnion(l).unionByName(treeUnion(r), allowMissingColumns = true)
+      }
+    if (frames.nonEmpty) treeUnion(frames)
+    else {
       val s = tableSchema(spark, table, Some(toV)).getOrElse(new StructType())
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
