@@ -48,13 +48,23 @@ import graft.operators.Snapshots
 object SnapshotStream {
   val FORMAT = "graft-snapshot"
 
-  /** Convenience: `spark.readStream` over a snapshot table. */
+  /** Convenience: `spark.readStream` over a snapshot table.
+    * `maxVersionsPerTrigger` bounds a batch's commit range — without it a
+    * consumer restarting after a long gap replays its whole backlog as ONE
+    * batch (the admission-control knob Delta spells `maxFilesPerTrigger`).
+    * Under a continuous trigger every MICROBATCH is capped; under
+    * `Trigger.AvailableNow` Spark's v1 wrapper freezes the availability
+    * target once per run, so each RUN advances by at most the budget
+    * (drain a backlog with repeated runs, each bounded).
+    */
   def reader(
       spark: SparkSession, table: String, mode: String = "append",
-      startingVersion: Option[Long] = None): DataFrame = {
+      startingVersion: Option[Long] = None,
+      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
     val r = spark.readStream.format(classOf[SnapshotStreamProvider].getName)
       .option("path", table).option("mode", mode)
     startingVersion.foreach(v => r.option("startingVersion", v.toString))
+    maxVersionsPerTrigger.foreach(k => r.option("maxVersionsPerTrigger", k.toString))
     r.load()
   }
 
@@ -100,7 +110,8 @@ class SnapshotStreamProvider extends StreamSourceProvider with DataSourceRegiste
       s"graft-snapshot mode must be append|changelog, got $mode")
     val base = baseSchema(sqlContext.sparkSession, schema, table)
     new SnapshotStreamSource(sqlContext.sparkSession, table, mode,
-      parameters.get("startingVersion").map(_.toLong), base)
+      parameters.get("startingVersion").map(_.toLong), base,
+      parameters.get("maxVersionsPerTrigger").map(_.toInt))
   }
 }
 
@@ -110,15 +121,31 @@ class SnapshotStreamSource(
     table: String,
     mode: String,
     startingVersion: Option[Long],
-    baseSchema: StructType) extends Source {
+    baseSchema: StructType,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   override val schema: StructType =
     if (mode == "changelog") SnapshotStream.changelogSchema(baseSchema) else baseSchema
 
   private def offV(o: Offset): Long = o.json.trim.toLong
 
+  /** Last batch end handed out — the admission-control base. Re-primed
+    * from the engine's first getBatch after a restart (Spark replays the
+    * checkpointed range before asking for new offsets), so the cap never
+    * re-admits committed versions.
+    */
+  @volatile private var lastEnd: Option[Long] = None
+
   override def getOffset: Option[Offset] =
-    Snapshots.currentVersion(table).map(LongOffset(_))
+    Snapshots.currentVersion(table).map { cur =>
+      val capped = (maxVersionsPerTrigger, lastEnd.orElse(startingVersion)) match {
+        case (Some(k), Some(base)) => math.min(cur, base + k)
+        // first-ever batch is the starting snapshot — indivisible; the
+        // cap applies from the next trigger on
+        case _ => cur
+      }
+      LongOffset(capped)
+    }
 
   /** Align a batch to the pinned stream schema: missing (pre-evolution or
     * post-evolution) columns null-fill, extras drop, exactly like the
@@ -132,6 +159,7 @@ class SnapshotStreamSource(
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val toV = offV(end)
+    lastEnd = Some(toV)
     val batch: DataFrame = (start.map(offV).orElse(startingVersion), mode) match {
       case (None, "changelog") =>
         // first batch: the starting snapshot AS INSERTS at its version —

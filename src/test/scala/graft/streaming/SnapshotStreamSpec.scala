@@ -139,4 +139,42 @@ class SnapshotStreamSpec extends SparkSpec {
     val wantM = want.as[(String, Long)].collect().toMap
     assert(gotM == wantM, s"streamed rollup $gotM != batch recompute $wantM")
   }
+
+  test("maxVersionsPerTrigger bounds catch-up microbatches to a commit budget") {
+    val t = tmpDir("sstream-cap")
+    val ckpt = tmpDir("sstream-cap-ckpt")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(4).coalesce(1)) // v1
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def drainCapped(): Unit =
+      drain(SnapshotStream.reader(spark, t, maxVersionsPerTrigger = Some(1)), ckpt) { b =>
+        val is = ids(b)
+        batches.synchronized { batches += ((b.count(), is)) }: Unit
+      }
+    drainCapped() // one batch: the starting snapshot (indivisible)
+    assert(batches.size == 1 && batches.head._2 == (0L until 4L).toSet)
+    // a 3-commit backlog: under AvailableNow each RUN advances at most the
+    // budget (the v1 wrapper freezes one availability target per run), so
+    // draining takes three bounded runs — never one giant batch
+    (0 until 3).foreach(i =>
+      Snapshots.append(spark, t, docs(2, idFrom = 10 + i * 10).coalesce(1)))
+    drainCapped(); drainCapped(); drainCapped()
+    assert(batches.size == 4, s"backlog must split per commit: ${batches.size - 1} batches")
+    assert(batches.drop(1).map(_._2).toSeq ==
+      (0 until 3).map(i => Set((10 + i * 10).toLong, (11 + i * 10).toLong)),
+      "each capped batch carries exactly one commit's delta, in order")
+    drainCapped() // drained: nothing further
+    assert(batches.size == 4)
+    // uncapped, the same backlog would have been one batch (sanity twin)
+    val t2 = tmpDir("sstream-cap2")
+    val ckpt2 = tmpDir("sstream-cap2-ckpt")
+    Snapshots.create(spark, t2)
+    Snapshots.append(spark, t2, docs(4).coalesce(1))
+    var n2 = 0
+    drain(SnapshotStream.reader(spark, t2), ckpt2)(_ => n2 += 1)
+    (0 until 3).foreach(i =>
+      Snapshots.append(spark, t2, docs(2, idFrom = 10 + i * 10).coalesce(1)))
+    drain(SnapshotStream.reader(spark, t2), ckpt2)(_ => n2 += 1)
+    assert(n2 == 2, s"uncapped backlog drains as one batch per restart: $n2")
+  }
 }
