@@ -379,4 +379,43 @@ object TextSearch {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Keep this index current with a SNAPSHOT TABLE
+    * ([[graft.operators.Snapshots]]) — the standing pattern for derived
+    * artifacts at 100 TB: each call reads exactly the commits APPENDED
+    * since the index's cursor (a manifest query; nothing else scanned) and
+    * registers them as ONE segment named by the version range, so a round
+    * that crashed between the index write and the cursor commit replays
+    * idempotently (the stable segment id is skipped — [[appendToIndex]]'s
+    * exactly-once contract); non-append lineage (delete/merge/overwrite)
+    * REBUILDS from the current table, because append-only segments cannot
+    * express a retire — the same fallback discipline as
+    * [[Snapshots.readChangesSince]] itself. The cursor commits AFTER the
+    * index lands (at-least-once + idempotent segment = exactly-once).
+    * Returns the mode taken: `rebuild` | `append` | `noop`.
+    */
+  def refreshIndexFromSnapshot(
+      spark: SparkSession, table: String, indexPath: String,
+      textCol: String, idCol: String, cursorPath: String,
+      nBuckets: Int = 64): String = {
+    val ch = graft.operators.Snapshots.readChangesSince(spark, table, cursorPath)
+    val statsExist = hadoopFs(spark, indexPath)
+      .exists(new org.apache.hadoop.fs.Path(indexPath + "/_stats"))
+    val mode = ch.mode match {
+      case "noop" => "noop"
+      case "incremental" if statsExist =>
+        appendToIndex(spark, ch.df, textCol, idCol, indexPath,
+          segmentId = f"v${ch.fromV}%08d-v${ch.toV}%08d")
+        "append"
+      case _ => // first build, non-append lineage, or a vanished index:
+        // always rebuild from the FULL table at the round's version (an
+        // incremental round's df is the delta alone — never enough)
+        writeIndex(spark,
+          graft.operators.Snapshots.read(spark, table, Some(ch.toV)),
+          textCol, idCol, indexPath, nBuckets)
+        "rebuild"
+    }
+    if (mode != "noop") graft.operators.Snapshots.commitCursor(cursorPath, ch.toV)
+    mode
+  }
 }

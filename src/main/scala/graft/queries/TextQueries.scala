@@ -1728,6 +1728,44 @@ object TextQueries {
       Seq("A1", "L2", "F6")
     ),
 
+    // Snapshot-cursor-driven index maintenance: the BM25 index FOLLOWS a
+    // snapshot table (TextSearch.refreshIndexFromSnapshot) — round 1
+    // rebuilds, round 2 registers the two appended commits as ONE
+    // version-range segment (a manifest query reads only the delta's
+    // files), and a crash-replayed round (cursor rolled back by hand)
+    // re-appends the SAME segment id and is skipped — counted once. The
+    // search over the maintained index must equal the from-scratch BM25
+    // oracle, and the pinned modes prove the rounds took the
+    // rebuild/append/append paths rather than silently rebuilding.
+    "ts_bm25_snapshot" -> Q(
+      (s, d) => {
+        val tbl = bm25IndexDir(d, "_snap_tbl")
+        val idx = bm25IndexDir(d, "_snap_idx")
+        val cur = bm25IndexDir(d, "_snap_cur") + "/c"
+        graft.operators.Snapshots.create(s, tbl)
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        graft.operators.Snapshots.append(s, tbl, docs.filter(col("doc_id") % 3 =!= 0))
+        def refresh() = TextSearch.refreshIndexFromSnapshot(
+          s, tbl, idx, "text", "doc_id", cur, nBuckets = 16)
+        val m1 = refresh()
+        graft.operators.Snapshots.append(s, tbl,
+          docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0))
+        graft.operators.Snapshots.append(s, tbl,
+          docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0))
+        val m2 = refresh()
+        // crash between index write and cursor commit: replay counts once
+        graft.operators.Snapshots.commitCursor(cur, 1L)
+        val m3 = refresh()
+        TextSearch.searchIndex(s, idx, bm25Terms, k = Int.MaxValue)
+          .select(col("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(15)
+          .withColumn("modes", lit(s"$m1,$m2,$m3"))
+      },
+      Some(s"SELECT x.*, 'rebuild,append,append' AS modes FROM ($bm25OracleSql) x"),
+      Seq("S1", "K1", "L2")
+    ),
+
     // CCNet-style perplexity filter: bigram LM (add-0.5 smoothing) trained
     // on the even-doc_id slice, every document scored under it. Per-doc
     // log-ppl is rounded to 6dp on both sides, then aggregated in exact

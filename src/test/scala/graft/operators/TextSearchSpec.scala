@@ -249,4 +249,46 @@ class TextSearchSpec extends SparkSpec {
       .collect().head
     assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
   }
+
+  test("snapshot-driven refresh: rebuild/append/noop, crash replay, retire fallback") {
+    val t = tmpDir("ts-snap") + "/t"
+    val idx = tmpDir("ts-snap-idx") + "/idx"
+    val cur = tmpDir("ts-snap-cur") + "/c"
+    def docs(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      col("id").as("doc_id"),
+      concat(lit("apple word"), col("id") % 3,
+        when(col("id") % 2 === 0, lit(" banana")).otherwise(lit(""))).as("text"))
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(0, 20))
+    def refresh() = TextSearch.refreshIndexFromSnapshot(
+      spark, t, idx, "text", "doc_id", cur, nBuckets = 8)
+    def scores() = TextSearch.searchIndex(spark, idx, Seq("apple", "banana"), Int.MaxValue)
+      .select(col("doc_id"), round(col("score"), 9).as("s"))
+      .as[(Long, Double)].collect().toMap
+    def oracle(ref: org.apache.spark.sql.DataFrame) = {
+      val p = tmpDir("ts-snap-ref") + "/i"
+      TextSearch.writeIndex(spark, ref, "text", "doc_id", p, nBuckets = 8)
+      TextSearch.searchIndex(spark, p, Seq("apple", "banana"), Int.MaxValue)
+        .select(col("doc_id"), round(col("score"), 9).as("s"))
+        .as[(Long, Double)].collect().toMap
+    }
+    assert(refresh() == "rebuild")
+    assert(scores() == oracle(docs(0, 20)))
+    // appended commits register as ONE version-range segment
+    Snapshots.append(spark, t, docs(20, 25))
+    Snapshots.append(spark, t, docs(25, 30))
+    assert(refresh() == "append")
+    assert(scores() == oracle(docs(0, 30)), "delta segment must equal a from-scratch build")
+    assert(refresh() == "noop")
+    // crash between index write and cursor commit: roll the cursor back —
+    // the replayed round re-appends the SAME segment id and is skipped
+    Snapshots.commitCursor(cur, 1L)
+    assert(refresh() == "append")
+    assert(scores() == oracle(docs(0, 30)), "replayed segment must count once")
+    // a retire (MOR delete) cannot be expressed append-only: rebuild
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") < 5)
+    assert(refresh() == "rebuild")
+    assert(scores() == oracle(docs(5, 30)), "rebuilt index must exclude retired docs")
+    assert(refresh() == "noop")
+  }
 }
