@@ -254,12 +254,29 @@ object Similarity {
     */
   def appendToIvf(
       spark: SparkSession, df: DataFrame, vecCol: String, idCol: String,
-      path: String): Unit = {
+      path: String, segmentId: String = null): Unit = {
+    // replay protection (same contract as TextSearch.appendToIndex): a
+    // stable segmentId makes the call idempotent — a fully-registered
+    // segment (marker present) is skipped outright, covering the
+    // append-succeeded-but-cursor-commit-didn't replay. A crash MID-append
+    // leaves unmarked duplicate rows; the next [[retrainIvf]] heals them
+    // (dropDuplicates by id). Without an id: no replay protection.
+    val marker = Option(segmentId).map { id =>
+      require(!id.contains("/"), s"segmentId must not contain '/': $id")
+      new org.apache.hadoop.fs.Path(s"$path/_segments/$id/_SUCCESS")
+    }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (marker.exists(fs.exists)) return
     val cents = spark.read.parquet(path + "/_centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq.sortBy(_._1)
     assignCells(df, vecCol, cents)
       .repartition(col("cid"))
       .write.partitionBy("cid").mode(SaveMode.Append).parquet(path)
+    marker.foreach { m => // marker LAST: the segment counts fully or not at all
+      fs.mkdirs(m.getParent)
+      fs.create(m, true).close()
+    }
   }
 
   /** Re-train a persisted IVF index in place: k-means over the STORED
@@ -271,7 +288,9 @@ object Similarity {
   def retrainIvf(
       spark: SparkSession, path: String, vecCol: String, idCol: String,
       k: Int, iters: Int = 2): Unit = {
-    val vecs = spark.read.parquet(path).drop("cid")
+    // dropDuplicates heals rows a crashed-and-replayed unmarked append
+    // doubled (the IVF twin of the postings-compaction distinct)
+    val vecs = spark.read.parquet(path).drop("cid").dropDuplicates(idCol)
     val index = buildIvfKmeans(vecs, vecCol, idCol, k, iters)
     val tmp = path + ".retrain-tmp"
     // the tmp write materializes the new assignment while the old tree is
@@ -285,6 +304,42 @@ object Similarity {
     require(fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path)),
       s"rename $tmp -> $path failed after the old index was deleted; " +
         s"the retrained index is intact at $tmp — move it into place manually")
+  }
+
+  /** Keep a persisted IVF index current with a SNAPSHOT TABLE — the vector
+    * twin of [[TextSearch.refreshIndexFromSnapshot]]: each round reads
+    * exactly the commits appended since the index's cursor (a manifest
+    * query) and registers them as ONE marker-gated segment named by the
+    * version range ([[appendToIvf]]'s idempotent-replay contract, so a
+    * crash between the index write and the cursor commit counts once);
+    * non-append lineage (delete/merge/overwrite) REBUILDS from the full
+    * table at the round's version with a fresh k-means train — an
+    * append-only cell layout cannot express a retire. Cursor commits after
+    * the index lands. Returns `rebuild` | `append` | `noop`. Frozen
+    * centroids drift as appends accumulate; [[retrainIvf]] is the periodic
+    * counterweight, exactly as for hand-driven appends.
+    */
+  def refreshIvfFromSnapshot(
+      spark: SparkSession, table: String, indexPath: String,
+      vecCol: String, idCol: String, cursorPath: String,
+      k: Int, iters: Int = 2): String = {
+    val ch = Snapshots.readChangesSince(spark, table, cursorPath)
+    val centsExist = new org.apache.hadoop.fs.Path(indexPath + "/_centroids")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(indexPath + "/_centroids"))
+    val mode = ch.mode match {
+      case "noop" => "noop"
+      case "incremental" if centsExist =>
+        appendToIvf(spark, ch.df, vecCol, idCol, indexPath,
+          segmentId = f"v${ch.fromV}%08d-v${ch.toV}%08d")
+        "append"
+      case _ =>
+        writeIvf(spark, buildIvfKmeans(
+          Snapshots.read(spark, table, Some(ch.toV)), vecCol, idCol, k, iters), indexPath)
+        "rebuild"
+    }
+    if (mode != "noop") Snapshots.commitCursor(cursorPath, ch.toV)
+    mode
   }
 
   /** Search an IVF index: score the query against the (driver-side, tiny)

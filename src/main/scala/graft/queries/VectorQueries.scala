@@ -296,6 +296,38 @@ object VectorQueries {
       Seq("E2")
     ),
 
+    // Snapshot-cursor-driven IVF maintenance — the vector twin of
+    // ts_bm25_snapshot: rebuild trains k-means on the table's train slice,
+    // the appended commits assign against the FROZEN stored centroids as
+    // ONE marker-gated segment, and a hand-rolled cursor rollback replays
+    // the round exactly once (the marker skips it). The probe search over
+    // the maintained index must equal the oracle's train-slice-kmeans +
+    // full-assignment arithmetic; modes pin the rebuild/append/append path.
+    "e2_ann_ivf_snapshot" -> Q(
+      (s, d) => {
+        val all = embeddings(s, d).filter(col("vec_id") =!= 0)
+        val tbl = scratchDir(d, "ivf_snap_tbl")
+        val idx = scratchDir(d, "ivf_snap_idx")
+        val cur = scratchDir(d, "ivf_snap_cur") + "/c"
+        graft.operators.Snapshots.create(s, tbl)
+        graft.operators.Snapshots.append(s, tbl, all.filter(col("vec_id") % 3 =!= 0))
+        def refresh() = Similarity.refreshIvfFromSnapshot(
+          s, tbl, idx, "embedding", "vec_id", cur, k = 16, iters = 2)
+        val m1 = refresh()
+        graft.operators.Snapshots.append(s, tbl, all.filter(col("vec_id") % 3 === 0))
+        val m2 = refresh()
+        graft.operators.Snapshots.commitCursor(cur, 1L)
+        val m3 = refresh() // crash-replayed round: the marker-gated segment skips
+        val index = Similarity.readIvf(s, idx)
+        Similarity.topKIvf(index, "embedding", "vec_id", queryVec(s, d), k = 10, nProbes = 2)
+          .withColumn("modes", lit(s"$m1,$m2,$m3"))
+      },
+      Some(s"""SELECT x.*, 'rebuild,append,append' AS modes FROM (
+              |${ivfKmeansOracleSql(kCentroids = 16, nProbes = 2, k = 10,
+                trainPred = "vec_id % 3 <> 0")}) x""".stripMargin),
+      Seq("E2", "S1", "K1")
+    ),
+
     // Corpus clustering histogram: cell sizes of the k-means IVF build —
     // the "how balanced is my index" diagnostic. Pure integer outputs; the
     // oracle replays both Lloyd iterations and counts the same cells.
@@ -1434,12 +1466,17 @@ object VectorQueries {
   /** The k-means build replay through the final assignment (`assign3`) —
     * shared by the search oracle and the cluster-size oracle.
     */
-  private def ivfKmeansBuildCtes(kCentroids: Int): String = {
-    def cosAssign(fromCents: String, no: Int): String =
+  /** `trainPred` restricts the k-means TRAINING set (seeds + mean steps);
+    * the final `assign3` still covers every vector — the exact state a
+    * train-slice `buildIvfKmeans` + frozen-centroid `appendToIvf` leaves
+    * on disk. Default TRUE trains on everything (the original CTEs).
+    */
+  private def ivfKmeansBuildCtes(kCentroids: Int, trainPred: String = "TRUE"): String = {
+    def cosAssign(fromCents: String, no: Int, src: String): String =
       s"""cos$no AS (
          |  SELECT u.vec_id, c.cid, sum(u.x * c.c) AS dot,
          |         sqrt(sum(u.x * u.x)) AS na, sqrt(sum(c.c * c.c)) AS nb
-         |  FROM unn u JOIN $fromCents c ON u.i = c.i GROUP BY u.vec_id, c.cid),
+         |  FROM $src u JOIN $fromCents c ON u.i = c.i GROUP BY u.vec_id, c.cid),
          |assign$no AS (
          |  SELECT vec_id,
          |         (max({'sim': CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0 END, 'cid': cid})).cid AS cid
@@ -1455,20 +1492,22 @@ object VectorQueries {
        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
        |         CAST(unnest(embedding) AS DOUBLE) AS x
        |  FROM embeddings WHERE vec_id <> 0),
-       |qfix AS (SELECT vec_id, i, CAST(round(x * 1048576.0) AS BIGINT) AS qx FROM unn),
+       |tunn AS (SELECT * FROM unn WHERE $trainPred),
+       |qfix AS (SELECT vec_id, i, CAST(round(x * 1048576.0) AS BIGINT) AS qx FROM tunn),
        |seeds AS (
        |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-       |  FROM (SELECT DISTINCT vec_id FROM unn ORDER BY vec_id LIMIT $kCentroids)),
-       |c0 AS (SELECT s.cid, u.i, u.x AS c FROM seeds s JOIN unn u ON u.vec_id = s.vec_id),
-       |${cosAssign("c0", 1)},
+       |  FROM (SELECT DISTINCT vec_id FROM tunn ORDER BY vec_id LIMIT $kCentroids)),
+       |c0 AS (SELECT s.cid, u.i, u.x AS c FROM seeds s JOIN tunn u ON u.vec_id = s.vec_id),
+       |${cosAssign("c0", 1, "tunn")},
        |${fixedPointMean("assign1", "c0", 1)},
-       |${cosAssign("c1", 2)},
+       |${cosAssign("c1", 2, "tunn")},
        |${fixedPointMean("assign2", "c1", 2)},
-       |${cosAssign("c2", 3)}""".stripMargin
+       |${cosAssign("c2", 3, "unn")}""".stripMargin
   }
 
-  private def ivfKmeansOracleSql(kCentroids: Int, nProbes: Int, k: Int): String =
-    s"""${ivfKmeansBuildCtes(kCentroids)},
+  private def ivfKmeansOracleSql(
+      kCentroids: Int, nProbes: Int, k: Int, trainPred: String = "TRUE"): String =
+    s"""${ivfKmeansBuildCtes(kCentroids, trainPred)},
        |qv AS (SELECT generate_subscripts(embedding, 1) AS i, CAST(unnest(embedding) AS DOUBLE) AS x
        |       FROM embeddings WHERE vec_id = 0),
        |qcos AS (

@@ -108,4 +108,40 @@ class KmeansSpec extends SparkSpec {
     assert(retrained.centroids.map { case (c, v) => (c, v.toSeq) }.sortBy(_._1) ==
       direct.centroids.map { case (c, v) => (c, v.toSeq) }.sortBy(_._1))
   }
+
+  test("snapshot-driven IVF refresh: rebuild/append/noop, replay once, retire fallback") {
+    val t = tmpDir("ivfsnap-t") + "/t"
+    val idx = tmpDir("ivfsnap-i") + "/index"
+    val cur = tmpDir("ivfsnap-c") + "/c"
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, clustered.filter(col("vec_id") < 60))
+    def refresh() = Similarity.refreshIvfFromSnapshot(
+      spark, t, idx, "embedding", "vec_id", cur, k = 3, iters = 2)
+    def rows() = Similarity.readIvf(spark, idx).assigned
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(refresh() == "rebuild")
+    assert(rows() == (0L until 60L))
+    // two appended commits register as one marker-gated segment
+    Snapshots.append(spark, t, clustered.filter(col("vec_id") >= 60 && col("vec_id") < 75))
+    Snapshots.append(spark, t, clustered.filter(col("vec_id") >= 75))
+    assert(refresh() == "append")
+    assert(rows() == (0L until 90L))
+    assert(refresh() == "noop")
+    // crash between index write and cursor commit: replay counts once
+    Snapshots.commitCursor(cur, 1L)
+    assert(refresh() == "append")
+    assert(rows() == (0L until 90L), "the marker-gated segment must not double-append")
+    // search through the maintained index equals brute over the table
+    val q = Array(0.9f, 0.1f, 0f, 0f)
+    val hits = Similarity.topKIvf(Similarity.readIvf(spark, idx),
+      "embedding", "vec_id", q, k = 5, nProbes = 3).select("vec_id").as[Long].collect().toSeq
+    val brute = Similarity.topK(clustered, "embedding", "vec_id", q, k = 5)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(hits == brute)
+    // a retire cannot be expressed append-only: rebuild excludes it
+    Snapshots.deleteWhereMor(spark, t, col("vec_id") < 10)
+    assert(refresh() == "rebuild")
+    assert(rows() == (10L until 90L))
+    assert(refresh() == "noop")
+  }
 }
