@@ -875,6 +875,34 @@ object GraftCli {
               "usage: snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]")
             2
         }
+      // text-index-refresh <table> <indexPath> <cursor> [textCol] [idCol] —
+      // bring a BM25 index up to a snapshot table's current version at
+      // delta cost (appends as replay-safe segments; rebuild across
+      // deletes/merges). Pairs with warc-ingest: crawl -> search in two
+      // commands.
+      case "text-index-refresh" :: table :: indexPath :: cursor :: rest if rest.size <= 2 =>
+        val m = graft.operators.TextSearch.refreshIndexFromSnapshot(
+          spark, table, indexPath,
+          rest.headOption.getOrElse("text"), rest.lift(1).getOrElse("doc_id"), cursor)
+        println(s"refreshed=$indexPath mode=$m")
+        0
+      // vector-index-refresh <table> <indexPath> <cursor> [vecCol] [idCol]
+      // [--limit=kCells] — the IVF twin
+      case "vector-index-refresh" :: rest0 =>
+        val (settings, positional) = Settings.fromArgs(rest0)
+        positional match {
+          case table :: indexPath :: cursor :: rest if rest.size <= 2 =>
+            val m = graft.operators.Similarity.refreshIvfFromSnapshot(
+              spark, table, indexPath,
+              rest.headOption.getOrElse("embedding"), rest.lift(1).getOrElse("doc_id"),
+              cursor, k = settings.limit.getOrElse(64))
+            println(s"refreshed=$indexPath mode=$m")
+            0
+          case _ =>
+            System.err.println(
+              "usage: vector-index-refresh <table> <indexPath> <cursor> [vecCol] [idCol] [--limit=kCells]")
+            2
+        }
       // snapshot-cluster <table> <spec> [--limit=recordsPerFile] — compact
       // AND record the clustering discipline ("c1,c2" or "z:x,y:bits");
       // appends and maintenance re-cluster by it from then on
@@ -964,6 +992,8 @@ object GraftCli {
             |  snapshot-merge <table> <parquetDir> <keyCol,...>
             |  snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]
             |  snapshot-cluster <table> <spec> [--limit=recordsPerFile]
+            |  text-index-refresh <table> <indexPath> <cursor> [textCol] [idCol]
+            |  vector-index-refresh <table> <indexPath> <cursor> [vecCol] [idCol] [--limit=kCells]
             |  snapshot-stream <table> <outDir> <checkpoint> [append|changelog]
             |  snapshot-expire <table> <keepLast>
             |  agg-refresh <table> <aggPath> <keyCol,...> <sumCol,...>

@@ -1816,6 +1816,9 @@ object Snapshots {
     * `statsCols`). `exact=false` when any counted file carries a deletion
     * vector (a deleted row may have held the extremum, so the value is a
     * conservative BOUND — still sound for pruning, not for reporting).
+    * Values are the Double-cast stats: long/decimal extremes beyond 2^53
+    * are reported at double precision (±1 ulp) — the PRUNING paths
+    * compensate with the widened compare; this reporting face does not.
     */
   def fastMinMax(
       spark: SparkSession, table: String, column: String,

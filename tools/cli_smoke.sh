@@ -36,6 +36,11 @@ G snapshot-clone "$T" "$W/clone"
 G snapshot-maintain "$T" 1000000 1
 G snapshot-sql "$T" docs "SELECT count(*) AS n FROM docs WHERE n_chars >= 150" | tail -4
 G warc-ingest "$W/*.warc.gz" "$W/crawl_tbl"
+# crawl -> search: keep a BM25 index current with the WARC table's commits
+M1=$(G text-index-refresh "$W/crawl_tbl" "$W/crawl_idx" "$W/crawl_idx_cur")
+M2=$(G text-index-refresh "$W/crawl_tbl" "$W/crawl_idx" "$W/crawl_idx_cur")
+[[ "$M1" == *"mode=rebuild"* && "$M2" == *"mode=noop"* ]] \
+  || { echo "index refresh modes wrong: $M1 / $M2"; exit 1; }
 # record a clustering discipline, then stream the table's changelog twice
 # (second run must be a no-op continuation from the checkpoint's offset)
 G snapshot-cluster "$T" doc_id --limit=200
