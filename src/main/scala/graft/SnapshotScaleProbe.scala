@@ -142,8 +142,54 @@ object SnapshotScaleProbe {
       (tStage / 10, tCommit / 10)
     }
 
+    // round 13: a non-append commit REBASES over concurrent appends whose
+    // stats boxes miss its key bounds — a merge races a 4-batch sink and
+    // every commit lands, no data write retried
+    val (tRebase, rebaseLanded) = {
+      val t = "/tmp/graft/snapprobe/rebase"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      Snapshots.create(spark, t)
+      Snapshots.append(spark, t, corpus)
+      val batch = corpus.limit(1000).coalesce(1).cache()
+      batch.count(): Unit
+      val appender = new Thread(() => (0 until 4).foreach { i =>
+        Snapshots.append(spark, t, batch.withColumn("doc_id",
+          col("doc_id") + lit(1_000_000_000L * (i + 1)))): Unit
+      })
+      appender.start()
+      // key bounds [0, 1000) — disjoint from every racing append's files
+      val src = corpus.filter(col("doc_id") < 1000).withColumn("n_chars", lit(-1L))
+      val (m, tM) = timed(Snapshots.merge(spark, t, src, Seq("doc_id")))
+      appender.join()
+      batch.unpersist(): Unit
+      val ok = Snapshots.fastCount(spark, t) == nRows + 4000 && m.version >= 2
+      (tM, ok)
+    }
+
+    // round 13: changelog catch-up — one consumer round spanning 40 commits
+    // (the restart-after-a-gap case; the balanced union keeps the plan
+    // O(log n) deep where a linear chain stalled analysis)
+    val (catchRows, tCatchUp) = {
+      val t = "/tmp/graft/snapprobe/catchup"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      Snapshots.create(spark, t)
+      val small = corpus.limit(500).coalesce(1).cache()
+      small.count(): Unit
+      (0 until 40).foreach { i =>
+        Snapshots.append(spark, t, small.withColumn("doc_id",
+          col("doc_id") + lit(i.toLong * 1_000_000L))): Unit
+      }
+      val r = timed(Snapshots.rowChanges(spark, t, 0L, 40L).count())
+      small.unpersist(): Unit
+      r
+    }
+
     println(f"[snapshot-probe] rows=$nRows table_mb=${tableBytes / 1e6}%.1f " +
       f"deleted=${morStats.rowsDeleted}")
+    println(f"[snapshot-probe] rebase: merge racing 4 appends merge_s=$tRebase%.1f " +
+      f"all_commits_landed=$rebaseLanded (disjoint appends commute; no retry of the rewrite)")
+    println(f"[snapshot-probe] changelog_catchup: 40-commit range rows=$catchRows " +
+      f"replay_s=$tCatchUp%.1f (balanced union; cost ∝ the commits' churn)")
     println(f"[snapshot-probe] commit_protocol: stage_s=${tRate._1}%.2f " +
       f"commit_s=${tRate._2}%.2f per small append (scheduler-bound fixed cost)")
     println(f"[snapshot-probe] cow_delete_s=$tCowDel%.1f cow_files_rewritten=$cowRewritten " +
