@@ -936,6 +936,13 @@ object GraftCli {
         q.awaitTermination()
         println(s"streamed=$table mode=$mode out=$outDir")
         0
+      // snapshot-restore <table> <version> — roll back to a version as a
+      // by-reference commit (bad-batch recovery; history stays readable)
+      case "snapshot-restore" :: table :: version :: Nil =>
+        val v = graft.operators.Snapshots.restore(spark, table, version.toLong)
+        println(s"restored=$table to_version=${version.toLong} new_version=$v " +
+          s"rows=${graft.operators.Snapshots.fastCount(spark, table)}")
+        0
       case "snapshot-expire" :: table :: keepLast :: rest if rest.size <= 1 =>
         val (manifests, files) = graft.operators.Snapshots.expire(
           spark, table, keepLast.toInt,
@@ -992,6 +999,7 @@ object GraftCli {
             |  snapshot-merge <table> <parquetDir> <keyCol,...>
             |  snapshot-compact <table> [clusterCol,...] [--limit=recordsPerFile]
             |  snapshot-cluster <table> <spec> [--limit=recordsPerFile]
+            |  snapshot-restore <table> <version>
             |  text-index-refresh <table> <indexPath> <cursor> [textCol] [idCol]
             |  vector-index-refresh <table> <indexPath> <cursor> [vecCol] [idCol] [--limit=kCells]
             |  snapshot-stream <table> <outDir> <checkpoint> [append|changelog]

@@ -1450,39 +1450,40 @@ object Snapshots {
               val fileDels = o.exceptAll(n)
               val fileIns = n.exceptAll(o)
               // (b) deletion-vector delta on files carried in BOTH
-              // versions: the new positions joined back to their rows
+              // versions, in EITHER direction: positions entering the
+              // vector are deletes; positions leaving it (a RESTORE
+              // rolling back past a delete) are re-inserts
               val changed = curr
                 .join(prev.select(col("path"), col("dv_path").as("__old_dv")), Seq("path"))
-                .filter(col("dv_path").isNotNull && !(col("dv_path") <=> col("__old_dv")))
+                .filter(!(col("dv_path") <=> col("__old_dv")))
                 .cache()
-              val newDvP = changed.select("dv_path").distinct()
-                .collect().map(r => absPath(table, r.getString(0)))
-              val dvDels: Option[DataFrame] =
-                if (newDvP.isEmpty) None
+              val dvDelta: Seq[DataFrame] =
+                if (changed.isEmpty) Nil
                 else {
                   val bns = changed
                     .select(element_at(split(col("path"), "/"), -1).as("file"))
-                  val newPos = spark.read.parquet(newDvP.toIndexedSeq: _*)
-                    .select(col("file"), col("pos"))
-                    .join(bns, Seq("file"), "left_semi")
-                  val oldDvP = changed.filter(col("__old_dv").isNotNull)
-                    .select("__old_dv").distinct()
-                    .collect().map(r => absPath(table, r.getString(0)))
-                  val oldPos =
-                    if (oldDvP.isEmpty) newPos.limit(0)
-                    else spark.read.parquet(oldDvP.toIndexedSeq: _*)
+                  def posOf(c: String): DataFrame = {
+                    val dirs = changed.filter(col(c).isNotNull).select(c).distinct()
+                      .collect().map(r => absPath(table, r.getString(0)))
+                    if (dirs.isEmpty) {
+                      import spark.implicits._
+                      spark.emptyDataset[(String, Long)].toDF("file", "pos")
+                    } else spark.read.parquet(dirs.toIndexedSeq: _*)
                       .select(col("file"), col("pos"))
                       .join(bns, Seq("file"), "left_semi")
-                  val delta = newPos.exceptAll(oldPos)
+                  }
+                  val newPos = posOf("dv_path")
+                  val oldPos = posOf("__old_dv")
                   val raw = readFilesMeta(spark, table,
                     changed.withColumn("dv_path", lit(null: String)), schemaPrev)
-                  Some(conform(
+                  def rowsAt(delta: DataFrame): DataFrame = conform(
                     raw.join(delta.select(col("file").as("__file"), col("pos").as("__pos")),
-                      Seq("__file", "__pos")), ts))
+                      Seq("__file", "__pos")), ts)
+                  Seq(tag(rowsAt(newPos.exceptAll(oldPos)), "delete"),
+                    tag(rowsAt(oldPos.exceptAll(newPos)), "insert"))
                 }
               changed.unpersist(): Unit
-              Seq(tag(fileDels, "delete"), tag(fileIns, "insert")) ++
-                dvDels.map(tag(_, "delete"))
+              Seq(tag(fileDels, "delete"), tag(fileIns, "insert")) ++ dvDelta
           }
       }
     }
@@ -1759,6 +1760,53 @@ object Snapshots {
       Map.empty, Map.empty, allowOverlap = true, txn = None,
       schemaJson = tableSchema(spark, table, Some(parent)).map(_.json),
       clusterBy = Option(clusterBySpec).filter(_.nonEmpty)).get
+  }
+
+  /** Roll the table BACK to `version` as a NEW commit (op `restore`) — the
+    * Delta `RESTORE TABLE` discipline, the operational answer to a bad
+    * batch landing in production: the target version's file rows (with
+    * their deletion-vector references) carry forward BY REFERENCE into a
+    * fresh commit, so NOTHING rewrites, the recorded schema rolls back
+    * with the data, and the bad commits stay time-travelable until
+    * [[expire]] reclaims them. Referenced files are existence-checked as
+    * a Spark job first (a version past its retention window fails fast
+    * and loudly, before the pointer moves). Non-append, so incremental
+    * consumers fall back and the changelog reads the rollback as exactly
+    * the rows that disappear/reappear vs the parent. Returns the new
+    * version.
+    */
+  def restore(spark: SparkSession, table: String, version: Long): Long = {
+    import spark.implicits._
+    val parent = requireVersion(table)
+    require(version <= parent,
+      s"cannot restore $table to v$version: current is v$parent")
+    if (version == parent) return parent
+    val files = fileRows(spark, table, version)
+      .select(fileColNames.head, fileColNames.tail: _*)
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val missing = files.select("path").as[String]
+      .mapPartitions { it =>
+        var fs: org.apache.hadoop.fs.FileSystem = null
+        it.filter { p =>
+          val hp = new Path(absPath(table, p))
+          if (fs == null) fs = hp.getFileSystem(conf.value)
+          !fs.exists(hp)
+        }
+      }.take(3)
+    require(missing.isEmpty,
+      s"cannot restore $table to v$version: ${missing.length}+ referenced " +
+        s"data files were reclaimed by expire (e.g. ${missing.headOption.getOrElse("")})")
+    val v = parent + 1
+    withCommitLock(spark, table) {
+      writeManifest(spark, table, v, parent, "restore", files,
+        schemaJson = tableSchema(spark, table, Some(version)).map(_.json),
+        // the clustering discipline rolls back with the data (Some("")
+        // clears a spec recorded after `version`)
+        clusterBy = Some(clusterSpec(spark, table, Some(version)).getOrElse("")))
+      swapCurrent(table, parent, v)
+    }
+    v
   }
 
   /** Zero-copy SHALLOW CLONE: initialize `dst` as a new snapshot table

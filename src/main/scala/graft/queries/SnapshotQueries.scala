@@ -882,6 +882,52 @@ object SnapshotQueries {
       Seq("K3", "F9", "C16")
     ),
 
+    // RESTORE: roll the table back to a version as a BY-REFERENCE commit -
+    // the bad-batch rollback. evens (v1), a bad odd batch with inflated
+    // n_chars (v2), a delete that also killed good rows (v3), restore to
+    // v1 (v4): the final per-lang aggregate equals the evens exactly
+    // (deleted rows back, bad rows gone), v3 stays time-travelable, and
+    // the restore writes ZERO data files (files_delta pins it
+    // structurally).
+    "k_snapshot_restore" -> Q(
+      (s, d) => {
+        val t = fresh(d, "snap_restore")
+        Snapshots.create(s, t)
+        val docs = documents(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 0))
+        Snapshots.append(s, t, docs.filter(col("doc_id") % 2 === 1)
+          .withColumn("n_chars", col("n_chars") + 1000000L))
+        Snapshots.deleteWhereMor(s, t, col("n_chars") < 150)
+        def dataFiles(): Long = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(s"$t/data"))
+            .iterator().asScala.count { p =>
+              val n = p.getFileName.toString
+              java.nio.file.Files.isRegularFile(p) &&
+                !n.startsWith("_") && !n.startsWith(".") &&
+                !p.getParent.getFileName.toString.endsWith(".dv")
+            }
+        }
+        val before = dataFiles()
+        Snapshots.restore(s, t, 1L)
+        val delta = dataFiles() - before
+        val nV3 = Snapshots.read(s, t, Some(3L)).count()
+        Snapshots.read(s, t)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+          .withColumn("n_v3", lit(nV3))
+          .withColumn("files_delta", lit(delta))
+      },
+      Some("""SELECT lang,
+             |       count(CASE WHEN doc_id % 2 = 0 THEN 1 END) AS n,
+             |       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN n_chars END) AS BIGINT) AS sum_chars,
+             |       (SELECT count(*) FROM documents
+             |        WHERE doc_id % 2 = 1 OR n_chars >= 150) AS n_v3,
+             |       CAST(0 AS BIGINT) AS files_delta
+             |FROM documents GROUP BY lang""".stripMargin),
+      Seq("K1", "K3", "S4")
+    ),
+
     // Recorded clustering discipline on the snapshot commit path: a
     // scattered-key table (interleaved appends - no file can skip) takes
     // ONE compact(clusterBySpec) and the spec then travels in every commit

@@ -1111,4 +1111,38 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.clusterCols("a, b").length == 2)
     intercept[IllegalArgumentException](Snapshots.clusterCols("z:a:8"))
   }
+
+  test("restore rolls back by reference; schema and changelog follow; reclaimed versions fail fast") {
+    val t = tmpDir("snap-restore")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10).coalesce(1)) // v1: the good state
+    Snapshots.append(spark, t,
+      docs(5, idFrom = 100).withColumn("bad", lit(true)).coalesce(1)) // v2: bad batch
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") < 3) // v3: bad delete
+    val filesBefore = realDataFiles(t)
+    val v = Snapshots.restore(spark, t, 1L)
+    assert(v == 4L)
+    assert(ids(Snapshots.read(spark, t)) == (0L until 10L).toSet,
+      "restore must reproduce v1 exactly (bad rows gone, deleted rows back)")
+    assert(Snapshots.read(spark, t).columns.toSeq == Seq("doc_id", "source", "n_chars"),
+      "the recorded schema rolls back with the data")
+    assert(realDataFiles(t) == filesBefore, "restore writes NO data files")
+    assert(ids(Snapshots.read(spark, t, Some(3L))) ==
+      ((3L until 10L) ++ (100L until 105L)).toSet,
+      "the rolled-back commits stay time-travelable")
+    // the changelog reads the rollback as exactly the delta vs the parent
+    val ch = Snapshots.rowChanges(spark, t, 3L, 4L)
+    assert(ids(ch.filter(col("_change_type") === "delete")) == (100L until 105L).toSet)
+    assert(ids(ch.filter(col("_change_type") === "insert")) == Set(0L, 1L, 2L))
+    // incremental consumers fall back across the restore
+    assert(Snapshots.diffAppended(spark, t, 3L, 4L).isEmpty)
+    // restore is idempotent at the current version
+    assert(Snapshots.restore(spark, t, 4L) == 4L)
+    // a version whose files expire reclaimed fails fast, pointer unmoved
+    Snapshots.compact(spark, t): Unit // v5 rewrites; v1 files become unreferenced...
+    Snapshots.expire(spark, t, keepLast = 1): Unit // ...and reclaim
+    intercept[Exception](Snapshots.restore(spark, t, 4L))
+    assert(Snapshots.currentVersion(t).contains(5L))
+    assert(ids(Snapshots.read(spark, t)) == (0L until 10L).toSet)
+  }
 }
