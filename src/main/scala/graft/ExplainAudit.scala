@@ -52,7 +52,8 @@ object ExplainAudit {
       "dd_line_dedup", "ta_epoch_shuffle", "dd_semantic_contamination",
       "c_lambda_funcs", "c_generator_funcs", "c_map_funcs", "a_agg_pushdown",
       "k_snapshot_clustered", "k_snapshot_store_roundtrip",
-      "s15_snapshot_changelog_stream", "ts_bm25_snapshot", "e2_ann_ivf_snapshot"
+      "s15_snapshot_changelog_stream", "ts_bm25_snapshot", "e2_ann_ivf_snapshot",
+      "k_snapshot_restore"
     )
 
     var bad = 0
