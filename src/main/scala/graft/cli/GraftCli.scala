@@ -165,7 +165,7 @@ object GraftCli {
     })
       graft.operators.TextSearch.searchIndex(spark, target, terms, k)
     else {
-      val store = new ChunkStore(target, settings.storageType, settings.storePrefixLen)
+      val store = mkStore(target, settings)
       graft.operators.TextSearch.bm25TopK(store.read(spark), "content", "chunkId", terms, k)
     }
 
@@ -689,16 +689,34 @@ object GraftCli {
             System.err.println("usage: text-search <storePath|indexPath> <\"terms\"> [--limit=K]")
             2
         }
-      case "status" :: ledgerPath :: storePath :: Nil =>
-        val s = Ops.status(spark, ledgerPath, new ChunkStore(storePath))
-        println(s"processed=${s.processed} failed=${s.failed} chunks=${s.storeChunks} docs=${s.storeDocs}")
-        0
-      case "validate" :: ledgerPath :: storePath :: Nil =>
-        val v = Ops.validate(spark, ledgerPath, new ChunkStore(storePath))
-        println(s"consistent=${v.isConsistent} state_only=${v.stateOnly.mkString(",")} store_only=${v.storeOnly.mkString(",")}")
-        if (v.isConsistent) 0 else 1
+      case "status" :: rest0 =>
+        val (settings, positional) = Settings.fromArgs(rest0)
+        positional match {
+          case ledgerPath :: storePath :: Nil =>
+            val s = Ops.status(spark, ledgerPath, mkStore(storePath, settings))
+            println(s"processed=${s.processed} failed=${s.failed} chunks=${s.storeChunks} docs=${s.storeDocs}")
+            0
+          case _ =>
+            System.err.println("usage: status <ledgerPath> <storePath> [--storage-type=...]")
+            2
+        }
+      case "validate" :: rest0 =>
+        val (settings, positional) = Settings.fromArgs(rest0)
+        positional match {
+          case ledgerPath :: storePath :: Nil =>
+            val v = Ops.validate(spark, ledgerPath, mkStore(storePath, settings))
+            println(s"consistent=${v.isConsistent} state_only=${v.stateOnly.mkString(",")} store_only=${v.storeOnly.mkString(",")}")
+            if (v.isConsistent) 0 else 1
+          case _ =>
+            System.err.println("usage: validate <ledgerPath> <storePath> [--storage-type=...]")
+            2
+        }
+      // formats: parquet | json (bucket store) | snapshot (snapshot-table
+      // store) — so bucket -> snapshot is a one-command store migration
       case "migrate" :: src :: srcFmt :: dst :: dstFmt :: Nil =>
-        val n = Ops.migrate(spark, new ChunkStore(src, srcFmt), new ChunkStore(dst, dstFmt))
+        def storeFor(p: String, fmt: String): KeyedChunkStore =
+          if (fmt == "snapshot") new SnapshotChunkStore(p) else new ChunkStore(p, fmt)
+        val n = Ops.migrate(spark, storeFor(src, srcFmt), storeFor(dst, dstFmt))
         println(s"migrated=$n")
         0
       // mixture <in.parquet> <out.parquet> <totalTokens> src=w [src=w ...]
