@@ -961,11 +961,15 @@ object GraftCli {
         println(s"restored=$table to_version=${version.toLong} new_version=$v " +
           s"rows=${graft.operators.Snapshots.fastCount(spark, table)}")
         0
-      case "snapshot-expire" :: table :: keepLast :: rest if rest.size <= 1 =>
+      // snapshot-expire <table> <keepLast> [orphanGraceMs] [dry] — `dry`
+      // reports what would reclaim without deleting (retention pre-flight)
+      case "snapshot-expire" :: table :: keepLast :: rest if rest.size <= 2 =>
+        val dry = rest.contains("dry")
         val (manifests, files) = graft.operators.Snapshots.expire(
           spark, table, keepLast.toInt,
-          orphanGraceMs = rest.headOption.map(_.toLong).getOrElse(0L))
-        println(s"manifests_dropped=$manifests data_files_deleted=$files")
+          orphanGraceMs = rest.filterNot(_ == "dry").headOption.map(_.toLong).getOrElse(0L),
+          dryRun = dry)
+        println(s"manifests_dropped=$manifests data_files_deleted=$files dry_run=$dry")
         0
       // agg-refresh — bring a diff-maintained materialized rollup up to the
       // snapshot table's current version (delta merge when insert-only)

@@ -1980,7 +1980,12 @@ object Snapshots {
     */
   def expire(
       spark: SparkSession, table: String, keepLast: Int,
-      orphanGraceMs: Long = 0L): (Long, Long) = withCommitLock(spark, table) {
+      orphanGraceMs: Long = 0L,
+      /** Report what WOULD reclaim without deleting anything — the
+        * operator's pre-flight for a retention change (a too-small
+        * keepLast silently strips time travel and replay windows).
+        */
+      dryRun: Boolean = false): (Long, Long) = withCommitLock(spark, table) {
     require(keepLast >= 1, "keepLast must be >= 1")
     val cur = requireVersion(table)
     val fs = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2011,7 +2016,8 @@ object Snapshots {
         .getOrElse(Set.empty[String])
     var droppedManifests = 0L
     versions.filterNot(retained.contains).foreach { v =>
-      fs.delete(new Path(vdir(table, v)), true); droppedManifests += 1
+      if (!dryRun) fs.delete(new Path(vdir(table, v)), true): Unit
+      droppedManifests += 1
     }
     val now = System.currentTimeMillis()
     var deletedFiles = 0L
@@ -2031,12 +2037,13 @@ object Snapshots {
             !droppedRefs.contains(rel) &&
             now - st.getModificationTime < orphanGraceMs
           if (!live.contains(rel) && !liveDvDirs.contains(parentRel) && !youngOrphan) {
-            fs.delete(st.getPath, false); deletedFiles += 1
+            if (!dryRun) fs.delete(st.getPath, false): Unit
+            deletedFiles += 1
           }
         }
       }
       // drop commit dirs left with no data files (only _SUCCESS-style markers)
-      fs.listStatus(dataRoot).foreach { d =>
+      if (!dryRun) fs.listStatus(dataRoot).foreach { d =>
         if (d.isDirectory && fs.listStatus(d.getPath).forall(s => isMeta(s.getPath.getName)))
           fs.delete(d.getPath, true): Unit
       }

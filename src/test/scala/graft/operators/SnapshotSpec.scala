@@ -1140,7 +1140,13 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.restore(spark, t, 4L) == 4L)
     // a version whose files expire reclaimed fails fast, pointer unmoved
     Snapshots.compact(spark, t): Unit // v5 rewrites; v1 files become unreferenced...
-    Snapshots.expire(spark, t, keepLast = 1): Unit // ...and reclaim
+    // dry run FIRST: reports the exact reclaim without touching anything
+    val (dmDry, dfDry) = Snapshots.expire(spark, t, keepLast = 1, dryRun = true)
+    assert(dmDry > 0 && dfDry > 0, s"dry run must report the pending reclaim: $dmDry/$dfDry")
+    assert(ids(Snapshots.read(spark, t, Some(4L))) == (0L until 10L).toSet,
+      "a dry run must leave every retained-or-not version readable")
+    val (dm, df) = Snapshots.expire(spark, t, keepLast = 1) // ...and reclaim
+    assert((dm, df) == (dmDry, dfDry), "the dry run's report must match the real reclaim")
     intercept[Exception](Snapshots.restore(spark, t, 4L))
     assert(Snapshots.currentVersion(t).contains(5L))
     assert(ids(Snapshots.read(spark, t)) == (0L until 10L).toSet)
