@@ -947,8 +947,15 @@ object GraftCli {
           .writeStream.option("checkpointLocation", ckpt)
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            // cache so the count doesn't recompute the batch the write just
+            // materialized; logging the BATCH's rows (not a recount of the
+            // whole accumulated outDir) keeps a backlog drain O(batch), not
+            // O(batches × total rows)
+            b.persist()
+            val n = b.count()
             b.write.mode("append").parquet(outDir)
-            Console.err.println(s"[snapshot-stream] batch=$id rows=${spark.read.parquet(outDir).count()}")
+            b.unpersist()
+            Console.err.println(s"[snapshot-stream] batch=$id rows=$n")
           }
           .start()
         q.awaitTermination()

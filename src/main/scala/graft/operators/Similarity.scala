@@ -324,22 +324,54 @@ object Similarity {
       vecCol: String, idCol: String, cursorPath: String,
       k: Int, iters: Int = 2): String = {
     val ch = Snapshots.readChangesSince(spark, table, cursorPath)
-    val centsExist = new org.apache.hadoop.fs.Path(indexPath + "/_centroids")
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(indexPath + "/_centroids"))
+    val centsExist = fs.exists(new org.apache.hadoop.fs.Path(indexPath + "/_centroids"))
+    def rebuild(): String = {
+      writeIvf(spark, buildIvfKmeans(
+        Snapshots.read(spark, table, Some(ch.toV)), vecCol, idCol, k, iters), indexPath)
+      "rebuild"
+    }
     val mode = ch.mode match {
       case "noop" => "noop"
       case "incremental" if centsExist =>
-        appendToIvf(spark, ch.df, vecCol, idCol, indexPath,
-          segmentId = f"v${ch.fromV}%08d-v${ch.toV}%08d")
-        "append"
-      case _ =>
-        writeIvf(spark, buildIvfKmeans(
-          Snapshots.read(spark, table, Some(ch.toV)), vecCol, idCol, k, iters), indexPath)
-        "rebuild"
+        // range-proof replay (round-13 advisory): the index's own segment
+        // high-water bounds the delta, so a replay after the table advanced
+        // (crashed round indexed (a,b], replay sees (a,c]) appends only
+        // (b,c] instead of duplicating (a,b] under a new segment id
+        val hw = ivfSegmentHighWater(spark, fs, indexPath)
+        val from = math.max(ch.fromV, hw)
+        if (from >= ch.toV) "noop" // fully indexed; only the cursor lags
+        else {
+          val delta =
+            if (from == ch.fromV) Some(ch.df)
+            else Snapshots.diffAppended(spark, table, from, ch.toV)
+          delta match {
+            case Some(d) =>
+              appendToIvf(spark, d, vecCol, idCol, indexPath,
+                segmentId = f"v$from%08d-v${ch.toV}%08d")
+              "append"
+            case None => rebuild()
+          }
+        }
+      case _ => rebuild()
     }
-    if (mode != "noop") Snapshots.commitCursor(cursorPath, ch.toV)
+    if (ch.mode != "noop") Snapshots.commitCursor(cursorPath, ch.toV)
     mode
+  }
+
+  /** Max `toV` over fully-registered (marker present) `v{from}-v{to}`
+    * segment dirs — what [[refreshIvfFromSnapshot]] has already folded in.
+    */
+  private def ivfSegmentHighWater(
+      spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(path + "/_segments")
+    if (!fs.exists(dir)) return -1L
+    fs.listStatus(dir).filter(_.isDirectory).flatMap { st =>
+      TextSearch.parseSegmentRange(st.getPath.getName)
+        .filter(_ => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+    }.foldLeft(-1L)(math.max)
   }
 
   /** Search an IVF index: score the query against the (driver-side, tiny)

@@ -1768,9 +1768,11 @@ object Snapshots {
     * their deletion-vector references) carry forward BY REFERENCE into a
     * fresh commit, so NOTHING rewrites, the recorded schema rolls back
     * with the data, and the bad commits stay time-travelable until
-    * [[expire]] reclaims them. Referenced files are existence-checked as
-    * a Spark job first (a version past its retention window fails fast
-    * and loudly, before the pointer moves). Non-append, so incremental
+    * [[expire]] reclaims them. Referenced files — data AND deletion-vector
+    * — are existence-checked as a Spark job INSIDE the commit lock (a
+    * version past its retention window fails fast and loudly, before the
+    * pointer moves; [[expire]] holds the same lock, so a concurrent sweep
+    * cannot reclaim between the check and the commit). Non-append, so incremental
     * consumers fall back and the changelog reads the rollback as exactly
     * the rows that disappear/reappear vs the parent. Returns the new
     * version.
@@ -1785,20 +1787,31 @@ object Snapshots {
       .select(fileColNames.head, fileColNames.tail: _*)
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
-    val missing = files.select("path").as[String]
-      .mapPartitions { it =>
-        var fs: org.apache.hadoop.fs.FileSystem = null
-        it.filter { p =>
-          val hp = new Path(absPath(table, p))
-          if (fs == null) fs = hp.getFileSystem(conf.value)
-          !fs.exists(hp)
-        }
-      }.take(3)
-    require(missing.isEmpty,
-      s"cannot restore $table to v$version: ${missing.length}+ referenced " +
-        s"data files were reclaimed by expire (e.g. ${missing.headOption.getOrElse("")})")
+    // probe BOTH columns an old manifest references: data files and MOR
+    // deletion vectors — a version whose dv dirs were reclaimed would
+    // otherwise commit a manifest whose reads fail later (round-13
+    // advisory). Runs INSIDE the commit lock below: expire holds the same
+    // lock, so nothing can reclaim between this check and swapCurrent.
+    def probeMissing(): Array[String] = {
+      val refs = files.select(col("path"))
+        .union(files.filter(col("dv_path").isNotNull).select(col("dv_path")))
+        .distinct()
+      refs.as[String]
+        .mapPartitions { it =>
+          var fs: org.apache.hadoop.fs.FileSystem = null
+          it.filter { p =>
+            val hp = new Path(absPath(table, p))
+            if (fs == null) fs = hp.getFileSystem(conf.value)
+            !fs.exists(hp)
+          }
+        }.take(3)
+    }
     val v = parent + 1
     withCommitLock(spark, table) {
+      val missing = probeMissing()
+      require(missing.isEmpty,
+        s"cannot restore $table to v$version: ${missing.length}+ referenced " +
+          s"files were reclaimed by expire (e.g. ${missing.headOption.getOrElse("")})")
       writeManifest(spark, table, v, parent, "restore", files,
         schemaJson = tableSchema(spark, table, Some(version)).map(_.json),
         // the clustering discipline rolls back with the data (Some("")

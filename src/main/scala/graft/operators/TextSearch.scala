@@ -392,6 +392,14 @@ object TextSearch {
     * express a retire — the same fallback discipline as
     * [[Snapshots.readChangesSince]] itself. The cursor commits AFTER the
     * index lands (at-least-once + idempotent segment = exactly-once).
+    *
+    * The idempotence is RANGE-PROOF, not just id-proof: the index's own
+    * high-water version (max `toV` across registered `v{a}-v{b}` segment
+    * markers) bounds the delta, so a replay AFTER the table advanced —
+    * crashed round indexed (a,b], replay sees (a,c], c > b, a DIFFERENT
+    * segment id — re-derives the delta as (b,c] instead of re-appending
+    * (a,b] a second time. Without it, duplicated postings skew df/BM25
+    * until a rebuild (round-13 advisory finding).
     * Returns the mode taken: `rebuild` | `append` | `noop`.
     */
   def refreshIndexFromSnapshot(
@@ -404,9 +412,25 @@ object TextSearch {
     val mode = ch.mode match {
       case "noop" => "noop"
       case "incremental" if statsExist =>
-        appendToIndex(spark, ch.df, textCol, idCol, indexPath,
-          segmentId = f"v${ch.fromV}%08d-v${ch.toV}%08d")
-        "append"
+        // clamp to what a crashed-and-replayed round already indexed
+        val from = math.max(ch.fromV, segmentHighWater(spark, indexPath))
+        if (from >= ch.toV) "noop" // fully indexed; only the cursor lags
+        else {
+          val delta =
+            if (from == ch.fromV) Some(ch.df)
+            else graft.operators.Snapshots.diffAppended(spark, table, from, ch.toV)
+          delta match {
+            case Some(d) =>
+              appendToIndex(spark, d, textCol, idCol, indexPath,
+                segmentId = f"v$from%08d-v${ch.toV}%08d")
+              "append"
+            case None => // non-append landed inside the clamped range
+              writeIndex(spark,
+                graft.operators.Snapshots.read(spark, table, Some(ch.toV)),
+                textCol, idCol, indexPath, nBuckets)
+              "rebuild"
+          }
+        }
       case _ => // first build, non-append lineage, or a vanished index:
         // always rebuild from the FULL table at the round's version (an
         // incremental round's df is the delta alone — never enough)
@@ -415,7 +439,25 @@ object TextSearch {
           textCol, idCol, indexPath, nBuckets)
         "rebuild"
     }
-    if (mode != "noop") graft.operators.Snapshots.commitCursor(cursorPath, ch.toV)
+    if (ch.mode != "noop") graft.operators.Snapshots.commitCursor(cursorPath, ch.toV)
     mode
+  }
+
+  /** Highest snapshot version already folded into this index: max `toV`
+    * over FULLY-REGISTERED (`_SUCCESS` present) `v{from}-v{to}` segment
+    * markers. -1 when none — manually-named segments don't participate.
+    */
+  private[operators] def segmentHighWater(spark: SparkSession, path: String): Long =
+    segmentPaths(spark, path).flatMap { p =>
+      val name = new org.apache.hadoop.fs.Path(p).getName
+      parseSegmentRange(name).filter { _ =>
+        hadoopFs(spark, path)
+          .exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+      }
+    }.foldLeft(-1L)(math.max)
+
+  private[operators] def parseSegmentRange(name: String): Option[Long] = {
+    val m = java.util.regex.Pattern.compile("^v(\\d{8,})-v(\\d{8,})$").matcher(name)
+    if (m.matches()) Some(m.group(2).toLong) else None
   }
 }

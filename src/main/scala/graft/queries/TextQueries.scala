@@ -1732,11 +1732,16 @@ object TextQueries {
     // snapshot table (TextSearch.refreshIndexFromSnapshot) — round 1
     // rebuilds, round 2 registers the two appended commits as ONE
     // version-range segment (a manifest query reads only the delta's
-    // files), and a crash-replayed round (cursor rolled back by hand)
-    // re-appends the SAME segment id and is skipped — counted once. The
-    // search over the maintained index must equal the from-scratch BM25
-    // oracle, and the pinned modes prove the rounds took the
-    // rebuild/append/append paths rather than silently rebuilding.
+    // files). Crash replay is RANGE-PROOF via the index's own segment
+    // high-water: a replay whose range exactly matches the crashed round's
+    // short-circuits to noop, and — the round-13 advisory case — a replay
+    // issued AFTER the table advanced (cursor rolled back, then a 4th
+    // commit lands, so the replay range (1,4] ≠ the crashed (1,3])
+    // appends exactly the (3,4] tail. Were (1,3] re-appended under the
+    // wider segment id, tf/df would double and the scores would diverge
+    // from the from-scratch oracle — the hash is the proof. Pinned modes
+    // prove each round took rebuild/append/noop/append, never a silent
+    // rebuild.
     "ts_bm25_snapshot" -> Q(
       (s, d) => {
         val tbl = bm25IndexDir(d, "_snap_tbl")
@@ -1744,25 +1749,30 @@ object TextQueries {
         val cur = bm25IndexDir(d, "_snap_cur") + "/c"
         graft.operators.Snapshots.create(s, tbl)
         val docs = documents(s, d).select(col("doc_id"), col("text"))
-        graft.operators.Snapshots.append(s, tbl, docs.filter(col("doc_id") % 3 =!= 0))
+        graft.operators.Snapshots.append(s, tbl, docs.filter(col("doc_id") % 3 === 1))
         def refresh() = TextSearch.refreshIndexFromSnapshot(
           s, tbl, idx, "text", "doc_id", cur, nBuckets = 16)
         val m1 = refresh()
+        graft.operators.Snapshots.append(s, tbl, docs.filter(col("doc_id") % 3 === 2))
         graft.operators.Snapshots.append(s, tbl,
           docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 === 0))
-        graft.operators.Snapshots.append(s, tbl,
-          docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0))
         val m2 = refresh()
-        // crash between index write and cursor commit: replay counts once
+        // crash between index write and cursor commit, table unchanged:
+        // the segment high-water says (1,3] is folded in — noop
         graft.operators.Snapshots.commitCursor(cur, 1L)
         val m3 = refresh()
+        // crash replay after the table ADVANCED: only (3,4] may append
+        graft.operators.Snapshots.commitCursor(cur, 1L)
+        graft.operators.Snapshots.append(s, tbl,
+          docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 2 =!= 0))
+        val m4 = refresh()
         TextSearch.searchIndex(s, idx, bm25Terms, k = Int.MaxValue)
           .select(col("doc_id"), round(col("score"), 6).as("score"))
           .orderBy(col("score").desc, col("doc_id"))
           .limit(15)
-          .withColumn("modes", lit(s"$m1,$m2,$m3"))
+          .withColumn("modes", lit(s"$m1,$m2,$m3,$m4"))
       },
-      Some(s"SELECT x.*, 'rebuild,append,append' AS modes FROM ($bm25OracleSql) x"),
+      Some(s"SELECT x.*, 'rebuild,append,noop,append' AS modes FROM ($bm25OracleSql) x"),
       Seq("S1", "K1", "L2")
     ),
 

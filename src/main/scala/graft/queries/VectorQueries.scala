@@ -299,10 +299,13 @@ object VectorQueries {
     // Snapshot-cursor-driven IVF maintenance — the vector twin of
     // ts_bm25_snapshot: rebuild trains k-means on the table's train slice,
     // the appended commits assign against the FROZEN stored centroids as
-    // ONE marker-gated segment, and a hand-rolled cursor rollback replays
-    // the round exactly once (the marker skips it). The probe search over
-    // the maintained index must equal the oracle's train-slice-kmeans +
-    // full-assignment arithmetic; modes pin the rebuild/append/append path.
+    // marker-gated segments. Crash replay is RANGE-PROOF via the segment
+    // high-water: an exact-range replay short-circuits to noop, and the
+    // round-13 advisory case — cursor rolled back AND the table advanced —
+    // appends exactly the new tail commit (a duplicate re-append of the
+    // crashed range would double rows in their cells and break the
+    // probe-search hash vs the oracle's single-copy arithmetic). Modes pin
+    // the rebuild/append/noop/append path.
     "e2_ann_ivf_snapshot" -> Q(
       (s, d) => {
         val all = embeddings(s, d).filter(col("vec_id") =!= 0)
@@ -314,15 +317,20 @@ object VectorQueries {
         def refresh() = Similarity.refreshIvfFromSnapshot(
           s, tbl, idx, "embedding", "vec_id", cur, k = 16, iters = 2)
         val m1 = refresh()
-        graft.operators.Snapshots.append(s, tbl, all.filter(col("vec_id") % 3 === 0))
+        graft.operators.Snapshots.append(s, tbl,
+          all.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 === 0))
         val m2 = refresh()
         graft.operators.Snapshots.commitCursor(cur, 1L)
-        val m3 = refresh() // crash-replayed round: the marker-gated segment skips
+        val m3 = refresh() // exact-range replay: high-water says noop
+        graft.operators.Snapshots.commitCursor(cur, 1L)
+        graft.operators.Snapshots.append(s, tbl,
+          all.filter(col("vec_id") % 3 === 0 && col("vec_id") % 2 =!= 0))
+        val m4 = refresh() // advanced replay: append exactly (2,3]
         val index = Similarity.readIvf(s, idx)
         Similarity.topKIvf(index, "embedding", "vec_id", queryVec(s, d), k = 10, nProbes = 2)
-          .withColumn("modes", lit(s"$m1,$m2,$m3"))
+          .withColumn("modes", lit(s"$m1,$m2,$m3,$m4"))
       },
-      Some(s"""SELECT x.*, 'rebuild,append,append' AS modes FROM (
+      Some(s"""SELECT x.*, 'rebuild,append,noop,append' AS modes FROM (
               |${ivfKmeansOracleSql(kCentroids = 16, nProbes = 2, k = 10,
                 trainPred = "vec_id % 3 <> 0")}) x""".stripMargin),
       Seq("E2", "S1", "K1")

@@ -42,8 +42,8 @@ import graft.operators.Snapshots
   * Schema is pinned at stream start from the table's recorded schema;
   * later evolution null-fills (the fixed-schema contract a running query
   * plan requires). Citation: reference behavior `lovdata_pipeline/
-  * application/pipeline_service.py` (the incremental sync loop) — this is
-  * its push-based face.
+  * orchestration/pipeline_orchestrator.py:214-278` (the incremental sync
+  * loop) — this is its push-based face.
   */
 object SnapshotStream {
   val FORMAT = "graft-snapshot"

@@ -134,6 +134,76 @@ class CommitStoreSpec extends SparkSpec {
     }
   }
 
+  // --- HadoopCommitStore: the hdfs:// impl, executed over file:/// ---
+  // FileContext backs local paths via RawLocalFs, so the exact code path
+  // a non-local scheme dispatches to (FileContext.rename(OVERWRITE) swap,
+  // create(overwrite=false) lock) runs for real here — a typo'd Path or a
+  // FileContext quirk fails THIS suite, not a production hdfs deploy
+  // (round-13 verdict: this impl previously had zero test execution).
+
+  private def hadoopStore(): HadoopCommitStore =
+    new HadoopCommitStore(spark.sparkContext.hadoopConfiguration)
+
+  test("HadoopCommitStore primitives: swap pair, exclusive lock, cursor round-trip") {
+    val h = hadoopStore()
+    val t = tmpDir("hcs-prim")
+    h.prepareTable(t)
+    assert(h.readPointer(t).isEmpty)
+    h.swapPointer(t, -1L, 0L)
+    assert(h.readPointer(t).contains(0L))
+    h.swapPointer(t, 0L, 1L)
+    assert(h.readPointer(t).contains(1L))
+    // the conditional-swap race pair: a writer whose expected parent went
+    // stale must be rejected, and the pointer must be left untouched
+    intercept[java.util.ConcurrentModificationException](h.swapPointer(t, 0L, 2L))
+    assert(h.readPointer(t).contains(1L), "losing swap must not move the pointer")
+    // lock: atomic create-if-absent; only the holder's token survives
+    assert(h.tryLock(t, "alpha"))
+    assert(!h.tryLock(t, "beta"), "create(overwrite=false) admits one holder")
+    assert(h.lockToken(t).contains("alpha"))
+    assert(h.lockAgeMs(t).exists(_ >= 0L))
+    h.breakLock(t)
+    assert(h.lockToken(t).isEmpty)
+    assert(h.tryLock(t, "beta"))
+    h.breakLock(t)
+    // cursor: atomic rename write, readable back
+    val cur = s"$t/_cursors/c1"
+    assert(h.readCursor(cur).isEmpty)
+    h.writeCursor(cur, 7L)
+    assert(h.readCursor(cur).contains(7L))
+    h.writeCursor(cur, 9L)
+    assert(h.readCursor(cur).contains(9L))
+  }
+
+  test("the full snapshot protocol holds over HadoopCommitStore") {
+    withStore(hadoopStore()) {
+      val t = tmpDir("hcs-proto")
+      Snapshots.create(spark, t)
+      Snapshots.append(spark, t, docs(10).coalesce(1))
+      Snapshots.append(spark, t, docs(10, idFrom = 10).coalesce(1))
+      assert(ids(Snapshots.read(spark, t)) == (0L until 20L).toSet)
+      assert(ids(Snapshots.read(spark, t, Some(1))) == (0L until 10L).toSet,
+        "time travel over the FileContext-swapped pointer")
+      Snapshots.deleteWhereMor(spark, t, col("doc_id") % 3 === 0)
+      val mg = Snapshots.merge(spark, t,
+        docs(2, idFrom = 1).withColumn("n_chars", lit(-7L)), Seq("doc_id"))
+      assert(mg.rowsUpdated == 2)
+      Snapshots.compact(spark, t): Unit
+      val want = (0L until 20L).filterNot(_ % 3 == 0).toSet + 1L + 2L
+      assert(ids(Snapshots.read(spark, t)) == want)
+      // cursor consumption through the Hadoop cursor impl
+      val cur = s"$t/_cursors/consumer1"
+      val r1 = Snapshots.readChangesSince(spark, t, cur)
+      assert(r1.mode == "full")
+      Snapshots.commitCursor(cur, r1.toV)
+      Snapshots.append(spark, t, docs(3, idFrom = 500))
+      val r2 = Snapshots.readChangesSince(spark, t, cur)
+      assert(r2.mode == "incremental" && ids(r2.df) == (500L until 503L).toSet)
+      Snapshots.expire(spark, t, keepLast = 1): Unit
+      assert(ids(Snapshots.read(spark, t)) == want ++ (500L until 503L))
+    }
+  }
+
   test("stale lock breaks and a held lock blocks loudly, over the fake") {
     val m = new MemoryCommitStore
     withStore(m) {

@@ -127,9 +127,10 @@ class KmeansSpec extends SparkSpec {
     assert(refresh() == "append")
     assert(rows() == (0L until 90L))
     assert(refresh() == "noop")
-    // crash between index write and cursor commit: replay counts once
+    // crash between index write and cursor commit: the segment high-water
+    // says the range is already folded in → noop, counted once
     Snapshots.commitCursor(cur, 1L)
-    assert(refresh() == "append")
+    assert(refresh() == "noop")
     assert(rows() == (0L until 90L), "the marker-gated segment must not double-append")
     // search through the maintained index equals brute over the table
     val q = Array(0.9f, 0.1f, 0f, 0f)
@@ -138,10 +139,20 @@ class KmeansSpec extends SparkSpec {
     val brute = Similarity.topK(clustered, "embedding", "vec_id", q, k = 5)
       .select("vec_id").as[Long].collect().toSeq
     assert(hits == brute)
+    // crash replay AFTER the table advanced (round-13 advisory): replay
+    // range (1,4] ≠ crashed round's (1,3] — a range-named segment id alone
+    // would re-append (1,3]'s 30 vectors; the high-water clamp appends
+    // exactly the new commit
+    Snapshots.commitCursor(cur, 1L)
+    Snapshots.append(spark, t,
+      clustered.withColumn("vec_id", col("vec_id") + 100).filter(col("vec_id") < 110))
+    assert(refresh() == "append")
+    assert(rows() == ((0L until 90L) ++ (100L until 110L)),
+      "advanced replay must fold (1,3] exactly once")
     // a retire cannot be expressed append-only: rebuild excludes it
     Snapshots.deleteWhereMor(spark, t, col("vec_id") < 10)
     assert(refresh() == "rebuild")
-    assert(rows() == (10L until 90L))
+    assert(rows() == ((10L until 90L) ++ (100L until 110L)))
     assert(refresh() == "noop")
   }
 }

@@ -1151,4 +1151,30 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.currentVersion(t).contains(5L))
     assert(ids(Snapshots.read(spark, t)) == (0L until 10L).toSet)
   }
+
+  test("restore probes deletion-vector files too, not just data paths") {
+    // round-13 advisory: a version whose dv dirs were reclaimed must fail
+    // the pre-commit probe — otherwise the pointer moves onto a manifest
+    // whose MOR reads explode later
+    val t = tmpDir("snap-restore-dv")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(10).coalesce(1)) // v1
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") < 3) // v2: dv written
+    Snapshots.append(spark, t, docs(5, idFrom = 100).coalesce(1)) // v3
+    // reclaim v2's dv dataset out-of-band (what a buggy external sweep — or
+    // a source-table expire under a shallow clone — would do): dv datasets
+    // live at data/c{v}-{token}.dv
+    val dvDirs = new java.io.File(s"$t/data").listFiles()
+      .filter(f => f.isDirectory && f.getName.endsWith(".dv"))
+    assert(dvDirs.nonEmpty, "fixture must have a deletion vector at v2")
+    dvDirs.foreach { d =>
+      d.listFiles().foreach(f => assert(f.delete(), s"fixture delete failed: $f"))
+      assert(d.delete(), s"fixture dv dir delete failed: $d")
+    }
+    val before = Snapshots.currentVersion(t)
+    val ex = intercept[Exception](Snapshots.restore(spark, t, 2L))
+    assert(ex.getMessage.contains("reclaimed"),
+      s"probe must name the reclaim, got: ${ex.getMessage}")
+    assert(Snapshots.currentVersion(t) == before, "pointer must not move")
+  }
 }

@@ -281,14 +281,26 @@ class TextSearchSpec extends SparkSpec {
     assert(scores() == oracle(docs(0, 30)), "delta segment must equal a from-scratch build")
     assert(refresh() == "noop")
     // crash between index write and cursor commit: roll the cursor back —
-    // the replayed round re-appends the SAME segment id and is skipped
+    // the segment high-water says (1,3] is already folded in → noop (the
+    // cursor still re-commits to the table head)
     Snapshots.commitCursor(cur, 1L)
-    assert(refresh() == "append")
+    assert(refresh() == "noop")
     assert(scores() == oracle(docs(0, 30)), "replayed segment must count once")
+    // crash replay AFTER the table advanced (round-13 advisory): the
+    // replay's range (1,5] differs from the crashed round's (1,3], so a
+    // range-named segment id alone would re-append (1,3] twice and skew
+    // df/BM25 — the high-water clamp appends exactly (3,5]
+    Snapshots.commitCursor(cur, 1L)
+    Snapshots.append(spark, t, docs(30, 35))
+    Snapshots.append(spark, t, docs(35, 40))
+    assert(refresh() == "append")
+    assert(scores() == oracle(docs(0, 40)),
+      "advanced replay must fold (1,3] exactly once and (3,5] exactly once")
+    assert(refresh() == "noop")
     // a retire (MOR delete) cannot be expressed append-only: rebuild
     Snapshots.deleteWhereMor(spark, t, col("doc_id") < 5)
     assert(refresh() == "rebuild")
-    assert(scores() == oracle(docs(5, 30)), "rebuilt index must exclude retired docs")
+    assert(scores() == oracle(docs(5, 40)), "rebuilt index must exclude retired docs")
     assert(refresh() == "noop")
   }
 }
