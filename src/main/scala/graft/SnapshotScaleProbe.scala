@@ -184,6 +184,61 @@ object SnapshotScaleProbe {
       r
     }
 
+    // round 14: manifest-log DEPTH — a 1,000-commit table (a day of
+    // streaming microbatches at ~90 s cadence) exercises the fan-in every
+    // consumer path takes over a deep history. The assertions are
+    // structural ("cost ∝ churn / survivors, not commit count"), the
+    // wall-times are the evidence record.
+    val depthCommits = 1000
+    val (depthLog, tDepthTotal) = timed {
+      val t = "/tmp/graft/snapprobe/depth"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      Snapshots.create(spark, t)
+      // deterministic id slice (NOT limit — a limit can draw from the
+      // 10M-shifted replicas and wreck the disjoint per-commit ranges the
+      // pruning assertion needs): commit i holds exactly [i·1000, i·1000+100)
+      val tiny = corpus.filter(col("doc_id") < 100).coalesce(1).cache()
+      tiny.count(): Unit
+      val (_, tAppends) = timed {
+        (0 until depthCommits).foreach { i =>
+          Snapshots.append(spark, t, tiny.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * 1000L))): Unit
+        }
+      }
+      tiny.unpersist(): Unit
+      // (a) pruned point read: stats boxes are disjoint per commit, so the
+      // planner must keep ~1 of the 1,000 files
+      val ((plan, pointRows), tPruned) = timed {
+        val p = Snapshots.scanPlan(spark, t,
+          col("doc_id") >= 500_000L && col("doc_id") < 500_100L)
+        (p, p.df.count())
+      }
+      require(plan.filesScanned <= 4,
+        s"pruned read must keep ~1 of ${plan.filesTotal} files, kept ${plan.filesScanned}")
+      require(pointRows == 100L, s"point read rows: $pointRows")
+      // (b) changelog catch-up across the WHOLE range: one append-run scan
+      // (cost ∝ churn), not a per-commit manifest walk
+      val (catchN, tCatch) = timed(
+        Snapshots.rowChanges(spark, t, 0L, depthCommits.toLong).count())
+      require(catchN == depthCommits.toLong * 100L, s"catch-up rows: $catchN")
+      // (c) maintain(): fold the small-file debt, keep a 7-version replay
+      // window — this documents what expire costs the changelog consumer:
+      // after it, rowChanges can only start from v >= current-keepLast
+      val ((folded, manifests, filesGone), tMaint) =
+        timed(Snapshots.maintain(spark, t, smallBytes = 64L * 1024 * 1024,
+          keepLast = 7, orphanGraceMs = 0L))
+      val nAfter = Snapshots.fastCount(spark, t)
+      require(nAfter == depthCommits.toLong * 100L, s"rows after maintain: $nAfter")
+      val filesNow = Snapshots.read(spark, t).inputFiles.length
+      require(filesNow <= 8, s"maintain must fold 1,000 small files, left $filesNow")
+      f"appends_s=$tAppends%.1f (${depthCommits / tAppends}%.1f commits/s) " +
+        f"pruned_read: kept=${plan.filesScanned}/${plan.filesTotal} s=$tPruned%.2f " +
+        f"catchup_rows=$catchN s=$tCatch%.1f " +
+        f"maintain: folded=$folded manifests_dropped=$manifests files_deleted=$filesGone " +
+        f"s=$tMaint%.1f files_now=$filesNow"
+    }
+    println(s"[snapshot-probe] depth_1000: $depthLog total_s=${"%.1f".format(tDepthTotal)}")
+
     println(f"[snapshot-probe] rows=$nRows table_mb=${tableBytes / 1e6}%.1f " +
       f"deleted=${morStats.rowsDeleted}")
     println(f"[snapshot-probe] rebase: merge racing 4 appends merge_s=$tRebase%.1f " +

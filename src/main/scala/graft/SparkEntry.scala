@@ -15,7 +15,7 @@ object SparkEntry {
 
   val battery: Map[String, Q] =
     RelationalQueries.all ++ TextQueries.all ++ EventQueries.all ++
-      VectorQueries.all ++ PipelineQueries.all ++ SnapshotQueries.all
+      VectorQueries.all ++ PipelineQueries.all ++ SnapshotQueries.all ++ PretrainQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -290,6 +290,42 @@ object GraftCli {
     graft.operators.Drift.textDrift(
       spark.read.parquet(refPath), spark.read.parquet(curPath), textCol, buckets).head()
 
+  /** `prepare` — the one-call crawl→training-shards pipeline
+    * ([[graft.operators.Pretrain.prepare]]) over a snapshot table or
+    * parquet dir of crawl rows, landing the kept corpus in a snapshot
+    * table and printing the per-stage loss ledger. Accepts either the
+    * canonical `(doc_id, source, lang, html)` shape or the `warc-ingest`
+    * output `(url, text)`, from which a numeric id and a domain source
+    * derive (the WARC sha id is a string; the pipeline's deterministic
+    * splits need a numeric id).
+    */
+  def prepareCmd(
+      spark: SparkSession, in: String, outTable: String,
+      benchPath: Option[String]): Int = {
+    val snaps = graft.operators.Snapshots
+    val src0 =
+      if (snaps.currentVersion(in).isDefined) snaps.read(spark, in)
+      else spark.read.parquet(in)
+    val raw =
+      if (src0.columns.contains("html"))
+        src0.select(col("doc_id"), col("source"), col("lang"), col("html"))
+      else
+        src0.select(
+          graft.operators.Dedup.md5Lower60(col("url")).as("doc_id"),
+          graft.functions.TextFunctions.urlDomain(col("url")).as("source"),
+          lit("und").as("lang"),
+          col("text").as("html"))
+    val bench = benchPath.map(p => spark.read.parquet(p).select(col("text")))
+    val (report, kept) = graft.operators.Pretrain.prepare(spark, raw, bench)
+    if (snaps.currentVersion(outTable).isEmpty) snaps.create(spark, outTable)
+    val v = snaps.append(spark, outTable, kept)
+    report.orderBy(col("stage")).collect().foreach { r =>
+      println(s"${r.getString(0)} n=${r.getLong(1)} mass=${r.getLong(2)} fp=${r.getLong(3)}")
+    }
+    println(s"version=$v rows=${snaps.fastCount(spark, outTable)}")
+    0
+  }
+
   /** `lg dedup` — retire near-duplicate DOCUMENTS from the chunk store:
     * each document's text is the chunkIndex-ordered join of its chunks
     * (deterministic — `collect_list` order varies, `array_sort` on the
@@ -741,6 +777,23 @@ object GraftCli {
           .orderBy(col("source"))
           .collect().foreach(r => println(s"source=${r.get(0)} docs=${r.get(1)} tokens=${r.get(2)}"))
         0
+      // prepare <in> <outTable> [benchmarkParquet] — the one-call
+      // crawl→training-shards pipeline (Pretrain.prepare): HTML strip →
+      // normalize → C4/Gopher/repetition/perplexity quality → line + fuzzy
+      // dedup → decontaminate → per-source token budget → epoch shards,
+      // landing the kept corpus in a snapshot table and printing the
+      // per-stage loss ledger. Input: a snapshot table or parquet dir with
+      // (doc_id, source, lang, html), or the warc-ingest output shape
+      // (url, text) from which ids/source derive.
+      case "prepare" :: rest =>
+        val (_, positional) = Settings.fromArgs(rest)
+        positional match {
+          case in :: outTable :: restB if restB.size <= 1 =>
+            prepareCmd(spark, in, outTable, restB.headOption)
+          case _ =>
+            System.err.println("usage: prepare <inTableOrParquet> <outTable> [benchmarkParquet]")
+            2
+        }
       case "drift" :: rest =>
         val (settings, positional) = Settings.fromArgs(rest)
         positional match {
@@ -1045,6 +1098,10 @@ object GraftCli {
             |    benchmarkPath: .txt (one doc per line), .json/.jsonl (objects with a
             |    "text" field), or parquet with a text column
             |    --report: read-only per-eval-item leakage ranking, deletes nothing
+            |  prepare <inTableOrParquet> <outTable> [benchmarkParquet]
+            |    one-call crawl→training-shards prep (quality → dedup →
+            |    decontaminate → budget → shards) with a per-stage loss ledger;
+            |    input (doc_id, source, lang, html) or warc-ingest (url, text)
             |  mixture <in.parquet> <out.parquet> <totalTokens> <src=weight> [src=weight ...]
             |    one-call training-mixture cut over (doc_id, text, source) rows;
             |    per-source budget = min(available, round(share * total))

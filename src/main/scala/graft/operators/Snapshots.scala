@@ -1419,20 +1419,59 @@ object Snapshots {
   def rowChanges(
       spark: SparkSession, table: String, fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"changelog range reversed: $fromV > $toV")
-    val frames: Seq[DataFrame] = ((fromV + 1) to toV).flatMap { v =>
+    val schemaCache = scala.collection.mutable.Map.empty[Long, Option[StructType]]
+    def schemaAt(v: Long): Option[StructType] =
+      schemaCache.getOrElseUpdate(v, tableSchema(spark, table, Some(v)))
+    // Segment the range: a maximal run of consecutive `append` commits with
+    // an unchanged recorded schema collapses to ONE manifest read + ONE
+    // scan at the run's end — every file appended inside the run is still
+    // live there (appends remove nothing) and carries its origin `version`,
+    // which becomes the per-row `_commit_version`. A catch-up spanning a
+    // day of streaming microbatches (1,000 one-file appends) costs O(runs)
+    // Spark jobs, not O(commits); the per-version dispatch below remains
+    // for the non-append ops, whose churn is a file-set/dv diff by nature.
+    // Commit metadata stays driver-parsed (commitRowLocal), no job per v.
+    val segs = scala.collection.mutable.ListBuffer.empty[Either[Vector[Long], Long]]
+    ((fromV + 1) to toV).foreach { v =>
       val op = commitInfo(spark, table, v).op
-      val schemaV = tableSchema(spark, table, Some(v))
+      segs.lastOption match {
+        case Some(Left(run)) if op == "append" && schemaAt(run.last) == schemaAt(v) =>
+          segs(segs.size - 1) = Left(run :+ v)
+        case _ if op == "append" => segs += Left(Vector(v))
+        case _ => segs += Right(v)
+      }
+    }
+    val frames: Seq[DataFrame] = segs.toList.flatMap {
+      case Left(run) =>
+        val v2 = run.last
+        val added = fileRows(spark, table, v2)
+          .filter(col("version") >= run.head && col("version") <= v2)
+        val rows = readFilesMeta(spark, table, added, schemaAt(v2))
+        val out =
+          if (!rows.columns.contains("__file"))
+            rows.withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v2))
+          else {
+            // run-size rows: the origin-version map broadcasts
+            val vmap = broadcast(added.select(
+              element_at(split(col("path"), "/"), -1).as("__file"),
+              col("version").as("_commit_version")))
+            rows.join(vmap, Seq("__file"), "left")
+              .withColumn("_change_type", lit("insert"))
+              .drop("__file", "__pos")
+          }
+        Seq(out)
+      case Right(v) =>
+      val op = commitInfo(spark, table, v).op
+      val schemaV = schemaAt(v)
       def tag(df: DataFrame, t: String): DataFrame =
         df.withColumn("_change_type", lit(t)).withColumn("_commit_version", lit(v))
       op match {
         case "create" | "replace" | "clone" => Nil
-        case "append" =>
-          val added = fileRows(spark, table, v).filter(col("version") === v)
-          Seq(tag(readFiles(spark, table, added, schemaV), "insert"))
         case _ =>
           val prev = fileRows(spark, table, v - 1)
           val curr = fileRows(spark, table, v)
-          val schemaPrev = tableSchema(spark, table, Some(v - 1))
+          val schemaPrev = schemaAt(v - 1)
           // (a) file-set diff: removed files' LIVE rows (their v-1 vectors
           // applied) vs added files' rows — the COW churn, multiset-diffed
           val removed = prev.join(curr.select("path"), Seq("path"), "left_anti")
@@ -2005,28 +2044,28 @@ object Snapshots {
     val versions = fs.listStatus(new Path(s"$table/_log"))
       .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toLong).sorted
     val retained = versions.filter(v => v > cur - keepLast && v <= cur)
-    // live set: distributed union of retained manifests' paths, collected
-    // paths-only (the expire driver cost is O(live files), same as planning)
-    val live = retained.map(v => fileRows(spark, table, v).select("path"))
-      .reduceOption(_ union _)
-      .map(_.distinct().collect().map(_.getString(0)).toSet)
-      .getOrElse(Set.empty[String])
-    // deletion-vector datasets any retained version references: every file
-    // under a live dv DIR is live (the reference is to the dataset dir)
-    val liveDvDirs = retained.map(v =>
-      fileRows(spark, table, v).filter(col("dv_path").isNotNull).select("dv_path"))
-      .reduceOption(_ union _)
-      .map(_.distinct().collect().map(_.getString(0)).toSet)
-      .getOrElse(Set.empty[String])
+    // live set: ONE batched read over every retained manifest dir (not a
+    // job per version — a deep history is the streaming-sink norm),
+    // collected paths-only (the expire driver cost is O(live files), same
+    // as planning). The same rows yield the live deletion-vector DIRS:
+    // every file under a live dv dir is live (the reference is to the
+    // dataset dir).
+    def manifestPaths(vs: Seq[Long]): Array[org.apache.spark.sql.Row] =
+      if (vs.isEmpty) Array.empty
+      else spark.read.schema(manifestSchema)
+        .json(vs.map(v => vdir(table, v)).toIndexedSeq: _*)
+        .filter(col("kind") === "file")
+        .select("path", "dv_path").distinct().collect()
+    val retainedRows = manifestPaths(retained.toIndexedSeq)
+    val live = retainedRows.map(_.getString(0)).toSet
+    val liveDvDirs = retainedRows.flatMap(r => Option(r.getString(1))).toSet
     // paths the DROPPED manifests referenced: committed-then-superseded,
-    // reclaimable immediately regardless of the orphan grace window
+    // reclaimable immediately regardless of the orphan grace window —
+    // again one batched read across all dropped versions
     val droppedRefs =
       if (orphanGraceMs <= 0L) Set.empty[String]
-      else versions.filterNot(retained.contains).toSeq
-        .map(v => fileRows(spark, table, v).select("path"))
-        .reduceOption(_ union _)
-        .map(_.distinct().collect().map(_.getString(0)).toSet)
-        .getOrElse(Set.empty[String])
+      else manifestPaths(versions.filterNot(retained.contains).toIndexedSeq)
+        .map(_.getString(0)).toSet
     var droppedManifests = 0L
     versions.filterNot(retained.contains).foreach { v =>
       if (!dryRun) fs.delete(new Path(vdir(table, v)), true): Unit

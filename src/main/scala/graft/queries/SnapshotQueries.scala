@@ -806,6 +806,91 @@ object SnapshotQueries {
       Seq("S6", "S1", "K3")
     ),
 
+    // Snapshot CDC feed → transformWithState sessionization (typed
+    // ValueState + event-time timers on RocksDB) with a mid-stream
+    // restart — the streaming SOURCE composed with the stateful stack.
+    // Events land as two time-ordered commits; after the restart a
+    // far-future flusher commit pushes the watermark past every real gap
+    // horizon, so every real user's sessions close (tails by timer) and
+    // the closed-session multiset equals the batch gap-split the oracle
+    // replays. The flusher's own open tail must NOT close (excluded).
+    // The oracle's window order is (ts, event_id) — a TOTAL order — so
+    // same-timestamp twins land in the same session deterministically,
+    // matching the engine's sorted-ms semantics.
+    "s16_snapshot_session_stream" -> Q(
+      (s, d) => {
+        val t = fresh(d, "sess_tbl")
+        val ckpt = fresh(d, "sess_ckpt")
+        val acc = fresh(d, "sess_acc")
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          Snapshots.create(s, t)
+          val ev = events(s, d).select(col("user_id"), col("ts"))
+          val cut = lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+          Snapshots.append(s, t, ev.filter(col("ts") < cut)): Unit
+          def run(): Unit = {
+            val out = graft.streaming.StreamingPipeline.sessionizeClosedTws(
+              s, graft.sources.SnapshotStream.reader(s, t),
+              gapMs = 4L * 3600000L, watermark = "1 hour")
+            val q = out.toDF().writeStream.option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+                b.write.mode("append").parquet(acc)
+              }
+              .start()
+            q.awaitTermination()
+          }
+          run()
+          Snapshots.append(s, t, ev.filter(col("ts") >= cut)): Unit
+          Snapshots.append(s, t,
+            s.range(1).select(lit(-1L).as("user_id"),
+              lit("2024-06-01 00:00:00").cast("timestamp_ntz").as("ts"))): Unit
+          run() // restart: the source offset AND the operator state resume
+          // timers fire against the watermark as of a batch's START, so the
+          // real tails need one more data-bearing batch AFTER the flusher
+          // advanced it (AvailableNow ends without a no-data batch)
+          Snapshots.append(s, t,
+            s.range(1).select(lit(-2L).as("user_id"),
+              lit("2024-06-02 00:00:00").cast("timestamp_ntz").as("ts"))): Unit
+          run() // every real user's tail closes by timer; flushers stay open
+          s.read.parquet(acc)
+            .filter(col("userId") >= 0L)
+            .select(col("userId").as("user_id"), col("nEvents"))
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_sessions"),
+              sum(col("nEvents")).as("n_events"),
+              max(col("nEvents")).as("max_len"))
+        } finally {
+          prev match {
+            case Some(v) => s.conf.set(key, v)
+            case None => s.conf.unset(key)
+          }
+        }
+      },
+      Some("""WITH lagd AS (
+             |  SELECT user_id, ts, event_id,
+             |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+             |  FROM events),
+             |brk AS (
+             |  SELECT user_id, ts, event_id,
+             |         CASE WHEN pts IS NULL OR epoch_ms(ts) - epoch_ms(pts) > 14400000
+             |              THEN 1 ELSE 0 END AS b
+             |  FROM lagd),
+             |sess AS (
+             |  SELECT user_id, sum(b) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |                               ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM brk),
+             |per AS (SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             |       CAST(sum(n) AS BIGINT) AS n_events,
+             |       CAST(max(n) AS BIGINT) AS max_len
+             |FROM per GROUP BY user_id""".stripMargin),
+      Seq("S6", "A1", "W1")
+    ),
+
     // Nightly maintenance RACING a streaming sink: a background appender
     // lands exactly-once microbatches while maintain() folds small files
     // and expires history, twice - the replace commits REBASE over the

@@ -428,4 +428,33 @@ class GraftCliSpec extends SparkSpec {
       GraftCli.mkStore(s"$root/store-snapshot", settings))
     assert(st.processed == 2 && st.storeDocs == 2)
   }
+
+  test("prepare: warc-ingest output feeds the crawl→shards pipeline into a snapshot table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = tmpDir("cliprep")
+    // a crawl: 8 quality pages + 1 junk page, served as WARC conversion records
+    def page(i: Int): String =
+      s"<html><body><p>The data of crawl $i holds " +
+        (0 until 50).map(j => s"w${(j * 11 + i * 3) % 89}t").mkString(" ") +
+        ".</p><p>click here</p></body></html>"
+    val crawl = ((0 until 8).map(i => (s"https://site$i.test/p", page(i))) :+
+      ("https://junk.test/p" -> "<html><body><p>too short.</p></body></html>"))
+      .toDF("url", "text")
+      .withColumn("date", lit("2024-01-01T00:00:00Z"))
+    graft.sources.Warc.write(crawl.select("url", "date", "text"), s"$root/warc"): Unit
+    // warc-ingest lands the crawl in a snapshot table (url/text shape)
+    val rawTbl = s"$root/raw"
+    graft.operators.Snapshots.create(spark, rawTbl)
+    graft.operators.Snapshots.append(spark, rawTbl, graft.sources.Warc.responses(
+      graft.sources.Warc.read(spark, s"$root/warc/*.warc.gz"))): Unit
+    val outTbl = s"$root/corpus"
+    assert(GraftCli.prepareCmd(spark, rawTbl, outTbl, None) == 0)
+    val kept = graft.operators.Snapshots.read(spark, outTbl)
+    assert(kept.count() >= 1 && kept.count() <= 8)
+    // warc shape derives source from the url domain; junk page dropped
+    val sources = kept.select("source").as[String].collect().toSet
+    assert(sources.subsetOf((0 until 8).map(i => s"site$i.test").toSet))
+    assert(kept.columns.toSet.intersect(Set("shard", "order_key", "toks")).size == 3)
+  }
 }

@@ -140,6 +140,64 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(gotM == wantM, s"streamed rollup $gotM != batch recompute $wantM")
   }
 
+  test("snapshot CDC feed drives transformWithState sessionization across a restart (RocksDB)") {
+    // the composition the per-piece laws don't cover: a snapshot TABLE is
+    // the event feed (offsets = versions), the consumer is a STATEFUL
+    // operator (typed ValueState + event-time timers on RocksDB), and the
+    // restart must resume both the source offset and the operator state
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val t = tmpDir("sstream-sess")
+      val ckpt = tmpDir("sstream-sess-ckpt")
+      val outDir = tmpDir("sstream-sess-out") + "/closed"
+      Snapshots.create(spark, t)
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      def append(rows: (Long, java.sql.Timestamp)*): Unit =
+        Snapshots.append(spark, t, rows.toSeq.toDF("user_id", "ts").coalesce(1)): Unit
+      def run(): Unit = {
+        val out = StreamingPipeline.sessionizeClosedTws(
+          spark, SnapshotStream.reader(spark, t),
+          gapMs = 30 * 60000, watermark = "1 minute")
+        drain(out.toDF(), ckpt)(b => b.write.mode("append").parquet(outDir))
+      }
+      // v1: user 1's first session (2 events) + user 2's lone event
+      append((1L, ts("2024-01-01 00:00:00")), (1L, ts("2024-01-01 00:10:00")),
+        (2L, ts("2024-01-01 00:05:00")))
+      run()
+      // v2: user 1 re-appears past the gap (closes session 1 in-band); user 3
+      append((1L, ts("2024-01-01 02:00:00")), (3L, ts("2024-01-01 02:00:00")),
+        (3L, ts("2024-01-01 02:05:00")))
+      // v3: a far-future flusher pushes the watermark past every gap horizon
+      append((99L, ts("2024-01-02 12:00:00")))
+      run() // restart: source resumes at v1's offset, state resumes user 1/2 tails
+      // timers fire against the watermark as of a batch's START, so one
+      // more data-bearing batch is needed AFTER the flusher advanced it —
+      // a second flusher commit guarantees that batch deterministically
+      // (AvailableNow ends a run without a trailing no-data batch)
+      append((98L, ts("2024-01-03 12:00:00")))
+      run() // every real tail's timer is now below the watermark: all close
+      val closed = spark.read.parquet(outDir)
+        .select("userId", "nEvents").as[(Long, Long)].collect().toSeq
+      // users 1/2/3's timers (gap horizons ≤ 02:35) sit below that start-of-
+      // batch watermark and fire; flusher 99's own horizon (12:30) does not
+      val want = Seq((1L, 2L), (1L, 1L), (2L, 1L), (3L, 2L))
+      assert(closed.sorted == want.sorted,
+        s"closed sessions across the restarts: $closed (want $want — the open" +
+          " tails of the still-live flusher users must NOT close)")
+      // idle restart: no new commits, nothing double-emits
+      run()
+      assert(spark.read.parquet(outDir).count() == want.size.toLong)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("maxVersionsPerTrigger bounds catch-up microbatches to a commit budget") {
     val t = tmpDir("sstream-cap")
     val ckpt = tmpDir("sstream-cap-ckpt")
