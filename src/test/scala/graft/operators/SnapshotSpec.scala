@@ -575,6 +575,39 @@ class SnapshotSpec extends SparkSpec {
       "inserts minus deletes must reproduce the table exactly")
   }
 
+  test("rowChanges append-run collapse: per-version attribution, schema splits, delete boundaries") {
+    // the run-collapse fast path (one manifest read per append RUN) must be
+    // invisible: _commit_version attribution per append, schema-evolving
+    // appends split the run and null-fill under THEIR version's schema, and
+    // a non-append in the middle bounds the runs on both sides
+    val t = tmpDir("snap-cdf-run")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t, docs(4).coalesce(1)) // v1 (run A)
+    Snapshots.append(spark, t, docs(4, idFrom = 10).coalesce(1)) // v2 (run A)
+    Snapshots.append(spark, t, // v3: schema evolves -> new run B
+      docs(4, idFrom = 20).withColumn("extra", lit(7L)).coalesce(1))
+    Snapshots.deleteWhereMor(spark, t, col("doc_id") === 10L) // v4: run boundary
+    Snapshots.append(spark, t, // v5 (run C)
+      docs(4, idFrom = 30).withColumn("extra", lit(8L)).coalesce(1))
+    val all = Snapshots.rowChanges(spark, t, 0L, 5L)
+    def vOf(id: Long): Seq[Long] = all.filter(col("doc_id") === id)
+      .select("_commit_version").as[Long].collect().toSeq
+    assert(vOf(0L) == Seq(1L) && vOf(10L).sorted == Seq(2L, 4L) &&
+      vOf(20L) == Seq(3L) && vOf(30L) == Seq(5L),
+      "every row carries its ORIGIN commit version, including inside a collapsed run")
+    // v1/v2 rows read under the pre-evolution schema: extra null-fills in
+    // the union; v3+ rows carry their recorded value
+    val extraOf = all.filter(col("_change_type") === "insert")
+      .select(col("doc_id"), col("extra")).as[(Long, Option[Long])].collect().toMap
+    assert(extraOf(0L).isEmpty && extraOf(20L).contains(7L) && extraOf(30L).contains(8L))
+    // conservation still holds across the collapsed + split + bounded runs
+    val cols = Snapshots.read(spark, t).columns.map(col).toIndexedSeq
+    val replay = all.filter(col("_change_type") === "insert").select(cols: _*)
+      .exceptAll(all.filter(col("_change_type") === "delete").select(cols: _*))
+    val table = Snapshots.read(spark, t)
+    assert(replay.exceptAll(table).count() == 0 && table.exceptAll(replay).count() == 0)
+  }
+
   test("changelog-maintained aggregate equals recompute across MOR deletes and merges") {
     val t = tmpDir("snap-cdf-agg")
     val a = tmpDir("snap-cdf-agg-m") + "/rollup"
