@@ -530,6 +530,92 @@ object Snapshots {
       col("dv_path"), col("dv_rows"),
       lit(null: String).as("cluster_by"))
 
+  /** Manifest size above which the driver-local append fast path defers to
+    * the distributed rebuild (64 MB ≈ a few hundred thousand file rows —
+    * far past where compaction should have folded a table's file count).
+    */
+  private val MaxLocalManifestBytes: Long = 64L * 1024 * 1024
+
+  /** A version's manifest FILE rows as raw driver-side lines, paired with
+    * each row's `path`: `Some` only when the manifest is the canonical
+    * single-part shape at most [[MaxLocalManifestBytes]] with a parseable
+    * commit row — the shape [[writeManifest]]/[[writeManifestLinesLocal]]
+    * produce. The raw lines carry forward VERBATIM into a child manifest
+    * (they are already manifest-schema JSON), which is what lets an append
+    * commit run with zero Spark jobs. Any surprise returns None and the
+    * caller takes the distributed path.
+    */
+  private def manifestFileLinesLocal(
+      spark: SparkSession, table: String, v: Long): Option[IndexedSeq[(String, String)]] =
+    try {
+      val dir = new Path(vdir(table, v))
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(dir).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith("part-") && n.endsWith(".json")
+      }
+      if (parts.length != 1 || parts.head.getLen > MaxLocalManifestBytes) return None
+      val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(parts.head.getPath), StandardCharsets.UTF_8))
+      try {
+        val out = IndexedSeq.newBuilder[(String, String)]
+        var sawCommit = false
+        var line = in.readLine()
+        while (line != null) {
+          val n = jsonMapper.readTree(line)
+          n.path("kind").asText() match {
+            case "file" => out += ((line, n.path("path").asText()))
+            case "commit" => sawCommit = true
+            case _ => return None // unknown row kind: fall back
+          }
+          line = in.readLine()
+        }
+        if (sawCommit) Some(out.result()) else None
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The commit row as one JSON line, built driver-side — field-for-field
+    * what [[commitRow]] serializes through the JSON writer (nulls omitted,
+    * empty stats maps present, same UTC second-precision `ts`). Readers
+    * parse with [[manifestSchema]], so field ORDER is irrelevant; leading
+    * position in the written file is what [[commitRowLocal]] needs.
+    */
+  private def commitLineLocal(
+      v: Long, parent: Long, op: String, txn: Option[(String, Long)],
+      schemaJson: Option[String], clusterBy: Option[String]): String = {
+    val n = jsonMapper.createObjectNode()
+    n.put("kind", "commit"); n.put("version", v); n.put("parent", parent); n.put("op", op)
+    n.put("ts", java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())): Unit
+    n.set[com.fasterxml.jackson.databind.JsonNode]("stats_min", jsonMapper.createObjectNode()): Unit
+    n.set[com.fasterxml.jackson.databind.JsonNode]("stats_max", jsonMapper.createObjectNode()): Unit
+    txn.foreach { case (a, tv) => n.put("txn_app", a); n.put("txn_v", tv): Unit }
+    schemaJson.foreach(j => n.put("schema_json", j): Unit)
+    n.set[com.fasterxml.jackson.databind.JsonNode]("stats_min_str", jsonMapper.createObjectNode()): Unit
+    n.set[com.fasterxml.jackson.databind.JsonNode]("stats_max_str", jsonMapper.createObjectNode()): Unit
+    clusterBy.foreach(c => n.put("cluster_by", c): Unit)
+    n.toString
+  }
+
+  /** Write a fully-assembled manifest (one JSON line per row, commit row
+    * first) as `v`'s single part file — the driver-local twin of
+    * [[writeManifest]]'s Spark write, with the same leftover-attempt
+    * cleanup and create-if-absent discipline. Only an append's commit
+    * section uses this (its manifest is parent's lines + a handful of
+    * entries); every rewriting op keeps the distributed path.
+    */
+  private def writeManifestLinesLocal(
+      spark: SparkSession, table: String, v: Long, lines: Iterator[String]): Unit = {
+    val dir = new Path(vdir(table, v))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir) && currentVersion(table).forall(_ < v)) fs.delete(dir, true): Unit
+    val p = new Path(dir, s"part-00000-${java.util.UUID.randomUUID()}.json")
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(p, false), StandardCharsets.UTF_8))
+    try lines.foreach { l => out.write(l); out.write("\n") } finally out.close()
+  }
+
   private def writeManifest(
       spark: SparkSession, table: String, v: Long, parent: Long, op: String,
       files: DataFrame, txn: Option[(String, Long)] = None,
@@ -721,7 +807,14 @@ object Snapshots {
       maxRetries: Int = 4,
       clusterBy: Option[String] = None): Option[Long] = {
     val entryCols = entries.select(fileColNames.filterNot(_ == "version").map(col): _*)
-    val myPaths = entryCols.select("path").collect().map(_.getString(0)).toSet
+    // ONE pre-lock collect gives both the staged paths and the entries'
+    // manifest-row JSON (version re-tagged per attempt): the append COMMIT
+    // SECTION then runs zero Spark jobs on the fast path below — the
+    // streaming-sink cadence bound is FS round-trips, not scheduler ones
+    val entryNodes = asManifestRows(entryCols.withColumn("version", lit(0L)))
+      .toJSON.collect()
+      .map(jsonMapper.readTree(_).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+    val myPaths = entryNodes.map(_.path("path").asText()).toSet
     var attempt = 0
     while (true) {
       preCommitHook()
@@ -732,40 +825,78 @@ object Snapshots {
         if (txn.exists { case (a, tv) => lastTxn(spark, table, a).exists(_ >= tv) })
           return None // replay raced in since the caller's pre-check
         val parent = requireVersion(table)
-        val carried = fileRows(spark, table, parent)
-          .select(fileColNames.head, fileColNames.tail: _*).cache()
-        try {
-          // an empty staged group (0-row batch) has no unique paths to detect
-          // an earlier winning attempt by; it just commits an empty append
-          val present =
-            if (myPaths.isEmpty) 0L
-            else carried.filter(col("path").isin(myPaths.toSeq: _*)).count()
-          if (present > 0) {
-            require(present == myPaths.size,
-              s"staged group partially referenced at v$parent: $present of ${myPaths.size}")
-            Some(parent)
-          } else {
-            val v = parent + 1
-            // schema evolution happens per ATTEMPT: a retry evolves against
-            // the winner's schema, like the manifest rebuild uses its files
-            val newSchema = dataSchema
-              .map(s => evolveSchema(tableSchema(spark, table, Some(parent)), s))
-              .orElse(tableSchema(spark, table, Some(parent)))
-            try {
-              writeManifest(spark, table, v, parent, "append",
-                carried.unionByName(entryCols.withColumn("version", lit(v))
-                  .select(fileColNames.head, fileColNames.tail: _*)), txn,
-                newSchema.map(_.json), clusterBy.filter(_.nonEmpty))
-              swapCurrent(table, parent, v)
-              Some(v)
-            } catch {
-              case _: Exception if attempt < maxRetries &&
-                  !currentVersion(table).contains(parent) =>
-                attempt += 1 // the base moved: retry against it
-                None
+        // FAST PATH: the parent manifest's file rows as raw driver-side
+        // lines — carried forward VERBATIM into the child manifest, no
+        // Spark job inside the lock. Falls back to the distributed
+        // rebuild for a multi-part or oversized manifest.
+        manifestFileLinesLocal(spark, table, parent) match {
+          case Some(fileLines) =>
+            // an empty staged group (0-row batch) has no unique paths to
+            // detect an earlier winning attempt by; it just commits an
+            // empty append
+            val present =
+              if (myPaths.isEmpty) 0L
+              else fileLines.count(fl => myPaths.contains(fl._2)).toLong
+            if (present > 0) {
+              require(present == myPaths.size,
+                s"staged group partially referenced at v$parent: $present of ${myPaths.size}")
+              Some(parent)
+            } else {
+              val v = parent + 1
+              // schema evolution happens per ATTEMPT: a retry evolves
+              // against the winner's schema (driver-parsed commit rows)
+              val newSchema = dataSchema
+                .map(s => evolveSchema(tableSchema(spark, table, Some(parent)), s))
+                .orElse(tableSchema(spark, table, Some(parent)))
+              val effCluster = clusterBy.filter(_.nonEmpty)
+                .orElse(clusterSpec(spark, table, Some(parent))).filter(_.nonEmpty)
+              try {
+                writeManifestLinesLocal(spark, table, v,
+                  Iterator.single(commitLineLocal(
+                    v, parent, "append", txn, newSchema.map(_.json), effCluster)) ++
+                    fileLines.iterator.map(_._1) ++
+                    entryNodes.iterator.map { nd => nd.put("version", v); nd.toString })
+                swapCurrent(table, parent, v)
+                Some(v)
+              } catch {
+                case _: Exception if attempt < maxRetries &&
+                    !currentVersion(table).contains(parent) =>
+                  attempt += 1 // the base moved: retry against it
+                  None
+              }
             }
-          }
-        } finally carried.unpersist(): Unit
+          case None =>
+            val carried = fileRows(spark, table, parent)
+              .select(fileColNames.head, fileColNames.tail: _*).cache()
+            try {
+              val present =
+                if (myPaths.isEmpty) 0L
+                else carried.filter(col("path").isin(myPaths.toSeq: _*)).count()
+              if (present > 0) {
+                require(present == myPaths.size,
+                  s"staged group partially referenced at v$parent: $present of ${myPaths.size}")
+                Some(parent)
+              } else {
+                val v = parent + 1
+                val newSchema = dataSchema
+                  .map(s => evolveSchema(tableSchema(spark, table, Some(parent)), s))
+                  .orElse(tableSchema(spark, table, Some(parent)))
+                try {
+                  writeManifest(spark, table, v, parent, "append",
+                    carried.unionByName(entryCols.withColumn("version", lit(v))
+                      .select(fileColNames.head, fileColNames.tail: _*)), txn,
+                    newSchema.map(_.json), clusterBy.filter(_.nonEmpty))
+                  swapCurrent(table, parent, v)
+                  Some(v)
+                } catch {
+                  case _: Exception if attempt < maxRetries &&
+                      !currentVersion(table).contains(parent) =>
+                    attempt += 1 // the base moved: retry against it
+                    None
+                }
+              }
+            } finally carried.unpersist(): Unit
+        }
       }
       res.foreach(v => return Some(v))
     }
