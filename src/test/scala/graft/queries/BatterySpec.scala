@@ -12,7 +12,8 @@ class BatterySpec extends AnyFunSuite {
   test("no query-name collisions across battery modules") {
     val componentSizes = Seq(
       RelationalQueries.all.size, TextQueries.all.size, EventQueries.all.size,
-      VectorQueries.all.size, PipelineQueries.all.size, SnapshotQueries.all.size
+      VectorQueries.all.size, PipelineQueries.all.size, SnapshotQueries.all.size,
+      PretrainQueries.all.size
     )
     assert(SparkEntry.battery.size == componentSizes.sum,
       s"map merge lost ${componentSizes.sum - SparkEntry.battery.size} colliding keys")
