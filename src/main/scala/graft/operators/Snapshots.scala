@@ -614,6 +614,12 @@ object Snapshots {
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(p, false), StandardCharsets.UTF_8))
     try lines.foreach { l => out.write(l); out.write("\n") } finally out.close()
+    // Spark's own insert command ends with refreshByPath on its output —
+    // a hand-rolled write must too, or a CACHED plan over this dir (a
+    // re-created table at the same path: test/bench reruns, drop-and-
+    // recreate ops) keeps serving the PREVIOUS table's manifest rows and
+    // readers chase deleted data files (the ChunkStore staged-swap lesson)
+    spark.catalog.refreshByPath(vdir(table, v))
   }
 
   private def writeManifest(
