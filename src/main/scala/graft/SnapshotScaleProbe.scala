@@ -239,6 +239,47 @@ object SnapshotScaleProbe {
     }
     println(s"[snapshot-probe] depth_1000: $depthLog total_s=${"%.1f".format(tDepthTotal)}")
 
+    // round 14: manifest WIDTH — one commit carrying 10,000 files (the
+    // un-compacted ingest worst case; depth_1000 covers commit COUNT).
+    // Planning must stay a manifest query: the pruned point read keeps ~1
+    // file, the driver-local append carries 10k manifest lines without a
+    // job, and one maintenance fold repairs the layout.
+    val (wideLog, tWideTotal) = timed {
+      val t = "/tmp/graft/snapprobe/wide"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+      Snapshots.create(spark, t)
+      val rows = spark.range(10000).selectExpr(
+        "id AS doc_id", "CAST(id % 20 AS STRING) AS source", "id * 7 % 100 AS n_chars")
+        .repartitionByRange(32, col("doc_id"))
+      val (_, tIngest) = timed(
+        Snapshots.append(spark, t, rows, maxRecordsPerFile = 1L): Unit)
+      val nFiles = Snapshots.read(spark, t).inputFiles.length
+      require(nFiles >= 9999, s"wide commit must land ~10k files, got $nFiles")
+      val ((plan, got), tPoint) = timed {
+        val p = Snapshots.scanPlan(spark, t, col("doc_id") === 4321L)
+        (p, p.df.count())
+      }
+      require(plan.filesScanned <= 4 && got == 1L,
+        s"width pruning: kept ${plan.filesScanned}/${plan.filesTotal}, rows $got")
+      // an append on TOP of the wide manifest: the driver-local commit
+      // carries 10k lines; the section must stay sub-second
+      val staged = Snapshots.stageAppend(spark, t,
+        rows.filter(col("doc_id") < 100).coalesce(1))
+      val (_, tCommit) = timed(
+        Snapshots.commitStaged(spark, t, staged,
+          dataSchema = Some(rows.schema)): Unit)
+      require(tCommit < 5.0, s"wide-manifest commit section took $tCommit s")
+      val ((folded, _, _), tFold) = timed(
+        Snapshots.maintain(spark, t, smallBytes = 64L * 1024 * 1024,
+          keepLast = 3, orphanGraceMs = 0L))
+      val nAfter = Snapshots.read(spark, t).inputFiles.length
+      require(Snapshots.fastCount(spark, t) == 10100L, "rows preserved across the fold")
+      f"ingest_10k_files_s=$tIngest%.1f point_read: kept=${plan.filesScanned}/${plan.filesTotal} " +
+        f"s=$tPoint%.2f commit_on_wide_s=$tCommit%.2f " +
+        f"fold: folded=$folded files_now=$nAfter s=$tFold%.1f"
+    }
+    println(s"[snapshot-probe] wide_10k: $wideLog total_s=${"%.1f".format(tWideTotal)}")
+
     println(f"[snapshot-probe] rows=$nRows table_mb=${tableBytes / 1e6}%.1f " +
       f"deleted=${morStats.rowsDeleted}")
     println(f"[snapshot-probe] rebase: merge racing 4 appends merge_s=$tRebase%.1f " +
