@@ -467,6 +467,32 @@ object Similarity {
     * query per partition reach the exchange, not every candidate (ties:
     * larger sim, then larger neighbor id).
     */
+  /** Parallelism guard for fan-out pipelines over few-split inputs (guide
+    * §2.5: one unsplittable input split → repartition right after the read).
+    * A query side whose whole estimated size fits in ONE scan split plans as
+    * a single task, and everything Spark fuses onto that scan — the probe
+    * explode, a broadcast-hash join against the corpus buckets, pair scoring,
+    * the partial top-k — runs single-threaded regardless of cluster width
+    * (measured: the sf0.1 graph build's 2.4M-pair scoring stage ran as ONE
+    * 3.5s CPU-bound task because the 2k-vector query side is a 150 KB file).
+    * Spreading such inputs round-robin across the default parallelism before
+    * the fan-out costs an exchange of LESS than one split (the same bound
+    * that fired), and at scale the guard never fires — a many-split input
+    * already carries its parallelism, so no corpus-sized exchange can ever
+    * be added.
+    */
+  /** True when the plan's estimated output fits in ONE scan split — the
+    * regime where a fused scan pipeline carries no parallelism of its own.
+    */
+  private[operators] def fitsOneSplit(df: DataFrame): Boolean =
+    df.sparkSession.sparkContext.defaultParallelism > 1 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+
+  private[operators] def spreadSmall(df: DataFrame): DataFrame =
+    if (fitsOneSplit(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else df
+
   def nnJoin(
       corpus: DataFrame,
       corpusIdCol: String,
@@ -482,16 +508,26 @@ object Similarity {
     val masks = probeMasks(nPlanes, probes)
     // norms fold once per corpus/query ROW in projections below the join —
     // scoring a pair re-folds nothing (same fix as cosineCandidates)
-    val c = Dedup.capBuckets(
+    val cCapped = Dedup.capBuckets(
       corpus.select(col(corpusIdCol).as("_nn_cid"), col(vecCol).as("_nn_cvec"),
         norm(col(vecCol)).as("_nn_cn"))
         .withColumn("_nn_bucket", lshBucket(col("_nn_cvec"), dim, nPlanes)),
       Seq("_nn_bucket"), maxBucketSize)
+    // a one-split corpus gets an explicit broadcast PIN, not just the
+    // planner's estimate-driven choice: AQE's runtime re-optimization is
+    // free to flip the build side, and when it streams the corpus instead,
+    // the probe fan-out + scoring land on the corpus's AQE-coalesced bucket
+    // exchange — one task again, the exact pathology spreadSmall removes
+    // (observed as a run-to-run race: the same build scored 32-way on one
+    // run and single-task on the next). Above one split the planner keeps
+    // the choice — no forced broadcast of a corpus that might not fit.
+    val c = if (fitsOneSplit(corpus)) broadcast(cCapped) else cCapped
     // query norm computed BEFORE the probe-bucket explode: a generator's
     // input projection is outside CSE scope, so folding it post-explode
-    // would re-run per probe
-    val q = queries.select(col(queryIdCol).as("_nn_qid"), col(vecCol).as("_nn_qvec"),
-      norm(col(vecCol)).as("_nn_qn"))
+    // would re-run per probe. spreadSmall BEFORE the explode: the round-robin
+    // exchange moves n query rows, not n × probedBuckets probe rows.
+    val q = spreadSmall(queries.select(col(queryIdCol).as("_nn_qid"),
+      col(vecCol).as("_nn_qvec"), norm(col(vecCol)).as("_nn_qn")))
       .withColumn("_nn_qb", lshBucket(col("_nn_qvec"), dim, nPlanes))
       .withColumn("_nn_bucket",
         explode(array(masks.map(m => col("_nn_qb").bitwiseXOR(lit(m))): _*)))
