@@ -26,6 +26,10 @@ object ScratchProbe {
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    val docsCk = Tables.documents(spark, sfDir).localCheckpoint(false)
+    println(s"[probe] ck sizeInBytes=${docsCk.queryExecution.optimizedPlan.stats.sizeInBytes} " +
+      s"fits=${graft.operators.Par.fitsOneSplit(docsCk)} " +
+      s"scanFits=${graft.operators.Par.fitsOneSplit(Tables.documents(spark, sfDir))}")
     val vecs = Tables.embeddings(spark, sfDir)
     val corpus = vecs.filter(col("vec_id") % 20 =!= 0)
     // warmup

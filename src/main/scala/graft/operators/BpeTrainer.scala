@@ -28,7 +28,8 @@ object BpeTrainer {
 
   /** Whitespace words with counts — the trainer's working set. */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+    // spreadSmall: per-token explode on a one-split scan (guide §2.5)
+    Par.spreadSmall(docs).select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
 

@@ -212,7 +212,9 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, numHashes: Int, bands: Int,
       baseHash: Column => Column, bucketHash: Column => Column): DataFrame = {
     val rowsPerBand = numHashes / bands
-    df.select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
+    // spreadSmall: numHashes MinHash folds per document fused onto a
+    // one-split scan otherwise run single-task (guide §2.5)
+    Par.spreadSmall(df).select(col(idCol).as("id"), wordSet(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       // materialize ONE base hash per token; CollapseProject keeps this
       // separate because the array is referenced numHashes times below
@@ -519,7 +521,9 @@ object Dedup {
     */
   private def explodedPolyGrams(
       df: DataFrame, idCols: Seq[Column], textCol: String, n: Int): DataFrame =
-    df.withColumn("_th", tokenHashes(col(textCol)))
+    // spreadSmall: the gram explode does ~|doc| hash work per row; fused
+    // onto a one-split scan it runs single-task (guide §2.5)
+    Par.spreadSmall(df).withColumn("_th", tokenHashes(col(textCol)))
       .select(idCols :+ explode(array_distinct(polyWindowHashes(col("_th"), n))).as("_gram"): _*)
 
   /** Benchmark decontamination — the n-gram collision rule of the published
@@ -579,7 +583,8 @@ object Dedup {
     def grams(df: DataFrame, id: String, text: String): DataFrame = hashFn match {
       case PolyGram => explodedPolyGrams(df, Seq(col(id)), text, n)
       case sg: StringGram =>
-        df.select(col(id), explode(ngramHashes(col(text), n, sg.fn)).as("_gram"))
+        Par.spreadSmall(df)
+          .select(col(id), explode(ngramHashes(col(text), n, sg.fn)).as("_gram"))
     }
     val benchGrams = grams(benchmark, benchIdCol, benchTextCol)
     val corpusGrams = grams(corpus, idCol, textCol).select(col(idCol), col("_gram"))
@@ -619,7 +624,8 @@ object Dedup {
     (hashFn match {
       case PolyGram => explodedPolyGrams(benchmark, Seq.empty, benchTextCol, n)
       case sg: StringGram =>
-        benchmark.select(explode(ngramHashes(col(benchTextCol), n, sg.fn)).as("_gram"))
+        Par.spreadSmall(benchmark)
+          .select(explode(ngramHashes(col(benchTextCol), n, sg.fn)).as("_gram"))
     }).select(col("_gram").as("_gram", meta)).distinct()
   }
 
@@ -647,7 +653,8 @@ object Dedup {
     val corpusGrams = hashFn match {
       case PolyGram => explodedPolyGrams(corpus, Seq(col(idCol)), textCol, n)
       case sg: StringGram =>
-        corpus.select(col(idCol), explode(ngramHashes(col(textCol), n, sg.fn)).as("_gram"))
+        Par.spreadSmall(corpus)
+          .select(col(idCol), explode(ngramHashes(col(textCol), n, sg.fn)).as("_gram"))
     }
     val hits = corpusGrams.join(benchGrams.select(col("_gram")), Seq("_gram"), "left_semi")
     if (minCollisions <= 1) hits.select(col(idCol)).distinct()
@@ -1335,13 +1342,17 @@ object Dedup {
     // without materialization the n-gram hashing (the dominant cost) runs
     // twice — the exchanges differ in shape, so ReuseExchange can't dedupe.
     // A lazy localCheckpoint computes it once and serves both consumers.
+    // spreadSmall: one gram row per TOKEN of every document — the heaviest
+    // fan-out producer in the family; fused onto a one-split scan it runs
+    // single-task (guide §2.5)
+    val corpusS = Par.spreadSmall(corpus)
     val occ = (hashFn match {
       case PolyGram =>
-        corpus.withColumn("_th", tokenHashes(col(textCol)))
+        corpusS.withColumn("_th", tokenHashes(col(textCol)))
           .select(col(idCol).as("_doc"),
             posexplode(polyWindowHashes(col("_th"), n)).as(Seq("_p0", "_gram")))
       case sg: StringGram =>
-        corpus.select(
+        corpusS.select(
           col(idCol).as("_doc"),
           posexplode(transform(wordNgrams(col(textCol), n), g => sg.fn(g))).as(Seq("_p0", "_gram")))
     })
@@ -1396,7 +1407,8 @@ object Dedup {
   /** `(_doc, _pos, _h)` rows: one sha2-256 per dedup-eligible line. */
   private def lineHashRows(
       corpus: DataFrame, idCol: String, textCol: String, minChars: Int): DataFrame =
-    corpus
+    // spreadSmall: one sha2 per line, fused onto a one-split scan (guide §2.5)
+    Par.spreadSmall(corpus)
       .select(col(idCol).as("_doc"), posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
       .filter(length(col("_line")) >= minChars)
       .select(col("_doc"), col("_pos"), sha2(col("_line"), 256).as("_h"))
@@ -1433,7 +1445,9 @@ object Dedup {
     val keptLines = filter(
       transform(toks, (l, i) => struct(i.as("i"), l.as("l"))),
       x => !array_contains(col("_drop"), x("i")))
-    corpus
+    // the overlay rebuild re-splits and re-joins every document's lines —
+    // the same per-row weight as the hash pass, so it gets the same spread
+    Par.spreadSmall(corpus)
       .join(drops, corpus(idCol) === drops("_doc"), "left")
       .withColumn("n_lines_removed",
         when(col("_drop").isNull, lit(0L)).otherwise(size(col("_drop")).cast("long")))

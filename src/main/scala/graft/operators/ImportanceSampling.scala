@@ -42,15 +42,19 @@ object ImportanceSampling {
     */
   private def gramRows(
       df: DataFrame, keep: Seq[Column], textCol: String, n: Int,
-      gramHash: Dedup.GramHash): DataFrame =
+      gramHash: Dedup.GramHash): DataFrame = {
+    // spreadSmall: per-token gram fan-out fused onto a one-split scan runs
+    // single-task (guide §2.5)
+    val dfS = Par.spreadSmall(df)
     gramHash match {
       case Dedup.PolyGram =>
-        df.withColumn("_th", Dedup.tokenHashes(col(textCol)))
+        dfS.withColumn("_th", Dedup.tokenHashes(col(textCol)))
           .select(keep :+ explode(Dedup.polyWindowHashes(col("_th"), n)).as("_g"): _*)
       case sg: Dedup.StringGram =>
-        df.select(keep :+ explode(Dedup.wordNgrams(col(textCol), n)).as("_gs"): _*)
+        dfS.select(keep :+ explode(Dedup.wordNgrams(col(textCol), n)).as("_gs"): _*)
           .withColumn("_g", sg.fn(col("_gs"))).drop("_gs")
     }
+  }
 
   /** Hashed-n-gram bucket counts — the bag-of-hashed-ngrams distribution of
     * one corpus side: `(bucket, cnt)` with `bucket = pmod(hash(gram),

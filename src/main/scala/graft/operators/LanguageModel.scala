@@ -42,7 +42,10 @@ object LanguageModel {
     * summary is the only driver materialization.
     */
   def trainBigram(docs: DataFrame, textCol: String, addK: Double = 0.5): BigramLm = {
-    val t = docs.select(toks(textCol).as("toks")).filter(size(col("toks")) >= 1)
+    // spreadSmall: per-token uni/bigram fan-out fused onto a one-split scan
+    // runs single-task (guide §2.5)
+    val t = Par.spreadSmall(docs)
+      .select(toks(textCol).as("toks")).filter(size(col("toks")) >= 1)
     val uni = t.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
     val bi = t.filter(size(col("toks")) >= 2)
@@ -64,7 +67,8 @@ object LanguageModel {
     */
   def scoreDocs(lm: BigramLm, docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val kV = lm.addK * lm.vocab
-    val base = docs.select(col(idCol).as("doc_id"), toks(textCol).as("toks"))
+    val base = Par.spreadSmall(docs)
+      .select(col(idCol).as("doc_id"), toks(textCol).as("toks"))
       .filter(size(col("toks")) >= 1)
     val firstLp = base
       .select(col("doc_id"), element_at(col("toks"), 1).as("w"))

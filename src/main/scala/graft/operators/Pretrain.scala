@@ -113,8 +113,13 @@ object Pretrain {
           coalesce(expr("bit_xor(_fp)"), lit(0L)).as("fp"))
         .select(lit(stage).as("stage"), col("n"), col("mass"), col("fp"))
 
-    // 00 ingest: the crawl as served (snapshot-table rows)
-    val ingest = ck(raw.select(col("doc_id"), col("source"), col("lang"), col("html")))
+    // 00 ingest: the crawl as served (snapshot-table rows). spreadSmall:
+    // every stage below is per-document text work fused onto this
+    // checkpoint's partitioning — a one-split crawl otherwise runs the
+    // WHOLE chain single-task (guide §2.5; measured 9.3 s of serial CPU
+    // across the stage checkpoints at sf0.1)
+    val ingest = ck(Par.spreadSmall(
+      raw.select(col("doc_id"), col("source"), col("lang"), col("html"))))
     val r00 = stageRow("00_ingest", ingest, "html")
 
     // 01 block-level HTML strip + NFC normalize: paragraphs are blocks

@@ -62,7 +62,9 @@ object QualityFilters {
   ): DataFrame = {
     import graft.functions.TextFunctions.occurrences
     val t = col(textCol)
-    val base = df.select(
+    // spreadSmall: the signal projection folds every token of every doc;
+    // fused onto a one-split scan it runs single-task (guide §2.5)
+    val base = Par.spreadSmall(df).select(
       Seq(
         col(idCol),
         t.as("_t"),
@@ -200,8 +202,9 @@ object QualityFilters {
     // tokenize ONCE per doc: explode_outer's generator input is evaluated
     // outside the projection's common-subexpression scope, so deriving the
     // word stats and the n-grams from the text column directly would run
-    // the split several times per row (measured ~2× on the battery corpus)
-    val base = df.select(
+    // the split several times per row (measured ~2× on the battery corpus).
+    // spreadSmall: per-token gram fan-out on a one-split scan (guide §2.5)
+    val base = Par.spreadSmall(df).select(
       Seq(
         col(idCol),
         split(trim(col(textCol)), "\\s+").as("_toks"),
@@ -258,7 +261,7 @@ object QualityFilters {
       df: DataFrame, idCol: String, textCol: String, maxDocs: Long
   ): DataFrame = {
     require(maxDocs >= 1, s"maxDocs must be >= 1, got $maxDocs")
-    val lines = df
+    val lines = Par.spreadSmall(df)
       .select(col(idCol).as("_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
       .withColumn("_key", trim(col("_line")))

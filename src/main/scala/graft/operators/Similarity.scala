@@ -481,17 +481,9 @@ object Similarity {
     * already carries its parallelism, so no corpus-sized exchange can ever
     * be added.
     */
-  /** True when the plan's estimated output fits in ONE scan split — the
-    * regime where a fused scan pipeline carries no parallelism of its own.
-    */
-  private[operators] def fitsOneSplit(df: DataFrame): Boolean =
-    df.sparkSession.sparkContext.defaultParallelism > 1 &&
-      df.queryExecution.optimizedPlan.stats.sizeInBytes <=
-        df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+  private[operators] def fitsOneSplit(df: DataFrame): Boolean = Par.fitsOneSplit(df)
 
-  private[operators] def spreadSmall(df: DataFrame): DataFrame =
-    if (fitsOneSplit(df)) df.repartition(df.sparkSession.sparkContext.defaultParallelism)
-    else df
+  private[operators] def spreadSmall(df: DataFrame): DataFrame = Par.spreadSmall(df)
 
   def nnJoin(
       corpus: DataFrame,

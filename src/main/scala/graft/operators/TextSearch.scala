@@ -41,7 +41,7 @@ object TextSearch {
   private def queryPostings(
       docs: DataFrame, textCol: String, idCol: String, query: Seq[String]): DataFrame = {
     val terms = query.distinct
-    docs
+    Par.spreadSmall(docs)
       .select(col(idCol).as("doc_id"), toks(textCol).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
@@ -172,7 +172,14 @@ object TextSearch {
     * makes full-build and appended segments schema-identical.
     */
   private def postingRows(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tf = docs.select(col(idCol).as("doc_id"), toks(textCol).as("toks"))
+    // NO spreadSmall here, deliberately: postingRows feeds the partitioned
+    // index WRITES (writeIndex/appendToIndex), where a pre-spread multiplies
+    // segment file counts (tasks × buckets) — measured +1-2 s on the
+    // bm25_incremental/snapshot entries from the extra files and their
+    // read-back, more than the tokenize parallelism saved (guide §6 "small
+    // files hurt twice")
+    val tf = docs
+      .select(col(idCol).as("doc_id"), toks(textCol).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))

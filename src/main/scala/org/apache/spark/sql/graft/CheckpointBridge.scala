@@ -23,6 +23,39 @@ object CheckpointBridge {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
     }
 
+  /** Plan facts `graft.operators.Par.spreadSmall` decides from, read off the
+    * optimized logical plan without executing anything:
+    *
+    *   - `wide`: the plan contains an exchange-inducing operator (join,
+    *     aggregate, window, explicit repartition) — its OWN shuffles set the
+    *     downstream parallelism, so a spread on top would be a wasted
+    *     exchange;
+    *   - `rddPartitions`: for `LogicalRDD` leaves (localCheckpoint results),
+    *     the EXACT partition counts — known driver-side, no job;
+    *   - `allFileLeaves`: every leaf is a file-source relation, i.e. the
+    *     size-estimate-vs-split-size bound is meaningful.
+    *
+    * Lives here because `LogicalRDD` is `private[sql]`.
+    */
+  def spreadFacts(df: DataFrame): (Boolean, Seq[Int], Boolean) = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val plan = df.queryExecution.optimizedPlan
+    val wide = plan.exists {
+      case _: Join | _: Aggregate | _: Window | _: RepartitionOperation => true
+      case _ => false
+    }
+    val leaves = plan.collectLeaves()
+    val rddPartitions = leaves.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getNumPartitions
+    }
+    val allFileLeaves = leaves.nonEmpty && leaves.forall {
+      case org.apache.spark.sql.execution.datasources.LogicalRelationWithTable(
+        _: org.apache.spark.sql.execution.datasources.HadoopFsRelation, _) => true
+      case _ => false
+    }
+    (wide, rddPartitions, allFileLeaves)
+  }
+
   /** Run `f` over `df` rebound to a CLONED session whose SQLConf has AQE
     * disabled, then rebind the result to the ORIGINAL session. The scoped
     * clone replaces the earlier toggle-and-restore on the shared session
