@@ -31,6 +31,17 @@ object Bench {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Spark 4.1's checkpoint-file checksums serialize every state-store
+      // commit through a tiny per-manager thread pool: thread dumps showed
+      // 32-partition stream-stream joins spending ~2.4 s/task parked in
+      // ChecksumCheckpointFileManager.awaitResult (~80 ms of actual CPU) —
+      // the blocking grows with state-partition count, so it hurts any
+      // many-partition deployment, not just local mode. The checksums are
+      // an integrity guard for unreliable checkpoint storage and change no
+      // query result; keep them ON in production on object stores, OFF
+      // where the checkpoint FS is trusted (OPTIMIZATION_r14.md §3).
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .config("spark.ui.enabled", "false")
       // the battery runs thousands of stages; default stage retention (1000)
       // evicts mid-run and makes shuffle-byte deltas go NEGATIVE

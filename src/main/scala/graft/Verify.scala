@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.extensions", "graft.expressions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // match Bench: checkpoint checksums off (integrity-only, no result
+      // effect; see Bench.scala + OPTIMIZATION_r14.md §3)
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
