@@ -437,6 +437,28 @@ object Snapshots {
     def isStr(c: String) = df.schema(c).dataType == StringType
     val stats = requested.filter(isNum)
     val strStats = requested.filter(isStr)
+
+    // FOOTER FAST PATH (guide §6; the Iceberg/Delta discipline): manifest
+    // stats come from the parquet footers of the just-written files, read
+    // DRIVER-SIDE — no Spark job, and crucially no re-read of the delta we
+    // just wrote (at ingest scale the read-back doubled the write path's
+    // I/O). Bounds are identical to the scan aggregate for the safe types
+    // (int/long/float/double exact; float→double cast is exact), except:
+    // a file whose footer lacks valid stats for a column (NaN suppression,
+    // an all-null chunk beside a missing one) contributes NO bound — the
+    // file is then never pruned on that column, which is SOUND, just
+    // weaker. Exotic stats types (decimals) take the scan path unchanged.
+    val footerSafe = requested.forall { c =>
+      df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+            DoubleType | StringType => true
+        case _ => false
+      }
+    }
+    if (footerSafe && sys.env.getOrElse("SPARK_GRAFT_FOOTER_STATS", "true").toBoolean)
+      return footerFileEntries(spark, table, rel, v, stats.toSet, strStats.toSet,
+        df.schema)
+
     val written = spark.read.parquet(dir)
     // string bounds are TRUNCATED to bound manifest size, soundly: a
     // 16-char prefix is a valid lower bound as-is; an upper bound keeps
@@ -490,6 +512,136 @@ object Snapshots {
       strStatsMap("__smax").as("stats_max_str"),
       lit(null: String).as("dv_path"),
       lit(0L).as("dv_rows"))
+  }
+
+  /** Spark-side string-bound truncation (`truncLower`/`truncUpper` in the
+    * scan path) replicated code-point-exactly on the driver: `substring`/
+    * `length`/`ascii` in Spark operate on code points, so the twins must
+    * too — a UTF-16 `charAt` twin would diverge on astral-plane text.
+    */
+  private def truncLowerLocal(s: String): String =
+    if (s.codePointCount(0, s.length) <= 16) s
+    else s.substring(0, s.offsetByCodePoints(0, 16))
+  private def truncUpperLocal(s: String): String =
+    if (s.codePointCount(0, s.length) <= 16) s
+    else {
+      val off15 = s.offsetByCodePoints(0, 15)
+      val cut = s.codePointAt(off15)
+      if (cut >= 32 && cut <= 125) s.substring(0, off15) + (cut + 1).toChar.toString
+      else s
+    }
+
+  /** Manifest entries for a just-written file group from its parquet
+    * FOOTERS: one driver-side listing + footer read per file, zero Spark
+    * jobs, zero re-read of the data. Per column, chunk stats combine across
+    * row groups; a column whose footer stats are missing or invalid in any
+    * chunk yields no bound for that file (sound — the file just never
+    * prunes on it). NaN bounds are dropped the same way.
+    */
+  private def footerFileEntries(
+      spark: SparkSession,
+      table: String,
+      rel: String,
+      v: Long,
+      numCols: Set[String],
+      strCols: Set[String],
+      schema: StructType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dirPath = new Path(s"$table/$rel")
+    val fs = dirPath.getFileSystem(conf)
+    val files = fs.listStatus(dirPath)
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      .sortBy(_.getPath.getName)
+    val rows = files.flatMap { st =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val nRows = blocks.map(_.getRowCount).sum
+        // a 0-row part file never enters the manifest (the scan aggregate's
+        // groupBy(input_file_name) behavior): it stays unreferenced garbage
+        if (nRows == 0) None
+        else {
+          def chunkStats(c: String)
+              : Option[Seq[org.apache.parquet.column.statistics.Statistics[_]]] = {
+            val perBlock = blocks.map(_.getColumns.asScala
+              .find(cc => cc.getPath.size() == 1 && cc.getPath.toDotString == c)
+              .map(_.getStatistics))
+            // every chunk must CARRY stats (else the file's true bounds are
+            // unknowable); chunks that are all-null carry stats with
+            // hasNonNullValue=false and drop out of the combine below
+            if (perBlock.exists(s => s.isEmpty || s.get == null || s.get.isEmpty)) None
+            else Some(perBlock.map(_.get).filter(_.hasNonNullValue))
+          }
+          def numBound(c: String): Option[(Double, Double)] =
+            chunkStats(c).filter(_.nonEmpty).flatMap { ss =>
+              def toD(x: Any): Double = x match {
+                case i: java.lang.Integer => i.toDouble
+                case l: java.lang.Long => l.toDouble
+                case f: java.lang.Float => f.toDouble
+                case d: java.lang.Double => d.doubleValue()
+                case b: java.lang.Boolean => if (b) 1.0 else 0.0
+                case other => other.toString.toDouble
+              }
+              val mins = ss.map(s => toD(s.genericGetMin()))
+              val maxs = ss.map(s => toD(s.genericGetMax()))
+              val (mn, mx) = (mins.min, maxs.max)
+              if (mn.isNaN || mx.isNaN) None else Some((mn, mx))
+            }
+          // chunk bounds combine in UTF-8 BYTE order — Spark's min/max over
+          // strings is UTF8String binary order, and parquet's UTF8 stats
+          // compare the same way; Java String.compareTo (UTF-16 units)
+          // would diverge on supplementary-plane text
+          val utf8Ord: Ordering[String] = (a: String, b: String) => {
+            val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+            var i = 0
+            var res = 0
+            val n = math.min(x.length, y.length)
+            while (i < n && res == 0) {
+              res = (x(i) & 0xff) - (y(i) & 0xff)
+              i += 1
+            }
+            if (res != 0) res else x.length - y.length
+          }
+          def strBound(c: String): Option[(String, String)] =
+            chunkStats(c).filter(_.nonEmpty).map { ss =>
+              def toS(x: Any): String = x match {
+                case b: org.apache.parquet.io.api.Binary => b.toStringUsingUTF8
+                case other => other.toString
+              }
+              (ss.map(s => toS(s.genericGetMin())).min(utf8Ord),
+                ss.map(s => toS(s.genericGetMax())).max(utf8Ord))
+            }
+          val numPairs = numCols.toSeq.flatMap(c => numBound(c).map(c -> _))
+          val strPairs = strCols.toSeq.flatMap(c => strBound(c).map(c -> _))
+          Some(org.apache.spark.sql.Row(
+            v,
+            s"$rel/${st.getPath.getName}",
+            nRows,
+            st.getLen,
+            numPairs.map { case (c, (mn, _)) => c -> mn }.toMap,
+            numPairs.map { case (c, (_, mx)) => c -> mx }.toMap,
+            strPairs.map { case (c, (mn, _)) => c -> truncLowerLocal(mn) }.toMap,
+            strPairs.map { case (c, (_, mx)) => c -> truncUpperLocal(mx) }.toMap,
+            null,
+            0L))
+        }
+      } finally reader.close()
+    }
+    val entrySchema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("path", StringType, nullable = true),
+      StructField("rows", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = true),
+      StructField("stats_min", MapType(StringType, DoubleType), nullable = true),
+      StructField("stats_max", MapType(StringType, DoubleType), nullable = true),
+      StructField("stats_min_str", MapType(StringType, StringType), nullable = true),
+      StructField("stats_max_str", MapType(StringType, StringType), nullable = true),
+      StructField("dv_path", StringType, nullable = true),
+      StructField("dv_rows", LongType, nullable = true)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows.toArray: _*), entrySchema)
   }
 
   private def commitRow(
