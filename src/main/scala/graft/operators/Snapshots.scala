@@ -1538,29 +1538,28 @@ object Snapshots {
       : (Map[String, (Double, Double)], Map[String, (Option[String], Option[String])]) = {
     val numKeys = keyCols.filter(k =>
       srcKeys.schema.fields.exists(f => f.name == k && f.dataType.isInstanceOf[NumericType]))
-    val box: Map[String, (Double, Double)] =
-      if (numKeys.isEmpty) Map.empty
-      else {
-        val aggs = numKeys.flatMap(k =>
-          Seq(min(col(k)).cast(DoubleType), max(col(k)).cast(DoubleType)))
-        val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
-        numKeys.zipWithIndex.collect {
-          case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
-            k -> ((r.getDouble(2 * i), r.getDouble(2 * i + 1)))
-        }.toMap
-      }
     val strKeys = keyCols.filter(k =>
       srcKeys.schema.fields.exists(f => f.name == k && f.dataType == StringType))
+    if (numKeys.isEmpty && strKeys.isEmpty) return (Map.empty, Map.empty)
+    // ONE aggregate job for both families — numeric and string boxes used
+    // to run as two separate heads, two jobs per merge/delete (guide §1.2:
+    // don't pay two passes where one answers both)
+    val aggs =
+      numKeys.flatMap(k =>
+        Seq(min(col(k)).cast(DoubleType), max(col(k)).cast(DoubleType))) ++
+        strKeys.flatMap(k => Seq(min(col(k)), max(col(k))))
+    val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
+    val box: Map[String, (Double, Double)] =
+      numKeys.zipWithIndex.collect {
+        case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
+          k -> ((r.getDouble(2 * i), r.getDouble(2 * i + 1)))
+      }.toMap
+    val off = 2 * numKeys.size
     val strBox: Map[String, (Option[String], Option[String])] =
-      if (strKeys.isEmpty) Map.empty
-      else {
-        val aggs = strKeys.flatMap(k => Seq(min(col(k)), max(col(k))))
-        val r = srcKeys.agg(aggs.head, aggs.tail: _*).head()
-        strKeys.zipWithIndex.collect {
-          case (k, i) if !r.isNullAt(2 * i) && !r.isNullAt(2 * i + 1) =>
-            k -> ((Option(r.getString(2 * i)), Option(r.getString(2 * i + 1))))
-        }.toMap
-      }
+      strKeys.zipWithIndex.collect {
+        case (k, i) if !r.isNullAt(off + 2 * i) && !r.isNullAt(off + 2 * i + 1) =>
+          k -> ((Option(r.getString(off + 2 * i)), Option(r.getString(off + 2 * i + 1))))
+      }.toMap
     (box, strBox)
   }
 
