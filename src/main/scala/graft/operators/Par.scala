@@ -32,7 +32,36 @@ object Par {
       df.queryExecution.optimizedPlan.stats.sizeInBytes <=
         df.sparkSession.sessionState.conf.filesMaxPartitionBytes
 
-  def spreadSmall(df: DataFrame): DataFrame = {
+  /** Per-spread-task input-byte target. The round-14 spread repartitioned to
+    * `defaultParallelism` unconditionally, and the driver's scaling run
+    * showed that overshooting is not free: a few hundred KB of input spread
+    * 32 ways pays 32 tasks of exchange+schedule overhead where ~8 carry the
+    * same CPU (the 8-core battery beat the 32-core one). Width therefore
+    * derives from the WORK ESTIMATE (input bytes / target), not the core
+    * count — scale-adaptive in both directions: a bigger input widens toward
+    * the cluster cap, a tiny one stays narrow. 64 KB of input text expands
+    * ~100× through the gram/signature fan-outs these call sites guard, so a
+    * task is a few MB of generated work — env-tunable for other deployments.
+    */
+  def spreadTargetBytes: Long =
+    sys.env.getOrElse("SPARK_GRAFT_SPREAD_TARGET_BYTES", "65536").toLong
+
+  /** Work-capped spread width for an estimated `bytes` of input:
+    * one task per [[spreadTargetBytes]] (callers with heavier per-byte
+    * fan-out pass a smaller `targetBytes`), at least 2 (the point of the
+    * spread is escaping one task), at most the cluster's parallelism.
+    */
+  private def widthFor(df: DataFrame, targetBytes: Long): Int = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val t = math.max(1L, targetBytes)
+    val w = (bytes + t - 1) / t // BigInt: Catalyst size estimates can exceed Long
+    math.max(2, w.min(BigInt(par)).toInt)
+  }
+
+  def spreadSmall(df: DataFrame): DataFrame = spreadSmall(df, spreadTargetBytes)
+
+  def spreadSmall(df: DataFrame, targetBytes: Long): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (par <= 1) return df
     val (wide, rddParts, allFileLeaves) =
@@ -44,10 +73,15 @@ object Par {
     if (wide) df
     // RDD-backed sources (localCheckpoint results): the partition count is
     // exact and free — spread only a genuinely under-parallel source
-    else if (rddParts.nonEmpty)
-      if (rddParts.sum >= par || !fitsOneSplit(df)) df else df.repartition(par)
+    else if (rddParts.nonEmpty) {
+      if (!fitsOneSplit(df)) df
+      else {
+        val w = widthFor(df, targetBytes)
+        if (rddParts.sum >= w) df else df.repartition(w)
+      }
+    }
     // file-backed narrow chains: the size-estimate-vs-split bound
-    else if (allFileLeaves && fitsOneSplit(df)) df.repartition(par)
+    else if (allFileLeaves && fitsOneSplit(df)) df.repartition(widthFor(df, targetBytes))
     // local relations and other driver-side leaves: nothing to spread
     else df
   }

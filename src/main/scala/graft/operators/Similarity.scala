@@ -483,7 +483,14 @@ object Similarity {
     */
   private[operators] def fitsOneSplit(df: DataFrame): Boolean = Par.fitsOneSplit(df)
 
-  private[operators] def spreadSmall(df: DataFrame): DataFrame = Par.spreadSmall(df)
+  /** Vector probe pipelines fan out harder per input byte than the text
+    * gram producers (probe explode × bucket candidates × VecDot), so the
+    * spread width targets 1/8 of the default per-task input bytes — at
+    * sf0.1 this keeps the 2.4M-pair scoring stage at full width while the
+    * light text spreads narrow to their work estimate (guide §2.5).
+    */
+  private[operators] def spreadSmall(df: DataFrame): DataFrame =
+    Par.spreadSmall(df, math.max(1L, Par.spreadTargetBytes / 8))
 
   def nnJoin(
       corpus: DataFrame,

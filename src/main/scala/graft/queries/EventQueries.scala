@@ -612,7 +612,7 @@ object EventQueries {
     // report merges segments. Oracle supplies the exact per-type counts
     // and asserts the one-sided + ε-bound laws over the merged estimate.
     "s9_streaming_sketch" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         import s.implicits._
         val srcDir = tmpDir(d, "cms_src"); val ckpt = tmpDir(d, "cms_ckpt")
         val skDir = tmpDir(d, "cms_sketch")
@@ -655,7 +655,7 @@ object EventQueries {
     // oracle replays the same interval join over the events table in SQL.
     // sum_pair_ids pins WHICH pairs matched, not just how many.
     "s7_stream_stream_join" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val viewDir = tmpDir(d, "ss_views"); val purDir = tmpDir(d, "ss_purchases")
         val outDir = tmpDir(d, "ss_joined"); val ckpt = tmpDir(d, "ss_ckpt")
         Seq(viewDir, purDir, outDir, ckpt).foreach(cleanDir)
@@ -711,7 +711,7 @@ object EventQueries {
     // microbatch count minimal. The oracle replays the whole thing as a
     // plain LEFT JOIN over the events table.
     "s7_stream_stream_outer" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val viewDir = tmpDir(d, "sso_views"); val purDir = tmpDir(d, "sso_purchases")
         val outDir = tmpDir(d, "sso_joined"); val ckpt = tmpDir(d, "sso_ckpt")
         Seq(viewDir, purDir, outDir, ckpt).foreach(cleanDir)
@@ -779,7 +779,7 @@ object EventQueries {
     // epoch MILLIS on both sides (the stateful op compares
     // Timestamp.getTime) so µs-edge gaps can't diverge.
     "s8_streaming_sessions" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val evDir = tmpDir(d, "sess_events"); val outDir = tmpDir(d, "sess_out")
         val ckpt = tmpDir(d, "sess_ckpt")
         Seq(evDir, outDir, ckpt).foreach(cleanDir)
@@ -870,7 +870,7 @@ object EventQueries {
     // construction. LEFT join keeps profile-less purchasers with NULL
     // profile columns. Oracle replays it as a plain SQL left join.
     "s10_stream_static_enrich" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val purDir = tmpDir(d, "sse_purchases"); val outDir = tmpDir(d, "sse_out")
         val ckpt = tmpDir(d, "sse_ckpt")
         Seq(purDir, outDir, ckpt).foreach(cleanDir)

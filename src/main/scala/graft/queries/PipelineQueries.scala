@@ -641,7 +641,7 @@ object PipelineQueries {
     ),
 
     "s6_streaming_ingest" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val inDir = tmpDir(d, "stream_in")
         val storeDir = tmpDir(d, "stream_store")
         val ckpt = tmpDir(d, "stream_ckpt")

@@ -318,7 +318,7 @@ object SnapshotQueries {
     // equals the drop exactly. This is the Delta txnAppId/txnVersion
     // idempotent-writer discipline on the engine's own table format.
     "s12_snapshot_stream" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val inDir = fresh(d, "snapstream_in")
         val ckpt = fresh(d, "snapstream_ckpt")
         val table = fresh(d, "snapstream_tbl")
@@ -460,7 +460,7 @@ object SnapshotQueries {
     // markers must land the merge exactly once, so the per-lang aggregate
     // equals the oracle's upsert arithmetic precisely.
     "s13_snapshot_upsert_stream" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val inDir = fresh(d, "upstream_in")
         val ckpt = fresh(d, "upstream_ckpt")
         val table = fresh(d, "upstream_tbl")
@@ -619,7 +619,7 @@ object SnapshotQueries {
     // batch; the per-lang rollup must equal the oracle's apply
     // arithmetic exactly - the full Debezium-shaped sink discipline.
     "s14_snapshot_cdc_stream" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val inDir = fresh(d, "cdcstream_in")
         val ckpt = fresh(d, "cdcstream_ckpt")
         val table = fresh(d, "cdcstream_tbl")
@@ -771,7 +771,7 @@ object SnapshotQueries {
     // signed rollup over the accumulated feed must equal the oracle's
     // direct arithmetic - the read-side twin of the s12-s14 sinks.
     "s15_snapshot_changelog_stream" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val t = fresh(d, "cdfstream_tbl")
         val ckpt = fresh(d, "cdfstream_ckpt")
         val acc = fresh(d, "cdfstream_acc")
@@ -818,7 +818,7 @@ object SnapshotQueries {
     // same-timestamp twins land in the same session deterministically,
     // matching the engine's sorted-ms semantics.
     "s16_snapshot_session_stream" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val t = fresh(d, "sess_tbl")
         val ckpt = fresh(d, "sess_ckpt")
         val acc = fresh(d, "sess_acc")

@@ -2006,7 +2006,7 @@ object TextQueries {
     // is the streaming face itself, not corpus volume — ta_dist_drift
     // already pins the full-corpus batch computation.
     "s11_streaming_drift" -> Q(
-      (s, d) => {
+      (s, d) => graft.streaming.StreamingPipeline.withStatePartitions(s) {
         val srcDir = QueryScratch.dir(d, "sdrift_src")
         val outDir = QueryScratch.dir(d, "sdrift_out")
         val ckpt = QueryScratch.dir(d, "sdrift_ckpt")

@@ -18,6 +18,35 @@ import graft.sources.{ChunkStore, KeyedChunkStore}
   */
 object StreamingPipeline {
 
+  /** Deliberate streaming STATE-partition count (env-overridable). A new
+    * streaming query freezes `spark.sql.shuffle.partitions` into its
+    * checkpoint as the state-store partition count, so leaving it at the
+    * batch/core default sizes streaming state by CORE COUNT — the wrong
+    * axis at both ends: every state store commits a delta file per
+    * partition per microbatch (a stream-stream join runs four stores), so
+    * per-batch overhead grows linearly with partitions while the useful
+    * parallelism is bounded by keys-per-batch. The driver's round-14
+    * scaling run measured it directly: the s7 join was 4.8× SLOWER at 32
+    * state partitions than at 8 on identical data. State partitioning is
+    * hash-by-key and result-neutral; size it to expected state volume
+    * (raise the env for genuinely large keyed state), never to cores.
+    */
+  def statePartitions: Int =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8").toInt
+
+  /** Run `body` — typically "build sources, start the stream, await it" —
+    * with the session's shuffle-partition count pinned to
+    * [[statePartitions]], restoring the previous value after. Only the
+    * stream STARTED inside inherits the count permanently (it is frozen
+    * into the checkpoint); batch work after the restore is untouched.
+    */
+  def withStatePartitions[T](spark: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, statePartitions.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** S6: watch a directory for new XML-bearing JSON-lines drops
     * (docId, dataset, hash, xml per line) — the Structured Streaming
     * equivalent of "lovlig sync rewrote state.json".
