@@ -790,21 +790,45 @@ object Snapshots {
     val effCluster =
       clusterBy.orElse(if (parent < 0) None else clusterSpec(spark, table, Some(parent)))
         .filter(_.nonEmpty)
-    // the commit row must LEAD the written file for the driver-side
-    // metadata fast path ([[commitRowLocal]] scans the head only) — union
-    // order alone does not survive coalesce(1): the locality-based
-    // coalescer orders file-scan partitions (the carried manifest rows)
-    // before collection-backed ones, landing the commit row near the END
-    // on any table whose manifest carries files. An in-partition sort on
-    // `kind` ("commit" < "file") pins it deterministically; without it,
-    // every commitInfo/tableSchema/clusterSpec on such a table silently
-    // paid a full Spark JSON job (~40 ms) instead of one local line read —
-    // measured 72 s → 9 s on a 1,000-commit changelog catch-up.
-    commitRow(spark, v, parent, op, txn, schemaJson, effCluster)
-      .unionByName(asManifestRows(files))
-      .coalesce(1)
-      .sortWithinPartitions(col("kind"))
-      .write.mode(SaveMode.ErrorIfExists).json(vdir(table, v))
+    // DRIVER-LOCAL WRITE (the append fast path's other half, extended to
+    // every rewriting op — merge/compact/restore/delete/overwrite): the
+    // file rows are collected as manifest-JSON lines in ONE job (`toJSON`
+    // runs the same JacksonGenerator the distributed JSON writer does, so
+    // the bytes are identical) and the child manifest lands through the
+    // same local line writer appends use — no output-committer round
+    // (task commit, rename, _SUCCESS) inside the commit section. An
+    // oversized row set (past the same MaxLocalManifestBytes bound the
+    // append path honors) falls back to the distributed write unchanged.
+    val localLines: Option[Array[String]] =
+      try {
+        val lines = asManifestRows(files).toJSON.collect()
+        if (lines.iterator.map(_.length + 1L).sum <= MaxLocalManifestBytes) Some(lines)
+        else None
+      } catch { case scala.util.control.NonFatal(_) => None }
+    localLines match {
+      case Some(lines) =>
+        // commit row first — the [[commitRowLocal]] head-scan contract
+        writeManifestLinesLocal(spark, table, v,
+          Iterator.single(
+            commitLineLocal(v, parent, op, txn, schemaJson, effCluster)) ++
+            lines.iterator)
+      case None =>
+        // the commit row must LEAD the written file for the driver-side
+        // metadata fast path ([[commitRowLocal]] scans the head only) — union
+        // order alone does not survive coalesce(1): the locality-based
+        // coalescer orders file-scan partitions (the carried manifest rows)
+        // before collection-backed ones, landing the commit row near the END
+        // on any table whose manifest carries files. An in-partition sort on
+        // `kind` ("commit" < "file") pins it deterministically; without it,
+        // every commitInfo/tableSchema/clusterSpec on such a table silently
+        // paid a full Spark JSON job (~40 ms) instead of one local line read —
+        // measured 72 s → 9 s on a 1,000-commit changelog catch-up.
+        commitRow(spark, v, parent, op, txn, schemaJson, effCluster)
+          .unionByName(asManifestRows(files))
+          .coalesce(1)
+          .sortWithinPartitions(col("kind"))
+          .write.mode(SaveMode.ErrorIfExists).json(vdir(table, v))
+    }
   }
 
   /** The CLUSTERING DISCIPLINE recorded for a version (commit row
