@@ -65,14 +65,14 @@ object Drift {
             "— their buckets never align, so any drift score is meaningless noise.")
       case _ => ()
     }
-    // the count tables are ≤ buckets rows by construction: two tiny aggregates
-    def total(c: DataFrame): Long =
-      c.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
-    val tRef = total(refCounts)
-    val tCur = total(curCounts)
-    val dRef = (tRef + buckets).toDouble
-    val dCur = (tCur + buckets).toDouble
-
+    // ONE job materializes the bucket-aligned counts (≤ buckets rows by
+    // construction); the side totals then read off that same table. The
+    // previous shape ran each side's total as its own aggregate job and
+    // re-derived both count tables inside the join — with lazy
+    // bucketCounts inputs (textDrift) that was four gram passes over the
+    // corpora per drift call, now two. Total arithmetic is identical:
+    // each bucket appears once per side, the Long sums are the same
+    // integers (absent side = 0 via the coalesce).
     val joined = refCounts.select(col("bucket"), col("cnt").as("_cr"))
       .join(curCounts.select(col("bucket"), col("cnt").as("_cc")),
         Seq("bucket"), "full_outer")
@@ -80,6 +80,13 @@ object Drift {
         col("bucket"),
         coalesce(col("_cr"), lit(0L)).as("_cr"),
         coalesce(col("_cc"), lit(0L)).as("_cc"))
+      .localCheckpoint()
+    val t = joined.agg(
+      coalesce(sum(col("_cr")), lit(0L)), coalesce(sum(col("_cc")), lit(0L))).head()
+    val tRef = t.getLong(0)
+    val tCur = t.getLong(1)
+    val dRef = (tRef + buckets).toDouble
+    val dCur = (tCur + buckets).toDouble
 
     val p = (col("_cr") + lit(1.0)) / lit(dRef)
     val q = (col("_cc") + lit(1.0)) / lit(dCur)

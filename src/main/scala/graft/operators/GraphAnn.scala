@@ -60,6 +60,20 @@ object GraphAnn {
     org.apache.spark.sql.graft.CheckpointBridge.withAqeOff(df)(
       _.repartition(col(key)).localCheckpoint())
 
+  /** Exchange width for the walk's per-hop state rotations: the state is
+    * cohort-bounded BY CONSTRUCTION (`queries × beam × degree` rows per
+    * hop — never corpus-sized), so a handful of partitions carries it at
+    * any corpus scale; the knob sizes to COHORT volume (raise the env for
+    * million-query batch searches), never to core count — the round-14
+    * driver run showed per-partition constants beat parallelism exactly
+    * in this regime.
+    */
+  private def walkPartitions(df: DataFrame): Int = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    sys.env.get("SPARK_GRAFT_WALK_PARTITIONS").map(_.toInt)
+      .getOrElse(math.max(2, math.min(par, 8)))
+  }
+
   /** A graph ANN index: `vectors` (id, vec) and the undirected `edges`
     * (src, dst) of the k-NN graph over them. `hubIds` is the FROZEN routing
     * hub set chosen at build time (None when the graph was built without a
@@ -431,14 +445,16 @@ object GraphAnn {
         .select(col("_nd_src"), col("_x._nd_dst").as("_nd_dst"),
           col("_x._nd_sim").as("_nd_sim"), col("_x._nd_new").as("_nd_new"))
 
-    val held = scala.collection.mutable.Map.empty[String, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // eager internal-row rotation (see [[walk]]'s rotate): no external-Row
+    // round-trip on the adjacency state each refinement round
+    val held = scala.collection.mutable.Map.empty[String, org.apache.spark.rdd.RDD[_]]
     def rotate(slot: String, dfr: DataFrame): (DataFrame, Long) = {
-      val rdd = dfr.rdd
-      rdd.localCheckpoint()
-      val n = rdd.count()
+      val ck = dfr.localCheckpoint()
+      val rdd = org.apache.spark.sql.graft.CheckpointBridge.internalRdd(ck)
+      val n = rdd.map(_.count()).getOrElse(ck.count())
       held.get(slot).foreach(_.unpersist(blocking = false))
-      held(slot) = rdd
-      (dfr.sparkSession.createDataFrame(rdd, dfr.schema), n)
+      rdd.foreach(r => held(slot) = r)
+      (ck, n)
     }
     // deterministic micro-unit sum over the cached state — the audit value
     def sumSimMicro(st: DataFrame): Long =
@@ -968,15 +984,14 @@ object GraphAnn {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
     require(nSeeds > 0, s"nSeeds must be positive, got $nSeeds")
 
-    // joined every hop: compute the cohort once, holding the checkpointed
-    // RDD itself so the exit path can release it (a Dataset.localCheckpoint
-    // hides its RDD — `.rdd` on it wraps a fresh, unpersisted one)
-    val qRaw = queries
+    // joined every hop: compute the cohort once (eager internal-row
+    // checkpoint — same rotation discipline as the state slots; the
+    // bridge exposes the persisted RDD so the exit path can release it)
+    val q = queries
       .select(col(queryIdCol).as("_ga_qid"), col(queryVecCol).as("_ga_qv"))
       .withColumn("_ga_qn", norm(col("_ga_qv")))
-    val qRdd = qRaw.rdd
-    qRdd.localCheckpoint()
-    val q = qRaw.sparkSession.createDataFrame(qRdd, qRaw.schema)
+      .localCheckpoint()
+    val qRdd = org.apache.spark.sql.graft.CheckpointBridge.internalRdd(q)
     // the scored-vectors table: norms computed ONCE, hash-partitioned on
     // the node id and pinned for the whole walk (Dataset.localCheckpoint
     // keeps the partitioning) — each hop's scoring join then shuffles only
@@ -1015,15 +1030,30 @@ object GraphAnn {
     // per-state-slot lineage rotation: each slot holds ONE checkpointed
     // RDD; rotating in a new round's table releases the previous one.
     // Returns the row count too — the hop's termination probe rides the
-    // rotation's own materialization, costing no extra job.
-    val held = scala.collection.mutable.Map.empty[String, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    // rotation's own materialization. Rotation goes through the EAGER
+    // Dataset.localCheckpoint (INTERNAL rows): the previous `df.rdd`
+    // rotation deserialized every state row to an external Row at
+    // checkpoint time and re-encoded it on every downstream read of the
+    // slot — `seen` is read three times per hop (frontier filter,
+    // anti-join, union), so the walk paid the double conversion on its
+    // largest table each round. The count runs over the already-cached
+    // internal partitions (no recompute, no conversion).
+    // Rotations run AQE-OFF: per hop the adaptive planner executed each
+    // exchange of the rotation plan as its OWN job (~4 stage-jobs + final
+    // per hop, all over cohort-bounded kilobytes) — the walk's cost at
+    // this state size is driver round-trips, not data. A static plan runs
+    // the whole rotation as ONE job at [[walkPartitions]] width. The
+    // pinned edge/vector tables keep their recorded hashpartitioning, so
+    // the hop equi-joins still leave them in place.
+    val held = scala.collection.mutable.Map.empty[String, org.apache.spark.rdd.RDD[_]]
     def rotate(slot: String, df: DataFrame): (DataFrame, Long) = {
-      val rdd = df.rdd
-      rdd.localCheckpoint()
-      val n = rdd.count()
+      val ck = org.apache.spark.sql.graft.CheckpointBridge
+        .withAqeOff(df, Some(walkPartitions(df)))(_.localCheckpoint())
+      val rdd = org.apache.spark.sql.graft.CheckpointBridge.internalRdd(ck)
+      val n = rdd.map(_.count()).getOrElse(ck.count())
       held.get(slot).foreach(_.unpersist(blocking = false))
-      held(slot) = rdd
-      (df.sparkSession.createDataFrame(rdd, df.schema), n)
+      rdd.foreach(r => held(slot) = r)
+      (ck, n)
     }
 
     // ONE state table: everything scored so far, tagged with the hop that
@@ -1087,7 +1117,7 @@ object GraphAnn {
     val result = finish(seen).localCheckpoint()
     held.values.foreach(_.unpersist(blocking = false))
     held.clear()
-    qRdd.unpersist(blocking = false)
+    qRdd.foreach(_.unpersist(blocking = false))
     vRdd.foreach(_.unpersist(blocking = false))
     result
   }

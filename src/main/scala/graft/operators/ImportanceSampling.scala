@@ -105,16 +105,27 @@ object ImportanceSampling {
     */
   private def logRatio(
       target: DataFrame, raw: DataFrame, buckets: Int): (DataFrame, Double) = {
-    def total(c: DataFrame): Double =
-      c.agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0).toDouble
-    val tTot = total(target) + buckets
-    val rTot = total(raw) + buckets
-    val floor = -math.log(tTot) + math.log(rTot)
-    val ratio = target.select(col("bucket"), col("cnt").as("_ct"))
+    // ONE job materializes the bucket-aligned counts (≤ `buckets` rows by
+    // construction), and the side totals then read off that same table.
+    // The previous shape ran each side's total as its own aggregate job
+    // and re-derived both count tables again inside the join — when the
+    // counts are lazy plans (the batch entries pass bucketCounts straight
+    // in), that was FIVE gram passes over the corpus per logWeights call;
+    // now it is two (one per side), plus the scoring pass.
+    val joined = target.select(col("bucket"), col("cnt").as("_ct"))
       .join(raw.select(col("bucket"), col("cnt").as("_cr")), Seq("bucket"), "full_outer")
-      .select(col("bucket"),
-        (log(coalesce(col("_ct"), lit(0L)) + lit(1.0)) - lit(math.log(tTot)) -
-          log(coalesce(col("_cr"), lit(0L)) + lit(1.0)) + lit(math.log(rTot))).as("lr"))
+      .localCheckpoint()
+    val t = joined.agg(
+      coalesce(sum(col("_ct")), lit(0L)), coalesce(sum(col("_cr")), lit(0L))).head()
+    // identical arithmetic to the per-side totals: each bucket appears
+    // exactly once per side in the full-outer join (bucketCounts groups by
+    // bucket), so the Long sums are the same integers
+    val tTot = t.getLong(0).toDouble + buckets
+    val rTot = t.getLong(1).toDouble + buckets
+    val floor = -math.log(tTot) + math.log(rTot)
+    val ratio = joined.select(col("bucket"),
+      (log(coalesce(col("_ct"), lit(0L)) + lit(1.0)) - lit(math.log(tTot)) -
+        log(coalesce(col("_cr"), lit(0L)) + lit(1.0)) + lit(math.log(rTot))).as("lr"))
     (ratio, floor)
   }
 

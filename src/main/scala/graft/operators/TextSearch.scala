@@ -77,6 +77,29 @@ object TextSearch {
       .groupBy(col("doc_id")).agg(sum(col("w")).as("score"))
   }
 
+  /** Per-term BM25 scores for a batch of SINGLE-TERM queries in ONE corpus
+    * pass — `(term, doc_id, score)` rows, value-identical to running
+    * [[bm25Scores]] once per term (same corpus scalars, same tf/df counts,
+    * same literal arithmetic; the per-(term, doc) "sum" is a singleton, so
+    * no re-association can occur). Running the eval harness's N rankings
+    * through N separate [[bm25Scores]] calls re-tokenized the corpus 2N
+    * times (the length pass + the postings pass per call); this costs the
+    * same two passes once for the whole term set.
+    */
+  def bm25ScoresPerTerm(
+      docs: DataFrame, textCol: String, idCol: String, terms: Seq[String],
+      params: Bm25Params = Bm25Params()): DataFrame = {
+    val lens = docs.select(col(idCol).as("doc_id"), size(toks(textCol)).as("dl"))
+    val row = lens.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = row.getLong(0)
+    val avgdl = if (n == 0) 1.0 else row.getLong(1).toDouble / n
+    val tf = queryPostings(docs, textCol, idCol, terms)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .withColumn("w", bm25W(n, avgdl, params))
+      .groupBy(col("term"), col("doc_id")).agg(sum(col("w")).as("score"))
+  }
+
   /** Top-k BM25 search: scores sorted desc with doc-id tie-break. */
   def bm25TopK(
       docs: DataFrame, textCol: String, idCol: String, query: Seq[String], k: Int,

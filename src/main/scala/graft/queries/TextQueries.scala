@@ -1662,10 +1662,11 @@ object TextQueries {
     "ts_eval_metrics" -> Q(
       (s, d) => {
         val docs = documents(s, d)
-        val results = bm25Terms.map { t =>
-          TextSearch.bm25Scores(docs, "text", "doc_id", Seq(t))
-            .select(lit(t).as("query"), col("doc_id"), col("score"))
-        }.reduce(_.unionByName(_))
+        // one corpus pass for all three single-term rankings — value-
+        // identical to the per-term bm25Scores calls this replaced (the
+        // per-(term, doc) sum is a singleton; see bm25ScoresPerTerm)
+        val results = TextSearch.bm25ScoresPerTerm(docs, "text", "doc_id", bm25Terms)
+          .select(col("term").as("query"), col("doc_id"), col("score"))
         val rel = bm25Terms.map { t =>
           docs.select(lit(t).as("query"), col("doc_id"),
             when(size(filter(split(trim(col("text")), " "), x => x === lit(t))) >= 2, 1)
