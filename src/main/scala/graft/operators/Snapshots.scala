@@ -1532,8 +1532,11 @@ object Snapshots {
       val rel = f"data/c$v%08d-$token.dv"
       val nDvFiles = math.max(1L, (deleted + 9999999L) / 10000000L).toInt
       allPos.coalesce(nDvFiles).write.mode(SaveMode.ErrorIfExists).parquet(s"$table/$rel")
-      // per-file merged counts from ONE scan of the just-written dataset
-      val counts = spark.read.parquet(s"$table/$rel")
+      // per-file merged counts from the SAME plan the write ran (newPos is
+      // cached; oldPos is a bounded dv scan) — re-reading the just-written
+      // dataset paid an extra listing + scan job per delete for identical
+      // numbers
+      val counts = allPos
         .groupBy(col("file")).agg(count(lit(1)).as("__n"))
       val touchedNew = touched
         .join(counts.withColumnRenamed("file", "__bn"), Seq("__bn"))
@@ -1664,11 +1667,19 @@ object Snapshots {
       val matchedKeys =
         if (candScan.columns.isEmpty) srcKeys.limit(0)
         else candScan.select((keyCols.map(col) :+ col("__file")): _*)
-          .join(srcKeys, keyCols, "left_semi").cache()
-      val touchedNames: Set[String] =
-        if (candScan.columns.isEmpty) Set.empty
-        else matchedKeys.select("__file").distinct().collect()
-          .map(_.getString(0)).toSet
+          .join(srcKeys, keyCols, "left_semi")
+      // ONE job answers both "which files hold a matched key" and "how many
+      // distinct source keys matched" — they used to be two actions over a
+      // cached intermediate, and at this protocol's cadence every action's
+      // planning round-trip counts (ProfileOne: ~half of a merge-heavy
+      // entry's wall is driver planning)
+      val (touchedNames: Set[String], matchedSrc: Long) =
+        if (candScan.columns.isEmpty) (Set.empty[String], 0L)
+        else {
+          val r = matchedKeys.agg(
+            collect_set(col("__file")), countDistinct(keyCols.head, keyCols.tail: _*)).head()
+          (r.getSeq[String](0).toSet, r.getLong(1))
+        }
       val baseName = element_at(split(col("path"), "/"), -1)
       val touched = candidates.filter(baseName.isin(touchedNames.toSeq: _*))
       val untouched = files.join(touched.select("path"), Seq("path"), "left_anti")
@@ -1684,11 +1695,7 @@ object Snapshots {
         else touched.agg(coalesce(
           sum(col("rows") - coalesce(col("dv_rows"), lit(0L))), lit(0L)))
           .head().getLong(0) - kept.count()
-      val matchedSrc =
-        if (candScan.columns.isEmpty) 0L
-        else matchedKeys.select(keyCols.map(col): _*).distinct().count()
       val rowsInserted = source.count() - matchedSrc
-      matchedKeys.unpersist(): Unit
       // allowMissingColumns: the source may evolve the schema (new columns
       // null out in kept rows) or omit evolved columns (null in its rows)
       val newContent = kept.unionByName(source, allowMissingColumns = true)
