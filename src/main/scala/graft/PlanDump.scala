@@ -2,9 +2,10 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Round-14 deliverable helper: writes `explain("formatted")` of named
-  * battery queries to `plans/r14/<name>_<tag>.txt` so optimization claims
-  * can be checked against committed plan text.
+/** Optimization-round deliverable helper: writes `explain("formatted")` of
+  * named battery queries to `$SPARK_GRAFT_PLANS_DIR/<name>_<tag>.txt`
+  * (default `plans/r15`) so optimization claims can be checked against
+  * committed plan text.
   *
   * Usage: sbt "runMain graft.PlanDump <tag> <query1,query2,...>"
   */
@@ -24,15 +25,16 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get("plans/r14"))
+    val plansDir = sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r15")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(plansDir))
     names.foreach { name =>
       val df = SparkEntry.battery(name).fn(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(s"plans/r14/${name}_$tag.txt"),
+        java.nio.file.Paths.get(s"$plansDir/${name}_$tag.txt"),
         txt.getBytes("UTF-8"))
-      println(s"[plandump] wrote plans/r14/${name}_$tag.txt")
+      println(s"[plandump] wrote $plansDir/${name}_$tag.txt")
     }
     spark.stop()
   }

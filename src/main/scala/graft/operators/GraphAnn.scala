@@ -56,9 +56,21 @@ object GraphAnn {
     * AQE off. The wrapped job is a plain shuffle of already-materialized
     * rows, so losing AQE for it costs nothing.
     */
-  private def pinPartitionedOn(df: DataFrame, key: String): DataFrame =
+  private def pinPartitionedOn(df: DataFrame, key: String): DataFrame = {
+    // partition count sized to the pinned table's DATA (64 MB per
+    // partition off the Catalyst estimate), floored at the walk width and
+    // capped by cluster parallelism — the pin job runs AQE-off (that is
+    // what records the partitioning), so without an explicit count it
+    // paid the full static shuffle-partition width on tables of any size;
+    // an unknown/huge estimate keeps the full-parallelism behavior.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val target = BigInt(64L * 1024 * 1024)
+    val w = ((bytes + target - 1) / target)
+      .max(BigInt(walkPartitions(df))).min(BigInt(par)).toInt
     org.apache.spark.sql.graft.CheckpointBridge.withAqeOff(df)(
-      _.repartition(col(key)).localCheckpoint())
+      _.repartition(w, col(key)).localCheckpoint())
+  }
 
   /** Exchange width for the walk's per-hop state rotations: the state is
     * cohort-bounded BY CONSTRUCTION (`queries × beam × degree` rows per
@@ -1091,7 +1103,11 @@ object GraphAnn {
     // re-materializes only when the hop actually discovered nodes. Folding
     // the two into one rotation re-copies the full visited set on every
     // hop including the final no-change one — measured slower on the
-    // exhaustive-walk entries, where seen is cohort × corpus.
+    // exhaustive-walk entries, where seen is cohort × corpus. (Round-15
+    // re-test: keeping `seen` as a UNION of per-hop checkpoints instead —
+    // no copy, one rotation per hop — measured ~1.2 s SLOWER on the
+    // exhaustive filtered entries: the per-hop anti-join then probes a
+    // deepening union instead of one cached table. The copy stays.)
     var (seen, _) = rotate("seen", score(round0).withColumn("_ga_hop", lit(0)))
     var hop = 0
     var converged = false
