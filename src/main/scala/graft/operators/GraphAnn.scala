@@ -56,7 +56,17 @@ object GraphAnn {
     * AQE off. The wrapped job is a plain shuffle of already-materialized
     * rows, so losing AQE for it costs nothing.
     */
-  private def pinPartitionedOn(df: DataFrame, key: String): DataFrame = {
+  private def pinPartitionedOn(
+      df: DataFrame, key: String,
+      /** Caller-measured byte size, when the caller knows it better than
+        * Catalyst: the edge-table pins sit above kNN-join/hub-union plans
+        * whose join-multiplied estimates blow past any real size, which
+        * silently kept those pins at full parallelism — and every later
+        * hop's frontier exchange then aligned to that width (32 one-row
+        * tasks per hop at bench scale). The builders size it from COUNTED
+        * checkpoint rows instead (see [[buildGraph]]/[[buildGraphDescent]]).
+        */
+      bytesHint: Option[BigInt] = None): DataFrame = {
     // partition count sized to the pinned table's DATA (64 MB per
     // partition off the Catalyst estimate), floored at the walk width and
     // capped by cluster parallelism — the pin job runs AQE-off (that is
@@ -64,12 +74,20 @@ object GraphAnn {
     // paid the full static shuffle-partition width on tables of any size;
     // an unknown/huge estimate keeps the full-parallelism behavior.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val target = BigInt(64L * 1024 * 1024)
-    val w = ((bytes + target - 1) / target)
-      .max(BigInt(walkPartitions(df))).min(BigInt(par)).toInt
+    val bytes = bytesHint.getOrElse(df.queryExecution.optimizedPlan.stats.sizeInBytes)
+    val w = pinWidth(bytes, walkPartitions(df), par)
     org.apache.spark.sql.graft.CheckpointBridge.withAqeOff(df)(
       _.repartition(w, col(key)).localCheckpoint())
+  }
+
+  /** Pin width for `bytes` of pinned data: 64 MB per partition, floored at
+    * the walk width (the pin must carry at least the per-hop exchange
+    * width), capped at cluster parallelism. Pure — unit-pinned by
+    * OptimizationR15Spec independent of the test harness' core count.
+    */
+  private[operators] def pinWidth(bytes: BigInt, walkW: Int, par: Int): Int = {
+    val target = BigInt(64L * 1024 * 1024)
+    ((bytes + target - 1) / target).max(BigInt(walkW)).min(BigInt(par)).toInt
   }
 
   /** Exchange width for the walk's per-hop state rotations: the state is
@@ -366,12 +384,22 @@ object GraphAnn {
     // distinct+repartition over id pairs read from the `directed`
     // checkpoint (the kNN join itself ran under AQE one step earlier), so
     // running it AQE-off costs nothing.
+    // pin width from COUNTED slice rows (the counts run over the cached
+    // checkpoint partitions — no recompute): the un-pinned edge plan's
+    // Catalyst estimate rides the kNN join and over-sizes the pin to full
+    // parallelism. Bound: symmetrization doubles `directed`, hub links add
+    // ≤ 2 member rows per node (n ≤ directed rows) plus the hubs² clique;
+    // ~32 B per two-long internal row.
+    val directedRows = slices.map(s =>
+      org.apache.spark.sql.graft.CheckpointBridge.internalRdd(s)
+        .map(_.count()).getOrElse(s.count())).sum
+    val edgeBytes = BigInt(4L * directedRows + hubs.toLong * hubs) * 32
     val edges = pinPartitionedOn(
       hubIds match {
         case None => base.distinct()
         case Some(h) => base.unionByName(hubEdges(df, idCol, vecCol, h)).distinct()
       },
-      "src")
+      "src", Some(edgeBytes))
     // the pinned edge table is the index; the per-slice directed
     // checkpoints it folded are no longer referenced — release them
     slices.foreach(s => org.apache.spark.sql.graft.CheckpointBridge.internalRdd(s)
@@ -559,7 +587,9 @@ object GraphAnn {
         case None => base.distinct()
         case Some(h) => base.unionByName(hubEdges(df, idCol, vecCol, h)).distinct()
       },
-      "src")
+      // same counted-rows sizing as [[buildGraph]]'s edge pin, off the
+      // adjacency state's measured row count
+      "src", Some(BigInt(4L * stateRows + hubs.toLong * hubs) * 32))
     held.values.foreach(_.unpersist(blocking = false))
     held.clear()
     vRdd.foreach(_.unpersist(blocking = false))
@@ -1024,9 +1054,16 @@ object GraphAnn {
     val seeds = v.select(col("_ga_node")).orderBy(col("_ga_node")).limit(nSeeds)
 
     // score a (qid, node) candidate set: both norms were projected once
-    // below this join; sims round to 6dp BEFORE any ranking
+    // below this join; sims round to 6dp BEFORE any ranking.
+    // SHUFFLE_HASH on the CANDIDATE side (guide §3.2): the candidate set is
+    // cohort-bounded (queries × beam × degree rows) at any corpus scale, so
+    // it is always the cheap build side, while `v` is corpus-sized and must
+    // stream IN PLACE against its recorded hash-pin. Without the hint the
+    // rotation's static planner sized `v` under the broadcast threshold at
+    // bench scale and re-ran a broadcast collect+build of the WHOLE vector
+    // table every hop (plan-dumped; the pin was never probed in place).
     def score(cand: DataFrame): DataFrame =
-      cand.join(v, Seq("_ga_node"))
+      cand.hint("SHUFFLE_HASH").join(v, Seq("_ga_node"))
         .join(q, Seq("_ga_qid"))
         .select(col("_ga_qid"), col("_ga_node"),
           round(cosineWithNorms(col("_ga_qv"), col("_ga_v"),
@@ -1060,7 +1097,14 @@ object GraphAnn {
     val held = scala.collection.mutable.Map.empty[String, org.apache.spark.rdd.RDD[_]]
     def rotate(slot: String, df: DataFrame): (DataFrame, Long) = {
       val ck = org.apache.spark.sql.graft.CheckpointBridge
-        .withAqeOff(df, Some(walkPartitions(df)))(_.localCheckpoint())
+        .withAqeOff(df, Some(walkPartitions(df))) { d =>
+          if (sys.env.contains("SPARK_GRAFT_WALK_DEBUG"))
+            // scalastyle:off println
+            println(s"=== rotate($slot) static plan ===\n" +
+              d.queryExecution.executedPlan.toString)
+            // scalastyle:on println
+          d.localCheckpoint()
+        }
       val rdd = org.apache.spark.sql.graft.CheckpointBridge.internalRdd(ck)
       val n = rdd.map(_.count()).getOrElse(ck.count())
       held.get(slot).foreach(_.unpersist(blocking = false))
@@ -1113,12 +1157,17 @@ object GraphAnn {
     var converged = false
     while (hop < maxHops && !converged) {
       val frontier = topBeam(seen.filter(col("_ga_hop") === hop))
+      // SHUFFLE_HASH both ways (guide §3.2): the frontier (queries × beam
+      // rows) builds against the corpus-sized edge table, which streams in
+      // place on its src-pin — the unhinted static plan sort-merge-joined,
+      // re-sorting ALL edges every hop. The anti-join builds the seen side
+      // (cohort-bounded by construction) instead of sorting both sides.
       val (fresh, nFresh) = rotate("fresh",
-        frontier.select(col("_ga_qid"), col("_ga_node"))
+        frontier.select(col("_ga_qid"), col("_ga_node")).hint("SHUFFLE_HASH")
           .join(e, Seq("_ga_node"))
           .select(col("_ga_qid"), col("_ga_dst").as("_ga_node"))
           .distinct()
-          .join(seen, Seq("_ga_qid", "_ga_node"), "left_anti"))
+          .join(seen.hint("SHUFFLE_HASH"), Seq("_ga_qid", "_ga_node"), "left_anti"))
       if (nFresh == 0) converged = true
       else {
         val (s1, _) = rotate("seen",

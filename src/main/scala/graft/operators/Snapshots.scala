@@ -2406,10 +2406,26 @@ object Snapshots {
     val dataRoot = new Path(s"$table/data")
     def isMeta(name: String) = name.startsWith("_") || name.startsWith(".")
     if (fs.exists(dataRoot)) {
-      val it = fs.listFiles(dataRoot, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && !isMeta(st.getPath.getName)) {
+      // Manual recursion instead of fs.listFiles(recursive): the orphan
+      // scan legitimately RACES concurrent writers (that is maintain's
+      // contract), and a writer's job commit deletes its _temporary tree
+      // mid-scan — the recursive iterator then dies in the local FS's
+      // permission probe on the vanished dir (observed as a bench-run
+      // RuntimeException from `ls`). A GC scan's correct reaction to a
+      // vanished directory is "nothing left here to reclaim", so each
+      // level's listing tolerates it and moves on.
+      def listOrEmpty(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+        try fs.listStatus(p) catch {
+          case _: java.io.FileNotFoundException =>
+            Array.empty
+          case e: RuntimeException
+              if e.getCause.isInstanceOf[java.io.FileNotFoundException] ||
+                e.getCause.isInstanceOf[org.apache.hadoop.util.Shell.ExitCodeException] =>
+            Array.empty // RawLocalFS wraps the vanished-path `ls` this way
+        }
+      def sweep(p: Path): Unit = listOrEmpty(p).foreach { st =>
+        if (st.isDirectory) sweep(st.getPath)
+        else if (st.isFile && !isMeta(st.getPath.getName)) {
           val rel = st.getPath.toUri.getPath.stripPrefix(
             new Path(table).toUri.getPath).stripPrefix("/")
           val parentRel = rel.take(rel.lastIndexOf('/').max(0))
@@ -2424,10 +2440,22 @@ object Snapshots {
           }
         }
       }
-      // drop commit dirs left with no data files (only _SUCCESS-style markers)
-      if (!dryRun) fs.listStatus(dataRoot).foreach { d =>
-        if (d.isDirectory && fs.listStatus(d.getPath).forall(s => isMeta(s.getPath.getName)))
-          fs.delete(d.getPath, true): Unit
+      sweep(dataRoot)
+      // drop commit dirs left with no data files (only _SUCCESS-style
+      // markers). A SUBDIRECTORY is another writer's in-flight _temporary
+      // staging, not debris — deleting the commit dir under it would
+      // destroy that writer's task output (the appendIdempotent-vs-maintain
+      // race this entry exists to exercise), so only all-file meta dirs
+      // qualify, and only outside the same grace window that protects
+      // staged orphan FILES.
+      if (!dryRun) listOrEmpty(dataRoot).foreach { d =>
+        if (d.isDirectory) {
+          val children = listOrEmpty(d.getPath)
+          val allMetaFiles = children.forall(s => s.isFile && isMeta(s.getPath.getName))
+          val graced = orphanGraceMs > 0L &&
+            children.exists(s => now - s.getModificationTime < orphanGraceMs)
+          if (allMetaFiles && !graced) fs.delete(d.getPath, true): Unit
+        }
       }
     }
     (droppedManifests, deletedFiles)

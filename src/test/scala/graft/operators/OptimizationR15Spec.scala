@@ -69,4 +69,33 @@ class OptimizationR15Spec extends SparkSpec {
       assert(batch.keysIterator.count(_._1 == t) == single.size)
     }
   }
+
+  test("graph pin width: 64 MB per partition, walk floor, parallelism cap") {
+    // tiny table: floored at the walk width, never the cluster width
+    assert(GraphAnn.pinWidth(BigInt(4L * 1024 * 1024), walkW = 8, par = 32) == 8)
+    // data-sized in between: ceil(bytes / 64 MB)
+    assert(GraphAnn.pinWidth(BigInt(1L * 1024 * 1024 * 1024), walkW = 8, par = 32) == 16)
+    // huge (or unknown ⇒ Catalyst max) estimate: capped at parallelism
+    assert(GraphAnn.pinWidth(BigInt(Long.MaxValue) * 4, walkW = 8, par = 32) == 32)
+    assert(GraphAnn.pinWidth(BigInt(0), walkW = 2, par = 32) == 2)
+  }
+
+  test("expire's orphan sweep never deletes a commit dir holding in-flight staging") {
+    val t = tmpDir("optr15_sweep")
+    Snapshots.create(spark, t)
+    Snapshots.append(spark, t,
+      (1 to 10).map(i => (i.toLong, s"doc$i")).toDF("doc_id", "text"))
+    // a concurrent writer mid-write: its commit dir holds ONLY the
+    // _temporary staging tree (no data file has been committed up yet)
+    val staging = new java.io.File(s"$t/data/c99999999-inflight/_temporary/0")
+    assert(staging.mkdirs())
+    val part = new java.io.File(staging, "part-00000-staged.parquet")
+    java.nio.file.Files.writeString(part.toPath, "staged-bytes"): Unit
+    val (_, reaped) = Snapshots.expire(spark, t, keepLast = 10, orphanGraceMs = 3600000L)
+    assert(reaped == 0L, s"graced sweep must spare in-flight staging, reaped=$reaped")
+    assert(part.exists(), "in-flight staged task output must survive the sweep")
+    assert(staging.getParentFile.getParentFile.exists(), "the writer's commit dir must survive")
+    // the table itself is untouched
+    assert(Snapshots.read(spark, t).count() == 10L)
+  }
 }
