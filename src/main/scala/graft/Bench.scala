@@ -42,6 +42,18 @@ object Bench {
       // where the checkpoint FS is trusted (OPTIMIZATION_r14.md §3).
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // FileOutputCommitter v2: tasks publish their files directly instead
+      // of the v1 job-commit loop that renames EVERY output file serially
+      // on the driver — a fragmented partitionBy write (24 tasks × 20
+      // partition dirs ≈ 480 files) spent 3 s of its 4 s in that loop
+      // (ProfileOne, k_lake_compact). The serial-rename cost grows with
+      // file count and rename latency, so v2 matters MORE on real
+      // clusters/object stores than locally (it is the long-standing EMR
+      // default). Tradeoff documented in OPTIMIZATION_r15.md: v2 task
+      // commits are not atomic under task-commit failure; keep v1 where
+      // that atomicity is load-bearing.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_COMMITTER_ALGO", "2"))
       .config("spark.ui.enabled", "false")
       // the battery runs thousands of stages; default stage retention (1000)
       // evicts mid-run and makes shuffle-byte deltas go NEGATIVE

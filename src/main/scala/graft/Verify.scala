@@ -18,6 +18,11 @@ object Verify {
       // effect; see Bench.scala + OPTIMIZATION_r14.md §3)
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
+      // match Bench: committer v2 (task-side publish; see Bench.scala) —
+      // Verify must validate results under the same engine config Bench
+      // times
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        sys.env.getOrElse("SPARK_GRAFT_COMMITTER_ALGO", "2"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
